@@ -1,0 +1,246 @@
+"""Deterministic Turtle (TTL) serialization + a small Turtle parser.
+
+The reference serializes its rdflib graph with the ``longturtle`` format
+(reference: kg_text_to_ttl/text_to_turtle_processor.py:66-83). rdflib is not a
+dependency of this engine, so we implement:
+
+- ``serialize_triples`` — deterministic, grouped-by-subject Turtle with
+  sorted prefixes / subjects / predicates / objects, so output bytes are
+  independent of partitioning and execution order (a hard requirement for
+  resumable, scale-out runs).
+- ``parse_turtle`` — a small Turtle subset parser (``@prefix``, IRIs,
+  prefixed names, string literals with ``@lang`` / ``^^datatype``, numeric and
+  boolean shorthand, ``;`` and ``,`` continuations, comments) used to load
+  reference/ontology graphs for ``select:`` lookups
+  (reference analogue: LocalQueryHandler, text_to_turtle_processor.py:168-214).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator
+
+from cmc_knowledge_graph_text2ttl_ray.functions.terms import (
+    KIND_IRI,
+    KIND_LITERAL,
+    XSD_BOOLEAN,
+    XSD_FLOAT,
+    XSD_INTEGER,
+)
+
+__all__ = ["serialize_triples", "parse_turtle", "TurtleParseError"]
+
+# Triple row: (subject, predicate, object, object_kind, object_lang, object_datatype)
+TripleRow = tuple[str, str, str, str, str | None, str | None]
+
+_ESCAPES = {
+    "\\": "\\\\",
+    '"': '\\"',
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+}
+
+_RE_PN_LOCAL = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
+_RE_INT = re.compile(r"^[+-]?[0-9]+$")
+
+
+def _escape_literal(text: str) -> str:
+    out = []
+    for ch in text:
+        out.append(_ESCAPES.get(ch, ch))
+    return "".join(out)
+
+
+def _shorten(iri: str, prefixes: dict[str, str]) -> str:
+    """Render an IRI as prefix:local when a prefix applies, else <iri>."""
+    best = None
+    for pfx, ns in prefixes.items():
+        if iri.startswith(ns) and len(ns) > (len(prefixes.get(best, "")) if best else -1):
+            local = iri[len(ns) :]
+            if _RE_PN_LOCAL.match(local) or local == "":
+                best = pfx
+    if best is not None:
+        return f"{best}:{iri[len(prefixes[best]):]}"
+    return f"<{iri}>"
+
+
+def _render_object(
+    obj: str, kind: str, lang: str | None, datatype: str | None, prefixes: dict[str, str]
+) -> str:
+    if kind == KIND_IRI:
+        return _shorten(obj, prefixes)
+    # Literal shorthand for the common XSD types, matching Turtle syntax rules.
+    if datatype == XSD_INTEGER and _RE_INT.match(obj):
+        return obj
+    if datatype == XSD_BOOLEAN and obj in ("true", "false"):
+        return obj
+    rendered = f'"{_escape_literal(obj)}"'
+    if lang:
+        return f"{rendered}@{lang}"
+    if datatype:
+        return f"{rendered}^^{_shorten(datatype, prefixes)}"
+    return rendered
+
+
+def serialize_triples(
+    triples: Iterable[TripleRow],
+    prefixes: dict[str, str] | None = None,
+) -> str:
+    """Serialize triple rows to deterministic Turtle text.
+
+    ``triples`` may contain duplicates; they are set-deduped here (rdflib
+    graph set semantics, reference text_to_turtle_processor.py:2313-2332).
+    """
+    prefixes = dict(prefixes or {})
+    uniq = sorted(set(tuple(t) for t in triples))
+    lines: list[str] = []
+    for pfx in sorted(prefixes):
+        lines.append(f"@prefix {pfx}: <{prefixes[pfx]}> .")
+    if lines:
+        lines.append("")
+
+    by_subject: dict[str, list[TripleRow]] = {}
+    for t in uniq:
+        by_subject.setdefault(t[0], []).append(t)
+
+    for subj in sorted(by_subject):
+        rows = by_subject[subj]
+        by_pred: dict[str, list[TripleRow]] = {}
+        for t in rows:
+            by_pred.setdefault(t[1], []).append(t)
+        lines.append(f"{_shorten(subj, prefixes)}")
+        pred_keys = sorted(by_pred)
+        for pi, pred in enumerate(pred_keys):
+            objs = [
+                _render_object(o, k, lg, dt, prefixes)
+                for (_, _, o, k, lg, dt) in by_pred[pred]
+            ]
+            sep = " ;" if pi < len(pred_keys) - 1 else " ."
+            obj_txt = ", ".join(objs)
+            lines.append(f"    {_shorten(pred, prefixes)} {obj_txt}{sep}")
+        lines.append("")
+    return "\n".join(lines).rstrip("\n") + "\n"
+
+
+class TurtleParseError(Exception):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<iri><[^>]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<langtag>@(?!prefix\b|base\b)[A-Za-z][A-Za-z0-9\-]*)
+  | (?P<dtype_sep>\^\^)
+  | (?P<punct>[;,.\[\]\(\)])
+  | (?P<prefixed>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_.\-]*)
+  | (?P<keyword>@prefix|@base|true|false|a)
+  | (?P<number>[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?)
+  | (?P<pname_ns>[A-Za-z_][A-Za-z0-9_\-]*:)
+  | (?P<ws>\s+)
+""",
+    re.VERBOSE,
+)
+
+_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+_RE_UNESC = re.compile(r"\\.")
+
+
+def _unescape(text: str) -> str:
+    return _RE_UNESC.sub(lambda m: _UNESCAPES.get(m.group(0), m.group(0)[1]), text)
+
+
+def _tokenize(text: str) -> Iterator[tuple[str, str]]:
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise TurtleParseError(f"Unexpected character at offset {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        yield kind, m.group(0)
+
+
+def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
+    """Parse a Turtle subset into triple rows + prefix table."""
+    tokens = list(_tokenize(text))
+    prefixes: dict[str, str] = {}
+    triples: list[TripleRow] = []
+    i = 0
+
+    def resolve(kind: str, tok: str):
+        if kind == "iri":
+            return ("iri", tok[1:-1], None, None)
+        if kind == "prefixed":
+            pfx, local = tok.split(":", 1)
+            if pfx not in prefixes:
+                raise TurtleParseError(f"Unknown prefix {pfx}")
+            return ("iri", prefixes[pfx] + local, None, None)
+        if kind == "keyword" and tok == "a":
+            return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", None, None)
+        if kind == "keyword" and tok in ("true", "false"):
+            return ("literal", tok, None, XSD_BOOLEAN)
+        if kind == "number":
+            dt = XSD_INTEGER if _RE_INT.match(tok) else XSD_FLOAT
+            return ("literal", tok, None, dt)
+        raise TurtleParseError(f"Unexpected term token {tok!r}")
+
+    def parse_object(idx: int):
+        kind, tok = tokens[idx]
+        if kind == "string":
+            lexical = _unescape(tok[1:-1])
+            lang = None
+            dtype = None
+            idx += 1
+            if idx < len(tokens) and tokens[idx][0] == "langtag":
+                lang = tokens[idx][1][1:]
+                idx += 1
+            elif idx < len(tokens) and tokens[idx][0] == "dtype_sep":
+                nkind, ntok = tokens[idx + 1]
+                dtype = resolve(nkind, ntok)[1]
+                idx += 2
+            return ("literal", lexical, lang, dtype), idx
+        return resolve(kind, tok), idx + 1
+
+    while i < len(tokens):
+        kind, tok = tokens[i]
+        if kind == "keyword" and tok == "@prefix":
+            ns_kind, ns_tok = tokens[i + 1]
+            iri_kind, iri_tok = tokens[i + 2]
+            if ns_kind not in ("pname_ns", "prefixed") or iri_kind != "iri":
+                raise TurtleParseError(f"Malformed @prefix at {tok}")
+            prefixes[ns_tok.rstrip(":").split(":")[0]] = iri_tok[1:-1]
+            if tokens[i + 3][1] != ".":
+                raise TurtleParseError("@prefix not terminated with .")
+            i += 4
+            continue
+        # subject
+        subj = resolve(kind, tok)[1]
+        i += 1
+        while True:
+            pred = resolve(*tokens[i])[1]
+            i += 1
+            while True:
+                (okind, olex, olang, odt), i = parse_object(i)
+                triples.append((subj, pred, olex, okind, olang, odt))
+                if i < len(tokens) and tokens[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+            if i < len(tokens) and tokens[i] == ("punct", ";"):
+                i += 1
+                # allow trailing ; before .
+                if i < len(tokens) and tokens[i] == ("punct", "."):
+                    i += 1
+                    break
+                continue
+            if i < len(tokens) and tokens[i] == ("punct", "."):
+                i += 1
+                break
+            raise TurtleParseError(f"Expected ';' or '.' near token {i}")
+        # next statement
+    return triples, prefixes

@@ -1,0 +1,129 @@
+"""Turtle serializer/parser + GraphIndex query subset."""
+
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray.functions.terms import XSD_INTEGER
+from cmc_knowledge_graph_text2ttl_ray.functions.turtle import (
+    parse_turtle,
+    serialize_triples,
+)
+from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex, QueryError
+
+EX = "http://example.org/"
+
+TRIPLES = [
+    (EX + "b", EX + "p", "2", "literal", None, XSD_INTEGER),
+    (EX + "a", EX + "p", EX + "b", "iri", None, None),
+    (EX + "a", EX + "name", "Alice", "literal", None, None),
+    (EX + "a", EX + "name", "Alicia", "literal", "es", None),
+    # duplicate → must collapse
+    (EX + "a", EX + "p", EX + "b", "iri", None, None),
+]
+
+
+def test_serialize_deterministic_and_deduped():
+    ttl1 = serialize_triples(TRIPLES, {"ex": EX})
+    ttl2 = serialize_triples(list(reversed(TRIPLES)), {"ex": EX})
+    assert ttl1 == ttl2
+    assert ttl1.count("ex:b") == 2  # once as object, once as subject
+    assert '"Alicia"@es' in ttl1
+    assert "@prefix ex: <http://example.org/> ." in ttl1
+
+
+def test_roundtrip():
+    ttl = serialize_triples(TRIPLES, {"ex": EX})
+    parsed, prefixes = parse_turtle(ttl)
+    assert prefixes["ex"] == EX
+    assert set(parsed) == set(tuple(t) for t in TRIPLES)
+
+
+def test_parse_multiline_syntax():
+    ttl = """
+@prefix ex: <http://example.org/> .
+ex:s ex:p ex:o ;
+     ex:q "lit"@en , "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+ex:t a ex:Class .
+"""
+    triples, _ = parse_turtle(ttl)
+    s = set(triples)
+    assert (EX + "s", EX + "p", EX + "o", "iri", None, None) in s
+    assert (EX + "s", EX + "q", "lit", "literal", "en", None) in s
+    assert (EX + "s", EX + "q", "42", "literal", None, XSD_INTEGER) in s
+    assert (EX + "t", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", EX + "Class", "iri", None, None) in s
+
+
+def make_index():
+    ttl = """
+@prefix ex: <http://example.org/> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+ex:acme a ex:Company ; rdfs:label "Acme Corp" ; ex:country ex:us .
+ex:bmi a ex:Company ; rdfs:label "BMI" ; ex:country ex:de .
+ex:us rdfs:label "United States" .
+ex:de rdfs:label "Germany" .
+"""
+    return GraphIndex.from_turtle(ttl)
+
+
+def test_pattern_match():
+    g = make_index()
+    assert len(g.match(None, "http://www.w3.org/2000/01/rdf-schema#label", None)) == 4
+    assert len(g.match(EX + "acme", None, None)) == 3
+
+
+def test_query_join():
+    g = make_index()
+    rows = g.query(
+        """
+        PREFIX ex: <http://example.org/>
+        PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        SELECT ?c ?cl WHERE {
+            ?c a ex:Company .
+            ?c ex:country ?k .
+            ?k rdfs:label ?cl .
+        }
+        """
+    )
+    assert {(r["c"], r["cl"]) for r in rows} == {
+        (EX + "acme", "United States"),
+        (EX + "bmi", "Germany"),
+    }
+
+
+def test_query_literal_lookup():
+    g = make_index()
+    rows = g.query(
+        'PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> '
+        'SELECT ?e WHERE { ?e rdfs:label "Acme Corp" . }'
+    )
+    assert rows == [{"e": EX + "acme"}]
+
+
+def test_query_rejects_unsupported():
+    g = make_index()
+    with pytest.raises(QueryError):
+        g.query("SELECT ?x WHERE { OPTIONAL { ?x ?p ?o } }")
+
+
+def test_select_op_in_workflow():
+    from cmc_knowledge_graph_text2ttl_ray import WorkflowInterpreter, compile_workflow
+
+    plan = compile_workflow(
+        [
+            {"prefix": "ex", "iri": EX},
+            {"match": r"company (\w+ ?\w*)", "as": "c", "do": [
+                {"select": "e", "from": "onto", "as": "entity",
+                 "where": 'PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> '
+                          'SELECT ?e WHERE { ?e rdfs:label "@{c.1}" . }',
+                 "do": [{"subject": "ex:doc", "predicate": "ex:mentions",
+                         "object": {"iri": "@{entity}"}}],
+                 "else": [{"set": "missed", "to": "@{c.1}"}]},
+            ]},
+        ]
+    )
+    interp = WorkflowInterpreter(plan, graphs={"onto": make_index()})
+    res = interp.run("We visited company Acme Corp yesterday.")
+    assert (EX + "doc", EX + "mentions", EX + "acme", "iri", None, None) in res.triples
+
+    res2 = interp.run("We visited company Nowhere Inc yesterday.")
+    assert res2.triples == []
+    assert res2.variables.get("missed") == "Nowhere Inc"
