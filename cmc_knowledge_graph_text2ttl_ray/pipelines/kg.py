@@ -1,0 +1,149 @@
+"""End-to-end knowledge-graph construction pipeline (Ray-Data-native).
+
+Topology (SURVEY.md §3.4):
+
+    pages (Parquet / synthesized)                      url, warc_ts, html, text, lang
+      └─ map_batches(extract_text)                     html → text, zero-copy Arrow
+      └─ map_batches(TripleExtractor actor pool)       compiled workflows per actor
+      └─ [records parquet checkpoint when out_dir]     triple/stats/error records
+      └─ canonicalize (2-level partial-agg groupby +   shuffle #1 (distinct variants
+         broadcast rewrite)                             only — skew pre-collapsed)
+      └─ dedup (in-block combiner + hash groupby)      shuffle #2
+      └─ bucketed TTL shards + manifest + metrics      resumable per-partition sink
+
+All stages stream; nothing materializes the full corpus except the optional
+records checkpoint (which at 100 TB is the restartability boundary between
+the expensive extraction pass and the cheap wide stages).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cmc_knowledge_graph_text2ttl_ray.stages.extract import add_extracted_text
+from cmc_knowledge_graph_text2ttl_ray.stages.triples import (
+    TripleExtractor,
+    collect_prefixes,
+)
+from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import canonicalize_entities
+from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import dedup_triples
+from cmc_knowledge_graph_text2ttl_ray.stages.sinks import write_ttl_partitions
+from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow_file
+
+__all__ = ["default_plans", "default_graphs", "run_kg_pipeline", "extraction_records"]
+
+_WORKFLOW_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "workflows")
+
+ENTITY_NS = "http://example.org/entity/"
+
+
+def default_plans():
+    return [
+        compile_workflow_file(os.path.join(_WORKFLOW_DIR, "webpage_kg.yaml")),
+        compile_workflow_file(os.path.join(_WORKFLOW_DIR, "titles_only.yaml")),
+    ]
+
+
+def default_graphs() -> dict[str, str]:
+    with open(os.path.join(_WORKFLOW_DIR, "ontology.ttl"), encoding="utf8") as fh:
+        return {"ontology": fh.read()}
+
+
+def _filter_rec(kind: str):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["rec"], kind))
+
+    return f
+
+
+def extraction_records(
+    pages_ds,
+    plans=None,
+    graphs_ttl=None,
+    concurrency=None,
+    batch_size: int = 64,
+):
+    """pages → extraction-record dataset (triple/stats/error rows)."""
+    plans = plans or default_plans()
+    graphs_ttl = graphs_ttl if graphs_ttl is not None else default_graphs()
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.available_resources().get("CPU", 8)))
+    ds = add_extracted_text(pages_ds)
+    return ds.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs=dict(plans=plans, graphs_ttl=graphs_ttl),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def run_kg_pipeline(
+    pages_ds,
+    plans=None,
+    graphs_ttl=None,
+    out_dir: str | None = None,
+    entity_ns: str = ENTITY_NS,
+    num_buckets: int = 16,
+    concurrency=None,
+    resume: bool = True,
+):
+    """Run the full pipeline. Returns a dict with the key datasets/artifacts.
+
+    With ``out_dir`` set, the extraction records are checkpointed to Parquet
+    (resume boundary) and TTL shards + metrics are written; without it the
+    records are pinned in the object store (test/bench mode, small inputs).
+    """
+    plans = plans or default_plans()
+    recs = extraction_records(pages_ds, plans=plans, graphs_ttl=graphs_ttl,
+                              concurrency=concurrency)
+
+    if out_dir:
+        records_dir = os.path.join(out_dir, "records")
+        done_marker = os.path.join(records_dir, "_DONE")
+        if not (resume and os.path.exists(done_marker)):
+            recs.write_parquet(records_dir)
+            with open(done_marker, "w") as fh:
+                fh.write("ok")
+        import ray.data
+
+        recs = ray.data.read_parquet(records_dir, file_extensions=["parquet"])
+
+    else:
+        recs = recs.materialize()
+
+    triples = recs.map_batches(_filter_rec("triple"), batch_format="pyarrow")
+    stats = recs.map_batches(_filter_rec("stats"), batch_format="pyarrow")
+    errors = recs.map_batches(_filter_rec("error"), batch_format="pyarrow")
+
+    canonical, mapping_df = canonicalize_entities(triples, entity_ns)
+    deduped = dedup_triples(canonical)
+
+    manifest = None
+    if out_dir:
+        prefixes = collect_prefixes(plans)
+        manifest = write_ttl_partitions(
+            deduped,
+            os.path.join(out_dir, "ttl"),
+            prefixes=prefixes,
+            num_buckets=num_buckets,
+            resume=resume,
+        )
+        stats.select_columns(
+            ["doc_url", "workflow", "no_matches", "no_triples", "total_match_len", "score"]
+        ).write_parquet(os.path.join(out_dir, "metrics"))
+
+    return {
+        "records": recs,
+        "triples": deduped,
+        "stats": stats,
+        "errors": errors,
+        "entity_mapping": mapping_df,
+        "manifest": manifest,
+    }

@@ -1,0 +1,127 @@
+"""Entity canonicalization: surface-form clustering + URI minting.
+
+The reference mints URIs deterministically from surface text via the ``:iri``
+template function (kg_text_to_ttl/text_to_turtle_processor.py:2658-2659), so
+"ACME Corp" and "Acme Corp" produce *different* URIs. This stage — a
+first-class engine addition required by the north rule — clusters those
+variants and rewrites the graph onto one canonical URI per entity.
+
+Scale design (SURVEY §7.4):
+
+- Cluster key = case/whitespace-normalized local name.
+- The candidate table is built with a two-level aggregate:
+  (1) per-batch partial counts inside ``map_batches`` (combiner — cuts the
+      shuffle to distinct (key, iri) pairs per block, not per mention), then
+  (2) ``groupby(key, iri).sum`` + ``groupby(key)`` arg-max. Hot entities
+      (one surface on 20% of pages) are therefore already collapsed to ONE
+      row per block before any shuffle — the classic salting concern applies
+      to mention *rows*, which never enter the shuffle here.
+- The finished mapping (distinct entities, small by construction) is
+  broadcast via ``ray.put`` once and applied inside ``map_batches`` with a
+  dictionary-encode + map-unique-values rewrite, so the wide triple table is
+  never shuffled at all for the rewrite.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["canonicalization_mapping", "apply_canonical_mapping", "canonicalize_entities"]
+
+
+def _local_name(iri_arr: pa.Array, namespace: str) -> pa.Array:
+    return pc.utf8_slice_codeunits(iri_arr, len(namespace), 2**31 - 1)
+
+
+def _norm_key(local: pa.Array) -> pa.Array:
+    # lower-case + collapse duplicate '_' (slugs already replaced spaces etc.)
+    lowered = pc.utf8_lower(local)
+    return pc.replace_substring_regex(lowered, "_+", "_")
+
+
+def canonicalization_mapping(triples_ds, entity_ns: str):
+    """Build the variant→canonical IRI mapping as a small pandas DataFrame.
+
+    ``triples_ds`` is the extraction-record dataset; every IRI in ``subject``
+    or ``object`` under ``entity_ns`` is a mention vote. Canonical member =
+    highest total count, ties broken lexicographically (deterministic).
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cols = []
+        subj = batch["subject"]
+        cols.append(subj.filter(pc.starts_with(subj, entity_ns)).combine_chunks())
+        obj = batch["object"]
+        is_ent_obj = pc.and_(
+            pc.equal(batch["object_kind"], "iri"), pc.starts_with(obj, entity_ns)
+        )
+        cols.append(obj.filter(is_ent_obj).combine_chunks())
+        iris = pa.concat_arrays([c.cast(pa.string()) for c in cols])
+        if len(iris) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "iri": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        counts = iris.value_counts()  # per-batch combiner
+        variants = counts.field("values")
+        key = _norm_key(_norm_key(_local_name(variants, entity_ns)))
+        return pa.table({"key": key, "iri": variants, "cnt": counts.field("counts").cast(pa.int64())})
+
+    partial = triples_ds.map_batches(partial_counts, batch_format="pyarrow")
+    # Shuffle #1 over DISTINCT (key, iri) pairs only.
+    summed = partial.groupby(["key", "iri"]).sum("cnt")
+    pdf = summed.to_pandas()  # distinct entity variants: small by construction
+    if pdf.empty:
+        return pd.DataFrame(columns=["iri", "canonical"])
+    col = "sum(cnt)" if "sum(cnt)" in pdf.columns else "cnt"
+    # Arg-max per key: max count, then lexicographically smallest IRI.
+    pdf = pdf.sort_values(["key", col, "iri"], ascending=[True, False, True])
+    canon = pdf.groupby("key", sort=False).first().rename(columns={"iri": "canonical"})
+    out = pdf.merge(canon["canonical"], left_on="key", right_index=True)
+    return out[["iri", "canonical"]].reset_index(drop=True)
+
+
+def apply_canonical_mapping(triples_ds, mapping: dict[str, str]):
+    """Rewrite subject/object through the broadcast mapping (no shuffle).
+
+    The mapping dict is shipped via the object store once (Ray serializes
+    closure captures with ``ray.put`` semantics for map_batches tasks);
+    rewrite cost is O(distinct values per block) via dictionary encoding.
+    """
+    if not mapping:
+        return triples_ds
+
+    def rewrite_col(col: pa.ChunkedArray) -> pa.Array:
+        arr = col.combine_chunks()
+        d = pc.dictionary_encode(arr)
+        uniques = d.dictionary.to_pylist()
+        remapped = pa.array(
+            [None if u is None else mapping.get(u, u) for u in uniques], pa.string()
+        )
+        return pc.take(remapped, d.indices)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(
+            batch.column_names.index("subject"), "subject", rewrite_col(batch["subject"])
+        )
+        # only IRI objects are rewritten; literals can never collide with IRIs
+        obj = rewrite_col(batch["object"])
+        obj = pc.if_else(pc.equal(batch["object_kind"], "iri"), obj,
+                         batch["object"].combine_chunks())
+        return batch.set_column(batch.column_names.index("object"), "object", obj)
+
+    return triples_ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def canonicalize_entities(triples_ds, entity_ns: str):
+    """Full canonicalization: mapping build (small shuffle) + broadcast
+    rewrite. Returns (rewritten_ds, mapping_df)."""
+    mapping_df = canonicalization_mapping(triples_ds, entity_ns)
+    mapping = {
+        r.iri: r.canonical
+        for r in mapping_df.itertuples()
+        if r.iri != r.canonical
+    }
+    return apply_canonical_mapping(triples_ds, mapping), mapping_df

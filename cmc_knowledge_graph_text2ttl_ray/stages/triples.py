@@ -1,0 +1,187 @@
+"""Triple-extraction actor stage.
+
+The engine analogue of the reference's per-document loop
+(kg_text_to_ttl/text_to_turtle_runner.py:311-431): for every page run each
+workflow, keep the best result per document (sort key
+``(no_triples, no_matches, total_match_len)`` desc, runner :402-407), and
+emit triple ROWS.
+
+Ray-Data-first design decisions:
+
+- This is a CALLABLE CLASS for ``map_batches(..., concurrency=N)``: the
+  compiled plans + lookup graphs are constructed once per actor in
+  ``__init__`` (the reference recompiles regexes per op invocation —
+  text_to_turtle_processor.py:1233 etc.).
+- All W workflows are evaluated inside one UDF call per row, so best-of
+  selection needs NO groupby/shuffle (SURVEY §2.5 A2).
+- Output is a flat Arrow table of records with a ``rec`` discriminator:
+  ``triple`` rows, one ``stats`` row per document (lineage/metrics), and
+  ``error`` rows for per-document failures — errors never fail the block
+  (reference writes ``.err`` files and continues, runner :389-394).
+"""
+
+from __future__ import annotations
+
+import re
+import traceback
+
+import pyarrow as pa
+
+from cmc_knowledge_graph_text2ttl_ray.state.interpreter import WorkflowInterpreter
+from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+from cmc_knowledge_graph_text2ttl_ray.state import plan as P
+
+__all__ = ["TripleExtractor", "RECORDS_SCHEMA", "collect_prefixes", "clean_doc_name"]
+
+RECORDS_SCHEMA = pa.schema(
+    [
+        ("doc_url", pa.string()),
+        ("workflow", pa.string()),
+        ("rec", pa.string()),  # triple | stats | error
+        ("subject", pa.string()),
+        ("predicate", pa.string()),
+        ("object", pa.string()),
+        ("object_kind", pa.string()),
+        ("object_lang", pa.string()),
+        ("object_datatype", pa.string()),
+        ("no_matches", pa.int64()),
+        ("no_triples", pa.int64()),
+        ("total_match_len", pa.int64()),
+        ("score", pa.float64()),
+        ("error", pa.string()),
+    ]
+)
+
+_RE_UNCLEAN = re.compile(r"[\s]|[^\x20-\x7e]")
+
+
+def clean_doc_name(name: str) -> str:
+    """Reference clean-name rule (runner :316-317): whitespace and
+    non-printable-ASCII → '-'."""
+    return _RE_UNCLEAN.sub("-", name)
+
+
+def collect_prefixes(plans) -> dict[str, str]:
+    """Statically collect every prefix: declaration of the plan tree(s)."""
+    out: dict[str, str] = {}
+
+    def walk(node):
+        if isinstance(node, P.PrefixOp):
+            out[node.prefix] = node.iri
+        for f_name in getattr(node, "__dataclass_fields__", {}):
+            v = getattr(node, f_name)
+            if isinstance(v, tuple):
+                for item in v:
+                    if hasattr(item, "__dataclass_fields__"):
+                        walk(item)
+                    elif isinstance(item, tuple):
+                        for sub in item:
+                            if hasattr(sub, "__dataclass_fields__"):
+                                walk(sub)
+
+    if not isinstance(plans, (list, tuple)):
+        plans = [plans]
+    for plan in plans:
+        for step in plan.steps:
+            walk(step)
+    return out
+
+
+class TripleExtractor:
+    """Actor-pool UDF: page batch (Arrow) → extraction-record batch (Arrow).
+
+    :param plans: one or more :class:`CompiledPlan` (pre-compiled on the
+        driver and shipped once per actor — broadcast small-side state).
+    :param graphs_ttl: optional named Turtle texts for ``select:`` lookups;
+        indexed once per actor here.
+    :param text_column: column holding the extracted document text.
+    :param allow_exec: forwarded to the interpreter (embedded-Python gate).
+    """
+
+    def __init__(
+        self,
+        plans,
+        graphs_ttl: dict[str, str] | None = None,
+        text_column: str = "text",
+        url_column: str = "url",
+        allow_exec: bool = True,
+    ) -> None:
+        if not isinstance(plans, (list, tuple)):
+            plans = [plans]
+        graphs = {
+            name: GraphIndex.from_turtle(ttl) for name, ttl in (graphs_ttl or {}).items()
+        }
+        self._interps = [
+            (plan.name, WorkflowInterpreter(plan, graphs=graphs, allow_exec=allow_exec))
+            for plan in plans
+        ]
+        self._text_column = text_column
+        self._url_column = url_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch[self._url_column].to_pylist()
+        texts = batch[self._text_column].to_pylist()
+        rows: list[dict] = []
+        for url, text in zip(urls, texts):
+            rows.extend(self._process_doc(url, text))
+        return pa.Table.from_pylist(rows, schema=RECORDS_SCHEMA)
+
+    # -- per document -------------------------------------------------------
+
+    def _process_doc(self, url: str, text: str | None) -> list[dict]:
+        if not text:
+            # Reference: empty extraction → warn + skip (runner :335-339).
+            return [
+                {"doc_url": url, "workflow": "", "rec": "error", "error": "empty-text"}
+            ]
+        doc = clean_doc_name(url.rsplit("/", 1)[-1] or url)
+        best = None  # (sort_key, wf_name, DocResult)
+        errors = []
+        for wf_name, interp in self._interps:
+            try:
+                res = interp.run(
+                    text, variables={"doc": doc, "docname": url, "docpathname": url}
+                )
+            except Exception:
+                errors.append(
+                    {
+                        "doc_url": url,
+                        "workflow": wf_name,
+                        "rec": "error",
+                        "error": traceback.format_exc(limit=3),
+                    }
+                )
+                continue
+            key = (res.no_triples, res.no_matches, res.total_match_len)
+            if best is None or key > best[0]:
+                best = (key, wf_name, res)
+        out = errors
+        if best is None:
+            return out
+        _, wf_name, res = best
+        for s, p, o, kind, lang, dtype in res.triples:
+            out.append(
+                {
+                    "doc_url": url,
+                    "workflow": wf_name,
+                    "rec": "triple",
+                    "subject": s,
+                    "predicate": p,
+                    "object": o,
+                    "object_kind": kind,
+                    "object_lang": lang,
+                    "object_datatype": dtype,
+                }
+            )
+        out.append(
+            {
+                "doc_url": url,
+                "workflow": wf_name,
+                "rec": "stats",
+                "no_matches": res.no_matches,
+                "no_triples": res.no_triples,
+                "total_match_len": res.total_match_len,
+                "score": res.score,
+            }
+        )
+        return out

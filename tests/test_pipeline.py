@@ -1,0 +1,123 @@
+"""End-to-end Ray Data pipeline tests (small synthetic corpus)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray.sources.pages import (
+    extract_page_text,
+    pages_dataset,
+    synthesize_pages_table,
+)
+from cmc_knowledge_graph_text2ttl_ray.stages.extract import extract_text_batch
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def kg_run(ray_session, tmp_path_factory):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+
+    out_dir = str(tmp_path_factory.mktemp("kg_out"))
+    pages = pages_dataset(N_PAGES, override_num_blocks=8)
+    result = run_kg_pipeline(pages, out_dir=out_dir, concurrency=2)
+    result["out_dir"] = out_dir
+    return result
+
+
+def test_extract_text_byte_identical(ray_session):
+    """North-rule invariant: engine extraction == golden text per url."""
+    table = synthesize_pages_table(range(0, 120))
+    out = extract_text_batch(table.drop_columns(["text"]))
+    assert out["text"].to_pylist() == table["text"].to_pylist()
+
+
+def test_extract_truncates_multi_root():
+    table = synthesize_pages_table([5, 15, 25])  # template 5 = two roots
+    out = extract_text_batch(table)
+    for t in out["text"].to_pylist():
+        assert t.count("</html>") == 1
+        assert "1600" not in t
+
+
+def test_pipeline_produces_triples(kg_run):
+    triples = kg_run["triples"].to_pandas()
+    assert len(triples) > 200
+    assert set(triples["object_kind"].unique()) == {"iri", "literal"}
+    # the truncated second root's fact must never appear
+    assert not (triples["object"] == "1600").any()
+
+
+def test_pipeline_dedup_exact(kg_run):
+    triples = kg_run["triples"].to_pandas()
+    key_cols = ["subject", "predicate", "object", "object_lang", "object_datatype"]
+    assert not triples.duplicated(subset=key_cols).any()
+
+
+def test_canonicalization_merges_hot_entity_variants(kg_run):
+    mapping = kg_run["entity_mapping"]
+    acme = mapping[mapping["iri"].str.lower().str.contains("acme")]
+    # ACME_CORP / Acme__Corp / Acme_Corp all map to one canonical IRI
+    assert len(acme) >= 2
+    assert acme["canonical"].nunique() == 1
+    canonical = acme["canonical"].iloc[0]
+    triples = kg_run["triples"].to_pandas()
+    ent_iris = set(triples.loc[triples["subject"].str.startswith("http://example.org/entity/"), "subject"])
+    for variant in acme["iri"]:
+        if variant != canonical:
+            assert variant not in ent_iris
+
+
+def test_stats_and_errors(kg_run):
+    stats = kg_run["stats"].to_pandas()
+    errors = kg_run["errors"].to_pandas()
+    # every non-empty page (9 of 10 templates) has exactly one stats row
+    assert len(stats) == N_PAGES - N_PAGES // 10
+    assert (stats["no_triples"] > 0).sum() > 0
+    # empty pages are skipped with a diagnostic, never dropped silently
+    assert len(errors) == N_PAGES // 10
+    assert (errors["error"] == "empty-text").all()
+
+
+def test_best_of_workflows_selection(kg_run):
+    stats = kg_run["stats"].to_pandas()
+    # the flagship workflow dominates the minimal variant wherever it fires
+    assert (stats["workflow"] == "webpage_kg").sum() > 0.8 * len(stats)
+
+
+def test_ttl_sink_manifest_and_resume(kg_run, ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.stages.sinks import read_manifest
+
+    out_dir = kg_run["out_dir"]
+    manifest = read_manifest(os.path.join(out_dir, "ttl"))
+    assert manifest["buckets"]
+    total = sum(b["n_triples"] for b in manifest["buckets"].values())
+    assert total == kg_run["triples"].count()
+    # shards exist and parse back to the same triple count
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+    parsed = 0
+    for b in manifest["buckets"].values():
+        with open(b["path"], encoding="utf8") as fh:
+            parsed += len(parse_turtle(fh.read())[0])
+    assert parsed == total
+
+
+def test_rerun_is_deterministic(ray_session, tmp_path):
+    """Same input → byte-identical TTL shards, independent of run."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+
+    outs = []
+    for run_dir in ("a", "b"):
+        out_dir = str(tmp_path / run_dir)
+        pages = pages_dataset(60, override_num_blocks=4 if run_dir == "a" else 7)
+        run_kg_pipeline(pages, out_dir=out_dir, concurrency=2, num_buckets=4)
+        shards = {}
+        ttl_dir = os.path.join(out_dir, "ttl")
+        for f in sorted(os.listdir(ttl_dir)):
+            if f.endswith(".ttl"):
+                with open(os.path.join(ttl_dir, f), encoding="utf8") as fh:
+                    shards[f] = fh.read()
+        outs.append(shards)
+    assert outs[0] == outs[1]
