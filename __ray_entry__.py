@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native KG engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initializes Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG pipeline over pages derived from sf0.001.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data-pipeline extensions).
+- ``oracle_sql()`` — DuckDB oracles for every SQL-expressible query; the
+  non-relational ops (KG extraction, MinHash/SimHash, IVF-ANN, lang-id,
+  multimodal) are rows-only by nature and intentionally have no entry.
 """
 
 from __future__ import annotations
@@ -20,25 +18,200 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: pages(sf0.001 documents) → triples (deduped)."""
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+
+    pages = pages_from_documents("/root/testdata/sf0.001")
+    result = run_kg_pipeline(pages, concurrency=4)
+    return result["triples"]
+
+
+def _kg_records(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+
+    return run_kg_pipeline(pages_from_documents(sf_dir), concurrency=4)
+
+
+def _kg_triples(sf_dir: str):
+    return _kg_records(sf_dir)["triples"]
+
+
+def _kg_stats(sf_dir: str):
+    res = _kg_records(sf_dir)
+    return res["stats"].select_columns(
+        ["doc_url", "workflow", "no_matches", "no_triples", "total_match_len", "score"]
+    )
+
+
+def _kg_entity_mapping(sf_dir: str):
+    return _kg_records(sf_dir)["entity_mapping"]
+
+
+def _docs_lang_id(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import lang_id
+
+    return lang_id(sf_dir)
+
+
+def _docs_fingerprint(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(sf_dir).select_columns(["doc_id", "md5"])
+
+
+def _docs_rolling_fingerprint(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(sf_dir).select_columns(["doc_id", "rolling64"])
+
+
+def _multimodal_features(sf_dir: str):
+    """Binary-payload feature extraction: documents.text bytes stand in for
+    an opaque media column; decode is the deterministic FakeDecoder."""
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.multimodal import media_features
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": t["text"].cast(pa.binary())}
+        )
+
+    return media_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cmc_knowledge_graph_text2ttl_ray.pipelines import relational as R
+    from cmc_knowledge_graph_text2ttl_ray.pipelines import text_analysis as T
+    from cmc_knowledge_graph_text2ttl_ray.pipelines import dedup as D
+    from cmc_knowledge_graph_text2ttl_ray.pipelines import similarity as S
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational capabilities (groupby / join / sort / top-k)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_nation_revenue": R.q5_nation_revenue,
+        "orders_per_segment": R.orders_per_segment,
+        "top_parts": R.top_parts,
+        "events_daily": R.events_daily,
+        "events_user_stats": R.events_user_stats,
+        # text analysis over documents
+        "docs_token_stats": T.token_stats,
+        "docs_quality": T.quality_scores,
+        "docs_fingerprint": _docs_fingerprint,
+        "docs_rolling_fingerprint": _docs_rolling_fingerprint,
+        "docs_lang_id": _docs_lang_id,
+        # dedup family
+        "docs_exact_dedup": D.exact_dedup,
+        "docs_minhash_pairs": D.minhash_lsh_pairs,
+        "docs_simhash": D.simhash_signatures,
+        "docs_simhash_pairs": D.simhash_near_dup_pairs,
+        # similarity search over embeddings
+        "knn_cosine": S.knn_bruteforce,
+        "knn_ivf": S.knn_ivf,
+        "embedding_near_dups": S.embedding_near_dup_pairs,
+        # multimodal plumbing
+        "multimodal_features": _multimodal_features,
+        # knowledge-graph construction (non-SQL; rows-only checks)
+        "kg_triples": _kg_triples,
+        "kg_stats": _kg_stats,
+        "kg_entity_mapping": _kg_entity_mapping,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_quantity) / COUNT(*), 2)              AS avg_qty,
+                   ROUND(SUM(l_discount) / COUNT(*), 2)              AS avg_disc,
+                   COUNT(*)                                          AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey AS o_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = orders.o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "orders_per_segment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey
+            LIMIT 10
+        """,
+        "events_daily": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_user_stats": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   ROUND(SUM(value) / COUNT(*), 2) AS avg_value
+            FROM events
+            GROUP BY user_id
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / length(text), 4) AS alpha_ratio,
+                   ROUND(CAST(length(text) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "knn_cosine": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 4) AS sim
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline KG pipeline + representative queries over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) at ``$RAY_GRAFT_CPUS``
+(default 32) and print ONE JSON line.
+
+``--scaling``: run the headline pipeline twice in fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and report both throughputs
+plus scaling efficiency ``(T32/T8)/4`` (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "orders_per_segment",
+    "events_daily",
+    "docs_token_stats",
+    "docs_exact_dedup",
+    "docs_minhash_pairs",
+    "knn_cosine",
+]
+
+
+def _consume(result) -> int:
+    """Force full execution; return row count."""
+    if hasattr(result, "count"):
+        return result.count()
+    return len(result)
+
+
+def run_workload(num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    import __ray_entry__
+
+    out_dir = f"/tmp/graft_bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # Headline: full KG construction (extract → triples → canonicalize →
+    # dedup → TTL shards), streaming end-to-end.
+    n_pages = pages_from_documents(SF_DIR).count()
+    t0 = time.perf_counter()
+    pages = pages_from_documents(SF_DIR)
+    result = run_kg_pipeline(pages, out_dir=out_dir, concurrency=num_cpus, resume=False)
+    n_triples = sum(b["n_triples"] for b in result["manifest"]["buckets"].values())
+    kg_wall = time.perf_counter() - t0
+
+    queries = {}
+    q = __ray_entry__.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(q[name](SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_wall_sec",
+        "value": round(kg_wall, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "n_pages": int(n_pages),
+        "n_triples": int(n_triples),
+        "pages_per_sec": round(n_pages / kg_wall, 1),
+        "triples_per_sec": round(n_triples / kg_wall, 1),
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, __file__, "--child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    eff = (results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "low": {"num_cpus": lo, "triples_per_sec": results[lo]["triples_per_sec"],
+                "wall_sec": results[lo]["value"]},
+        "high": {"num_cpus": hi, "triples_per_sec": results[hi]["triples_per_sec"],
+                 "wall_sec": results[hi]["value"]},
+        "queries": results[hi]["queries"],
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--child" in sys.argv:
+        print(json.dumps(run_workload(NUM_CPUS)))
+    else:
+        print(json.dumps(run_workload(NUM_CPUS)))

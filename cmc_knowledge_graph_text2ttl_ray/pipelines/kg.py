@@ -72,7 +72,11 @@ def extraction_records(
     if concurrency is None:
         import ray
 
-        concurrency = max(2, int(ray.available_resources().get("CPU", 8)))
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    elif isinstance(concurrency, int):
+        # Leave headroom: a fixed pool equal to the CPU count starves the
+        # upstream read/synthesis tasks (observed deadlock on small clusters).
+        concurrency = (1, concurrency)
     ds = add_extracted_text(pages_ds)
     return ds.map_batches(
         TripleExtractor,

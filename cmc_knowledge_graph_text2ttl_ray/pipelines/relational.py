@@ -1,0 +1,245 @@
+"""Relational analytics pipelines over the TPC-H-ish test tables.
+
+These exist to prove the engine's generic groupby / join / sort / top-k
+capabilities in Ray Data form (the reference engine has no relational
+operators; SURVEY.md §2.4-2.6 maps its lookup/aggregation patterns here).
+Every query has a DuckDB oracle in ``__ray_entry__.oracle_sql`` — column
+names and rounding match exactly.
+
+Scale notes baked into each query:
+- columns are pruned at ``read_parquet``;
+- per-block partial aggregation happens inside Ray's native hash aggregate;
+- dimension tables (region/nation/supplier/customer) are BROADCAST into
+  ``map_batches`` lookups instead of shuffling the fact table
+  (SURVEY §7.4 — broadcast-small-side join); the fact table is never
+  materialized on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "orders_per_segment",
+    "top_parts",
+    "events_daily",
+    "events_user_stats",
+]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round2(col):
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import pc_round
+
+    return pc_round(col, 2)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: big scan + 4-group aggregate with computed column."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    from ray.data.aggregate import Count, Mean, Sum
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"):
+            t = t.set_column(t.column_names.index(c), c, _round2(t[c]))
+        return t
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Join-heavy top-k: customer(seg) ⋈ orders ⋈ lineitem → top-k revenue.
+
+    customer and the filtered order set are broadcast; lineitem streams."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    order_keys = set(orders.loc[orders["o_custkey"].isin(keys), "o_orderkey"])
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(list(order_keys), pa.int64()))
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("revenue"), "revenue", _round2(t["revenue"])
+            ),
+            batch_format="pyarrow",
+        )
+        # deterministic top-k: revenue desc, orderkey asc tiebreak
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+    return out
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Broadcast-dim join chain: lineitem ⋈ supplier ⋈ nation → per-nation
+    revenue. The two dimension tables ride along as hash maps; only the
+    tiny (nation, partial-revenue) pairs are shuffled."""
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    supp_to_nation = dict(
+        zip(
+            supp["s_suppkey"],
+            supp["s_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
+        )
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        n_name = df["l_suppkey"].map(supp_to_nation)
+        g = rev.groupby(n_name).sum()  # per-block combiner
+        return pd.DataFrame({"n_name": g.index, "revenue": g.to_numpy()})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("revenue"), "revenue", _round2(t["revenue"])
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def orders_per_segment(sf_dir: str):
+    """Distributed hash join (Ray native ds.join) + aggregate: order counts
+    and total price per customer market segment."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_price"),
+        )
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("total_price"), "total_price", _round2(t["total_price"])
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def top_parts(sf_dir: str, k: int = 10):
+    """Global sort + limit (deterministic tie-break on key)."""
+    return (
+        _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def events_daily(sf_dir: str):
+    """Event-stream daily rollup: groupby (day, type) count + sum."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        return pa.table({"day": day, "event_type": t["event_type"], "value": t["value"]})
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("total_value"), "total_value", _round2(t["total_value"])
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def events_user_stats(sf_dir: str):
+    """Per-user activity profile (count, avg value, distinct event types)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id").agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        from cmc_knowledge_graph_text2ttl_ray.functions.rounding import pc_round
+        avg = pc_round(pc.divide(t["sum_value"], pc.cast(t["n_events"], pa.float64())), 2)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"],
+                "avg_value": avg,
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

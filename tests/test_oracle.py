@@ -1,0 +1,99 @@
+"""Mini driver-style correctness harness: run every queries() entry at
+sf0.001 and compare SQL-checked ones against their DuckDB oracle
+(row count + schema-insensitive sorted-value equality, mirroring the
+driver's CORRECTNESS gate)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    return pd.DataFrame(result)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _checked_names():
+    import __ray_entry__
+
+    return sorted(__ray_entry__.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "orders_per_segment", "top_parts", "events_daily", "events_user_stats",
+    "docs_token_stats", "docs_quality", "docs_fingerprint",
+    "docs_exact_dedup", "knn_cosine",
+])
+def test_query_matches_oracle(entrymod, con, name):
+    sql = entrymod.oracle_sql()[name]
+    expected = _normalize(con.sql(sql).df())
+    actual = _normalize(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    assert list(actual.columns) == list(expected.columns), (
+        f"{name}: columns {list(actual.columns)} != {list(expected.columns)}"
+    )
+    assert len(actual) == len(expected), f"{name}: row count mismatch"
+    pd.testing.assert_frame_equal(actual, expected, check_dtype=False, atol=1e-9)
+
+
+def test_every_oracle_has_query(entrymod):
+    q = set(entrymod.queries())
+    missing = [k for k in entrymod.oracle_sql() if k not in q]
+    assert not missing
+
+
+def test_rows_only_queries_run(entrymod):
+    """Non-SQL queries must at least execute and return a stable shape."""
+    q = entrymod.queries()
+    for name in ["docs_lang_id", "docs_simhash", "docs_rolling_fingerprint",
+                 "knn_ivf", "multimodal_features"]:
+        df = _to_pandas(q[name](SF_DIR))
+        assert len(df) > 0, name
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 100
+    assert {"subject", "predicate", "object", "object_kind"} <= set(df.columns)
