@@ -56,18 +56,20 @@ def run_workload(num_cpus: int) -> dict:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
     from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
     import __ray_entry__
+    import pyarrow.parquet as pq
 
     out_dir = f"/tmp/graft_bench_out_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # Headline: full KG construction (extract → triples → canonicalize →
-    # dedup → TTL shards), streaming end-to-end.
-    n_pages = pages_from_documents(SF_DIR).count()
+    # dedup → TTL shards), streaming end-to-end, over the deterministic
+    # synthetic page corpus scaled to the sf dir (10 pages per document row).
+    n_pages = 10 * pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     t0 = time.perf_counter()
-    pages = pages_from_documents(SF_DIR)
+    pages = pages_dataset(n_pages, override_num_blocks=max(16, num_cpus * 2))
     result = run_kg_pipeline(pages, out_dir=out_dir, concurrency=num_cpus, resume=False)
     n_triples = sum(b["n_triples"] for b in result["manifest"]["buckets"].values())
     kg_wall = time.perf_counter() - t0

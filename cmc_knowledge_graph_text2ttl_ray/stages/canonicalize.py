@@ -70,12 +70,15 @@ def canonicalization_mapping(triples_ds, entity_ns: str):
         return pa.table({"key": key, "iri": variants, "cnt": counts.field("counts").cast(pa.int64())})
 
     partial = triples_ds.map_batches(partial_counts, batch_format="pyarrow")
-    # Shuffle #1 over DISTINCT (key, iri) pairs only.
-    summed = partial.groupby(["key", "iri"]).sum("cnt")
-    pdf = summed.to_pandas()  # distinct entity variants: small by construction
+    # The partials are DISTINCT (key, iri) pairs per block — small by
+    # construction — so the final combine is a driver-side pandas groupby
+    # instead of a Ray shuffle (one less all-to-all; at extreme entity
+    # cardinality switch back to partial.groupby(["key","iri"]).sum("cnt")).
+    pdf = partial.to_pandas()
     if pdf.empty:
         return pd.DataFrame(columns=["iri", "canonical"])
-    col = "sum(cnt)" if "sum(cnt)" in pdf.columns else "cnt"
+    col = "cnt"
+    pdf = pdf.groupby(["key", "iri"], as_index=False)["cnt"].sum()
     # Arg-max per key: max count, then lexicographically smallest IRI.
     pdf = pdf.sort_values(["key", col, "iri"], ascending=[True, False, True])
     canon = pdf.groupby("key", sort=False).first().rename(columns={"iri": "canonical"})

@@ -4,14 +4,16 @@ Replaces the reference's ``FileOutputHandler.write_turtle`` (one TTL per
 document, kg_text_to_ttl/text_to_turtle_processor.py:66-83) with a
 partitioned layout fit for 100 TB runs:
 
-- Triples are bucketed by ``hash(subject) % num_buckets`` — one output shard
-  per bucket, written independently, so a failed run resumes by skipping
-  buckets already recorded in ``manifest.json`` (north rule: per-partition
-  checkpoints + lineage).
+- Triples are bucketed by ``hash(triple identity) % num_buckets`` — one
+  output shard per bucket, written independently, so a failed run resumes by
+  skipping buckets already recorded in ``manifest.json`` (north rule:
+  per-partition checkpoints + lineage).
+- **Dedup is fused into the bucket shuffle**: identical triples hash to the
+  same bucket, so a vectorized in-group ``drop_duplicates`` (plus the
+  serializer's set semantics) gives global exact dedup with ONE all-to-all
+  exchange instead of two.
 - Within a bucket the triples are sorted before serialization, so shard
   bytes are deterministic regardless of partitioning / execution order.
-- A metrics side table (per-bucket row counts + per-doc stats) lands as
-  Parquet next to the shards (north rule: lineage + throughput metrics).
 """
 
 from __future__ import annotations
@@ -23,6 +25,10 @@ import pandas as pd
 import pyarrow as pa
 
 from cmc_knowledge_graph_text2ttl_ray.functions.turtle import serialize_triples
+from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import (
+    IDENTITY_COLS,
+    add_identity_hash,
+)
 
 __all__ = ["write_ttl_partitions", "read_manifest"]
 
@@ -42,29 +48,28 @@ def write_ttl_partitions(
     num_buckets: int = 16,
     resume: bool = True,
 ) -> dict:
-    """Write the (already deduped) triple dataset as bucketed TTL shards.
+    """Write the triple dataset as bucketed, exactly-deduped TTL shards.
 
-    Returns the manifest dict. Buckets present in an existing manifest are
-    skipped when ``resume`` (their shard files are left untouched).
+    Returns the manifest dict (bucket → n_triples + path). Buckets present
+    in an existing manifest are skipped when ``resume``.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir) if resume else {"buckets": {}}
     done = set(manifest["buckets"]) if resume else set()
     prefixes = prefixes or {}
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bucket"] = (
-            pd.util.hash_array(df["subject"].to_numpy(dtype=object)) % num_buckets
-        ).astype("int64")
-        return df
+    def pre(batch: pa.Table) -> pd.DataFrame:
+        df = add_identity_hash(batch, keep_cols=IDENTITY_COLS)
+        df["bucket"] = (df["h"] % num_buckets).astype("int64")
+        return df.drop(columns=["h"])
 
-    bucketed = triples_ds.map_batches(add_bucket, batch_format="pandas")
+    bucketed = triples_ds.map_batches(pre, batch_format="pyarrow")
 
     def write_group(group: pd.DataFrame) -> pd.DataFrame:
         bucket = int(group["bucket"].iloc[0])
         if str(bucket) in done:
             return pd.DataFrame({"bucket": [bucket], "n_triples": [-1], "path": ["<skipped>"]})
+        group = group.drop_duplicates(subset=IDENTITY_COLS)
         rows = [
             (r.subject, r.predicate, r.object, r.object_kind,
              None if pd.isna(r.object_lang) else r.object_lang,
