@@ -49,6 +49,21 @@ def _kg_entity_mapping(sf_dir: str):
     return _kg_records(sf_dir)["entity_mapping"]
 
 
+def _distinct_brands(sf_dir: str):
+    """Set-op coverage: ds.unique over one column."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+    return pd.DataFrame({"p_brand": sorted(ds.unique("p_brand"))})
+
+
+def _user_sessions(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.windows import user_sessions
+
+    return user_sessions(sf_dir)
+
+
 def _docs_lang_id(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import lang_id
 
@@ -100,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": R.top_parts,
         "events_daily": R.events_daily,
         "events_user_stats": R.events_user_stats,
+        "events_user_sessions": _user_sessions,
+        "distinct_brands": _distinct_brands,
         # text analysis over documents
         "docs_token_stats": T.token_stats,
         "docs_quality": T.quality_scores,
@@ -181,6 +198,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value) / COUNT(*), 2) AS avg_value
             FROM events
             GROUP BY user_id
+        """,
+        "events_user_sessions": """
+            WITH gaps AS (
+                SELECT user_id, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "distinct_brands": """
+            SELECT DISTINCT p_brand FROM part
         """,
         "docs_token_stats": """
             SELECT doc_id,

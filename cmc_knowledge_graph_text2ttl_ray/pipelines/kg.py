@@ -19,6 +19,7 @@ the expensive extraction pass and the cheap wide stages).
 from __future__ import annotations
 
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -28,7 +29,10 @@ from cmc_knowledge_graph_text2ttl_ray.stages.triples import (
     TripleExtractor,
     collect_prefixes,
 )
-from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import canonicalize_entities
+from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import (
+    apply_canonical_mapping,
+    mapping_from_entity_records,
+)
 from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import dedup_triples
 from cmc_knowledge_graph_text2ttl_ray.stages.sinks import write_ttl_partitions
 from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow_file
@@ -65,22 +69,27 @@ def extraction_records(
     graphs_ttl=None,
     concurrency=None,
     batch_size: int = 64,
+    entity_ns: str = ENTITY_NS,
 ):
-    """pages → extraction-record dataset (triple/stats/error rows)."""
+    """pages → extraction-record dataset (triple/stats/error/entity rows)."""
     plans = plans or default_plans()
     graphs_ttl = graphs_ttl if graphs_ttl is not None else default_graphs()
     if concurrency is None:
         import ray
 
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
-    elif isinstance(concurrency, int):
-        # Leave headroom: a fixed pool equal to the CPU count starves the
-        # upstream read/synthesis tasks (observed deadlock on small clusters).
-        concurrency = (1, concurrency)
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    if isinstance(concurrency, int):
+        # Near-fixed pool: Ray's autoscaling pool ramps up too slowly (2.3×
+        # slower end-to-end measured at (1,32) vs (30,32)), while a fully
+        # fixed pool equal to the CPU count starves neighbor operators
+        # (observed deadlock on small clusters). min = max-2 keeps the pool
+        # hot and leaves headroom for the read/write tasks.
+        concurrency = (max(1, concurrency - 2), concurrency)
     ds = add_extracted_text(pages_ds)
     return ds.map_batches(
         TripleExtractor,
-        fn_constructor_kwargs=dict(plans=plans, graphs_ttl=graphs_ttl),
+        fn_constructor_kwargs=dict(plans=plans, graphs_ttl=graphs_ttl,
+                                   entity_ns=entity_ns),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -94,21 +103,28 @@ def run_kg_pipeline(
     graphs_ttl=None,
     out_dir: str | None = None,
     entity_ns: str = ENTITY_NS,
-    num_buckets: int = 16,
+    num_buckets: int = 64,
     concurrency=None,
     resume: bool = True,
+    checkpoint_records: bool = True,
 ):
     """Run the full pipeline. Returns a dict with the key datasets/artifacts.
 
     With ``out_dir`` set, the extraction records are checkpointed to Parquet
     (resume boundary) and TTL shards + metrics are written; without it the
     records are pinned in the object store (test/bench mode, small inputs).
+    ``checkpoint_records=False`` keeps the records in the object store even
+    when ``out_dir`` is set (benchmark mode: same topology, no disk
+    checkpoint — at production scale the checkpoint IS the restart
+    boundary and stays on).
     """
     plans = plans or default_plans()
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
     recs = extraction_records(pages_ds, plans=plans, graphs_ttl=graphs_ttl,
-                              concurrency=concurrency)
+                              concurrency=concurrency, entity_ns=entity_ns)
 
-    if out_dir:
+    if out_dir and checkpoint_records:
         records_dir = os.path.join(out_dir, "records")
         done_marker = os.path.join(records_dir, "_DONE")
         if not (resume and os.path.exists(done_marker)):
@@ -121,27 +137,40 @@ def run_kg_pipeline(
 
     else:
         recs = recs.materialize()
+    timings["extract"] = time.perf_counter() - t0
 
     triples = recs.map_batches(_filter_rec("triple"), batch_format="pyarrow")
     stats = recs.map_batches(_filter_rec("stats"), batch_format="pyarrow")
     errors = recs.map_batches(_filter_rec("error"), batch_format="pyarrow")
 
-    canonical, mapping_df = canonicalize_entities(triples, entity_ns)
+    t0 = time.perf_counter()
+    # Mapping from the rec='entity' partial counts the extractors emitted —
+    # a light filtered scan + driver arg-max, no pass over the triple rows.
+    mapping_df = mapping_from_entity_records(recs, entity_ns)
+    mapping = {r.iri: r.canonical for r in mapping_df.itertuples() if r.iri != r.canonical}
+    canonical = apply_canonical_mapping(triples, mapping)
+    timings["canonicalize"] = time.perf_counter() - t0
     deduped = dedup_triples(canonical)
 
     manifest = None
     if out_dir:
         prefixes = collect_prefixes(plans)
+        t0 = time.perf_counter()
+        # dedup is fused into the sink's bucket shuffle; `deduped` above
+        # stays lazy for API consumers and is not executed here
         manifest = write_ttl_partitions(
-            deduped,
+            canonical,
             os.path.join(out_dir, "ttl"),
             prefixes=prefixes,
             num_buckets=num_buckets,
             resume=resume,
         )
+        timings["ttl_write"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         stats.select_columns(
             ["doc_url", "workflow", "no_matches", "no_triples", "total_match_len", "score"]
         ).write_parquet(os.path.join(out_dir, "metrics"))
+        timings["metrics"] = time.perf_counter() - t0
 
     return {
         "records": recs,
@@ -150,4 +179,5 @@ def run_kg_pipeline(
         "errors": errors,
         "entity_mapping": mapping_df,
         "manifest": manifest,
+        "timings": timings,
     }

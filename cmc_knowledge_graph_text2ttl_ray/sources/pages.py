@@ -240,7 +240,9 @@ def pages_dataset(n_rows: int, override_num_blocks: int | None = None):
     def synth(batch: pa.Table) -> pa.Table:
         return synthesize_pages_table(batch["id"].to_numpy())
 
-    return ds.map_batches(synth, batch_format="pyarrow", batch_size=2048)
+    # batch_size bounds fused-task granularity downstream: ~512 pages per
+    # task keeps a 32-way pool saturated on 50k-row inputs
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
 
 
 def pages_from_documents(sf_dir: str):
@@ -280,4 +282,4 @@ def pages_from_documents(sf_dir: str):
             )
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
-    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=512)

@@ -28,7 +28,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["canonicalization_mapping", "apply_canonical_mapping", "canonicalize_entities"]
+__all__ = [
+    "canonicalization_mapping",
+    "mapping_from_entity_records",
+    "apply_canonical_mapping",
+    "canonicalize_entities",
+]
 
 
 def _local_name(iri_arr: pa.Array, namespace: str) -> pa.Array:
@@ -84,6 +89,36 @@ def canonicalization_mapping(triples_ds, entity_ns: str):
     canon = pdf.groupby("key", sort=False).first().rename(columns={"iri": "canonical"})
     out = pdf.merge(canon["canonical"], left_on="key", right_index=True)
     return out[["iri", "canonical"]].reset_index(drop=True)
+
+
+def _argmax_mapping(pdf: pd.DataFrame, entity_ns: str) -> pd.DataFrame:
+    """(iri, cnt) rows → variant→canonical mapping (max count, lex-min ties)."""
+    if pdf.empty:
+        return pd.DataFrame(columns=["iri", "canonical"])
+    import pyarrow as _pa
+
+    iri_arr = _pa.array(pdf["iri"], _pa.string())
+    pdf = pdf.assign(key=_norm_key(_local_name(iri_arr, entity_ns)).to_pylist())
+    pdf = pdf.groupby(["key", "iri"], as_index=False)["cnt"].sum()
+    pdf = pdf.sort_values(["key", "cnt", "iri"], ascending=[True, False, True])
+    canon = pdf.groupby("key", sort=False).first().rename(columns={"iri": "canonical"})
+    out = pdf.merge(canon["canonical"], left_on="key", right_index=True)
+    return out[["iri", "canonical"]].reset_index(drop=True)
+
+
+def mapping_from_entity_records(records_ds, entity_ns: str) -> pd.DataFrame:
+    """Build the mapping from rec='entity' partial-count rows emitted by the
+    extraction actors — no extra pass over the triple table."""
+    ent = records_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "iri": t.filter(pc.equal(t["rec"], "entity"))["subject"],
+                "cnt": t.filter(pc.equal(t["rec"], "entity"))["no_triples"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _argmax_mapping(ent.to_pandas(), entity_ns)
 
 
 def apply_canonical_mapping(triples_ds, mapping: dict[str, str]):

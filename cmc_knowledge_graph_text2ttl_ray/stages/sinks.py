@@ -45,7 +45,7 @@ def write_ttl_partitions(
     triples_ds,
     out_dir: str,
     prefixes: dict[str, str] | None = None,
-    num_buckets: int = 16,
+    num_buckets: int = 64,
     resume: bool = True,
 ) -> dict:
     """Write the triple dataset as bucketed, exactly-deduped TTL shards.

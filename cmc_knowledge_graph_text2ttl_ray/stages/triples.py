@@ -105,6 +105,7 @@ class TripleExtractor:
         text_column: str = "text",
         url_column: str = "url",
         allow_exec: bool = True,
+        entity_ns: str | None = None,
     ) -> None:
         if not isinstance(plans, (list, tuple)):
             plans = [plans]
@@ -117,6 +118,7 @@ class TripleExtractor:
         ]
         self._text_column = text_column
         self._url_column = url_column
+        self._entity_ns = entity_ns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch[self._url_column].to_pylist()
@@ -124,6 +126,25 @@ class TripleExtractor:
         rows: list[dict] = []
         for url, text in zip(urls, texts):
             rows.extend(self._process_doc(url, text))
+        if self._entity_ns is not None:
+            # Per-batch partial entity-mention counts (rec='entity') — the
+            # canonicalization combiner, so the mapping build needs no extra
+            # pass over the triple table (SURVEY §2.5 A4).
+            ns = self._entity_ns
+            counts: dict[str, int] = {}
+            for r in rows:
+                if r["rec"] != "triple":
+                    continue
+                s_val = r["subject"]
+                if s_val.startswith(ns):
+                    counts[s_val] = counts.get(s_val, 0) + 1
+                o_val = r["object"]
+                if r["object_kind"] == "iri" and o_val.startswith(ns):
+                    counts[o_val] = counts.get(o_val, 0) + 1
+            rows.extend(
+                {"rec": "entity", "subject": iri, "no_triples": cnt}
+                for iri, cnt in counts.items()
+            )
         return pa.Table.from_pylist(rows, schema=RECORDS_SCHEMA)
 
     # -- per document -------------------------------------------------------

@@ -64,7 +64,8 @@ def _checked_names():
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "orders_per_segment", "top_parts", "events_daily", "events_user_stats",
     "docs_token_stats", "docs_quality", "docs_fingerprint",
-    "docs_exact_dedup", "knn_cosine",
+    "docs_exact_dedup", "knn_cosine", "events_user_sessions",
+    "distinct_brands",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     sql = entrymod.oracle_sql()[name]
