@@ -1,0 +1,148 @@
+"""CLI entry point.
+
+Mirrors the reference CLI shape (kg_text_to_ttl/text_to_turtle_runner.py:
+480-604: workflows + documents + ``-d var=value`` definitions) re-expressed
+for the Ray engine:
+
+    # full pipeline over a parquet page corpus (or synth:N pages)
+    python -m cmc_knowledge_graph_text2ttl_ray run \
+        --workflow workflows/webpage_kg.yaml --workflow workflows/titles_only.yaml \
+        --pages /data/pages_parquet --out /tmp/kg_out --num-cpus 32
+
+    # single document through the interpreter (no Ray) — library parity
+    python -m cmc_knowledge_graph_text2ttl_ray doc \
+        --workflow workflows/webpage_kg.yaml --text page.html -d doc=mydoc
+
+Designed for ``ray job submit -- python -m cmc_knowledge_graph_text2ttl_ray run ...``
+on a real cluster; locally it owns its Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+
+def _parse_defs(defs: list[str]) -> dict[str, str]:
+    out = {}
+    for d in defs:
+        m = re.match(r"([\w-]+)=(.*)", d)
+        if not m:
+            raise SystemExit(f"Invalid -d definition (want name=value): {d}")
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+def cmd_doc(args) -> int:
+    from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow_file
+    from cmc_knowledge_graph_text2ttl_ray.state.interpreter import WorkflowInterpreter
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import serialize_triples
+
+    plans = [compile_workflow_file(w) for w in args.workflow]
+    graphs = {}
+    for g in args.graph or []:
+        name, _, path = g.partition("=")
+        from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+        graphs[name] = GraphIndex.from_file(path)
+    with open(args.text, encoding="utf8") as fh:
+        text = fh.read()
+    variables = _parse_defs(args.define or [])
+    best = None
+    for plan in plans:
+        interp = WorkflowInterpreter(plan, graphs=graphs)
+        res = interp.run(text, variables=dict(variables))
+        key = (res.no_triples, res.no_matches, res.total_match_len)
+        if best is None or key > best[0]:
+            best = (key, plan.name, res)
+    _, wf_name, res = best
+    sys.stderr.write(
+        f"workflow={wf_name} matches={res.no_matches} triples={res.no_triples} "
+        f"score={res.score:.3f}\n"
+    )
+    sys.stdout.write(serialize_triples(res.triples, res.prefixes))
+    return 0
+
+
+def cmd_run(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+    from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow_file
+
+    if args.pages.startswith("synth:"):
+        pages = pages_dataset(int(args.pages.split(":", 1)[1]))
+    else:
+        pages = ray.data.read_parquet(args.pages)
+
+    plans = [compile_workflow_file(w) for w in args.workflow] if args.workflow else None
+    graphs_ttl = None
+    if args.graph:
+        graphs_ttl = {}
+        for g in args.graph:
+            name, _, path = g.partition("=")
+            with open(path, encoding="utf8") as fh:
+                graphs_ttl[name] = fh.read()
+
+    result = run_kg_pipeline(
+        pages,
+        plans=plans,
+        graphs_ttl=graphs_ttl,
+        out_dir=args.out,
+        num_buckets=args.num_buckets,
+        resume=not args.no_resume,
+    )
+    summary = {
+        "buckets": len(result["manifest"]["buckets"]),
+        "n_triples": sum(b["n_triples"] for b in result["manifest"]["buckets"].values()),
+        "entities": len(result["entity_mapping"]),
+        "timings": {k: round(v, 2) for k, v in result["timings"].items()},
+        "out_dir": args.out,
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cmc_knowledge_graph_text2ttl_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="full KG pipeline over a page corpus")
+    p_run.add_argument("--workflow", action="append", help="workflow YAML (repeatable)")
+    p_run.add_argument("--pages", required=True,
+                       help="parquet path/dir of pages, or synth:N for the synthetic corpus")
+    p_run.add_argument("--out", required=True, help="output directory")
+    p_run.add_argument("--graph", action="append", help="name=path.ttl lookup graph (repeatable)")
+    p_run.add_argument("--num-cpus", type=int, default=32)
+    p_run.add_argument("--num-buckets", type=int, default=64)
+    p_run.add_argument("--no-resume", action="store_true")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_doc = sub.add_parser("doc", help="run one document through the interpreter")
+    p_doc.add_argument("--workflow", action="append", required=True)
+    p_doc.add_argument("--text", required=True, help="document text/HTML file")
+    p_doc.add_argument("--graph", action="append")
+    p_doc.add_argument("-d", "--define", action="append",
+                       help="variable definition name=value (repeatable)")
+    p_doc.set_defaults(fn=cmd_doc)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

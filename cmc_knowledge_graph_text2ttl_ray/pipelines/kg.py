@@ -37,7 +37,13 @@ from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import dedup_triples
 from cmc_knowledge_graph_text2ttl_ray.stages.sinks import write_ttl_partitions
 from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow_file
 
-__all__ = ["default_plans", "default_graphs", "run_kg_pipeline", "extraction_records"]
+__all__ = [
+    "default_plans",
+    "default_graphs",
+    "run_kg_pipeline",
+    "run_kg_pipeline_waves",
+    "extraction_records",
+]
 
 _WORKFLOW_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "workflows")
 
@@ -181,3 +187,71 @@ def run_kg_pipeline(
         "manifest": manifest,
         "timings": timings,
     }
+
+
+def run_kg_pipeline_waves(
+    input_paths: list[str],
+    out_dir: str,
+    plans=None,
+    graphs_ttl=None,
+    wave_size: int = 8,
+    entity_ns: str = ENTITY_NS,
+    num_buckets: int = 64,
+    concurrency=None,
+):
+    """Input-fragment-level checkpointed pipeline (north rule: resumable
+    per-partition checkpoints with lineage).
+
+    The expensive extraction pass runs in WAVES of ``wave_size`` input
+    parquet files; each wave's records land under ``records/wave=<k>/`` and
+    are marked done in ``waves.json`` — a restarted run skips completed
+    waves entirely (the unit of lost work is one wave). The cheap wide
+    stages (canonicalize / dedup / TTL) then run over ALL records, so global
+    exact dedup and canonicalization stay correct across waves.
+    """
+    import json
+
+    import ray.data
+
+    plans = plans or default_plans()
+    os.makedirs(out_dir, exist_ok=True)
+    wave_manifest_path = os.path.join(out_dir, "waves.json")
+    done: dict[str, dict] = {}
+    if os.path.exists(wave_manifest_path):
+        with open(wave_manifest_path) as fh:
+            done = json.load(fh)
+
+    input_paths = sorted(input_paths)
+    waves = [input_paths[i : i + wave_size] for i in range(0, len(input_paths), wave_size)]
+    for k, files in enumerate(waves):
+        key = f"wave={k:05d}"
+        if key in done and done[key].get("files") == files:
+            continue
+        pages = ray.data.read_parquet(files)
+        recs = extraction_records(
+            pages, plans=plans, graphs_ttl=graphs_ttl, concurrency=concurrency,
+            entity_ns=entity_ns,
+        )
+        wave_dir = os.path.join(out_dir, "records", key)
+        recs.write_parquet(wave_dir)
+        done[key] = {"files": files, "records_dir": wave_dir}
+        tmp = wave_manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(done, fh, indent=1, sort_keys=True)
+        os.replace(tmp, wave_manifest_path)
+
+    recs = ray.data.read_parquet(os.path.join(out_dir, "records"),
+                                 file_extensions=["parquet"])
+    triples = recs.map_batches(_filter_rec("triple"), batch_format="pyarrow")
+    mapping_df = mapping_from_entity_records(recs, entity_ns)
+    mapping = {r.iri: r.canonical for r in mapping_df.itertuples() if r.iri != r.canonical}
+    canonical = apply_canonical_mapping(triples, mapping)
+    prefixes = collect_prefixes(plans)
+    manifest = write_ttl_partitions(
+        canonical, os.path.join(out_dir, "ttl"), prefixes=prefixes,
+        num_buckets=num_buckets, resume=False,
+    )
+    recs.map_batches(_filter_rec("stats"), batch_format="pyarrow").select_columns(
+        ["doc_url", "workflow", "no_matches", "no_triples", "total_match_len", "score"]
+    ).write_parquet(os.path.join(out_dir, "metrics"))
+    return {"manifest": manifest, "entity_mapping": mapping_df, "waves": done}

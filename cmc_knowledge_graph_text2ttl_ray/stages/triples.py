@@ -106,6 +106,7 @@ class TripleExtractor:
         url_column: str = "url",
         allow_exec: bool = True,
         entity_ns: str | None = None,
+        max_text_chars: int = 4_000_000,
     ) -> None:
         if not isinstance(plans, (list, tuple)):
             plans = [plans]
@@ -119,6 +120,7 @@ class TripleExtractor:
         self._text_column = text_column
         self._url_column = url_column
         self._entity_ns = entity_ns
+        self._max_text_chars = max_text_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch[self._url_column].to_pylist()
@@ -158,6 +160,15 @@ class TripleExtractor:
         doc = clean_doc_name(url.rsplit("/", 1)[-1] or url)
         best = None  # (sort_key, wf_name, DocResult)
         errors = []
+        if len(text) > self._max_text_chars:
+            # Giant-row guard: one multi-MB page must not stall an actor on a
+            # catastrophic regex (the reference has no such guard; its only
+            # truncation is the first-</html> rule, runner :124-128).
+            text = text[: self._max_text_chars]
+            errors.append(
+                {"doc_url": url, "workflow": "", "rec": "error",
+                 "error": f"truncated-to-{self._max_text_chars}-chars"}
+            )
         for wf_name, interp in self._interps:
             try:
                 res = interp.run(

@@ -1,0 +1,98 @@
+"""Wave-checkpoint resume, CLI, uploader, giant-row guard."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray.sources.pages import generate_pages_parquet
+
+
+def test_wave_resume_skips_completed(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline_waves
+
+    src = str(tmp_path / "pages")
+    generate_pages_parquet(src, 200, num_files=8)
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out = str(tmp_path / "out")
+    res1 = run_kg_pipeline_waves(files, out, wave_size=3, concurrency=2)
+    assert len(res1["waves"]) == 3  # 8 files / 3 per wave
+    total1 = sum(b["n_triples"] for b in res1["manifest"]["buckets"].values())
+    assert total1 > 0
+
+    # Simulate a crash after wave 0: drop later waves from the manifest and
+    # delete their records; the resumed run must regenerate ONLY those.
+    with open(os.path.join(out, "waves.json")) as fh:
+        waves = json.load(fh)
+    import shutil
+
+    for key in list(waves):
+        if key != "wave=00000":
+            shutil.rmtree(waves[key]["records_dir"])
+            del waves[key]
+    with open(os.path.join(out, "waves.json"), "w") as fh:
+        json.dump(waves, fh)
+    kept_mtime = os.path.getmtime(os.path.join(out, "records", "wave=00000"))
+
+    res2 = run_kg_pipeline_waves(files, out, wave_size=3, concurrency=2)
+    total2 = sum(b["n_triples"] for b in res2["manifest"]["buckets"].values())
+    assert total2 == total1
+    # completed wave untouched
+    assert os.path.getmtime(os.path.join(out, "records", "wave=00000")) == kept_mtime
+
+
+def test_cli_doc_mode(tmp_path):
+    doc = tmp_path / "doc.html"
+    doc.write_text(
+        "<html><head><title>T</title></head><body>"
+        "<p>Acme Corp was founded in 1987.</p></body></html>"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray", "doc",
+         "--workflow", "workflows/webpage_kg.yaml", "--text", str(doc),
+         "-d", "doc=mydoc"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ent:Acme_Corp" in out.stdout
+    assert "foundedIn 1987" in out.stdout
+    assert "workflow=webpage_kg" in out.stderr
+
+
+def test_uploader_local_dir(tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.stages.uploader import (
+        GraphUploader,
+        LocalDirUploader,
+        UploadError,
+    )
+
+    up = LocalDirUploader(str(tmp_path))
+    p1 = up.upload("a b c .\n", "db1", "http://g/1", verb="PUT")
+    up.upload("d e f .\n", "db1", "http://g/1", verb="POST")
+    assert open(p1).read() == "a b c .\nd e f .\n"
+    up.upload("x y z .\n", "db1", "http://g/1", verb="PUT")  # PUT replaces
+    assert open(p1).read() == "x y z .\n"
+    with pytest.raises(UploadError):
+        up.upload("t", "db1", "g", verb="PATCH")
+    with pytest.raises(UploadError):
+        GraphUploader(max_retries=1).upload("t", "db", "g")  # stub retries then fails
+
+
+def test_giant_row_guard():
+    from cmc_knowledge_graph_text2ttl_ray.stages.triples import TripleExtractor
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import default_plans, default_graphs
+    import pyarrow as pa
+
+    ex = TripleExtractor(default_plans(), graphs_ttl=default_graphs(),
+                         max_text_chars=100)
+    big = "<html><body>" + "x" * 10_000 + "</body></html>"
+    batch = pa.table({"url": ["https://x/1"], "text": [big]})
+    out = ex(batch).to_pylist()
+    errs = [r for r in out if r["rec"] == "error"]
+    assert any("truncated-to-100" in (r["error"] or "") for r in errs)
+    # the doc is still processed (stats row exists)
+    assert any(r["rec"] == "stats" for r in out)
