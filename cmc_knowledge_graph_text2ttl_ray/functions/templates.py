@@ -72,6 +72,8 @@ def expand_template(
     """
     if not isinstance(template, str):
         return template
+    if "@{" not in template:
+        return template  # fast path: no references (most constant IRIs)
     original = template
     try:
         while True:

@@ -147,7 +147,15 @@ class TripleExtractor:
                 {"rec": "entity", "subject": iri, "no_triples": cnt}
                 for iri, cnt in counts.items()
             )
-        return pa.Table.from_pylist(rows, schema=RECORDS_SCHEMA)
+        # Columnar assembly (from_pylist over wide sparse dicts is ~2× slower)
+        cols = {name: [None] * len(rows) for name in RECORDS_SCHEMA.names}
+        for i, r in enumerate(rows):
+            for k, v in r.items():
+                cols[k][i] = v
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in RECORDS_SCHEMA],
+            schema=RECORDS_SCHEMA,
+        )
 
     # -- per document -------------------------------------------------------
 

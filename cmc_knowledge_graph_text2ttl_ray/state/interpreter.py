@@ -163,6 +163,7 @@ class WorkflowInterpreter:
         self._procedures: dict[str, tuple] = {}
         self._dim_tags_stack: list[list] = []
         self._break_dimension = False
+        self._node_cache: dict[str, Iri] = {}
         self._result = DocResult()
         for step in self.plan.steps:
             self._exec_op(step)
@@ -758,6 +759,7 @@ class WorkflowInterpreter:
 
     def _op_prefix(self, op: P.PrefixOp):
         """Reference def_prefix (:2208-2222)."""
+        self._node_cache.clear()  # prefix table changed → cached IRIs stale
         self._prefixes[op.prefix] = op.iri
         self._result.prefixes[op.prefix] = op.iri
         return (True, op.prefix)
@@ -909,15 +911,22 @@ class WorkflowInterpreter:
 
     def _parse_node(self, n: str) -> Iri:
         """Reference _parse_node (:2349-2367): template-expand, then try
-        ``prefix:member``; unknown prefix is an error; otherwise a full IRI."""
+        ``prefix:member``; unknown prefix is an error; otherwise a full IRI.
+        Expanded strings are memoized (cleared when a prefix is redefined)."""
         n = self._expand(n)
+        cached = self._node_cache.get(n)
+        if cached is not None:
+            return cached
         m = _RE_PREFIX_REF.match(n)
         if m:
             ns = self._prefixes.get(m.group(1))
             if ns is None:
                 raise InterpreterError(f"Unknown prefix: {m.group(1)}")
-            return Iri(ns + m.group(2))
-        return Iri(n)
+            node = Iri(ns + m.group(2))
+        else:
+            node = Iri(n)
+        self._node_cache[n] = node
+        return node
 
     def _parse_object(self, spec: P.ObjectSpec) -> Iri | TypedLiteral:
         """Reference _parse_literal (:2370-2524), including its control-flow
