@@ -64,6 +64,57 @@ def _user_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _customers_without_orders(sf_dir: str):
+    """Left-anti join: customers with no high-value order (broadcast key
+    set built from a filtered scan; the fact side streams)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)),
+        batch_format="pyarrow",
+    )
+    keys = pa.array(sorted(set(orders.unique("o_custkey"))), pa.int64())
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    out = cust.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys))),
+        batch_format="pyarrow",
+    )
+    # materialize via Arrow so an empty result still carries the schema
+    import pyarrow as _pa
+
+    tables = [b for b in out.iter_batches(batch_format="pyarrow")]
+    if tables:
+        return _pa.concat_tables(tables)
+    return _pa.table({"c_custkey": _pa.array([], _pa.int64()),
+                      "c_name": _pa.array([], _pa.string())})
+
+
+def _region_nation_names(sf_dir: str):
+    """Set op: union + distinct across two tables."""
+    import pandas as pd
+    import ray.data
+
+    r = ray.data.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"]).rename_columns(["name"])
+    n = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"]).rename_columns(["name"])
+    return pd.DataFrame({"name": sorted(r.union(n).unique("name"))})
+
+
+def _docs_ngram_jaccard(sf_dir: str):
+    """MinHash candidates verified with exact n-gram Jaccard."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold=0.5).to_pandas()
+    return ngram_jaccard_verify(sf_dir, pairs)
+
+
 def _docs_lang_id(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import lang_id
 
@@ -117,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": R.events_user_stats,
         "events_user_sessions": _user_sessions,
         "distinct_brands": _distinct_brands,
+        "customers_without_orders": _customers_without_orders,
+        "region_nation_names": _region_nation_names,
         # text analysis over documents
         "docs_token_stats": T.token_stats,
         "docs_quality": T.quality_scores,
@@ -128,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": D.minhash_lsh_pairs,
         "docs_simhash": D.simhash_signatures,
         "docs_simhash_pairs": D.simhash_near_dup_pairs,
+        "docs_ngram_jaccard": _docs_ngram_jaccard,
         # similarity search over embeddings
         "knn_cosine": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,
@@ -215,6 +269,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_brands": """
             SELECT DISTINCT p_brand FROM part
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 450000
+            )
+        """,
+        "region_nation_names": """
+            SELECT r_name AS name FROM region
+            UNION
+            SELECT n_name AS name FROM nation
         """,
         "docs_token_stats": """
             SELECT doc_id,

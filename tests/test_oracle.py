@@ -65,7 +65,7 @@ def _checked_names():
     "orders_per_segment", "top_parts", "events_daily", "events_user_stats",
     "docs_token_stats", "docs_quality", "docs_fingerprint",
     "docs_exact_dedup", "knn_cosine", "events_user_sessions",
-    "distinct_brands",
+    "distinct_brands", "customers_without_orders", "region_nation_names",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     sql = entrymod.oracle_sql()[name]

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — SURVEY §5.4."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from cmc_knowledge_graph_text2ttl_ray.functions.terms import (
+    XSD_BOOLEAN,
+    XSD_FLOAT,
+    XSD_INTEGER,
+)
+from cmc_knowledge_graph_text2ttl_ray.functions.turtle import (
+    parse_turtle,
+    serialize_triples,
+)
+from cmc_knowledge_graph_text2ttl_ray.functions.templates import expand_template
+
+iri_text = st.from_regex(r"http://example\.org/[A-Za-z0-9_\-./#]{1,20}", fullmatch=True)
+lexicals = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+langs = st.one_of(st.none(), st.sampled_from(["en", "de", "fr-CH"]))
+dtypes = st.one_of(st.none(), st.sampled_from([XSD_INTEGER, XSD_FLOAT, XSD_BOOLEAN]))
+
+
+@st.composite
+def triples(draw):
+    s = draw(iri_text)
+    p = draw(iri_text)
+    if draw(st.booleans()):
+        return (s, p, draw(iri_text), "iri", None, None)
+    lang = draw(langs)
+    dt = None if lang else draw(dtypes)
+    return (s, p, draw(lexicals), "literal", lang, dt)
+
+
+@given(st.lists(triples(), min_size=0, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_turtle_roundtrip_random_triples(ts):
+    """serialize → parse recovers exactly the deduped triple set, for any
+    lexical content (quotes, newlines, unicode)."""
+    ttl = serialize_triples(ts, {"ex": "http://example.org/"})
+    parsed, _ = parse_turtle(ttl)
+    assert set(parsed) == set(tuple(t) for t in ts)
+
+
+@given(st.lists(triples(), min_size=1, max_size=30), st.randoms())
+@settings(max_examples=50, deadline=None)
+def test_serialization_order_invariant(ts, rnd):
+    shuffled = list(ts)
+    rnd.shuffle(shuffled)
+    assert serialize_triples(ts, {}) == serialize_triples(shuffled, {})
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_template_expansion_terminates_on_arbitrary_text(text):
+    """Expansion either returns a string or raises TemplateError — never
+    loops; templates without resolvable refs are handled."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.templates import TemplateError
+
+    try:
+        out = expand_template(text, {"a": "1"}, {})
+    except TemplateError:
+        return
+    assert isinstance(out, str)
+    # no unexpanded simple references left
+    assert not re.search(r"@\{[a-zA-Z0-9_-]+\}", out)
+
+
+@given(st.text(alphabet="abc0123456789. ", max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_implicit_coercion_matches_python_semantics(s):
+    """The implicit literal coercion (int → float → bool → str) agrees with
+    Python's int()/float() acceptance on arbitrary numeric-ish strings."""
+    from cmc_knowledge_graph_text2ttl_ray import compile_workflow, WorkflowInterpreter
+
+    plan = compile_workflow(
+        [{"prefix": "ex", "iri": "http://e/"},
+         {"subject": "ex:s", "predicate": "ex:p", "object": s or "x"}]
+    )
+    res = WorkflowInterpreter(plan).run("")
+    (_, _, lex, kind, lang, dt) = res.triples[0]
+    val = s or "x"
+    try:
+        int(val)
+        assert dt == XSD_INTEGER
+        return
+    except ValueError:
+        pass
+    try:
+        float(val)
+        assert dt == XSD_FLOAT
+        return
+    except ValueError:
+        pass
+    assert dt is None and kind == "literal"
+
+
+def test_dedup_independent_of_partitioning(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import dedup_triples
+
+    rows = []
+    for i in range(500):
+        rows.append(
+            {"doc_url": f"u{i % 7}", "subject": f"s{i % 40}", "predicate": "p",
+             "object": f"o{i % 25}", "object_kind": "literal",
+             "object_lang": None, "object_datatype": None}
+        )
+    outs = []
+    for parts in (2, 13):
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(parts)
+        out = dedup_triples(ds, num_partitions=5).to_pandas()
+        outs.append(
+            out.sort_values(list(out.columns)).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == len({(r["subject"], r["object"]) for r in rows})
