@@ -93,7 +93,11 @@ def serialize_triples(
     graph set semantics, reference text_to_turtle_processor.py:2313-2332).
     """
     prefixes = dict(prefixes or {})
-    uniq = sorted(set(tuple(t) for t in triples))
+    # None lang/datatype fields must sort against strings → key maps None→""
+    uniq = sorted(
+        set(tuple(t) for t in triples),
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
     lines: list[str] = []
     for pfx in sorted(prefixes):
         lines.append(f"@prefix {pfx}: <{prefixes[pfx]}> .")
