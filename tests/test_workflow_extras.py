@@ -1,0 +1,231 @@
+"""Edge-case workflow semantics not covered by the per-op basics."""
+
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray import compile_workflow, WorkflowInterpreter
+from cmc_knowledge_graph_text2ttl_ray.functions.terms import XSD_INTEGER
+from cmc_knowledge_graph_text2ttl_ray.state.interpreter import InterpreterError
+from cmc_knowledge_graph_text2ttl_ray.state.plan import PlanError
+
+EX = "http://example.org/"
+PFX = {"prefix": "ex", "iri": EX}
+
+
+def run(plan, text="", variables=None):
+    return WorkflowInterpreter(compile_workflow(plan)).run(text, variables)
+
+
+def test_object_op_sequence_unknown_mapping_raises():
+    """Using a mapping before defining it fails at run time, matching the
+    reference's _apply_mapping error (:2079-2081)."""
+    with pytest.raises(InterpreterError):
+        run(
+            [
+                PFX,
+                {"subject": "ex:s", "predicate": "ex:p", "object": [
+                    {"match": r"missing-pattern", "do": [{"set": "x", "to": "no"}]},
+                    {"map": "green", "apply": "colors", "to": "c"},
+                ]},
+            ],
+            text="anything",
+        )
+
+
+def test_object_op_sequence_with_mapping():
+    res = run(
+        [
+            PFX,
+            {"mapping": "colors", "pairs": [{"from": "green", "to": "42"}]},
+            {"subject": "ex:s", "predicate": "ex:p", "object": [
+                {"match": r"nope", "do": [{"pass": None}]},
+                {"map": "green", "apply": "colors"},
+            ]},
+        ],
+        text="t",
+    )
+    # mapped value "42" goes through implicit coercion → integer literal
+    assert res.triples[0][2] == "42"
+    assert res.triples[0][5] == XSD_INTEGER
+
+
+def test_object_op_sequence_all_fail_raises():
+    with pytest.raises(InterpreterError):
+        run(
+            [
+                PFX,
+                {"subject": "ex:s", "predicate": "ex:p", "object": [
+                    {"match": r"zzz", "do": [{"pass": None}]},
+                ]},
+            ],
+            text="t",
+        )
+
+
+def test_sequence_of_within_group_scoping():
+    """within-group: scopes the body to a match group (reference :1572-1580)."""
+    res = run(
+        [
+            {
+                "sequence-of": "s",
+                "alternatives": [
+                    {"match": r"\[(\w+)\]", "as": "m", "within-group": 1,
+                     "do": [{"match": r"^(\w+)$", "as": "inner",
+                             "do": [{"append": "seen", "element": "@{inner.1}"}]}]},
+                ],
+            },
+        ],
+        text="[aa] noise [bb]",
+    )
+    assert res.variables["seen"] == ["aa", "bb"]
+
+
+def test_procedure_tilde_match_passing():
+    """'~' arg form: existence check of the match named by the KEY minus its
+    first char (reference :1164-1169 quirk, preserved)."""
+    res = run(
+        [
+            {"procedure": "p", "do": [{"set": "out", "to": "@{m.1}"}]},
+            {"match": r"(v\w+)", "as": "m",
+             "do": [{"call": "p", "with": {"xm": "~ignored"},
+                     "return": {"out": "result"}}]},
+        ],
+        text="value",
+    )
+    assert res.variables["result"] == "value"
+
+
+def test_procedure_tilde_missing_match_raises():
+    with pytest.raises(InterpreterError):
+        run(
+            [
+                {"procedure": "p", "do": [{"pass": None}]},
+                {"call": "p", "with": {"xnope": "~x"}},
+            ]
+        )
+
+
+def test_exec_mutates_vars():
+    res = run(
+        [
+            {"set": "n", "to": "5"},
+            {"exec": "vars['doubled'] = int(vars['n']) * 2"},
+            {"if": "doubled == 10", "do": [{"set": "ok", "to": "y"}]},
+        ]
+    )
+    assert res.variables["doubled"] == 10
+    assert res.variables["ok"] == "y"
+
+
+def test_allow_exec_false_blocks_escape_hatches():
+    plan = compile_workflow([{"exec": "vars['x'] = 1"}])
+    with pytest.raises(InterpreterError):
+        WorkflowInterpreter(plan, allow_exec=False).run("")
+    plan2 = compile_workflow([{"set": "x", "eval": "1+1"}])
+    with pytest.raises(InterpreterError):
+        WorkflowInterpreter(plan2, allow_exec=False).run("")
+
+
+def test_dynamic_var_names_emulate_maps():
+    """set with @{} in the var name (reference :843-845)."""
+    res = run(
+        [
+            {"set": "key", "to": "color"},
+            {"set": "prop-@{key}", "to": "red"},
+            {"set": "out", "to": "@{prop-color}"},
+        ]
+    )
+    assert res.variables["out"] == "red"
+
+
+def test_for_each_empty_and_scalar_autowrap():
+    res = run(
+        [
+            {"for-each": "nothing", "as": "x", "do": [{"set": "ran", "to": "y"}]},
+            {"set": "scalar", "to": "solo"},
+            {"append": "scalar", "element": "extra"},
+            {"for-each": "scalar", "as": "s",
+             "do": [{"set": "got-@{s_count}", "to": "@{s}"}]},
+        ]
+    )
+    assert "ran" not in res.variables
+    assert res.variables["got-1"] == "solo"
+    assert res.variables["got-2"] == "extra"
+
+
+def test_compile_time_validation_errors():
+    with pytest.raises(PlanError):
+        compile_workflow([{"set": "x"}])  # neither to: nor eval:
+    with pytest.raises(PlanError):
+        compile_workflow([{"set": "x", "to": "1", "eval": "2"}])  # both
+    with pytest.raises(PlanError):
+        compile_workflow([{"sequence-of": "s"}])  # no alternatives/steps
+    with pytest.raises(PlanError):
+        compile_workflow(
+            [{"subject": "s", "predicate": "p", "object": "1",
+              "objects": [{"object": "2"}]}]
+        )  # single object + object list
+    with pytest.raises(PlanError):
+        compile_workflow(
+            [{"match-dimensions": ["a", "b"], "dimensions": ["one"],
+              "do": [{"pass": 1}]}]
+        )  # dimensions length mismatch
+    with pytest.raises(PlanError):
+        compile_workflow([{"subject": "s", "predicate": "p",
+                           "object": {"integer": "1", "text": "x"}}])
+
+
+def test_object_multiple_value_attrs_rejected_at_compile():
+    with pytest.raises(PlanError):
+        compile_workflow(
+            [{"subject": "s", "predicate": "p", "object": {"iri": "a", "bool": "true"}}]
+        )
+
+
+def test_save_as_dict_target():
+    res = run(
+        [
+            PFX,
+            {"subject": "ex:s", "predicate": "ex:p", "object": {"text": "v"}},
+            {"save-as": {"file": "out-@{doc}.ttl"}},
+        ],
+        variables={"doc": "d1"},
+    )
+    assert "out-d1.ttl" in res.saved
+
+
+def test_inverse_literal_subject():
+    """inverse with a literal object emits (lexical, inv, subject) —
+    reference adds the literal as subject (:2325-2332)."""
+    res = run(
+        [
+            PFX,
+            {"subject": "ex:s", "predicate": "ex:p", "inverse": "ex:q",
+             "object": {"text": "lit"}},
+        ]
+    )
+    assert (EX + "s", EX + "p", "lit") in {(t[0], t[1], t[2]) for t in res.triples}
+    assert ("lit", EX + "q", EX + "s") in {(t[0], t[1], t[2]) for t in res.triples}
+
+
+def test_match_flags_override_dotall():
+    # explicit flags replace the DOTALL default (reference _resolve_flags
+    # with init; `I` alone still keeps DOTALL as init → case-insensitive)
+    res = run(
+        [
+            {"match": r"hello (\w+)", "flags": "I", "as": "m",
+             "do": [{"set": "w", "to": "@{m.1}"}]},
+        ],
+        text="HELLO World",
+    )
+    assert res.variables["w"] == "World"
+
+
+def test_multiline_flag():
+    res = run(
+        [
+            {"match-every": r"^item: (\w+)$", "flags": "M", "as": "m",
+             "do": [{"append": "xs", "element": "@{m.1}"}]},
+        ],
+        text="item: a\nitem: b\n",
+    )
+    assert res.variables["xs"] == ["a", "b"]
