@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational capabilities (groupby / join / sort / top-k)
         "q1_pricing_summary": R.q1_pricing_summary,
+        "q6_revenue_forecast": R.q6_revenue_forecast,
         "q3_top_orders": R.q3_top_orders,
         "q5_nation_revenue": R.q5_nation_revenue,
         "orders_per_segment": R.orders_per_segment,
@@ -208,6 +209,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_revenue_forecast": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_quantity < 24
         """,
         "q3_top_orders": """
             SELECT l_orderkey AS o_orderkey,

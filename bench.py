@@ -99,6 +99,7 @@ def run_workload(num_cpus: int) -> dict:
         "n_triples": int(n_triples),
         "pages_per_sec": round(n_pages / kg_wall, 1),
         "triples_per_sec": round(n_triples / kg_wall, 1),
+        "phases": {k: round(v, 2) for k, v in result["timings"].items()},
     }
 
 

@@ -25,6 +25,7 @@ import ray.data
 
 __all__ = [
     "q1_pricing_summary",
+    "q6_revenue_forecast",
     "q3_top_orders",
     "q5_nation_revenue",
     "orders_per_segment",
@@ -81,6 +82,39 @@ def q1_pricing_summary(sf_dir: str):
         return t
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q6_revenue_forecast(sf_dir: str):
+    """TPC-H Q6 shape: pure filtered-scan aggregate (no groupby) — predicate
+    pushdown + per-block partial sums, single tiny result row."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1994-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"revenue": pa.array([rev], pa.float64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["revenue", "n"])
+    import pandas as pd_
+
+    return pd_.DataFrame({
+        "revenue": [round(agg["sum(revenue)"], 2) if isinstance(agg, dict) else round(agg, 2)],
+        "n": [int(agg["sum(n)"]) if isinstance(agg, dict) else 0],
+    })
 
 
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):

@@ -61,7 +61,7 @@ def _checked_names():
 
 
 @pytest.mark.parametrize("name", [
-    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q1_pricing_summary", "q6_revenue_forecast", "q3_top_orders", "q5_nation_revenue",
     "orders_per_segment", "top_parts", "events_daily", "events_user_stats",
     "docs_token_stats", "docs_quality", "docs_fingerprint",
     "docs_exact_dedup", "knn_cosine", "events_user_sessions",
