@@ -30,7 +30,7 @@ from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import (
     add_identity_hash,
 )
 
-__all__ = ["write_ttl_partitions", "read_manifest"]
+__all__ = ["write_ttl_partitions", "write_ttl_per_doc", "read_manifest"]
 
 
 def read_manifest(out_dir: str) -> dict:
@@ -98,3 +98,40 @@ def write_ttl_partitions(
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return manifest
+
+
+def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None = None):
+    """Reference-parity output layout: one ``<doc>.ttl`` per document
+    (FileOutputHandler.write_turtle, text_to_turtle_processor.py:66-83 +
+    runner :409-410), with rdflib-style set-dedup *within* the document.
+
+    Intended for small corpora / drop-in compatibility; the scalable layout
+    is :func:`write_ttl_partitions`. One task per group of documents; file
+    name = cleaned basename of the url.
+    """
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.triples import clean_doc_name
+
+    os.makedirs(out_dir, exist_ok=True)
+    prefixes = prefixes or {}
+
+    def write_doc(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["rec"] == "triple"]
+        if group.empty:
+            return pd.DataFrame({"doc_url": [], "path": [], "n_triples": []})
+        url = group["doc_url"].iloc[0]
+        rows = [
+            (r.subject, r.predicate, r.object, r.object_kind,
+             None if pd.isna(r.object_lang) else r.object_lang,
+             None if pd.isna(r.object_datatype) else r.object_datatype)
+            for r in group.itertuples()
+        ]
+        name = clean_doc_name(url.rsplit("/", 1)[-1] or url)
+        path = os.path.join(out_dir, f"{name}.ttl")
+        ttl = serialize_triples(rows, prefixes)
+        with open(path, "w", encoding="utf8") as fh:
+            fh.write(ttl)
+        return pd.DataFrame({"doc_url": [url], "path": [path], "n_triples": [len(set(rows))]})
+
+    return records_ds.groupby("doc_url").map_groups(write_doc, batch_format="pandas")

@@ -121,3 +121,23 @@ def test_rerun_is_deterministic(ray_session, tmp_path):
                     shards[f] = fh.read()
         outs.append(shards)
     assert outs[0] == outs[1]
+
+
+def test_per_doc_ttl_parity_layout(ray_session, tmp_path):
+    """Reference-parity sink: one TTL per document, set-deduped in-doc."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import (
+        default_plans,
+        extraction_records,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.stages.sinks import write_ttl_per_doc
+    from cmc_knowledge_graph_text2ttl_ray.stages.triples import collect_prefixes
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+    out = str(tmp_path / "per_doc")
+    recs = extraction_records(pages_dataset(40, override_num_blocks=2), concurrency=2)
+    written = write_ttl_per_doc(recs, out, prefixes=collect_prefixes(default_plans()))
+    df = written.to_pandas()
+    assert len(df) == 40 - 40 // 10  # empty pages produce no file
+    sample = df.iloc[0]
+    triples, _ = parse_turtle(open(sample["path"], encoding="utf8").read())
+    assert len(triples) == sample["n_triples"]
