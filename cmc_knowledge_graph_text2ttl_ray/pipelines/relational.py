@@ -129,9 +129,10 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
+    key_set = pa.array(sorted(order_keys), pa.int64())  # built once, shipped once
 
     def partial(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(list(order_keys), pa.int64()))
+        mask = pc.is_in(t["l_orderkey"], value_set=key_set)
         t = t.filter(mask)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
