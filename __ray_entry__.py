@@ -115,6 +115,38 @@ def _docs_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_verify(sf_dir, pairs)
 
 
+def _docs_with_labels(sf_dir: str):
+    """Distributed hash join on row ids: documents ⋈ embeddings."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    joined = docs.join(emb, join_type="inner", num_partitions=4,
+                       on=("doc_id",), right_on=("vec_id",))
+    return joined.select_columns(["doc_id", "lang", "label"])
+
+
+def _events_props_k(sf_dir: str):
+    """JSON-ish props column: vectorized regex field extraction + aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        return pa.table({"user_id": t["user_id"], "k": kv})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("k", alias_name="k_sum"))
+    )
+
+
 def _docs_lang_id(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import lang_id
 
@@ -171,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
+        "docs_with_labels": _docs_with_labels,
+        "events_props_k": _events_props_k,
         # text analysis over documents
         "docs_token_stats": T.token_stats,
         "docs_quality": T.quality_scores,
@@ -290,6 +324,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name AS name FROM region
             UNION
             SELECT n_name AS name FROM nation
+        """,
+        "docs_with_labels": """
+            SELECT doc_id, lang, label
+            FROM documents JOIN embeddings ON doc_id = vec_id
+        """,
+        "events_props_k": """
+            SELECT user_id,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+            FROM events GROUP BY user_id
         """,
         "docs_token_stats": """
             SELECT doc_id,
