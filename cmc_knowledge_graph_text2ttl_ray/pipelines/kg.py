@@ -150,9 +150,37 @@ def run_kg_pipeline(
     errors = recs.map_batches(_filter_rec("error"), batch_format="pyarrow")
 
     t0 = time.perf_counter()
-    # Mapping from the rec='entity' partial counts the extractors emitted —
-    # a light filtered scan + driver arg-max, no pass over the triple rows.
-    mapping_df = mapping_from_entity_records(recs, entity_ns)
+    # ONE combined pass over the records: stats rows are side-written as the
+    # metrics table while entity partial-count rows stream back to the
+    # driver for the canonical arg-max (two outputs, one scan).
+    metrics_dir = os.path.join(out_dir, "metrics") if out_dir else None
+    if metrics_dir:
+        os.makedirs(metrics_dir, exist_ok=True)
+
+    def meta_pass(batch: pa.Table) -> pa.Table:
+        if metrics_dir is not None:
+            st = batch.filter(pc.equal(batch["rec"], "stats")).select(
+                ["doc_url", "workflow", "no_matches", "no_triples",
+                 "total_match_len", "score"]
+            )
+            if st.num_rows:
+                import hashlib
+
+                import pyarrow.parquet as pq
+
+                digest = hashlib.blake2b(
+                    st["doc_url"].combine_chunks().to_string().encode(),
+                    digest_size=10,
+                ).hexdigest()
+                pq.write_table(st, os.path.join(metrics_dir, f"part-{digest}.parquet"))
+        ent = batch.filter(pc.equal(batch["rec"], "entity"))
+        return pa.table({"iri": ent["subject"], "cnt": ent["no_triples"]})
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import _argmax_mapping
+
+    mapping_df = _argmax_mapping(
+        recs.map_batches(meta_pass, batch_format="pyarrow").to_pandas(), entity_ns
+    )
     mapping = {r.iri: r.canonical for r in mapping_df.itertuples() if r.iri != r.canonical}
     canonical = apply_canonical_mapping(triples, mapping)
     timings["canonicalize"] = time.perf_counter() - t0
@@ -172,11 +200,6 @@ def run_kg_pipeline(
             resume=resume,
         )
         timings["ttl_write"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        stats.select_columns(
-            ["doc_url", "workflow", "no_matches", "no_triples", "total_match_len", "score"]
-        ).write_parquet(os.path.join(out_dir, "metrics"))
-        timings["metrics"] = time.perf_counter() - t0
 
     return {
         "records": recs,
