@@ -125,19 +125,24 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(sf_dir, num_perm, shingle, concurrency)
 
+    band_a, band_b = _hash_params(rows_per_band, seed=23)
+
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_doc, out_sig = [], [], []
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            arr = np.asarray(sig, dtype=np.uint64)
-            for bi in range(bands):
-                chunk = arr[bi * rows_per_band : (bi + 1) * rows_per_band]
-                key = hashlib.blake2b(
-                    chunk.tobytes() + bi.to_bytes(2, "big"), digest_size=8
-                ).hexdigest()
-                out_band.append(key)
-                out_doc.append(doc_id)
-                out_sig.append(sig)
-        return pd.DataFrame({"band_key": out_band, "doc_id": out_doc, "sig": out_sig})
+        # fully vectorized banding: (n, bands, r) tensor × weight vector →
+        # one integer band hash per (doc, band); no per-row Python loop
+        mat = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+        n = len(mat)
+        tensor = mat.reshape(n, bands, rows_per_band)
+        keys = (tensor * band_a + band_b) % np.uint64(_MERSENNE)
+        band_hash = keys.sum(axis=2, dtype=np.uint64)  # (n, bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+        return pd.DataFrame(
+            {
+                "band_key": [f"{b}:{h}" for b, h in zip(band_ids, band_hash.ravel())],
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
+                "sig": [s for s in df["sig"] for _ in range(bands)],
+            }
+        )
 
     banded = sigs.map_batches(bandify, batch_format="pandas")
 

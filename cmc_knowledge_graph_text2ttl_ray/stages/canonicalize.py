@@ -124,23 +124,29 @@ def mapping_from_entity_records(records_ds, entity_ns: str) -> pd.DataFrame:
 def apply_canonical_mapping(triples_ds, mapping: dict[str, str]):
     """Rewrite subject/object through the broadcast mapping (no shuffle).
 
-    The mapping dict is shipped via the object store once (Ray serializes
-    closure captures with ``ray.put`` semantics for map_batches tasks);
+    The mapping dict is placed in the object store ONCE with ``ray.put`` and
+    referenced by every task (zero-copy reads per node — the broadcast
+    small-side pattern), instead of riding inside the pickled closure;
     rewrite cost is O(distinct values per block) via dictionary encoding.
     """
     if not mapping:
         return triples_ds
+    import ray
 
-    def rewrite_col(col: pa.ChunkedArray) -> pa.Array:
-        arr = col.combine_chunks()
-        d = pc.dictionary_encode(arr)
-        uniques = d.dictionary.to_pylist()
-        remapped = pa.array(
-            [None if u is None else mapping.get(u, u) for u in uniques], pa.string()
-        )
-        return pc.take(remapped, d.indices)
+    mapping_ref = ray.put(mapping)
 
     def rewrite(batch: pa.Table) -> pa.Table:
+        m = ray.get(mapping_ref)
+
+        def rewrite_col(col: pa.ChunkedArray) -> pa.Array:
+            arr = col.combine_chunks()
+            d = pc.dictionary_encode(arr)
+            uniques = d.dictionary.to_pylist()
+            remapped = pa.array(
+                [None if u is None else m.get(u, u) for u in uniques], pa.string()
+            )
+            return pc.take(remapped, d.indices)
+
         batch = batch.set_column(
             batch.column_names.index("subject"), "subject", rewrite_col(batch["subject"])
         )

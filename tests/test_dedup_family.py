@@ -1,0 +1,72 @@
+"""Near-duplicate detection correctness on a constructed corpus."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    """documents.parquet with known near-dup pairs and distinct docs."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 6
+    texts = {
+        0: base,
+        1: base.replace("lazy", "sleepy"),            # near-dup of 0
+        2: base,                                       # exact dup of 0
+        3: "completely different words about ray data pipelines and arrow "
+           "columns shuffles and actor pools " * 6,
+        4: "yet another unrelated text with its own vocabulary entirely "
+           "about turtles graphs and triples " * 6,
+    }
+    d = tmp_path_factory.mktemp("dupdocs")
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_finds_near_dups(ray_session, dup_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_dir, threshold=0.6).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 2) in found  # exact dup
+    assert (0, 1) in found and (1, 2) in found  # near-dups
+    # unrelated docs never pair up
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_simhash_near_dups(ray_session, dup_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(dup_dir, max_hamming=6).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 2) in found
+    assert not any((3, x) in found or (x, 3) in found for x in (0, 1, 2))
+
+
+def test_ngram_jaccard_verification(ray_session, dup_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    pairs = minhash_lsh_pairs(dup_dir, threshold=0.5).to_pandas()
+    verified = ngram_jaccard_verify(dup_dir, pairs)
+    exact = verified[(verified["doc_a"] == 0) & (verified["doc_b"] == 2)]
+    assert len(exact) == 1 and exact["jaccard"].iloc[0] == 1.0
+    near = verified[(verified["doc_a"] == 0) & (verified["doc_b"] == 1)]
+    assert len(near) == 1 and 0.5 < near["jaccard"].iloc[0] < 1.0
+
+
+def test_exact_dedup_on_dups(ray_session, dup_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(dup_dir).to_pandas()
+    # 5 docs, one exact pair (0,2) → 4 distinct hashes, min doc_id kept
+    assert len(out) == 4
+    assert 0 in set(out["doc_id"]) and 2 not in set(out["doc_id"])
