@@ -503,24 +503,51 @@ class WorkflowInterpreter:
         if op.alternatives is not None:
             counter = {s.as_id: 0 for s in op.alternatives if s.as_id is not None}
             start = 0
+            # Memoized scanner: a match found from an earlier offset is still
+            # the first match from any later offset ≤ its start, so each
+            # alternative is re-searched only after its cached match is
+            # consumed (or the body mutated the current text). Semantics are
+            # identical to the reference's re-search-everything loop
+            # (:1538-1556) but O(matches + alternatives·re-searches) instead
+            # of O(matches × alternatives).
+            snapshot = self._text
+            cached: list = [None] * len(op.alternatives)  # None | False | Match
             while True:
-                earliest: tuple[int, re.Match, P.SeqSpec] | None = None
-                for spec in op.alternatives:
-                    m = self._search_first(spec.patterns, self._text, start)
-                    if m is not None and (earliest is None or m.start(0) < earliest[0]):
-                        earliest = (m.start(0), m, spec)
+                if self._text is not snapshot:  # body ran replace:/with: etc.
+                    snapshot = self._text
+                    cached = [None] * len(op.alternatives)
+                earliest: tuple[int, re.Match, P.SeqSpec, int] | None = None
+                for idx, spec in enumerate(op.alternatives):
+                    m = cached[idx]
+                    if m is False:
+                        continue
+                    if m is None or m.start(0) < start:
+                        m = self._search_first(spec.patterns, snapshot, start)
+                        cached[idx] = m if m is not None else False
+                        if m is None:
+                            continue
+                    if earliest is None or m.start(0) < earliest[0]:
+                        earliest = (m.start(0), m, spec, idx)
                 if earliest is None:
                     break
-                _, match, spec = earliest
+                _, match, spec, idx = earliest
                 self._latest_match = match
                 self._stats_match(len(match.group(0)))
-                start = match.end(0)
+                new_start = match.end(0)
+                # DEVIATION: a zero-width match never advances the offset and
+                # loops the reference forever (:1538-1561); process it once,
+                # then stop the scan instead of hanging the actor.
+                stop_after = new_start == start and match.start(0) == match.end(0)
+                start = new_start
+                cached[idx] = None  # consumed
                 if spec.as_id is not None:
                     counter[spec.as_id] += 1
                     self._matches[spec.as_id] = match
                     self._var[f"{spec.as_id}_count"] = counter[spec.as_id]
                 count += 1
                 self._run_seq_spec_body(spec, match)
+                if stop_after:
+                    break
         else:
             start = 0
             for spec in op.steps:

@@ -229,3 +229,77 @@ def test_multiline_flag():
         text="item: a\nitem: b\n",
     )
     assert res.variables["xs"] == ["a", "b"]
+
+
+def test_sequence_of_many_alternatives_matches_naive_scan():
+    """The memoized scanner must behave exactly like the naive
+    re-search-everything loop of the reference."""
+    import re as _re
+
+    text = "a1 b2 c3 a4 b5 c6 a7 zz b8 c9"
+    patterns = [r"a(\d)", r"b(\d)", r"c(\d)"]
+
+    # naive model of the reference loop
+    compiled = [_re.compile(p, _re.DOTALL) for p in patterns]
+    expected, start = [], 0
+    while True:
+        best = None
+        for i, reo in enumerate(compiled):
+            m = reo.search(text, start)
+            if m and (best is None or m.start() < best[0].start()):
+                best = (m, i)
+        if best is None:
+            break
+        expected.append(f"{'abc'[best[1]]}{best[0].group(1)}")
+        start = best[0].end()
+
+    res = run(
+        [
+            {
+                "sequence-of": "s",
+                "alternatives": [
+                    {"match": p, "as": f"m{i}",
+                     "do": [{"append": "seen", "element": "@{" + f"m{i}" + ".0}"}]}
+                    for i, p in enumerate(patterns)
+                ],
+            },
+        ],
+        text=text,
+    )
+    assert res.variables["seen"] == expected
+
+
+def test_sequence_of_body_text_mutation_invalidates_cache():
+    """A replace: inside the body rewrites the current text; later scan
+    iterations must see the new text (cache dropped)."""
+    res = run(
+        [
+            {
+                "sequence-of": "s",
+                "alternatives": [
+                    {"match": r"x(\d)", "as": "m",
+                     "do": [
+                         {"append": "seen", "element": "@{m.1}"},
+                         {"replace": r"y", "with": "x"},
+                     ]},
+                ],
+            },
+        ],
+        text="x1 y2 y3",
+    )
+    # first pass matches x1, body turns every y into x → x2, x3 now match
+    assert res.variables["seen"] == ["1", "2", "3"]
+
+
+def test_sequence_of_zero_width_match_terminates():
+    res = run(
+        [
+            {"sequence-of": "s",
+             "alternatives": [
+                 {"match": r"\b", "do": [{"append": "n", "element": "hit"}]},
+             ]},
+        ],
+        text="word",
+    )
+    # guard: the zero-width match is processed once, then the scan stops
+    assert res.variables.get("n") == ["hit"]
