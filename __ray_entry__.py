@@ -49,6 +49,19 @@ def _kg_entity_mapping(sf_dir: str):
     return _kg_records(sf_dir)["entity_mapping"]
 
 
+def _kg_entity_links(sf_dir: str):
+    """Entity linking vs the company KB: candidate-gen + Jaccard scoring."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import (
+        default_kb_ttl,
+        extraction_records,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
+    from cmc_knowledge_graph_text2ttl_ray.stages.linking import link_entities
+
+    recs = extraction_records(pages_from_documents(sf_dir), concurrency=4)
+    return link_entities(recs, default_kb_ttl(), "http://example.org/entity/")
+
+
 def _distinct_brands(sf_dir: str):
     """Set-op coverage: ds.unique over one column."""
     import pandas as pd
@@ -227,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_stats": _kg_stats,
         "kg_entity_mapping": _kg_entity_mapping,
+        "kg_entity_links": _kg_entity_links,
     }
 
 

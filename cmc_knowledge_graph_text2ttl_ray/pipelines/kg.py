@@ -62,6 +62,11 @@ def default_graphs() -> dict[str, str]:
         return {"ontology": fh.read()}
 
 
+def default_kb_ttl() -> str:
+    with open(os.path.join(_WORKFLOW_DIR, "company_kb.ttl"), encoding="utf8") as fh:
+        return fh.read()
+
+
 def _filter_rec(kind: str):
     def f(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch["rec"], kind))
@@ -113,6 +118,7 @@ def run_kg_pipeline(
     concurrency=None,
     resume: bool = True,
     checkpoint_records: bool = True,
+    kb_ttl: str | None = None,
 ):
     """Run the full pipeline. Returns a dict with the key datasets/artifacts.
 
@@ -201,8 +207,17 @@ def run_kg_pipeline(
         )
         timings["ttl_write"] = time.perf_counter() - t0
 
+    links = None
+    if kb_ttl is not None:
+        from cmc_knowledge_graph_text2ttl_ray.stages.linking import link_entities
+
+        links = link_entities(recs, kb_ttl, entity_ns)
+        if out_dir:
+            links.write_parquet(os.path.join(out_dir, "links"))
+
     return {
         "records": recs,
+        "links": links,
         "triples": deduped,
         "stats": stats,
         "errors": errors,

@@ -70,3 +70,27 @@ def test_exact_dedup_on_dups(ray_session, dup_dir):
     # 5 docs, one exact pair (0,2) → 4 distinct hashes, min doc_id kept
     assert len(out) == 4
     assert 0 in set(out["doc_id"]) and 2 not in set(out["doc_id"])
+
+
+def test_entity_linking_exact_and_fuzzy(ray_session):
+    """Candidate-gen hash lookup + 3-gram Jaccard scoring vs the company KB."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import extraction_records
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+    from cmc_knowledge_graph_text2ttl_ray.stages.linking import EntityLinker, link_entities
+
+    kb_ttl = open("workflows/company_kb.ttl", encoding="utf8").read()
+    recs = extraction_records(pages_dataset(100, override_num_blocks=4), concurrency=2)
+    links = link_entities(recs, kb_ttl, "http://example.org/entity/").to_pandas()
+    assert len(links) > 10
+    # the hot entity links to its KB node with a perfect exact score
+    acme = links[links["kb_entity"] == "http://example.org/kb/acme_corp"]
+    assert not acme.empty and (acme["score"] == 1.0).any()
+
+    # unit-level: exact, fuzzy variant, and a rejection
+    linker = EntityLinker(kb_ttl, "http://example.org/entity/")
+    assert linker.link_surface("Acme Corp")[0].endswith("/acme_corp")
+    kb, score, method = linker.link_surface("ACME  Corp")  # case/space variant
+    assert kb.endswith("/acme_corp") and score == 1.0  # normalization → exact
+    fuzzy = linker.link_surface("Acme Corporation")
+    assert fuzzy is not None and fuzzy[0].endswith("/acme_corp") and fuzzy[1] < 1.0
+    assert linker.link_surface("Zzzzz Qqqqq GmbH XYZ") is None
