@@ -77,10 +77,14 @@ def build_ivf_centroids(sf_dir: str, n_clusters: int = 16, iters: int = 2) -> np
     stride = max(1, total // n_clusters)
     seed_ids = set(range(0, stride * n_clusters, stride))
 
+    def keep_seeds(t):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.is_in(t["vec_id"], value_set=_pa.array(sorted(seed_ids), _pa.int64())))
+
     seeds = (
-        ds.map_batches(
-            lambda df: df[df["vec_id"].isin(seed_ids)], batch_format="pandas"
-        ).to_pandas().sort_values("vec_id")
+        ds.map_batches(keep_seeds, batch_format="pyarrow").to_pandas().sort_values("vec_id")
     )
     centroids = _to_matrix(seeds["embedding"])[:n_clusters]
 
