@@ -53,6 +53,7 @@ ENTITY_NS = "http://example.org/entity/"
 def default_plans():
     return [
         compile_workflow_file(os.path.join(_WORKFLOW_DIR, "webpage_kg.yaml")),
+        compile_workflow_file(os.path.join(_WORKFLOW_DIR, "financial_report.yaml")),
         compile_workflow_file(os.path.join(_WORKFLOW_DIR, "titles_only.yaml")),
     ]
 

@@ -2,7 +2,8 @@
 
 ``golden_triples.json`` is the frozen expected output (per-document triples,
 chosen workflow, stats) of the flagship workflows on synthetic pages 0-49,
-generated from the verified round-1 semantics. Any interpreter / workflow /
+generated from the verified round-1 semantics (3 workflows incl. the
+financial-report specialist). Any interpreter / workflow /
 extraction change that shifts emitted triples fails here — this is the
 engine's standing triple-P/R anchor (target P/R ≥ 0.95; the gate demands
 exact equality, P = R = 1.0, on the golden corpus).

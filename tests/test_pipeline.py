@@ -82,8 +82,13 @@ def test_stats_and_errors(kg_run):
 
 def test_best_of_workflows_selection(kg_run):
     stats = kg_run["stats"].to_pandas()
-    # the flagship workflow dominates the minimal variant wherever it fires
-    assert (stats["workflow"] == "webpage_kg").sum() > 0.8 * len(stats)
+    used = stats["workflow"].value_counts()
+    # flagship wins on 8 of 9 non-empty templates; the financial-report
+    # specialist wins exactly on its template (1 of 9); the minimal
+    # titles_only variant never wins
+    assert used.get("webpage_kg", 0) > 0.7 * len(stats)
+    assert used.get("financial_report", 0) == pytest.approx(len(stats) / 9, rel=0.2)
+    assert used.get("titles_only", 0) == 0
 
 
 def test_ttl_sink_manifest_and_resume(kg_run, ray_session):
