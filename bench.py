@@ -113,7 +113,8 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    GRAFT_PAGES_PER_DOC=os.environ.get("GRAFT_PAGES_PER_DOC", "160"),
                    GRAFT_SKIP_QUERIES="1")
-        time.sleep(5)  # let the previous child's raylet + writeback settle
+        os.sync()       # flush page-cache writeback from any previous run
+        time.sleep(8)   # let the previous child's raylet + writeback settle
         # Pin the child to n physical cores: ray.init(num_cpus=n) only caps
         # Ray task slots, not actual CPU use by worker-side pandas/pyarrow or
         # the driver — taskset makes the N vs 4N comparison honest (the
