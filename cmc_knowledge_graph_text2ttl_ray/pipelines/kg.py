@@ -138,12 +138,28 @@ def run_kg_pipeline(
                               concurrency=concurrency, entity_ns=entity_ns)
 
     if out_dir and checkpoint_records:
+        import hashlib
+
+        # The checkpoint is only valid for the exact plan set that produced
+        # it: fingerprint the workflow sources so a changed workflow never
+        # silently reuses stale records on resume.
+        plan_fp = hashlib.blake2b(
+            "\x00".join(p_.source or p_.name for p_ in plans).encode(),
+            digest_size=12,
+        ).hexdigest()
         records_dir = os.path.join(out_dir, "records")
         done_marker = os.path.join(records_dir, "_DONE")
-        if not (resume and os.path.exists(done_marker)):
+        marker_ok = False
+        if resume and os.path.exists(done_marker):
+            with open(done_marker) as fh:
+                marker_ok = fh.read().strip() == plan_fp
+        if not marker_ok:
+            import shutil
+
+            shutil.rmtree(records_dir, ignore_errors=True)
             recs.write_parquet(records_dir)
             with open(done_marker, "w") as fh:
-                fh.write("ok")
+                fh.write(plan_fp)
         import ray.data
 
         recs = ray.data.read_parquet(records_dir, file_extensions=["parquet"])

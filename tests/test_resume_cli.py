@@ -96,3 +96,36 @@ def test_giant_row_guard():
     assert any("truncated-to-100" in (r["error"] or "") for r in errs)
     # the doc is still processed (stats row exists)
     assert any(r["rec"] == "stats" for r in out)
+
+
+def test_records_checkpoint_invalidated_on_plan_change(ray_session, tmp_path):
+    """A resumed run with a DIFFERENT workflow set must not reuse stale
+    extraction records."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+    from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow
+
+    out = str(tmp_path / "o")
+    pages = pages_dataset(40, override_num_blocks=2)
+    r1 = run_kg_pipeline(pages, out_dir=out, concurrency=2, num_buckets=4)
+    n1 = sum(b["n_triples"] for b in r1["manifest"]["buckets"].values())
+
+    tiny = compile_workflow(
+        "- prefix: ex\n  iri: http://e/\n"
+        "- match: \"<title>(.*?)</title>\"\n  as: t\n  do:\n"
+        "    - subject: ex:d\n      predicate: ex:t\n      object:\n        text: \"@{t.1}\"\n",
+        name="tiny",
+    )
+    pages2 = pages_dataset(40, override_num_blocks=2)
+    r2 = run_kg_pipeline(pages2, out_dir=out, concurrency=2, num_buckets=4,
+                         plans=[tiny], resume=False)
+    n2 = sum(b["n_triples"] for b in r2["manifest"]["buckets"].values())
+    assert n2 < n1  # records were regenerated with the tiny plan
+
+    # resume=True with the tiny plan again: checkpoint fingerprint matches →
+    # records reused, same result
+    pages3 = pages_dataset(40, override_num_blocks=2)
+    r3 = run_kg_pipeline(pages3, out_dir=out, concurrency=2, num_buckets=4,
+                         plans=[tiny], resume=True)
+    # ttl manifest resume skips all buckets; counts retained from r2 manifest
+    assert sum(b["n_triples"] for b in r3["manifest"]["buckets"].values()) == n2
