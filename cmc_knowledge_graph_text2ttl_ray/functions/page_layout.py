@@ -313,9 +313,11 @@ def capture_cell_words(table: TableGrid, words: list[Word], p: LayoutParams):
         ri = bisect.bisect_left(h, w.y0, key=lambda l: l[1])
         if ri >= len(rows) or (ri > 0 and w.y0 < rows[ri][0].y0):
             ri -= 1
+        ri = min(ri, len(rows) - 1)  # words in the bounds slack below the
         ci = bisect.bisect_left(v, w.x0, key=lambda l: l[0])
         if ci >= len(rows[ri]) or (ci > 0 and w.x0 < rows[ri][ci].x0):
             ci -= 1
+        ci = min(ci, len(rows[ri]) - 1)  # last grid line must clamp, not crash
         cell = rows[ri][ci]
         best = cell.intersect_area(w)
         if best < wa * p.sufficient_cell_overlap:
@@ -473,8 +475,8 @@ def recognize_page(words, drawings, params: LayoutParams | None = None,
     tables = find_tables(h_lines, v_lines, p)
     for t in tables:
         word_objs = capture_cell_words(t, word_objs, p)
+        seen: set[int] = set()  # rowspan-merged regions consolidate ONCE
         for row in t.cells:
-            seen = set()
             for cell in row:
                 if id(cell) not in seen:
                     cell.words = consolidate_flow(cell.words, p)

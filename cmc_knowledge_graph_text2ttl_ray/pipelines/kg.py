@@ -143,8 +143,16 @@ def run_kg_pipeline(
         # The checkpoint is only valid for the exact plan set that produced
         # it: fingerprint the workflow sources so a changed workflow never
         # silently reuses stale records on resume.
+        try:
+            input_desc = ";".join(sorted(pages_ds.input_files() or []))
+        except Exception:
+            input_desc = ""
+        # Non-file sources (e.g. synthesized Datasets) have no stable input
+        # fingerprint — include the plan string so at least the topology and
+        # row count hints participate.
+        input_desc += "|" + repr(pages_ds)  # lazy plans include op names + known row counts
         plan_fp = hashlib.blake2b(
-            "\x00".join(p_.source or p_.name for p_ in plans).encode(),
+            ("\x00".join(p_.source or p_.name for p_ in plans) + "\x01" + input_desc).encode(),
             digest_size=12,
         ).hexdigest()
         records_dir = os.path.join(out_dir, "records")
@@ -178,6 +186,11 @@ def run_kg_pipeline(
     # driver for the canonical arg-max (two outputs, one scan).
     metrics_dir = os.path.join(out_dir, "metrics") if out_dir else None
     if metrics_dir:
+        import shutil
+
+        # metrics are derived data: always rebuild so stale part files from a
+        # differently-batched previous run can never duplicate rows
+        shutil.rmtree(metrics_dir, ignore_errors=True)
         os.makedirs(metrics_dir, exist_ok=True)
 
     def meta_pass(batch: pa.Table) -> pa.Table:
@@ -192,7 +205,7 @@ def run_kg_pipeline(
                 import pyarrow.parquet as pq
 
                 digest = hashlib.blake2b(
-                    st["doc_url"].combine_chunks().to_string().encode(),
+                    "\x1f".join(st["doc_url"].to_pylist()).encode(),
                     digest_size=10,
                 ).hexdigest()
                 pq.write_table(st, os.path.join(metrics_dir, f"part-{digest}.parquet"))

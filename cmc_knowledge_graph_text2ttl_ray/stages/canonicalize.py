@@ -71,7 +71,7 @@ def canonicalization_mapping(triples_ds, entity_ns: str):
             )
         counts = iris.value_counts()  # per-batch combiner
         variants = counts.field("values")
-        key = _norm_key(_norm_key(_local_name(variants, entity_ns)))
+        key = _norm_key(_local_name(variants, entity_ns))
         return pa.table({"key": key, "iri": variants, "cnt": counts.field("counts").cast(pa.int64())})
 
     partial = triples_ds.map_batches(partial_counts, batch_format="pyarrow")

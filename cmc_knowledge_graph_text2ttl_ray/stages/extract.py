@@ -26,8 +26,23 @@ _CLOSE = "</html>"
 def _extract_column(html: pa.ChunkedArray | pa.Array) -> pa.Array:
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
-    # Zero-copy-ish: binary → large_string (validates UTF-8 once).
-    s = pc.cast(html, pa.large_string())
+    # Zero-copy-ish: binary → large_string (validates UTF-8 once). A single
+    # invalid-UTF-8 row must not fail the block (real web corpora contain
+    # mislabeled encodings): fall back to per-row decode, mapping invalid
+    # rows to "" so they surface downstream as empty-text diagnostics.
+    try:
+        s = pc.cast(html, pa.large_string())
+    except pa.ArrowInvalid:
+        decoded = []
+        for v in html.to_pylist():
+            if v is None:
+                decoded.append(None)
+                continue
+            try:
+                decoded.append(v.decode("utf-8"))
+            except UnicodeDecodeError:
+                decoded.append("")
+        s = pa.array(decoded, pa.large_string())
     pos = pc.find_substring(s, _CLOSE)
     end = pc.add(pos, len(_CLOSE))
     nbytes = pc.binary_length(s)

@@ -52,32 +52,35 @@ RECORDS_SCHEMA = pa.schema(
     ]
 )
 
-_RE_UNCLEAN = re.compile(r"[\s]|[^\x20-\x7e]")
+_RE_WS_RUN = re.compile(r"\s+")
+_RE_NON_ASCII = re.compile(r"[^\x20-\x7f]")
 
 
 def clean_doc_name(name: str) -> str:
-    """Reference clean-name rule (runner :316-317): whitespace and
-    non-printable-ASCII → '-'."""
-    return _RE_UNCLEAN.sub("-", name)
+    """Reference clean-name rule (runner :312-317): strip the extension,
+    collapse each whitespace RUN to one '-', then map every char outside
+    \x20-\x7f to '-'."""
+    import os.path
+
+    trunk, _ = os.path.splitext(name)
+    return _RE_NON_ASCII.sub("-", _RE_WS_RUN.sub("-", trunk))
 
 
 def collect_prefixes(plans) -> dict[str, str]:
-    """Statically collect every prefix: declaration of the plan tree(s)."""
+    """Statically collect every prefix: declaration of the plan tree(s),
+    recursing through every nested op container (sub-sequences, object
+    op-sequences, match-dimensions do-i-j bodies, …)."""
     out: dict[str, str] = {}
 
     def walk(node):
         if isinstance(node, P.PrefixOp):
             out[node.prefix] = node.iri
-        for f_name in getattr(node, "__dataclass_fields__", {}):
-            v = getattr(node, f_name)
-            if isinstance(v, tuple):
-                for item in v:
-                    if hasattr(item, "__dataclass_fields__"):
-                        walk(item)
-                    elif isinstance(item, tuple):
-                        for sub in item:
-                            if hasattr(sub, "__dataclass_fields__"):
-                                walk(sub)
+        if hasattr(node, "__dataclass_fields__"):
+            for f_name in node.__dataclass_fields__:
+                walk(getattr(node, f_name))
+        elif isinstance(node, (tuple, list)):
+            for item in node:
+                walk(item)
 
     if not isinstance(plans, (list, tuple)):
         plans = [plans]

@@ -512,6 +512,7 @@ class WorkflowInterpreter:
             # of O(matches × alternatives).
             snapshot = self._text
             cached: list = [None] * len(op.alternatives)  # None | False | Match
+            prev_span: tuple | None = None
             while True:
                 if self._text is not snapshot:  # body ran replace:/with: etc.
                     snapshot = self._text
@@ -531,14 +532,17 @@ class WorkflowInterpreter:
                 if earliest is None:
                     break
                 _, match, spec, idx = earliest
+                # DEVIATION: a zero-width match never advances the offset and
+                # loops the reference forever (:1538-1561); the first
+                # re-encounter of an already-consumed span stops the scan
+                # BEFORE re-running its body (processed exactly once).
+                span = (idx, match.start(0), match.end(0))
+                if span == prev_span:
+                    break
+                prev_span = span
                 self._latest_match = match
                 self._stats_match(len(match.group(0)))
-                new_start = match.end(0)
-                # DEVIATION: a zero-width match never advances the offset and
-                # loops the reference forever (:1538-1561); process it once,
-                # then stop the scan instead of hanging the actor.
-                stop_after = new_start == start and match.start(0) == match.end(0)
-                start = new_start
+                start = match.end(0)
                 cached[idx] = None  # consumed
                 if spec.as_id is not None:
                     counter[spec.as_id] += 1
@@ -546,8 +550,6 @@ class WorkflowInterpreter:
                     self._var[f"{spec.as_id}_count"] = counter[spec.as_id]
                 count += 1
                 self._run_seq_spec_body(spec, match)
-                if stop_after:
-                    break
         else:
             start = 0
             for spec in op.steps:
@@ -792,8 +794,9 @@ class WorkflowInterpreter:
         return (True, op.prefix)
 
     def _op_mapping(self, op: P.MappingOp):
-        """Reference def_mapping (:1992-2035); pairs pre-compiled at plan time."""
-        self._mappings[op.name] = op
+        """Reference def_mapping (:1992-2035); pairs pre-compiled at plan
+        time, exact dict materialized once here (hot-path lookups)."""
+        self._mappings[op.name] = (dict(op.exact), op)
         return (True, op.name)
 
     def _op_map(self, op: P.MapOp):
@@ -809,10 +812,10 @@ class WorkflowInterpreter:
         (case-folded second try when I flag), then ordered regex first-match
         (re.match), else identity. Replacements are template-expanded; during
         a regex replacement the regex match becomes the latest match."""
-        mapping = self._mappings.get(name)
-        if mapping is None:
+        entry = self._mappings.get(name)
+        if entry is None:
             raise InterpreterError(f"Unknown mapping: {name}")
-        exact = dict(mapping.exact)
+        exact, mapping = entry
         repl = exact.get(value)
         if repl is not None:
             return self._expand(str(repl))

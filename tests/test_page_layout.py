@@ -111,3 +111,13 @@ def test_column_join_and_doc_wrapper():
     assert out.count('<div class="page"') == 2
     assert 'pageno="2"' in out
     assert "First line of column text<br/>second line same width abc" in out
+
+
+def test_word_in_bounds_slack_below_grid_does_not_crash():
+    """Regression (code review): a word inside the table-bounds slack but
+    past the last grid line must clamp to the edge cell, not IndexError."""
+    drawings = grid_drawings()
+    # grid y range 100..160; word starts at y=160.5 (inside +1.2 slack)
+    words = [Word(105, 160.5, 130, 161.0, "Slack")]
+    xhtml = recognize_page(words, drawings, P)
+    assert "<table>" in xhtml  # page still renders

@@ -146,3 +146,18 @@ def test_per_doc_ttl_parity_layout(ray_session, tmp_path):
     sample = df.iloc[0]
     triples, _ = parse_turtle(open(sample["path"], encoding="utf8").read())
     assert len(triples) == sample["n_triples"]
+
+
+def test_extract_invalid_utf8_row_does_not_fail_block():
+    """Regression (code review): mislabeled encodings map to empty text
+    instead of failing the whole Arrow block."""
+    import pyarrow as pa
+
+    batch = pa.table({
+        "url": ["https://x/ok", "https://x/bad"],
+        "html": [b"<html><body>ok</body></html>", b"<html>\xff\xfe broken"],
+    })
+    out = extract_text_batch(batch)
+    texts = out["text"].to_pylist()
+    assert texts[0].endswith("</html>")
+    assert texts[1] == ""

@@ -303,3 +303,19 @@ def test_sequence_of_zero_width_match_terminates():
     )
     # guard: the zero-width match is processed once, then the scan stops
     assert res.variables.get("n") == ["hit"]
+
+
+def test_sequence_of_lookahead_zero_width_runs_once():
+    """Regression (code review): a zero-width lookahead at q > start must run
+    its body exactly once, not twice."""
+    res = run(
+        [
+            {"sequence-of": "s",
+             "alternatives": [
+                 {"match": r"(?=X)", "do": [{"append": "hits", "element": "h"}]},
+             ]},
+        ],
+        text="aaX",
+    )
+    assert res.variables.get("hits") == ["h"]
+    assert res.no_matches == 1
