@@ -117,7 +117,8 @@ class TripleExtractor:
             name: GraphIndex.from_turtle(ttl) for name, ttl in (graphs_ttl or {}).items()
         }
         self._interps = [
-            (plan.name, WorkflowInterpreter(plan, graphs=graphs, allow_exec=allow_exec))
+            (plan.name, plan.trigger,
+             WorkflowInterpreter(plan, graphs=graphs, allow_exec=allow_exec))
             for plan in plans
         ]
         self._text_column = text_column
@@ -180,7 +181,9 @@ class TripleExtractor:
                 {"doc_url": url, "workflow": "", "rec": "error",
                  "error": f"truncated-to-{self._max_text_chars}-chars"}
             )
-        for wf_name, interp in self._interps:
+        for wf_name, trigger, interp in self._interps:
+            if trigger is not None and trigger.search(text) is None:
+                continue  # routed away: this specialist cannot apply here
             try:
                 res = interp.run(
                     text, variables={"doc": doc, "docname": url, "docpathname": url}

@@ -323,10 +323,18 @@ class TripleOp:
 
 @dataclass(frozen=True)
 class CompiledPlan:
-    """Immutable compiled workflow; broadcast to extraction actors."""
+    """Immutable compiled workflow; broadcast to extraction actors.
+
+    ``trigger`` (engine extension, no reference analogue): an optional
+    pre-compiled routing pattern — the extraction stage skips this workflow
+    entirely for documents where it cannot match, so specialist workflows
+    cost nothing on the 90% of pages they do not apply to. Only safe when
+    the workflow can never win best-of selection without the trigger text
+    (the author's contract)."""
     steps: tuple
     name: str = "workflow"
     source: str = ""
+    trigger: re.Pattern | None = None
 
 
 # --------------------------------------------------------------------------
@@ -676,8 +684,15 @@ def compile_workflow(plan: list | str, name: str = "workflow") -> CompiledPlan:
         plan = []
     if not isinstance(plan, list):
         raise PlanError(f"Workflow top level must be a list, got {type(plan)}")
-    steps = tuple(_compile_step(step, f"$[{i}]") for i, step in enumerate(plan))
-    return CompiledPlan(steps=steps, name=name, source=source)
+    trigger = None
+    body = []
+    for step in plan:
+        if isinstance(step, dict) and set(step) == {"trigger"}:
+            trigger = re.compile(_attr(step, "trigger", str), re.DOTALL)
+            continue
+        body.append(step)
+    steps = tuple(_compile_step(step, f"$[{i}]") for i, step in enumerate(body))
+    return CompiledPlan(steps=steps, name=name, source=source, trigger=trigger)
 
 
 def compile_workflow_file(path: str) -> CompiledPlan:

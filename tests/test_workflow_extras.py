@@ -319,3 +319,29 @@ def test_sequence_of_lookahead_zero_width_runs_once():
     )
     assert res.variables.get("hits") == ["h"]
     assert res.no_matches == 1
+
+
+def test_workflow_trigger_routing():
+    """Engine extension: a plan with trigger: is skipped when the trigger
+    cannot match, and runs when it can — identical winners either way."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import default_plans
+    from cmc_knowledge_graph_text2ttl_ray.stages.triples import TripleExtractor
+    import pyarrow as pa
+
+    plans = default_plans()
+    fin = [p for p in plans if p.name == "financial_report"][0]
+    assert fin.trigger is not None and fin.trigger.search("Revenue: 1.0 MEUR")
+
+    ex = TripleExtractor(plans)
+    batch = pa.table({
+        "url": ["https://x/1", "https://x/2"],
+        "text": [
+            "<html><head><title>A</title></head><body><p>Acme Corp was founded in 1987.</p></body></html>",
+            "<html><head><title>B</title></head><body><p>Revenue: 9.5 MEUR</p>"
+            "<p>Audited on 2024-01-10</p><p>Acme Corp filed the report.</p></body></html>",
+        ],
+    })
+    out = ex(batch).to_pylist()
+    winners = {r["doc_url"]: r["workflow"] for r in out if r["rec"] == "stats"}
+    assert winners["https://x/1"] == "webpage_kg"
+    assert winners["https://x/2"] == "financial_report"
