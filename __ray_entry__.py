@@ -345,7 +345,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_k": """
             SELECT user_id,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
             FROM events GROUP BY user_id
         """,
         "docs_token_stats": """

@@ -165,6 +165,13 @@ def run_kg_pipeline(
             import shutil
 
             shutil.rmtree(records_dir, ignore_errors=True)
+            # The TTL manifest is only valid for the records that produced
+            # it: a plan/input change invalidates both, else resume would
+            # skip every bucket and silently return old-plan shards.
+            try:
+                os.remove(os.path.join(out_dir, "ttl", "manifest.json"))
+            except OSError:
+                pass
             recs.write_parquet(records_dir)
             with open(done_marker, "w") as fh:
                 fh.write(plan_fp)
@@ -301,6 +308,12 @@ def run_kg_pipeline_waves(
             entity_ns=entity_ns,
         )
         wave_dir = os.path.join(out_dir, "records", key)
+        # A mid-wave crash leaves partial part files (the waves.json entry is
+        # written only after success); clear them so the retry can't leave
+        # two copies of the wave's records in records/.
+        import shutil
+
+        shutil.rmtree(wave_dir, ignore_errors=True)
         recs.write_parquet(wave_dir)
         done[key] = {"files": files, "records_dir": wave_dir}
         tmp = wave_manifest_path + ".tmp"

@@ -152,8 +152,8 @@ class GraphIndex:
 
     @staticmethod
     def _split_statements(body: str) -> list[str]:
-        stmts, cur, in_str, esc = [], [], False, False
-        for ch in body:
+        stmts, cur, in_str, in_iri, esc = [], [], False, False, False
+        for i, ch in enumerate(body):
             if in_str:
                 cur.append(ch)
                 if esc:
@@ -163,10 +163,21 @@ class GraphIndex:
                 elif ch == '"':
                     in_str = False
                 continue
+            if in_iri:
+                # '.' inside <...> is part of the IRI, never a separator
+                cur.append(ch)
+                if ch == ">":
+                    in_iri = False
+                continue
             if ch == '"':
                 in_str = True
                 cur.append(ch)
-            elif ch == ".":
+            elif ch == "<":
+                in_iri = True
+                cur.append(ch)
+            elif ch == "." and (i + 1 >= len(body) or body[i + 1] in " \t\r\n}"):
+                # a '.' mid-token (pfx:a.b, 1.5) is part of the term; the
+                # statement separator is always followed by whitespace/'}'
                 stmt = "".join(cur).strip()
                 if stmt:
                     stmts.append(stmt)

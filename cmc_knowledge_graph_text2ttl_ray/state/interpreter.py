@@ -115,6 +115,7 @@ class WorkflowInterpreter:
         self._today = today
         self._now = now
         self._allow_exec = allow_exec
+        self._imported_modules: set[str] = set()
 
         self._dispatch: dict[type, Callable] = {
             P.NopOp: self._op_nop,
@@ -237,10 +238,28 @@ class WorkflowInterpreter:
         """Reference assign_var (:820-863). Dynamic var names via expansion."""
         var = self._expand(op.var)
         if op.eval_expr is not None:
+            env = {"vars": self._var, "matches": self._matches}
+            if op.imports:
+                # Reference imports each module for its side effects before
+                # eval'ing (assign_var, :846-853); cached like self._imports.
+                # DEVIATION (superset): the module is also bound by name in
+                # the eval env — the reference leaves it reachable only via
+                # sys.modules, so `import: hashlib` + `eval: hashlib.md5(..)`
+                # would NameError there.
+                if not self._allow_exec:
+                    raise InterpreterError(
+                        "import: on set/eval is disabled (allow_exec=False)"
+                    )
+                import importlib
+                import sys
+
+                for mod in op.imports.split():
+                    importlib.import_module(mod)
+                    top = mod.partition(".")[0]
+                    env[top] = sys.modules[top]
+                    self._imported_modules.add(mod)
             expr = self._expand(op.eval_expr)
-            value = self._safe_eval(
-                expr, {"vars": self._var, "matches": self._matches}, f"setting var {var}"
-            )
+            value = self._safe_eval(expr, env, f"setting var {var}")
         else:
             value = op.to
             if isinstance(value, str):

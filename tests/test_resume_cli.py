@@ -129,3 +129,61 @@ def test_records_checkpoint_invalidated_on_plan_change(ray_session, tmp_path):
                          plans=[tiny], resume=True)
     # ttl manifest resume skips all buckets; counts retained from r2 manifest
     assert sum(b["n_triples"] for b in r3["manifest"]["buckets"].values()) == n2
+
+
+def test_ttl_manifest_invalidated_on_plan_change_with_resume(ray_session, tmp_path):
+    """ADVICE r1 (high): resume=True after a plan change must not serve
+    old-plan TTL shards from the stale bucket manifest."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+    from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow
+
+    out = str(tmp_path / "o")
+    r1 = run_kg_pipeline(pages_dataset(40, override_num_blocks=2), out_dir=out,
+                         concurrency=2, num_buckets=4)
+    n1 = sum(b["n_triples"] for b in r1["manifest"]["buckets"].values())
+
+    tiny = compile_workflow(
+        "- prefix: ex\n  iri: http://e/\n"
+        "- match: \"<title>(.*?)</title>\"\n  as: t\n  do:\n"
+        "    - subject: ex:d\n      predicate: ex:t\n      object:\n        text: \"@{t.1}\"\n",
+        name="tiny",
+    )
+    # resume=True (the default path a user hits), different plan set
+    r2 = run_kg_pipeline(pages_dataset(40, override_num_blocks=2), out_dir=out,
+                         concurrency=2, num_buckets=4, plans=[tiny], resume=True)
+    n2 = sum(b["n_triples"] for b in r2["manifest"]["buckets"].values())
+    assert 0 < n2 < n1  # buckets were rewritten with the new plan, not skipped
+
+
+def test_wave_retry_clears_partial_records(ray_session, tmp_path):
+    """ADVICE r1 (medium): a mid-wave crash leaves partial parquet files;
+    the retried wave must not duplicate them."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline_waves
+
+    src = str(tmp_path / "pages")
+    generate_pages_parquet(src, 100, num_files=4)
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out = str(tmp_path / "out")
+    res1 = run_kg_pipeline_waves(files, out, wave_size=2, concurrency=2)
+    recs_dir = os.path.join(out, "records")
+    n_rows_clean = ray.data.read_parquet(recs_dir, file_extensions=["parquet"]).count()
+
+    # simulate crash: wave 1 wrote part files but never made it into waves.json
+    with open(os.path.join(out, "waves.json")) as fh:
+        waves = json.load(fh)
+    del waves["wave=00001"]
+    with open(os.path.join(out, "waves.json"), "w") as fh:
+        json.dump(waves, fh)
+    # leave the partial files in place (the crash scenario) and retry
+    res2 = run_kg_pipeline_waves(files, out, wave_size=2, concurrency=2)
+    n_rows_retry = ray.data.read_parquet(recs_dir, file_extensions=["parquet"]).count()
+    assert n_rows_retry == n_rows_clean  # no duplicated wave records
+    t1 = sum(b["n_triples"] for b in res1["manifest"]["buckets"].values())
+    t2 = sum(b["n_triples"] for b in res2["manifest"]["buckets"].values())
+    assert t1 == t2

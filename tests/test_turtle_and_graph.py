@@ -127,3 +127,18 @@ def test_select_op_in_workflow():
     res2 = interp.run("We visited company Nowhere Inc yesterday.")
     assert res2.triples == []
     assert res2.variables.get("missed") == "Nowhere Inc"
+
+
+def test_query_full_iri_terms_and_decimals():
+    """ADVICE r1: '.' inside <IRI> terms and decimal literals must not split
+    statements."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex()
+    g.add(("http://www.w3.org/x#s", "http://ex.org/p", "http://ex.org/o", "iri", None, None))
+    g.add(("http://ex.org/o", "http://ex.org/val", "1.5", "literal", None, None))
+    rows = g.query(
+        "SELECT ?a ?b WHERE { ?a <http://ex.org/p> ?b . "
+        "?b <http://ex.org/val> 1.5 . }"
+    )
+    assert rows == [{"a": "http://www.w3.org/x#s", "b": "http://ex.org/o"}]

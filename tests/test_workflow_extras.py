@@ -345,3 +345,19 @@ def test_workflow_trigger_routing():
     winners = {r["doc_url"]: r["workflow"] for r in out if r["rec"] == "stats"}
     assert winners["https://x/1"] == "webpage_kg"
     assert winners["https://x/2"] == "financial_report"
+
+
+def test_set_eval_with_import():
+    """ADVICE r1: import: attribute on set/eval imports modules before eval
+    (reference assign_var :846-853)."""
+    from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow
+    from cmc_knowledge_graph_text2ttl_ray.state.interpreter import WorkflowInterpreter
+
+    wf = compile_workflow(
+        "- set: h\n  eval: \"hashlib.md5(b'x').hexdigest()\"\n"
+        "  import: hashlib\n",
+        name="imp",
+    )
+    interp = WorkflowInterpreter(wf)
+    res = interp.run("dummy")
+    assert res.variables["h"] == "9dd4e461268c8034f5c8564e155c67a6"
