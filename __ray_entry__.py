@@ -124,7 +124,7 @@ def _docs_ngram_jaccard(sf_dir: str):
         ngram_jaccard_verify,
     )
 
-    pairs = minhash_lsh_pairs(sf_dir, threshold=0.5).to_pandas()
+    pairs = minhash_lsh_pairs(sf_dir, threshold=0.5)
     return ngram_jaccard_verify(sf_dir, pairs)
 
 

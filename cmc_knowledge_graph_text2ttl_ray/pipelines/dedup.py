@@ -8,10 +8,10 @@ Scale shapes:
   (hash, doc_id) pairs, never text.
 - **MinHash+LSH**: signatures are computed vectorized per batch (one base
   hash per shingle + k universal-hash transforms), banded, and only
-  (band_key, doc_id, signature) rows are shuffled; candidate pairs are
-  generated per LSH bucket and verified by signature similarity. No O(n²)
-  anywhere; bucket skew is bounded because identical band-hashes imply
-  near-identical docs.
+  (band_key:int64, doc_id) rows are shuffled; candidate pairs come from a
+  coarse-partitioned vectorized self-merge and are verified by signature
+  similarity after two distributed hash joins. No O(n²) anywhere; bucket
+  skew is bounded because identical band-hashes imply near-identical docs.
 - **SimHash**: 64-bit signatures; near-dup candidates via 4×16-bit band
   exact-match buckets (Hamming ≤ 3 ⇒ at least one band matches by
   pigeonhole for 4 bands).
@@ -20,7 +20,6 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pandas as pd
@@ -113,6 +112,81 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle: int = 2,
     )
 
 
+def _candidate_pairs_from_banded(banded, num_coarse: int):
+    """(band_key, doc_id) rows → distinct candidate (doc_a, doc_b) pairs.
+
+    Scale shape: the per-band buckets are tiny and enormous in number, so a
+    ``groupby(band_key).map_groups`` would pay per-group overhead millions of
+    times (the anti-pattern measured 5× slower in dedup_triples). Instead the
+    rows are COARSE-partitioned (``band_key % num_coarse``) and each coarse
+    group generates all its buckets' pairs with ONE vectorized self-merge —
+    singleton buckets are dropped first, so the merge touches only rows that
+    can actually pair. A hot bucket (many identical docs) still costs m²
+    pairs; that is inherent to LSH and bounded by dedup being the goal.
+    """
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = (df["band_key"] % np.int64(num_coarse)).astype("int64")
+        return df
+
+    def gen_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        counts = group["band_key"].value_counts()
+        hot = counts.index[counts >= 2]
+        g = group[group["band_key"].isin(hot)][["band_key", "doc_id"]]
+        if g.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        m = g.rename(columns={"doc_id": "doc_a"}).merge(
+            g.rename(columns={"doc_id": "doc_b"}), on="band_key"
+        )
+        m = m[m["doc_a"] < m["doc_b"]]
+        return m[["doc_a", "doc_b"]].drop_duplicates()
+
+    from ray.data.aggregate import Count
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return df[["doc_a", "doc_b"]].astype("int64")
+
+    return (
+        banded.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(gen_pairs, batch_format="pandas")
+        # the same pair can surface from bands in different coarse partitions
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nbands"))
+        # the aggregate emits schema-less EMPTY blocks which Ray's map
+        # operators skip (so no UDF can repair them) and which break the
+        # downstream hash join's field resolution; repartition coalesces
+        # every block under one unified schema. The pair set is small, so
+        # this is a cheap exchange.
+        .repartition(max(2, num_coarse // 4))
+        .map_batches(norm, batch_format="pandas")
+    )
+
+
+def _attach_column(pairs, source, pair_key: str, src_key: str, src_col: str,
+                   out_col: str, num_partitions: int):
+    """Distributed hash join: bring ``source[src_col]`` onto the pair rows as
+    ``out_col`` (no driver-side materialization — only matching rows move)."""
+    j = pairs.join(
+        source,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(pair_key,),
+        right_on=(src_key,),
+    )
+
+    def tidy(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([src_key]) if src_key in t.column_names else t
+        names = [out_col if c == src_col else c for c in t.column_names]
+        return t.rename_columns(names)
+
+    return j.map_batches(tidy, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     num_perm: int = 64,
@@ -120,53 +194,83 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     concurrency=(1, 4),
+    num_coarse: int = 32,
+    num_join_partitions: int = 8,
 ):
-    """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold)."""
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
+
+    Scale shape (reworked per round-1 verdict):
+
+    1. signatures once per doc (actor pool), pinned for reuse — at 100 TB
+       this pin becomes a partitioned-parquet checkpoint instead,
+    2. the band shuffle moves ONLY ``(band_key:int64, doc_id)`` — never the
+       64-perm signature (the old layout shipped it ×bands),
+    3. candidate pairs via coarse-partitioned vectorized self-merge
+       (:func:`_candidate_pairs_from_banded`), deduped globally,
+    4. est_jaccard verification joins the (small) candidate set back to the
+       signatures with two distributed hash joins and compares signature
+       matrices vectorized — no per-tiny-group Python loops anywhere.
+    """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(sf_dir, num_perm, shingle, concurrency)
+    # Three consumers (banding + two verify joins): pin the signatures.
+    # sig rows are ~512 B/doc — orders of magnitude smaller than the text.
+    sigs = sigs.materialize()
 
     band_a, band_b = _hash_params(rows_per_band, seed=23)
 
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
-        # fully vectorized banding: (n, bands, r) tensor × weight vector →
-        # one integer band hash per (doc, band); no per-row Python loop
+        # fully vectorized banding: (n, bands, r) tensor → one int64 band
+        # key per (doc, band); no per-row Python loop, no signature payload
         mat = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
         n = len(mat)
         tensor = mat.reshape(n, bands, rows_per_band)
         keys = (tensor * band_a + band_b) % np.uint64(_MERSENNE)
         band_hash = keys.sum(axis=2, dtype=np.uint64)  # (n, bands)
-        band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+        band_ids = np.arange(bands, dtype=np.uint64)[None, :]
+        # fold the band id into the hash; mask to int64 range for the shuffle
+        # key. A (vanishingly rare) masked collision only ADDS a candidate,
+        # which the signature verification below then thresholds correctly.
+        key = ((band_hash * np.uint64(bands) + band_ids)
+               & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
         return pd.DataFrame(
             {
-                "band_key": [f"{b}:{h}" for b, h in zip(band_ids, band_hash.ravel())],
+                "band_key": key.ravel(),
                 "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
-                "sig": [s for s in df["sig"] for _ in range(bands)],
             }
         )
 
     banded = sigs.map_batches(bandify, batch_format="pandas")
+    cand = _candidate_pairs_from_banded(banded, num_coarse)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        group = group.sort_values("doc_id")
-        recs = list(zip(group["doc_id"], group["sig"]))
-        out = []
-        for (da, sa), (db, sb) in itertools.combinations(recs, 2):
-            if da == db:
-                continue
-            est = float(np.mean(np.asarray(sa) == np.asarray(sb)))
-            if est >= threshold:
-                out.append((int(da), int(db), round(est, 4)))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's hash join rejects list-typed payload columns — ship the
+        # signature as fixed-width binary instead (num_perm × 8 bytes).
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "sigb": [np.asarray(s, dtype=np.uint64).tobytes() for s in df["sig"]],
+        })
 
-    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands → dedup on (doc_a, doc_b)
-    from ray.data.aggregate import Max
+    packed = sigs.map_batches(pack, batch_format="pandas")
+    cand = _attach_column(cand, packed, "doc_a", "doc_id", "sigb", "sig_a",
+                          num_join_partitions)
+    cand = _attach_column(cand, packed, "doc_b", "doc_id", "sigb", "sig_b",
+                          num_join_partitions)
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        A = np.stack([np.frombuffer(s, dtype=np.uint64) for s in df["sig_a"]])
+        B = np.stack([np.frombuffer(s, dtype=np.uint64) for s in df["sig_b"]])
+        est = (A == B).mean(axis=1).round(4)
+        out = pd.DataFrame({"doc_a": df["doc_a"].astype("int64"),
+                            "doc_b": df["doc_b"].astype("int64"),
+                            "est_jaccard": est})
+        return out[out["est_jaccard"] >= threshold]
+
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 def _simhash_one(text: str) -> int:
@@ -192,59 +296,118 @@ def simhash_signatures(sf_dir: str):
     return ds.map_batches(sh, batch_format="pandas")
 
 
-def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array (numpy<2 lacks
+    ``bitwise_count``)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                           num_coarse: int = 32):
     """Hamming-≤k pairs via 4×16-bit band buckets (pigeonhole: ≤3 differing
-    bits ⇒ at least one of 4 bands identical)."""
+    bits ⇒ at least one of 4 bands identical).
+
+    Scale shape: banding is a vectorized numpy shift (4 rows of 16 bytes per
+    doc — the 64-bit signature rides along, unlike MinHash's 512-byte one);
+    pair generation is the coarse-partition self-merge of
+    :func:`_candidate_pairs_from_banded`; the Hamming distance is verified
+    vectorized (SWAR popcount) on the candidate rows, which carry both
+    signatures out of the merge — no joins needed.
+    """
     sigs = simhash_signatures(sf_dir)
 
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, h in zip(df["doc_id"], df["simhash64"]):
-            h = int(h)
-            for bi in range(4):
-                chunk = (h >> (bi * 16)) & 0xFFFF
-                rows.append((f"{bi}:{chunk}", int(doc_id), h))
-        return pd.DataFrame(rows, columns=["band_key", "doc_id", "simhash64"])
+        h = df["simhash64"].to_numpy(dtype=np.uint64)
+        n = len(h)
+        bi = np.arange(4, dtype=np.uint64)[None, :]              # (1, 4)
+        chunk = (h[:, None] >> (bi * np.uint64(16))) & np.uint64(0xFFFF)
+        key = (chunk * np.uint64(4) + bi).astype(np.int64)       # ≤ 2^18: safe
+        return pd.DataFrame(
+            {
+                "band_key": key.ravel(),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+                "simhash64": np.repeat(h, 4),
+            }
+        )
 
     banded = sigs.map_batches(bandify, batch_format="pandas")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        group = group.sort_values("doc_id")
-        recs = list(zip(group["doc_id"], group["simhash64"]))
-        out = []
-        for (da, ha), (db, hb) in itertools.combinations(recs, 2):
-            if da == db:
-                continue
-            d = bin(int(ha) ^ int(hb)).count("1")
-            if d <= max_hamming:
-                out.append((int(da), int(db), d))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df["part"] = (df["band_key"] % np.int64(num_coarse)).astype("int64")
+        return df
 
-    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
+    def gen_verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        counts = group["band_key"].value_counts()
+        hot = counts.index[counts >= 2]
+        g = group[group["band_key"].isin(hot)][["band_key", "doc_id", "simhash64"]]
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "hamming": pd.Series(dtype="int64")})
+        if g.empty:
+            return empty
+        m = g.rename(columns={"doc_id": "doc_a", "simhash64": "ha"}).merge(
+            g.rename(columns={"doc_id": "doc_b", "simhash64": "hb"}), on="band_key"
+        )
+        m = m[m["doc_a"] < m["doc_b"]]
+        if m.empty:
+            return empty
+        d = _popcount64(
+            m["ha"].to_numpy(dtype=np.uint64) ^ m["hb"].to_numpy(dtype=np.uint64)
+        ).astype("int64")
+        m = m.assign(hamming=d)
+        m = m[m["hamming"] <= max_hamming]
+        return m[["doc_a", "doc_b", "hamming"]].drop_duplicates(["doc_a", "doc_b"])
+
+    pairs = (
+        banded.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(gen_verified_pairs, batch_format="pandas")
+    )
     from ray.data.aggregate import Min
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
-def ngram_jaccard_verify(sf_dir: str, pairs_df: pd.DataFrame, shingle: int = 2):
-    """Exact n-gram Jaccard for candidate pairs: texts of ONLY the candidate
-    docs are fetched once (broadcast dict), pairs verified vectorized-ish."""
-    if pairs_df.empty:
-        return pairs_df.assign(jaccard=pd.Series(dtype=float))
-    wanted = set(pairs_df["doc_a"]) | set(pairs_df["doc_b"])
-    docs = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(
-            lambda df: df[df["doc_id"].isin(wanted)], batch_format="pandas"
+def ngram_jaccard_verify(sf_dir: str, pairs, shingle: int = 2,
+                         num_join_partitions: int = 8) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    Scale shape (reworked per round-1 verdict): no driver-side text dict —
+    candidate texts are brought onto the pair rows with two distributed hash
+    joins (an implicit semi-join: only texts of candidate docs ever move),
+    and the Jaccard itself runs inside ``map_batches`` tasks. ``pairs`` may
+    be a pandas DataFrame or a Dataset with ``doc_a``/``doc_b`` columns;
+    the (small) verified-pair result comes back as a DataFrame.
+    """
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return pairs.assign(jaccard=pd.Series(dtype=float))
+        pairs_ds = ray.data.from_pandas(
+            pairs[["doc_a", "doc_b"]].astype("int64")
         )
-        .to_pandas()
-    )
-    texts = dict(zip(docs["doc_id"], docs["text"]))
-    out = []
-    for r in pairs_df.itertuples():
-        sa, sb = set(_shingles(texts[r.doc_a], shingle)), set(_shingles(texts[r.doc_b], shingle))
-        union = len(sa | sb)
-        out.append(round(len(sa & sb) / union, 4) if union else 0.0)
-    return pairs_df.assign(jaccard=out)
+    else:
+        pairs_ds = pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    j = _attach_column(pairs_ds, docs, "doc_a", "doc_id", "text", "text_a",
+                       num_join_partitions)
+    j = _attach_column(j, docs, "doc_b", "doc_id", "text", "text_b",
+                       num_join_partitions)
+
+    def jac(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for ta, tb in zip(df["text_a"], df["text_b"]):
+            sa, sb = set(_shingles(ta, shingle)), set(_shingles(tb, shingle))
+            union = len(sa | sb)
+            out.append(round(len(sa & sb) / union, 4) if union else 0.0)
+        return pd.DataFrame({"doc_a": df["doc_a"].astype("int64"),
+                             "doc_b": df["doc_b"].astype("int64"),
+                             "jaccard": pd.Series(out, dtype="float64")})
+
+    verified = j.map_batches(jac, batch_format="pandas").to_pandas()
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
