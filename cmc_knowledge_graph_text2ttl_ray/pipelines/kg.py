@@ -120,6 +120,7 @@ def run_kg_pipeline(
     resume: bool = True,
     checkpoint_records: bool = True,
     kb_ttl: str | None = None,
+    canonical_mode: str = "broadcast",
 ):
     """Run the full pipeline. Returns a dict with the key datasets/artifacts.
 
@@ -188,9 +189,11 @@ def run_kg_pipeline(
     errors = recs.map_batches(_filter_rec("error"), batch_format="pyarrow")
 
     t0 = time.perf_counter()
-    # ONE combined pass over the records: stats rows are side-written as the
-    # metrics table while entity partial-count rows stream back to the
-    # driver for the canonical arg-max (two outputs, one scan).
+    # Metrics: a second (cheap) scan over the records — which are parquet-
+    # or object-store-backed at this point — written THROUGH Ray so the
+    # part files land correctly on multi-node clusters / remote filesystems
+    # (round-1 verdict: worker-local ``open()`` writes silently fragment
+    # the metrics dir across nodes).
     metrics_dir = os.path.join(out_dir, "metrics") if out_dir else None
     if metrics_dir:
         import shutil
@@ -198,34 +201,28 @@ def run_kg_pipeline(
         # metrics are derived data: always rebuild so stale part files from a
         # differently-batched previous run can never duplicate rows
         shutil.rmtree(metrics_dir, ignore_errors=True)
-        os.makedirs(metrics_dir, exist_ok=True)
+        stats.select_columns(
+            ["doc_url", "workflow", "no_matches", "no_triples",
+             "total_match_len", "score"]
+        ).write_parquet(metrics_dir)
 
-    def meta_pass(batch: pa.Table) -> pa.Table:
-        if metrics_dir is not None:
-            st = batch.filter(pc.equal(batch["rec"], "stats")).select(
-                ["doc_url", "workflow", "no_matches", "no_triples",
-                 "total_match_len", "score"]
-            )
-            if st.num_rows:
-                import hashlib
+    if canonical_mode == "join":
+        # 100-TB path: mapping stays a Dataset end-to-end; the rewrite is
+        # two hash joins. Use when distinct surface forms outgrow a
+        # broadcastable dict (≳ tens of millions).
+        from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import (
+            apply_canonical_mapping_join,
+            canonicalization_mapping_ds,
+        )
 
-                import pyarrow.parquet as pq
-
-                digest = hashlib.blake2b(
-                    "\x1f".join(st["doc_url"].to_pylist()).encode(),
-                    digest_size=10,
-                ).hexdigest()
-                pq.write_table(st, os.path.join(metrics_dir, f"part-{digest}.parquet"))
-        ent = batch.filter(pc.equal(batch["rec"], "entity"))
-        return pa.table({"iri": ent["subject"], "cnt": ent["no_triples"]})
-
-    from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import _argmax_mapping
-
-    mapping_df = _argmax_mapping(
-        recs.map_batches(meta_pass, batch_format="pyarrow").to_pandas(), entity_ns
-    )
-    mapping = {r.iri: r.canonical for r in mapping_df.itertuples() if r.iri != r.canonical}
-    canonical = apply_canonical_mapping(triples, mapping)
+        mapping_ds = canonicalization_mapping_ds(recs, entity_ns)
+        canonical = apply_canonical_mapping_join(triples, mapping_ds)
+        mapping_df = None
+    else:
+        mapping_df = mapping_from_entity_records(recs, entity_ns)
+        mapping = {r.iri: r.canonical for r in mapping_df.itertuples()
+                   if r.iri != r.canonical}
+        canonical = apply_canonical_mapping(triples, mapping)
     timings["canonicalize"] = time.perf_counter() - t0
     deduped = dedup_triples(canonical)
 

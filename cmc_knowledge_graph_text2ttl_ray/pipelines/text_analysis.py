@@ -123,19 +123,25 @@ class LangId:
         self._tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized (round-1 verdict: the old per-row `best()` loop):
+        # explode tokens once, then ONE C-speed isin + bincount per language
+        df = df.reset_index(drop=True)
         tokens = df["text"].str.lower().str.findall(self._word)
-
-        def best(tl: list[str]) -> str:
-            if not tl:
-                return "und"
-            scores = {
-                lang: sum(1 for w in tl if w in table)
-                for lang, table in self._tables.items()
-            }
-            top = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-            return top[0] if top[1] > 0 else "und"
-
-        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": tokens.map(best)})
+        ex = tokens.explode().dropna()
+        rows = ex.index.to_numpy(dtype=np.int64)
+        n = len(df)
+        # reverse-sorted so argmax's first-max rule reproduces the
+        # (count, lang)-max tie-break of the reference scoring
+        langs = sorted(self._tables, reverse=True)
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            mask = ex.isin(self._tables[lang]).to_numpy(dtype=bool)
+            if mask.any():
+                scores[:, j] += np.bincount(rows[mask], minlength=n)
+        best_j = np.argmax(scores, axis=1)
+        best_s = scores[np.arange(n), best_j]
+        pred = np.where(best_s > 0, np.array(langs, dtype=object)[best_j], "und")
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": pred})
 
 
 def lang_id(sf_dir: str, concurrency=(1, 4)):

@@ -30,8 +30,10 @@ import pyarrow.compute as pc
 
 __all__ = [
     "canonicalization_mapping",
+    "canonicalization_mapping_ds",
     "mapping_from_entity_records",
     "apply_canonical_mapping",
+    "apply_canonical_mapping_join",
     "canonicalize_entities",
 ]
 
@@ -157,6 +159,96 @@ def apply_canonical_mapping(triples_ds, mapping: dict[str, str]):
         return batch.set_column(batch.column_names.index("object"), "object", obj)
 
     return triples_ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def canonicalization_mapping_ds(records_ds, entity_ns: str,
+                                num_coarse: int = 32):
+    """Fully-DISTRIBUTED mapping build (the 100-TB path; round-1 verdict:
+    the driver-side pandas arg-max caps out when distinct surface forms run
+    to billions). rec='entity' partial rows → ``groupby(key, iri).sum`` →
+    per-key arg-max inside coarse hash partitions → a ``(iri, canonical)``
+    Dataset. Nothing touches the driver."""
+    from ray.data.aggregate import Sum
+
+    def ent_rows(t: pa.Table) -> pa.Table:
+        ent = t.filter(pc.equal(t["rec"], "entity"))
+        iri = ent["subject"].combine_chunks().cast(pa.string())
+        return pa.table({
+            "key": _norm_key(_local_name(iri, entity_ns)),
+            "iri": iri,
+            "cnt": ent["no_triples"].combine_chunks().cast(pa.int64()),
+        })
+
+    def add_kpart(df: pd.DataFrame) -> pd.DataFrame:
+        df["kpart"] = (
+            pd.util.hash_array(df["key"].to_numpy(dtype=object))
+            % num_coarse
+        ).astype("int64")
+        return df
+
+    def argmax_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized arg-max over ALL keys of the coarse partition at once:
+        # max count, lexicographically-smallest IRI tie-break
+        if g.empty:
+            return pd.DataFrame({"iri": pd.Series(dtype=object),
+                                 "canonical": pd.Series(dtype=object)})
+        g = g.sort_values(["key", "cnt", "iri"], ascending=[True, False, True])
+        canon = g.groupby("key", sort=False)["iri"].first().rename("canonical")
+        out = g.merge(canon, left_on="key", right_index=True)
+        out = out[out["iri"] != out["canonical"]]
+        return out[["iri", "canonical"]]
+
+    return (
+        records_ds.map_batches(ent_rows, batch_format="pyarrow")
+        .groupby(["key", "iri"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        # repair the aggregate's schema-less empty blocks (Ray skips UDFs on
+        # empty blocks, so a downstream fix-up can't) before the next stage
+        .repartition(max(2, num_coarse // 4))
+        .map_batches(add_kpart, batch_format="pandas")
+        .groupby("kpart")
+        .map_groups(argmax_per_key, batch_format="pandas")
+    )
+
+
+def apply_canonical_mapping_join(triples_ds, mapping_ds,
+                                 num_partitions: int | None = None):
+    """Join-based rewrite for when the mapping itself is too large to
+    broadcast: two left-outer hash joins (subject, then IRI objects) with a
+    coalesce. Costs two shuffles of the triple table — use
+    :func:`apply_canonical_mapping` (broadcast) whenever the mapping fits
+    comfortably in a worker heap."""
+    if num_partitions is None:
+        import ray
+
+        # each join spawns num_partitions aggregator actors; cap them so the
+        # two pools can't starve the rest of the pipeline on small clusters
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    def coalesce(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            if "canonical" not in t.column_names:
+                return t  # empty-schema block passthrough
+            fixed = pc.coalesce(t["canonical"], t[col])
+            if col == "object":
+                fixed = pc.if_else(
+                    pc.equal(t["object_kind"], "iri"), fixed, t[col]
+                )
+            t = t.drop_columns(["canonical"])
+            return t.set_column(t.column_names.index(col), col, fixed)
+
+        return f
+
+    out = triples_ds.join(
+        mapping_ds, join_type="left_outer", num_partitions=num_partitions,
+        on=("subject",), right_on=("iri",),
+    ).map_batches(coalesce("subject"), batch_format="pyarrow")
+    out = out.join(
+        mapping_ds, join_type="left_outer", num_partitions=num_partitions,
+        on=("object",), right_on=("iri",),
+    ).map_batches(coalesce("object"), batch_format="pyarrow")
+    return out
 
 
 def canonicalize_entities(triples_ds, entity_ns: str):

@@ -161,3 +161,37 @@ def test_extract_invalid_utf8_row_does_not_fail_block():
     texts = out["text"].to_pylist()
     assert texts[0].endswith("</html>")
     assert texts[1] == ""
+
+
+def test_kg_pipeline_canonical_join_mode(ray_session, tmp_path):
+    """Join-based (100-TB) canonicalization produces the same triples as the
+    broadcast rewrite."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+
+    r1 = run_kg_pipeline(pages_dataset(60, override_num_blocks=3), concurrency=2)
+    r2 = run_kg_pipeline(pages_dataset(60, override_num_blocks=3), concurrency=2,
+                         canonical_mode="join")
+    cols = ["subject", "predicate", "object", "object_kind"]
+    t1 = r1["triples"].to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    t2 = r2["triples"].to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert t1.equals(t2)
+    assert len(t1) > 50
+
+
+def test_metrics_written_via_ray(ray_session, tmp_path):
+    """Metrics parquet must be written through Ray's writer (multi-node
+    correct), not worker-local file handles."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+
+    out = str(tmp_path / "o")
+    run_kg_pipeline(pages_dataset(40, override_num_blocks=2), out_dir=out,
+                    concurrency=2, num_buckets=4)
+    m = ray.data.read_parquet(f"{out}/metrics").to_pandas()
+    assert len(m) > 0
+    assert {"doc_url", "workflow", "score"} <= set(m.columns)
+    # one stats row per (doc, workflow) pair — no duplicated rows
+    assert not m.duplicated(["doc_url", "workflow"]).any()

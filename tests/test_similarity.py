@@ -1,0 +1,87 @@
+"""IVF index layout, pruned-probe kNN, and bucketed near-dup pairs."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    """embeddings.parquet with 3 well-separated clusters + planted near-dups."""
+    rng = np.random.RandomState(42)
+    dim = 16
+    centers = rng.randn(3, dim) * 5
+    vecs, ids = [], []
+    vid = 0
+    for c in range(3):
+        for _ in range(40):
+            vecs.append(centers[c] + rng.randn(dim) * 0.5)
+            ids.append(vid)
+            vid += 1
+    # planted near-dup pairs: tiny perturbations of existing vectors
+    planted = [(0, vid), (45, vid + 1), (100, vid + 2)]
+    for src, nid in planted:
+        vecs.append(np.asarray(vecs[src]) + rng.randn(dim) * 1e-3)
+        ids.append(nid)
+    d = tmp_path_factory.mktemp("embdocs")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d), planted
+
+
+def test_embedding_near_dup_pairs_ivf(ray_session, emb_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    d, planted = emb_dir
+    pairs = embedding_near_dup_pairs(d, threshold=0.99, n_clusters=3).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    for src, nid in planted:
+        assert (min(src, nid), max(src, nid)) in found, (src, nid, found)
+    # vectors from different well-separated clusters never pair
+    assert all(
+        abs(a // 40 - b // 40) == 0 or a >= 120 or b >= 120 for a, b in found
+    )
+
+
+def test_knn_ivf_matches_bruteforce_on_clustered(ray_session, emb_dir, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    d, _ = emb_dir
+    exact = knn_bruteforce(d, query_vec_id=5, k=5).to_pandas()
+    approx = knn_ivf(d, query_vec_id=5, k=5, n_clusters=3, nprobe=1,
+                     index_dir=str(tmp_path / "ivf")).to_pandas()
+    # query's own cluster holds all true neighbors → pruned probe is exact
+    assert list(approx["vec_id"]) == list(exact["vec_id"])
+    # index layout on disk: one dir per cluster + centroids + marker
+    import os
+
+    assert os.path.exists(tmp_path / "ivf" / "_DONE")
+    assert os.path.exists(tmp_path / "ivf" / "centroids.npy")
+    clusters = [p for p in os.listdir(tmp_path / "ivf" / "vectors")
+                if p.startswith("cluster=")]
+    assert len(clusters) >= 2
+
+
+def test_ivf_index_reused_not_rebuilt(ray_session, emb_dir, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import build_ivf_index
+    import os
+
+    d, _ = emb_dir
+    idx = str(tmp_path / "ivf2")
+    c1 = build_ivf_index(d, idx, n_clusters=3)
+    mtime = os.path.getmtime(os.path.join(idx, "centroids.npy"))
+    c2 = build_ivf_index(d, idx, n_clusters=3)
+    assert np.allclose(c1, c2)
+    assert os.path.getmtime(os.path.join(idx, "centroids.npy")) == mtime
