@@ -100,8 +100,11 @@ def test_query_literal_lookup():
 
 def test_query_rejects_unsupported():
     g = make_index()
+    # still-unsupported constructs fail loudly instead of silently mis-answering
     with pytest.raises(QueryError):
-        g.query("SELECT ?x WHERE { OPTIONAL { ?x ?p ?o } }")
+        g.query("SELECT ?x WHERE { ?x ?p ?o . FILTER(EXISTS { ?x ?p ?o }) }")
+    with pytest.raises(QueryError):
+        g.query("SELECT ?x WHERE { OPTIONAL ?x }")
 
 
 def test_select_op_in_workflow():
@@ -142,3 +145,81 @@ def test_query_full_iri_terms_and_decimals():
         "?b <http://ex.org/val> 1.5 . }"
     )
     assert rows == [{"a": "http://www.w3.org/x#s", "b": "http://ex.org/o"}]
+
+
+def _ex_graph():
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex(prefixes={"ex": "http://ex/"})
+    def t(s, p, o, kind="iri"):
+        g.add((f"http://ex/{s}", f"http://ex/{p}", o if kind != "iri" else f"http://ex/{o}", kind, None, None))
+    t("alice", "type", "Person")
+    t("bob", "type", "Person")
+    t("carol", "type", "Robot")
+    t("alice", "age", "30", "literal")
+    t("bob", "age", "45", "literal")
+    t("alice", "nick", "Ali", "literal")
+    t("carol", "age", "5", "literal")
+    return g
+
+
+def test_query_filter_numeric_and_regex():
+    g = _ex_graph()
+    rows = g.query(
+        'SELECT ?p ?a WHERE { ?p ex:type ex:Person . ?p ex:age ?a . FILTER(?a > 35) }'
+    )
+    assert rows == [{"p": "http://ex/bob", "a": "45"}]
+    rows = g.query(
+        'SELECT ?p WHERE { ?p ex:age ?a . FILTER(regex(?p, "ali|car", "i")) }'
+    )
+    assert {r["p"] for r in rows} == {"http://ex/alice", "http://ex/carol"}
+
+
+def test_query_optional_and_bound():
+    g = _ex_graph()
+    rows = g.query(
+        'SELECT ?p ?n WHERE { ?p ex:type ex:Person . OPTIONAL { ?p ex:nick ?n } }'
+    )
+    by_p = {r["p"]: r.get("n") for r in rows}
+    assert by_p == {"http://ex/alice": "Ali", "http://ex/bob": None}
+    rows = g.query(
+        'SELECT ?p WHERE { ?p ex:type ex:Person . OPTIONAL { ?p ex:nick ?n } '
+        'FILTER(!bound(?n)) }'
+    )
+    assert [r["p"] for r in rows] == ["http://ex/bob"]
+
+
+def test_query_union_and_minus():
+    g = _ex_graph()
+    rows = g.query(
+        'SELECT ?p WHERE { { ?p ex:type ex:Person } UNION { ?p ex:type ex:Robot } }'
+    )
+    assert {r["p"] for r in rows} == {"http://ex/alice", "http://ex/bob", "http://ex/carol"}
+    rows = g.query(
+        'SELECT ?p WHERE { ?p ex:age ?a . MINUS { ?p ex:type ex:Robot } }'
+    )
+    assert {r["p"] for r in rows} == {"http://ex/alice", "http://ex/bob"}
+
+
+def test_query_filter_string_functions():
+    g = _ex_graph()
+    rows = g.query(
+        'SELECT ?p WHERE { ?p ex:type ?t . FILTER(contains(str(?p), "ali") '
+        '&& strends(?t, "Person")) }'
+    )
+    assert [r["p"] for r in rows] == ["http://ex/alice"]
+    rows = g.query(
+        'SELECT ?p WHERE { ?p ex:type ex:Person . FILTER(?p = ex:alice || ?p = ex:bob) }'
+    )
+    assert len(rows) == 2
+
+
+def test_query_nested_group_and_filter_scope():
+    g = _ex_graph()
+    # FILTER inside OPTIONAL applies only within the optional group
+    rows = g.query(
+        'SELECT ?p ?a WHERE { ?p ex:type ex:Person . '
+        'OPTIONAL { ?p ex:age ?a . FILTER(?a > 40) } }'
+    )
+    by_p = {r["p"]: r.get("a") for r in rows}
+    assert by_p == {"http://ex/alice": None, "http://ex/bob": "45"}
