@@ -47,8 +47,16 @@ def cmd_doc(args) -> int:
         from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
 
         graphs[name] = GraphIndex.from_file(path)
-    with open(args.text, encoding="utf8") as fh:
-        text = fh.read()
+    if args.text.lower().endswith(".pdf"):
+        # reference parity: PDFs go through table recognition first
+        # (text_to_turtle_runner.py:131-141 get_pdf_content)
+        from cmc_knowledge_graph_text2ttl_ray.functions.pdf import pdf_to_xhtml
+
+        with open(args.text, "rb") as fh:
+            text = pdf_to_xhtml(fh.read())
+    else:
+        with open(args.text, encoding="utf8") as fh:
+            text = fh.read()
     variables = _parse_defs(args.define or [])
     best = None
     for plan in plans:

@@ -1,0 +1,579 @@
+"""Pure-Python PDF word/drawing extractor feeding the table recognizer.
+
+Closes the round-1 gap "real document-format ingestion": the reference
+converts PDFs with PyMuPDF (kg_text_to_ttl/text_to_turtle_runner.py:131-141
+``get_pdf_content`` → ``PdfTableRecognizer``); this module produces the same
+page primitives — word boxes and drawn rectangles, top-left coordinates —
+from raw PDF bytes with no native dependencies, and hands them to
+:mod:`cmc_knowledge_graph_text2ttl_ray.functions.page_layout` (the geometry phases).
+
+Supported PDF subset (deliberately the common text-PDF core):
+
+- classic ``N 0 obj``/``endobj`` object syntax, scanned without the xref
+  table (robust against mildly damaged files),
+- content streams raw or ``/FlateDecode`` (zlib),
+- text operators ``BT ET Tf Td TD Tm T* TL Tj ' " TJ Tc Tw``,
+- graphics operators ``q Q cm re m l h f F S B b f* B* b* n W``; rectangles
+  and straight line segments painted by any stroke/fill op become drawing
+  rects (thin ones are the recognizer's grid-line candidates),
+- width metrics: built-in Helvetica AFM table (the PDF standard-14 default);
+  unknown fonts fall back to 500/1000 em. Word *alignment* (what the table
+  phases consume) survives approximate widths.
+
+NOT supported (raise or are skipped gracefully): encrypted PDFs, CID/Type0
+composite fonts with multi-byte encodings (text is decoded byte-wise),
+object streams (``/ObjStm``), rotation in the CTM (sheared boxes would need
+oriented rectangles; such ops keep translation+scale only).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_pdf_pages", "pdf_to_xhtml", "PdfParseError"]
+
+
+class PdfParseError(Exception):
+    pass
+
+
+# Helvetica character widths, 1000 units/em, ASCII 32..126 (Adobe AFM —
+# public standard-14 metrics). Index 0 ↔ space (32).
+_HELV = [
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+]
+
+
+def _char_width(ch: str, base_font: str) -> float:
+    """Width in 1000-em units."""
+    o = ord(ch)
+    if "Helvetica" in base_font or "Arial" in base_font:
+        if 32 <= o <= 126:
+            return _HELV[o - 32]
+        return 556.0
+    if "Courier" in base_font or "Mono" in base_font:
+        return 600.0
+    return 500.0
+
+
+# ---------------------------------------------------------------- objects
+
+_RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """objnum → object body bytes (xref-free scan)."""
+    objs: dict[int, bytes] = {}
+    for m in _RE_OBJ.finditer(data):
+        start = m.end()
+        # the body runs to the matching 'endobj'; streams may contain the
+        # literal, so find 'endstream' first when a stream opens earlier
+        sm = re.compile(rb"stream\r?\n").search(data, start)
+        eo = data.find(b"endobj", start)
+        if eo < 0:
+            continue
+        if sm is not None and sm.start() < eo:
+            es = data.find(b"endstream", sm.end())
+            if es >= 0:
+                eo = data.find(b"endobj", es)
+                if eo < 0:
+                    continue
+        objs[int(m.group(1))] = data[start:eo]
+    if not objs:
+        raise PdfParseError("No PDF objects found")
+    return objs
+
+
+# A minimal PDF value tokenizer/parser: names, numbers, strings, arrays,
+# dicts, refs, booleans, null.
+
+_RE_WS = re.compile(rb"[\s]*")
+_RE_NUM = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_RE_NAME = re.compile(rb"/([^\s/<>\[\]()]*)")
+_RE_REF = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Ref({self.num})"
+
+
+def _parse_value(buf: bytes, pos: int):
+    pos = _RE_WS.match(buf, pos).end()
+    if pos >= len(buf):
+        raise PdfParseError("Unexpected end of object")
+    c = buf[pos : pos + 1]
+    if buf.startswith(b"<<", pos):
+        d = {}
+        pos += 2
+        while True:
+            pos = _RE_WS.match(buf, pos).end()
+            if buf.startswith(b">>", pos):
+                return d, pos + 2
+            m = _RE_NAME.match(buf, pos)
+            if m is None:
+                raise PdfParseError(f"Expected name in dict at {pos}")
+            key = m.group(1).decode("latin-1")
+            val, pos = _parse_value(buf, m.end())
+            d[key] = val
+    if c == b"[":
+        arr = []
+        pos += 1
+        while True:
+            pos = _RE_WS.match(buf, pos).end()
+            if buf.startswith(b"]", pos):
+                return arr, pos + 1
+            val, pos = _parse_value(buf, pos)
+            arr.append(val)
+    if c == b"/":
+        m = _RE_NAME.match(buf, pos)
+        return "/" + m.group(1).decode("latin-1"), m.end()
+    if c == b"(":
+        s, pos = _parse_string(buf, pos)
+        return s, pos
+    if c == b"<":  # hex string
+        end = buf.find(b">", pos)
+        hexed = re.sub(rb"\s", b"", buf[pos + 1 : end])
+        if len(hexed) % 2:
+            hexed += b"0"
+        return bytes.fromhex(hexed.decode("ascii")).decode("latin-1"), end + 1
+    m = _RE_REF.match(buf, pos)
+    if m is not None:
+        return _Ref(int(m.group(1))), m.end()
+    m = _RE_NUM.match(buf, pos)
+    if m is not None:
+        txt = m.group(0)
+        return (float(txt) if b"." in txt else int(txt)), m.end()
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if buf.startswith(lit, pos):
+            return val, pos + len(lit)
+    raise PdfParseError(f"Cannot parse PDF value at {pos}: {buf[pos:pos+20]!r}")
+
+
+def _parse_string(buf: bytes, pos: int) -> tuple[str, int]:
+    """Literal ( ) string with escapes and nested parens."""
+    assert buf[pos : pos + 1] == b"("
+    out = []
+    depth = 1
+    i = pos + 1
+    while i < len(buf):
+        c = buf[i : i + 1]
+        if c == b"\\":
+            nxt = buf[i + 1 : i + 2]
+            esc = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+                   b"(": "(", b")": ")", b"\\": "\\"}
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            m = re.match(rb"\\([0-7]{1,3})", buf[i:])
+            if m:
+                out.append(chr(int(m.group(1), 8)))
+                i += m.end()
+                continue
+            i += 1
+            continue
+        if c == b"(":
+            depth += 1
+            out.append("(")
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+        else:
+            out.append(c.decode("latin-1"))
+        i += 1
+    raise PdfParseError("Unterminated string")
+
+
+def _obj_dict(body: bytes) -> dict:
+    try:
+        val, _ = _parse_value(body, 0)
+    except PdfParseError:
+        return {}
+    return val if isinstance(val, dict) else {}
+
+
+def _resolve(objs: dict[int, bytes], val, depth: int = 0):
+    while isinstance(val, _Ref) and depth < 16:
+        body = objs.get(val.num)
+        if body is None:
+            return None
+        val, _ = _parse_value(body, 0)
+        depth += 1
+    return val
+
+
+def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
+    sm = re.compile(rb"stream\r?\n").search(body)
+    if sm is None:
+        return b""
+    raw = body[sm.end() :]
+    es = raw.rfind(b"endstream")
+    if es >= 0:
+        raw = raw[:es]
+    raw = raw.rstrip(b"\r\n")
+    d = _obj_dict(body)
+    filt = d.get("Filter")
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    for f in filters:
+        if f == "/FlateDecode":
+            raw = zlib.decompress(raw)
+        elif f is None:
+            pass
+        else:
+            raise PdfParseError(f"Unsupported stream filter {f}")
+    return raw
+
+
+# ------------------------------------------------------- content interpreter
+
+_RE_TOKEN = re.compile(
+    rb"""\s*(?:
+      (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+    | (?P<name>/[^\s/<>\[\]()]*)
+    | (?P<str>\()
+    | (?P<hex><(?![<]))
+    | (?P<arr>\[)|(?P<earr>\])
+    | (?P<dict><<)|(?P<edict>>>)
+    | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _mat_mult(a, b):
+    """3x2 affine (a,b,c,d,e,f) multiply: a then b."""
+    a0, a1, a2, a3, a4, a5 = a
+    b0, b1, b2, b3, b4, b5 = b
+    return (
+        a0 * b0 + a1 * b2,
+        a0 * b1 + a1 * b3,
+        a2 * b0 + a3 * b2,
+        a2 * b1 + a3 * b3,
+        a4 * b0 + a5 * b2 + b4,
+        a4 * b1 + a5 * b3 + b5,
+    )
+
+
+def _apply(m, x, y):
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+class _PageState:
+    def __init__(self, fonts: dict[str, str], page_h: float) -> None:
+        self.fonts = fonts
+        self.page_h = page_h
+        self.words: list[tuple] = []
+        self.drawings: list[tuple] = []
+        self.ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.stack: list[tuple] = []
+        self.tm = None
+        self.tlm = None
+        self.font = "Helvetica"
+        self.size = 12.0
+        self.leading = 0.0
+        self.char_sp = 0.0
+        self.word_sp = 0.0
+        self.path: list[tuple] = []
+        self.cur_pt = None
+        # pending word buffer: [x0, y_base, chars] — survives across show()
+        # calls so TJ kerning splits don't fracture words
+        self.pend: list | None = None
+
+    # -- text ---------------------------------------------------------------
+
+    def show(self, s: str) -> None:
+        if self.tm is None:
+            return
+        x, y = self.tm[4], self.tm[5]
+        sx = abs(self.tm[0]) or 1.0
+        for ch in s:
+            w = (_char_width(ch, self.font) / 1000.0) * self.size * sx
+            if ch.isspace():
+                self.flush_word(x)
+                x += w + self.char_sp + self.word_sp
+            else:
+                if self.pend is None:
+                    self.pend = [x, y, []]
+                self.pend[2].append(ch)
+                x += w + self.char_sp
+        self.tm = (self.tm[0], self.tm[1], self.tm[2], self.tm[3], x, self.tm[5])
+
+    def adjust(self, amount: float) -> None:
+        """TJ kerning number: thousandths of em, subtracted from x. A large
+        jump (> 0.3 em either way) acts as a word boundary."""
+        if self.tm is None:
+            return
+        sx = abs(self.tm[0]) or 1.0
+        dx = -(amount / 1000.0) * self.size * sx
+        if abs(dx) > 0.3 * self.size * sx:
+            self.flush_word(self.tm[4])
+        self.tm = (self.tm[0], self.tm[1], self.tm[2], self.tm[3],
+                   self.tm[4] + dx, self.tm[5])
+
+    def flush_word(self, x1: float | None = None) -> None:
+        if self.pend is None:
+            return
+        x0, y, chars = self.pend
+        self.pend = None
+        if not chars:
+            return
+        self._emit_word("".join(chars), x0, x1 if x1 is not None else self.tm[4]
+                        if self.tm else x0, y)
+
+    def _emit_word(self, text: str, x0: float, x1: float, y_base: float) -> None:
+        dx0, dy = _apply(self.ctm, x0, y_base)
+        dx1, _ = _apply(self.ctm, x1, y_base)
+        sy = abs(self.ctm[3]) or 1.0
+        asc, desc = 0.8 * self.size * sy, 0.2 * self.size * sy
+        top = self.page_h - (dy + asc)
+        bot = self.page_h - (dy - desc)
+        self.words.append((min(dx0, dx1), top, max(dx0, dx1), bot, text))
+
+    def newline(self) -> None:
+        self.flush_word()
+        if self.tlm is None:
+            return
+        self.tlm = _mat_mult((1, 0, 0, 1, 0, -self.leading), self.tlm)
+        self.tm = self.tlm
+
+    # -- graphics -----------------------------------------------------------
+
+    def flush_path(self, paint: bool) -> None:
+        if paint:
+            for x0, y0, x1, y1 in self.path:
+                ax0, ay0 = _apply(self.ctm, x0, y0)
+                ax1, ay1 = _apply(self.ctm, x1, y1)
+                fx0, fx1 = min(ax0, ax1), max(ax0, ax1)
+                fy0, fy1 = min(ay0, ay1), max(ay0, ay1)
+                self.drawings.append(
+                    (fx0, self.page_h - fy1, fx1, self.page_h - fy0)
+                )
+        self.path = []
+        self.cur_pt = None
+
+
+def _run_content(content: bytes, state: _PageState) -> None:
+    stack: list = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        m = _RE_TOKEN.match(content, pos)
+        if m is None or m.end() == m.start():
+            pos += 1
+            continue
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "num":
+            stack.append(float(m.group("num")))
+            continue
+        if kind == "name":
+            stack.append(m.group("name").decode("latin-1"))
+            continue
+        if kind == "str":
+            s, pos = _parse_string(content, m.end() - 1)
+            stack.append(s)
+            continue
+        if kind == "hex":
+            end = content.find(b">", pos)
+            hexed = re.sub(rb"\s", b"", content[m.end() - 1 + 1 : end])
+            if len(hexed) % 2:
+                hexed += b"0"
+            stack.append(bytes.fromhex(hexed.decode("ascii")).decode("latin-1"))
+            pos = end + 1
+            continue
+        if kind == "arr":
+            # collect nested values until ']' (flat arrays in content streams)
+            arr_vals: list = []
+            stack.append(("__ARR__", arr_vals))
+            continue
+        if kind == "earr":
+            # pop down to array marker
+            vals = []
+            while stack and not (isinstance(stack[-1], tuple) and stack[-1][0] == "__ARR__"):
+                vals.append(stack.pop())
+            if stack:
+                marker = stack.pop()
+                marker[1].extend(reversed(vals))
+                stack.append(marker[1])
+            continue
+        if kind in ("dict", "edict"):
+            continue  # inline dicts (e.g. BDC properties) are skipped
+        op = m.group("op").decode("latin-1")
+        try:
+            _apply_op(op, stack, state)
+        except (IndexError, TypeError, ValueError):
+            pass  # tolerate operators outside the supported subset
+        stack.clear()
+
+
+def _apply_op(op: str, stack: list, st: _PageState) -> None:
+    if op == "q":
+        st.stack.append(st.ctm)
+    elif op == "Q":
+        if st.stack:
+            st.ctm = st.stack.pop()
+    elif op == "cm":
+        a, b, c, d, e, f = stack[-6:]
+        st.ctm = _mat_mult((a, b, c, d, e, f), st.ctm)
+    elif op == "BT":
+        st.flush_word()
+        st.tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        st.tlm = st.tm
+    elif op == "ET":
+        st.flush_word()
+        st.tm = st.tlm = None
+    elif op == "Tf":
+        name, size = stack[-2], float(stack[-1])
+        st.font = st.fonts.get(str(name).lstrip("/"), "Helvetica")
+        st.size = size
+    elif op == "TL":
+        st.leading = float(stack[-1])
+    elif op == "Tc":
+        st.char_sp = float(stack[-1])
+    elif op == "Tw":
+        st.word_sp = float(stack[-1])
+    elif op == "Td":
+        st.flush_word()
+        tx, ty = float(stack[-2]), float(stack[-1])
+        st.tlm = _mat_mult((1, 0, 0, 1, tx, ty), st.tlm or (1, 0, 0, 1, 0, 0))
+        st.tm = st.tlm
+    elif op == "TD":
+        st.flush_word()
+        tx, ty = float(stack[-2]), float(stack[-1])
+        st.leading = -ty
+        st.tlm = _mat_mult((1, 0, 0, 1, tx, ty), st.tlm or (1, 0, 0, 1, 0, 0))
+        st.tm = st.tlm
+    elif op == "Tm":
+        st.flush_word()
+        a, b, c, d, e, f = (float(v) for v in stack[-6:])
+        st.tm = st.tlm = (a, b, c, d, e, f)
+    elif op == "T*":
+        st.newline()
+    elif op == "Tj":
+        st.show(str(stack[-1]))
+    elif op == "'":
+        st.newline()
+        st.show(str(stack[-1]))
+    elif op == '"':
+        st.word_sp, st.char_sp = float(stack[-3]), float(stack[-2])
+        st.newline()
+        st.show(str(stack[-1]))
+    elif op == "TJ":
+        arr = stack[-1]
+        if isinstance(arr, list):
+            for item in arr:
+                if isinstance(item, str):
+                    st.show(item)
+                else:
+                    st.adjust(float(item))
+    elif op == "re":
+        x, y, w, h = (float(v) for v in stack[-4:])
+        st.path.append((x, y, x + w, y + h))
+    elif op == "m":
+        st.cur_pt = (float(stack[-2]), float(stack[-1]))
+    elif op == "l":
+        x, y = float(stack[-2]), float(stack[-1])
+        if st.cur_pt is not None:
+            st.path.append((st.cur_pt[0], st.cur_pt[1], x, y))
+        st.cur_pt = (x, y)
+    elif op in ("f", "F", "S", "s", "B", "b", "f*", "B*", "b*"):
+        st.flush_path(paint=True)
+    elif op == "n":
+        st.flush_path(paint=False)
+    # all other operators are ignored
+
+
+# -------------------------------------------------------------- public API
+
+
+def _page_fonts(objs: dict[int, bytes], page: dict) -> dict[str, str]:
+    res = _resolve(objs, page.get("Resources")) or {}
+    fonts = _resolve(objs, res.get("Font")) or {}
+    out = {}
+    for name, ref in fonts.items():
+        fd = _resolve(objs, ref) or {}
+        base = fd.get("BaseFont", "/Helvetica")
+        out[name] = str(base).lstrip("/")
+    return out
+
+
+def _page_order(objs: dict[int, bytes]) -> list[dict]:
+    """Pages in document order via the /Pages tree; objnum order fallback."""
+    pages_by_num = {}
+    for num, body in objs.items():
+        d = _obj_dict(body)
+        if d.get("Type") == "/Page":
+            pages_by_num[num] = d
+    root_nodes = [
+        (num, d) for num, body in objs.items()
+        if (d := _obj_dict(body)).get("Type") == "/Pages" and "Parent" not in d
+    ]
+
+    ordered: list[dict] = []
+
+    def walk(node: dict) -> None:
+        for kid in node.get("Kids", []) or []:
+            kd = _resolve(objs, kid)
+            if not isinstance(kd, dict):
+                continue
+            if kd.get("Type") == "/Pages":
+                walk(kd)
+            elif kd.get("Type") == "/Page":
+                ordered.append(kd)
+
+    for _, root in sorted(root_nodes):
+        walk(root)
+    if not ordered:
+        ordered = [pages_by_num[k] for k in sorted(pages_by_num)]
+    return ordered
+
+
+def extract_pdf_pages(data: bytes) -> list[tuple[list[tuple], list[tuple]]]:
+    """PDF bytes → per-page ``(words, drawings)`` in top-left coordinates,
+    ready for :func:`page_layout.recognize_doc`."""
+    if not data.startswith(b"%PDF"):
+        raise PdfParseError("Not a PDF (missing %PDF header)")
+    if b"/Encrypt" in data[:2048] or b"/Encrypt" in data[-2048:]:
+        raise PdfParseError("Encrypted PDFs are not supported")
+    objs = _scan_objects(data)
+    pages = []
+    for page in _page_order(objs):
+        box = _resolve(objs, page.get("MediaBox")) or [0, 0, 612, 792]
+        page_h = float(box[3]) - float(box[1])
+        fonts = _page_fonts(objs, page)
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        blob = b"\n".join(
+            _stream_data(objs, objs[r.num])
+            for r in refs
+            if isinstance(r, _Ref) and r.num in objs
+        )
+        state = _PageState(fonts, page_h)
+        _run_content(blob, state)
+        state.flush_word()
+        pages.append((state.words, state.drawings))
+    return pages
+
+
+def pdf_to_xhtml(data: bytes, params=None) -> str:
+    """PDF bytes → recognized XHTML (paragraphs + tables), the direct
+    equivalent of the reference's ``get_pdf_content``
+    (text_to_turtle_runner.py:131-141)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.page_layout import recognize_doc
+
+    return recognize_doc(extract_pdf_pages(data), params)

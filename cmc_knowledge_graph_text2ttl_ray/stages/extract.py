@@ -73,7 +73,59 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("text", text)
 
 
-def add_extracted_text(ds, batch_size: int = 1024):
+def extract_pdf_batch(batch: pa.Table) -> pa.Table:
+    """``pdf: binary`` column → ``text`` column via the pure-Python PDF
+    parser + table recognizer (reference: get_pdf_content,
+    text_to_turtle_runner.py:131-141). Per-row Python is inherent here —
+    each row is a full document parse — and runs inside the task, never on
+    the driver. Unparseable rows become empty text + an ``extract_error``
+    column entry instead of failing the block."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import (
+        PdfParseError,
+        pdf_to_xhtml,
+    )
+
+    texts: list[str] = []
+    errors: list[str | None] = []
+    for v in batch["pdf"].to_pylist():
+        if v is None:
+            texts.append("")
+            errors.append("empty-pdf")
+            continue
+        try:
+            texts.append(pdf_to_xhtml(v))
+            errors.append(None)
+        except (PdfParseError, Exception) as ex:  # noqa: BLE001 - row-isolate
+            texts.append("")
+            errors.append(f"pdf-parse: {ex}")
+    out = batch.drop_columns(["pdf"])
+    text = pa.array(texts, pa.string())
+    if "text" in out.column_names:
+        out = out.set_column(out.column_names.index("text"), "text", text)
+    else:
+        out = out.append_column("text", text)
+    return out.append_column("extract_error", pa.array(errors, pa.string()))
+
+
+def add_extracted_text(ds, batch_size: int = 1024, source: str = "auto"):
     """Dataset → Dataset with the extracted ``text`` column (streaming,
-    stateless tasks, Arrow zero-copy)."""
-    return ds.map_batches(extract_text_batch, batch_format="pyarrow", batch_size=batch_size)
+    stateless tasks, Arrow zero-copy for HTML; per-task PDF parsing for
+    ``pdf`` columns). ``source``: "html", "pdf", or "auto" (inspect the
+    schema — cheap for file-backed datasets)."""
+    if source == "auto":
+        try:
+            names = ds.schema().names
+        except Exception:
+            names = []
+        if "pdf" in names and "html" not in names:
+            source = "pdf"
+        elif "html" not in names and "text" in names:
+            return ds  # already extracted — pass through
+        else:
+            source = "html"
+    fn = extract_pdf_batch if source == "pdf" else extract_text_batch
+    # PDF parsing is ~100× costlier per row than the HTML slice: smaller
+    # batches keep the pipeline's task granularity balanced
+    if source == "pdf":
+        batch_size = min(batch_size, 64)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,189 @@
+"""Pure-Python PDF extraction → table recognizer end-to-end."""
+
+import zlib
+
+import pytest
+
+
+def make_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
+    """Minimal but valid PDF writer: catalog + pages tree + Helvetica +
+    one content stream per page."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(page_streams)
+    font_num = 3
+    first_page = 4
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(n_pages))
+    objs[2] = f"<< /Type /Pages /Kids [ {kids} ] /Count {n_pages} >>".encode()
+    objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, stream in enumerate(page_streams):
+        pnum = first_page + 2 * i
+        cnum = pnum + 1
+        objs[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {cnum} 0 R >>"
+        ).encode()
+        data = zlib.compress(stream) if compress else stream
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs[cnum] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    out = [b"%PDF-1.4\n"]
+    for num in sorted(objs):
+        out.append(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+TABLE_STREAM = b"""
+BT /F1 12 Tf 100 730 Td (Quarterly report) Tj ET
+0.5 w
+100 700 210 0.5 re f
+100 680 210 0.5 re f
+100 660 210 0.5 re f
+100 640 210 0.5 re f
+100 640 0.5 60 re f
+170 640 0.5 60 re f
+240 640 0.5 60 re f
+310 640 0.5 60 re f
+BT /F1 10 Tf 110 686 Td (Name) Tj ET
+BT /F1 10 Tf 180 686 Td (Value) Tj ET
+BT /F1 10 Tf 250 686 Td (Notes) Tj ET
+BT /F1 10 Tf 110 666 Td (Revenue) Tj ET
+BT /F1 10 Tf 180 666 Td (42) Tj ET
+BT /F1 10 Tf 250 666 Td (ok) Tj ET
+BT /F1 10 Tf 110 646 Td (Cost) Tj ET
+BT /F1 10 Tf 180 646 Td (7) Tj ET
+BT /F1 10 Tf 250 646 Td (fine) Tj ET
+"""
+
+
+def test_pdf_words_and_drawings():
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import extract_pdf_pages
+
+    pages = extract_pdf_pages(make_pdf([TABLE_STREAM]))
+    assert len(pages) == 1
+    words, drawings = pages[0]
+    texts = [w[4] for w in words]
+    assert texts == ["Quarterly", "report", "Name", "Value", "Notes",
+                     "Revenue", "42", "ok", "Cost", "7", "fine"]
+    assert len(drawings) == 8
+    # top-left coordinates: the title sits above the table lines
+    title = [w for w in words if w[4] == "Quarterly"][0]
+    line_ys = sorted(d[1] for d in drawings)
+    assert title[1] < line_ys[0]
+    # grid lines are thin
+    h_lines = [d for d in drawings if (d[2] - d[0]) > (d[3] - d[1])]
+    assert len(h_lines) == 4 and all((d[3] - d[1]) <= 1.2 for d in h_lines)
+
+
+def test_pdf_to_xhtml_recognizes_table():
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import pdf_to_xhtml
+
+    xhtml = pdf_to_xhtml(make_pdf([TABLE_STREAM], compress=True))
+    assert "<table>" in xhtml
+    assert "<p>Quarterly report</p>" in xhtml
+    # cells land in grid order
+    assert xhtml.index("Name") < xhtml.index("Value") < xhtml.index("Revenue")
+    assert "<td><p>42</p>" in xhtml.replace("\n", "")
+
+
+def test_pdf_tj_kerning_and_tm():
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import extract_pdf_pages
+
+    stream = b"""
+BT /F1 12 Tf 1 0 0 1 50 700 Tm [ (Hel) -20 (lo) 500 (world) ] TJ ET
+BT /F1 12 Tf 50 650 Td (line1) Tj 0 -20 Td (line2) Tj ET
+"""
+    (words, _), = extract_pdf_pages(make_pdf([stream]))
+    texts = [w[4] for w in words]
+    # -20/1000 em merges Hel+lo; +500 pushes 'world' left... positive values
+    # SUBTRACT, so 500 moves x backwards — still a separate word
+    assert "Hello" in texts and "world" in texts
+    l1 = [w for w in words if w[4] == "line1"][0]
+    l2 = [w for w in words if w[4] == "line2"][0]
+    assert l2[1] > l1[1] and abs(l1[0] - l2[0]) < 0.01
+
+
+def test_pdf_multipage_order_and_line_ops():
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import (
+        extract_pdf_pages,
+        pdf_to_xhtml,
+    )
+
+    p1 = b"BT /F1 12 Tf 100 700 Td (first) Tj ET"
+    p2 = b"""
+100 700 m 300 700 l S
+BT /F1 12 Tf 100 680 Td (second) Tj ET
+"""
+    pages = extract_pdf_pages(make_pdf([p1, p2]))
+    assert [w[4] for w in pages[0][0]] == ["first"]
+    assert [w[4] for w in pages[1][0]] == ["second"]
+    assert len(pages[1][1]) == 1  # the stroked line became a drawing rect
+    xhtml = pdf_to_xhtml(make_pdf([p1, p2]))
+    assert 'pageno="1"' in xhtml and 'pageno="2"' in xhtml
+    assert xhtml.index("first") < xhtml.index("second")
+
+
+def test_pdf_rejects_non_pdf_and_encrypted():
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import (
+        PdfParseError,
+        extract_pdf_pages,
+    )
+
+    with pytest.raises(PdfParseError):
+        extract_pdf_pages(b"<html>not a pdf</html>")
+    enc = make_pdf([b"BT ET"])
+    enc = enc.replace(b"trailer\n<< /Root 1 0 R >>",
+                      b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>")
+    with pytest.raises(PdfParseError):
+        extract_pdf_pages(enc)
+
+
+def test_pdf_pipeline_stage(ray_session):
+    """pdf-bytes dataset → extraction stage → KG pipeline end-to-end."""
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.stages.extract import add_extracted_text
+
+    stream = (
+        b"BT /F1 12 Tf 100 700 Td "
+        b"(Acme Corp was founded in 1987.) Tj ET"
+    )
+    pdf = make_pdf([stream])
+    rows = pa.table({
+        "url": pa.array([f"https://x/report{i}.pdf" for i in range(6)]),
+        "pdf": pa.array([pdf] * 6, pa.binary()),
+    })
+    ds = ray.data.from_arrow(rows)
+    extracted = add_extracted_text(ds)
+    df = extracted.to_pandas()
+    assert list(df.columns[:2]) == ["url", "text"] or "text" in df.columns
+    assert all("Acme Corp was founded in 1987." in t for t in df["text"])
+    assert df["extract_error"].isna().all()
+
+    res = run_kg_pipeline(add_extracted_text(ds), concurrency=2)
+    triples = res["triples"].to_pandas()
+    assert (triples["predicate"].str.endswith("foundedIn")).any()
+
+
+def test_pdf_doc_mode_cli(tmp_path):
+    import subprocess
+    import sys
+
+    stream = b"BT /F1 12 Tf 100 700 Td (Acme Corp was founded in 1987.) Tj ET"
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(make_pdf([stream]))
+    out = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray", "doc",
+         "--workflow", "workflows/webpage_kg.yaml", "--text", str(p),
+         "-d", "doc=mypdf"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ent:Acme_Corp" in out.stdout
+    assert "foundedIn 1987" in out.stdout
