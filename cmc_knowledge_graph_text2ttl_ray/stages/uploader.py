@@ -3,17 +3,87 @@ Stardog connectors (``StartdogGraphUploader`` basic-auth,
 kg_text_to_ttl/text_to_turtle_processor.py:330-432, and the Azure-OAuth2
 variant with 401/407 token-refresh retry ×3, :436-577).
 
-The core pipeline is network-free, so the shipped implementation is a
-local-directory store that honors the same verb semantics (PUT replaces a
-named graph, POST appends) and the same retry wrapper shape; an HTTP
-implementation plugs in by overriding ``_send`` only.
+Three concrete uploaders ship:
+
+- :class:`LocalDirUploader` — filesystem store with the same verb semantics
+  (PUT replaces a named graph, POST appends); the default for the
+  network-free core pipeline.
+- :class:`HttpGraphUploader` — stdlib-urllib basic-auth HTTP uploader with
+  full reference URL semantics (``<stardog>`` env prefix, in-URL
+  ``user:$VAR@`` credentials, graph/verb defaults).
+- :class:`OAuth2GraphUploader` — client-credentials bearer-token variant
+  with 401/407 token-refresh retry.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
-__all__ = ["GraphUploader", "LocalDirUploader", "UploadError"]
+__all__ = [
+    "GraphUploader",
+    "LocalDirUploader",
+    "HttpGraphUploader",
+    "OAuth2GraphUploader",
+    "UploadError",
+    "resolve_db_url",
+]
+
+_USER_INFO = re.compile(r"(https?)://([^:@]+)(:([^@]+))?@(.+)")
+
+
+def resolve_db_url(
+    to_db: str,
+    server_url_var: str = "STARDOG_SERVER",
+    password_var: str = "STARDOG_PASSWORD",
+    username: str | None = None,
+    password: str | None = None,
+) -> tuple[str, str | None, str | None]:
+    """Reference URL-resolution semantics (StartdogGraphUploader.upload,
+    text_to_turtle_processor.py:361-398): ``<stardog>`` prefix → env base
+    URL, ``user[:pass]@`` credentials in the URL (a ``$VAR`` password reads
+    the environment), fallback password from ``password_var``.
+
+    Returns (clean_url, username, password)."""
+    if to_db.startswith("<stardog>"):
+        base = os.environ.get(server_url_var)
+        if not base:
+            raise UploadError(
+                f"Stardog server URL environment variable {server_url_var} "
+                f"is not defined or empty"
+            )
+        to_db = base + to_db[9:]
+    if not isinstance(to_db, str) or len(to_db) < 5:
+        raise UploadError(f"Invalid graph DB URL: {to_db!r}")
+    m = _USER_INFO.match(to_db)
+    if m:
+        username = m.group(2)
+        pw = m.group(4)
+        if pw is not None and pw.startswith("$"):
+            pw = os.environ.get(pw[1:])
+            if pw is None:
+                raise UploadError(
+                    f"Password environment variable {m.group(4)[1:]} not defined"
+                )
+        if pw is not None:
+            password = pw
+        to_db = f"{m.group(1)}://{m.group(5)}"
+    if password is None:
+        password = os.environ.get(password_var)
+    return to_db, username, password
+
+
+def _build_url(to_db: str, graph_ns: str | None, verb: str | None) -> tuple[str, str]:
+    """Reference URL/verb defaults (:404-410): named graph → ``?graph=urn:doc:…``
+    + PUT; whole-DB → POST."""
+    url = to_db
+    if graph_ns is not None:
+        url += f"?graph=urn:doc:{graph_ns}"
+        if verb is None:
+            verb = "PUT"
+    if verb is None:
+        verb = "POST"
+    return url, verb
 
 
 class UploadError(Exception):
@@ -72,3 +142,138 @@ class LocalDirUploader(GraphUploader):
         with open(path, mode, encoding="utf8") as fh:
             fh.write(ttl_text)
         return path
+
+
+class HttpGraphUploader(GraphUploader):
+    """Basic-auth HTTP graph-store uploader (stdlib urllib — the engine has
+    no third-party HTTP dependency). Mirrors the reference's
+    ``StartdogGraphUploader`` (text_to_turtle_processor.py:330-432):
+    ``<stardog>`` env-prefix, in-URL credentials with ``$VAR`` passwords,
+    ``?graph=urn:doc:<ns>`` + PUT-for-graph / POST-for-db defaults,
+    200/201 success, everything else raises."""
+
+    def __init__(
+        self,
+        username: str | None = None,
+        password: str | None = None,
+        stardog_url_var: str = "STARDOG_SERVER",
+        password_var: str = "STARDOG_PASSWORD",
+        timeout: float = 30.0,
+        max_retries: int = 0,
+    ) -> None:
+        super().__init__(max_retries)
+        self._username = username
+        self._password = password
+        self._server_url_var = stardog_url_var
+        self._password_var = password_var
+        self._timeout = timeout
+
+    def upload(self, ttl_text: str, to_db: str, graph_ns: str | None = None,
+               verb: str | None = None) -> str:
+        url, user, pw = resolve_db_url(
+            to_db, self._server_url_var, self._password_var,
+            self._username, self._password,
+        )
+        post_url, verb = _build_url(url, graph_ns, verb)
+        headers = {"Content-Type": "text/turtle"}
+        if user is not None:
+            import base64
+
+            cred = base64.b64encode(f"{user}:{pw or ''}".encode()).decode()
+            headers["Authorization"] = f"Basic {cred}"
+        status, body = self._request(verb, post_url, ttl_text.encode("utf-8"), headers)
+        if status not in (200, 201):
+            raise UploadError(f"Upload request failed [{status}]: {body[:500]}")
+        return post_url
+
+    def _request(self, verb: str, url: str, data: bytes,
+                 headers: dict[str, str]) -> tuple[int, str]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=data, headers=headers, method=verb)
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as ex:
+            return ex.code, ex.read().decode("utf-8", "replace")
+        except urllib.error.URLError as ex:
+            raise UploadError(f"Calling the graph-store API failed: {ex}") from ex
+
+
+class OAuth2GraphUploader(HttpGraphUploader):
+    """Client-credentials OAuth2 variant (reference
+    ``AzureStartdogGraphUploader``, text_to_turtle_processor.py:436-577):
+    bearer token fetched from ``token_endpoint``; a 401/407 response resets
+    the token and retries up to ``max_retries`` times."""
+
+    def __init__(
+        self,
+        *,
+        client_id: str,
+        client_secret: str,
+        scope: str,
+        token_endpoint: str,
+        access_token: str | None = None,
+        stardog_url_var: str = "STARDOG_SERVER",
+        password_var: str = "STARDOG_PASSWORD",
+        timeout: float = 30.0,
+        max_retries: int = 3,
+    ) -> None:
+        super().__init__(None, None, stardog_url_var, password_var, timeout,
+                         max_retries)
+        self._client_id = client_id
+        self._client_secret = client_secret
+        self._scope = scope
+        self._token_endpoint = token_endpoint
+        self._access_token = access_token
+
+    def obtain_access_token(self) -> str:
+        import json
+        import urllib.parse
+
+        form = urllib.parse.urlencode({
+            "client_id": self._client_id,
+            "client_secret": self._client_secret,
+            "scope": self._scope,
+            "grant_type": "client_credentials",
+            "claims": '{"roles": ["api-access"]}',
+        }).encode("ascii")
+        status, body = self._request(
+            "POST", self._token_endpoint, form,
+            {"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        if status != 200:
+            raise UploadError(f"Token retrieval failed [{status}]: {body[:500]}")
+        token = json.loads(body).get("access_token")
+        if token is None:
+            raise UploadError("Failed to get token from token response")
+        self._access_token = token
+        return token
+
+    def upload(self, ttl_text: str, to_db: str, graph_ns: str | None = None,
+               verb: str | None = None) -> str:
+        url, _, _ = resolve_db_url(to_db, self._server_url_var,
+                                   self._password_var)
+        post_url, verb = _build_url(url, graph_ns, verb)
+        data = ttl_text.encode("utf-8")
+        tries = 0
+        while True:
+            tries += 1
+            if self._access_token is None:
+                self.obtain_access_token()
+            headers = {
+                "Content-Type": "text/turtle",
+                "Authorization": f"Bearer {self._access_token}",
+            }
+            status, body = self._request(verb, post_url, data, headers)
+            if status in (401, 407):
+                self._access_token = None  # token expired → refresh + retry
+                if tries < self._max_retries:
+                    continue
+                raise UploadError(
+                    f"Upload failed after {tries} auth retries [{status}]"
+                )
+            if status not in (200, 201):
+                raise UploadError(f"Upload request failed [{status}]: {body[:500]}")
+            return post_url

@@ -47,6 +47,14 @@ class InterpreterError(Exception):
     """A workflow failed at run time (reference: ProcessorException)."""
 
 
+def is_aws_env() -> bool:
+    """Reference is_aws_env (text_to_turtle_processor.py:2820-2826)."""
+    import os
+
+    return (os.environ.get("AWS_REGION") is not None
+            or os.environ.get("CONTAINER_ID") is not None)
+
+
 # Prefixed-name detection for subjects/predicates/iri objects
 # (reference re_prefix_ref, text_to_turtle_processor.py:2347).
 _RE_PREFIX_REF = re.compile(r"\s*([a-zA-Z][a-zA-Z0-9]*)\:([a-zA-Z][a-zA-Z0-9_\.\-/#]*)\s*")
@@ -66,6 +74,7 @@ class DocResult:
     no_triples: int = 0
     score: float = 0.0
     saved: dict[str, str] = field(default_factory=dict)  # save-as name → TTL text
+    saved_kind: dict[str, str] = field(default_factory=dict)  # name → file|bucket
     dumps: dict[str, str] = field(default_factory=dict)  # dump file → text
     echoes: list[str] = field(default_factory=list)
     variables: dict[str, Any] = field(default_factory=dict)
@@ -98,6 +107,10 @@ class WorkflowInterpreter:
     :param allow_exec: gate for the ``exec:`` / ``eval:`` / ``if:`` embedded
         Python escape hatches (reference :856, :970, :1024). Workflows are
         trusted configuration; set False to hard-disable.
+    :param allow_remote: opt-in gate for routing ``select:`` against
+        ``http(s):`` / ``<stardog>`` graph ids to a remote SPARQL endpoint
+        (reference QueryDispatchHandler :126-164); default off — the core
+        pipeline is network-free.
     """
 
     def __init__(
@@ -108,6 +121,7 @@ class WorkflowInterpreter:
         today: date = date(2025, 3, 28),
         now: datetime = datetime(2025, 3, 28, 0, 0, 0),
         allow_exec: bool = True,
+        allow_remote: bool = False,
     ) -> None:
         self.plan = plan
         self._graphs: dict[str, GraphIndex] = dict(graphs or {})
@@ -115,6 +129,7 @@ class WorkflowInterpreter:
         self._today = today
         self._now = now
         self._allow_exec = allow_exec
+        self._allow_remote = allow_remote
         self._imported_modules: set[str] = set()
 
         self._dispatch: dict[type, Callable] = {
@@ -357,12 +372,27 @@ class WorkflowInterpreter:
         return (False, None)
 
     def _op_save_as(self, op: P.SaveAsOp):
-        """Reference save_as (:977-1004): snapshot the graph as Turtle."""
-        f_name = self._expand(op.file_name)
-        self._result.saved[f_name] = serialize_triples(
+        """Reference save_as (:977-1004): snapshot the graph as Turtle.
+
+        file/bucket routing parity: when BOTH targets are given, the AWS
+        environment check (:2820-2826 ``is_aws_env``) keeps the bucket name
+        inside AWS and the file name elsewhere. The snapshot itself lands in
+        ``DocResult.saved`` either way — the Ray sink stage owns the actual
+        I/O; ``saved_kind`` records which target class was chosen so the
+        sink can route ``bucket`` names to object storage."""
+        f_name, b_name = op.file_name, op.bucket_name
+        if f_name is not None and b_name is not None:
+            if is_aws_env():
+                f_name = None
+            else:
+                b_name = None
+        kind = "file" if f_name is not None else "bucket"
+        name = self._expand(f_name if f_name is not None else b_name)
+        self._result.saved[name] = serialize_triples(
             self._result.triples, self._prefixes
         )
-        return (True, f_name)
+        self._result.saved_kind[name] = kind
+        return (True, name)
 
     # ----------------------------------------------------------- procedures
 
@@ -861,16 +891,25 @@ class WorkflowInterpreter:
         if g is None:
             if graph_id.startswith(("http:", "https:", "<stardog>")):
                 # Reference routes these to a Stardog HTTP endpoint
-                # (QueryDispatchHandler :126-164). The core engine is
-                # network-free: remote graphs must be pre-registered.
-                raise InterpreterError(
-                    f"Remote graph '{graph_id}' is not registered; pre-load it "
-                    "into the interpreter (network-free core engine)"
+                # (QueryDispatchHandler :126-164). Enabled via allow_remote
+                # (default off: the core pipeline is network-free; a user
+                # opts in per interpreter / per extraction stage).
+                if not self._allow_remote:
+                    raise InterpreterError(
+                        f"Remote graph '{graph_id}' requires allow_remote=True "
+                        "(or pre-register the graph); the core engine is "
+                        "network-free by default"
+                    )
+                from cmc_knowledge_graph_text2ttl_ray.state.remote_query import (
+                    RemoteSparqlEndpoint,
                 )
-            try:
-                g = self._graph_loader(graph_id)
-            except Exception as ex:
-                raise InterpreterError(f"Failed to load graph '{graph_id}'") from ex
+
+                g = RemoteSparqlEndpoint(graph_id)
+            else:
+                try:
+                    g = self._graph_loader(graph_id)
+                except Exception as ex:
+                    raise InterpreterError(f"Failed to load graph '{graph_id}'") from ex
             self._graphs[graph_id] = g
         return g
 

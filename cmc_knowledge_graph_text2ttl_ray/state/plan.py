@@ -160,6 +160,7 @@ class IfDefOp:
 @dataclass(frozen=True)
 class SaveAsOp:
     file_name: str | None
+    bucket_name: str | None = None
 
 
 @dataclass(frozen=True)
@@ -501,10 +502,10 @@ def _compile_step(step, path: str):
             b_name = _attr(target, "bucket", str, optional=True)
             if f_name is None and b_name is None:
                 raise PlanError(f"{path}: neither 'file' nor 'bucket' for save-as")
-            f_name = f_name or b_name
         else:
             f_name = target
-        return SaveAsOp(file_name=f_name)
+            b_name = None
+        return SaveAsOp(file_name=f_name, bucket_name=b_name)
     if "procedure" in step:
         return ProcDefOp(name=_attr(step, "procedure", str),
                          steps=_compile_seq(_attr(step, "do", list), f"{path}.do"))

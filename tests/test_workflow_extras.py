@@ -361,3 +361,25 @@ def test_set_eval_with_import():
     interp = WorkflowInterpreter(wf)
     res = interp.run("dummy")
     assert res.variables["h"] == "9dd4e461268c8034f5c8564e155c67a6"
+
+
+def test_save_as_file_bucket_routing(monkeypatch):
+    """Reference save_as file/bucket + is_aws_env routing (:984-998)."""
+    from cmc_knowledge_graph_text2ttl_ray.state.interpreter import WorkflowInterpreter
+    from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow
+
+    wf = compile_workflow(
+        "- prefix: ex\n  iri: http://e/\n"
+        "- subject: ex:s\n  predicate: ex:p\n  object:\n    text: v\n"
+        "- save-as:\n    file: out.ttl\n    bucket: s3://b/out.ttl\n",
+        name="sv",
+    )
+    monkeypatch.delenv("AWS_REGION", raising=False)
+    monkeypatch.delenv("CONTAINER_ID", raising=False)
+    res = WorkflowInterpreter(wf).run("dummy")
+    assert res.saved_kind == {"out.ttl": "file"}
+    assert "ex:s" in res.saved["out.ttl"] or "http://e/s" in res.saved["out.ttl"]
+
+    monkeypatch.setenv("AWS_REGION", "eu-central-1")
+    res = WorkflowInterpreter(wf).run("dummy")
+    assert res.saved_kind == {"s3://b/out.ttl": "bucket"}
