@@ -28,7 +28,8 @@ from cmc_knowledge_graph_text2ttl_ray.functions.terms import (
     XSD_INTEGER,
 )
 
-__all__ = ["serialize_triples", "parse_turtle", "TurtleParseError"]
+__all__ = ["serialize_triples", "serialize_longturtle", "parse_turtle",
+           "TurtleParseError"]
 
 # Triple row: (subject, predicate, object, object_kind, object_lang, object_datatype)
 TripleRow = tuple[str, str, str, str, str | None, str | None]
@@ -140,7 +141,7 @@ _TOKEN_RE = re.compile(
   | (?P<dtype_sep>\^\^)
   | (?P<punct>[;,.\[\]\(\)])
   | (?P<prefixed>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_][A-Za-z0-9_.\-]*)
-  | (?P<keyword>@prefix|@base|true|false|a)
+  | (?P<keyword>@prefix|@base|PREFIX|BASE|true|false|a)
   | (?P<number>[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?)
   | (?P<pname_ns>[A-Za-z_][A-Za-z0-9_\-]*:)
   | (?P<ws>\s+)
@@ -212,15 +213,18 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
 
     while i < len(tokens):
         kind, tok = tokens[i]
-        if kind == "keyword" and tok == "@prefix":
+        if kind == "keyword" and tok in ("@prefix", "PREFIX"):
             ns_kind, ns_tok = tokens[i + 1]
             iri_kind, iri_tok = tokens[i + 2]
             if ns_kind not in ("pname_ns", "prefixed") or iri_kind != "iri":
-                raise TurtleParseError(f"Malformed @prefix at {tok}")
+                raise TurtleParseError(f"Malformed {tok} at {ns_tok}")
             prefixes[ns_tok.rstrip(":").split(":")[0]] = iri_tok[1:-1]
-            if tokens[i + 3][1] != ".":
-                raise TurtleParseError("@prefix not terminated with .")
-            i += 4
+            i += 3
+            if tok == "@prefix":
+                # Turtle form requires the trailing '.'; SPARQL PREFIX has none
+                if tokens[i][1] != ".":
+                    raise TurtleParseError("@prefix not terminated with .")
+                i += 1
             continue
         # subject
         subj = resolve(kind, tok)[1]
@@ -248,3 +252,56 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
             raise TurtleParseError(f"Expected ';' or '.' near token {i}")
         # next statement
     return triples, prefixes
+
+
+def serialize_longturtle(
+    triples: Iterable[TripleRow],
+    prefixes: dict[str, str] | None = None,
+) -> str:
+    """rdflib-``longturtle``-STYLE serialization (the format the reference's
+    FileOutputHandler writes, text_to_turtle_processor.py:80): SPARQL-style
+    ``PREFIX`` header, subject on its own line, predicates indented 4 ending
+    in ``;``, multi-objects one per line indented 8, the statement closed by
+    a lone ``.`` line.
+
+    Ordering is the engine's deterministic sort (prefixes/subjects/
+    predicates/objects), NOT rdflib's internal ordering — so output is
+    byte-stable across partitionings and engine versions, but not
+    byte-identical to a given rdflib release's output for multi-predicate
+    subjects. ``parse_turtle`` round-trips it.
+    """
+    prefixes = dict(prefixes or {})
+    uniq = sorted(
+        set(tuple(t) for t in triples),
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+    lines: list[str] = []
+    for pfx in sorted(prefixes):
+        lines.append(f"PREFIX {pfx}: <{prefixes[pfx]}>")
+    if lines:
+        lines.append("")
+
+    by_subject: dict[str, list[TripleRow]] = {}
+    for t in uniq:
+        by_subject.setdefault(t[0], []).append(t)
+
+    for subj in sorted(by_subject):
+        by_pred: dict[str, list[TripleRow]] = {}
+        for t in by_subject[subj]:
+            by_pred.setdefault(t[1], []).append(t)
+        lines.append(_shorten(subj, prefixes))
+        for pred in sorted(by_pred):
+            objs = [
+                _render_object(o, k, lg, dt, prefixes)
+                for (_, _, o, k, lg, dt) in by_pred[pred]
+            ]
+            p = _shorten(pred, prefixes)
+            if len(objs) == 1:
+                lines.append(f"    {p} {objs[0]} ;")
+            else:
+                lines.append(f"    {p}")
+                for j, o in enumerate(objs):
+                    lines.append(f"        {o}" + (" ," if j < len(objs) - 1 else " ;"))
+        lines.append(".")
+        lines.append("")
+    return "\n".join(lines)

@@ -100,10 +100,14 @@ def write_ttl_partitions(
     return manifest
 
 
-def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None = None):
+def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None = None,
+                      ttl_format: str = "turtle"):
     """Reference-parity output layout: one ``<doc>.ttl`` per document
     (FileOutputHandler.write_turtle, text_to_turtle_processor.py:66-83 +
     runner :409-410), with rdflib-style set-dedup *within* the document.
+    ``ttl_format="longturtle"`` emits the reference's longturtle STYLE
+    (processor.py:80) via
+    :func:`~cmc_knowledge_graph_text2ttl_ray.functions.turtle.serialize_longturtle`.
 
     Intended for small corpora / drop-in compatibility; the scalable layout
     is :func:`write_ttl_partitions`. One task per group of documents; file
@@ -111,8 +115,10 @@ def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None 
     """
     import pandas as pd
 
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import serialize_longturtle
     from cmc_knowledge_graph_text2ttl_ray.stages.triples import clean_doc_name
 
+    serializer = serialize_longturtle if ttl_format == "longturtle" else serialize_triples
     os.makedirs(out_dir, exist_ok=True)
     prefixes = prefixes or {}
 
@@ -129,7 +135,7 @@ def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None 
         ]
         name = clean_doc_name(url.rsplit("/", 1)[-1] or url)
         path = os.path.join(out_dir, f"{name}.ttl")
-        ttl = serialize_triples(rows, prefixes)
+        ttl = serializer(rows, prefixes)
         with open(path, "w", encoding="utf8") as fh:
             fh.write(ttl)
         return pd.DataFrame({"doc_url": [url], "path": [path], "n_triples": [len(set(rows))]})

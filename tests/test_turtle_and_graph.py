@@ -223,3 +223,27 @@ def test_query_nested_group_and_filter_scope():
     )
     by_p = {r["p"]: r.get("a") for r in rows}
     assert by_p == {"http://ex/alice": None, "http://ex/bob": "45"}
+
+
+def test_longturtle_format_and_roundtrip():
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import (
+        parse_turtle,
+        serialize_longturtle,
+    )
+
+    triples = [
+        ("http://e/s", "http://e/p", "v1", "literal", None, None),
+        ("http://e/s", "http://e/p", "v2", "literal", None, None),
+        ("http://e/s", "http://e/q", "http://e/o", "iri", None, None),
+    ]
+    ttl = serialize_longturtle(triples, {"ex": "http://e/"})
+    assert ttl.startswith("PREFIX ex: <http://e/>")
+    assert "\nex:s\n" in ttl
+    # multi-object predicate: one object per line, comma-continued
+    assert '    ex:p\n        "v1" ,\n        "v2" ;' in ttl
+    assert "\n.\n" in ttl
+    rt, prefixes = parse_turtle(ttl)
+    assert prefixes == {"ex": "http://e/"}
+    assert sorted(rt) == sorted(
+        (s, p, o, k, lg, dt) for (s, p, o, k, lg, dt) in triples
+    )
