@@ -213,6 +213,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": R.events_daily,
         "events_user_stats": R.events_user_stats,
         "events_user_sessions": _user_sessions,
+        "q4_order_priority": R.q4_order_priority,
+        "nation_account_balance": R.nation_account_balance,
+        "events_value_histogram": R.events_value_histogram,
+        "part_type_stats": R.part_type_stats,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -342,6 +346,33 @@ def oracle_sql() -> dict[str, str]:
         "docs_with_labels": """
             SELECT doc_id, lang, label
             FROM documents JOIN embeddings ON doc_id = vec_id
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "nation_account_balance": """
+            SELECT n_name, ROUND(SUM(bal), 2) AS total_bal
+            FROM (
+                SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+                UNION ALL
+                SELECT s_nationkey, s_acctbal FROM supplier
+            ) b JOIN nation ON b.nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "events_value_histogram": """
+            SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY bin ORDER BY bin
+        """,
+        "part_type_stats": """
+            SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   ROUND(AVG(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY p_type ORDER BY p_type
         """,
         "events_props_k": """
             SELECT user_id,

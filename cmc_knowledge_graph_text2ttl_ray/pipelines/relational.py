@@ -299,3 +299,114 @@ def events_user_stats(sf_dir: str):
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q4_order_priority(sf_dir: str):
+    """Semi-join pattern (TPC-H Q4 shape): orders having ≥1 returned
+    lineitem, counted per priority. The lineitem side collapses to DISTINCT
+    order keys inside ``map_batches`` (per-block combiner) before Ray's
+    native ``left_semi`` hash join — only keys shuffle, never payload."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    keys = li.map_batches(returned_keys, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    import ray
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    semi = orders.join(keys, join_type="left_semi", num_partitions=nparts,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+    from ray.data.aggregate import Count
+
+    return (
+        semi.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )
+
+
+def nation_account_balance(sf_dir: str):
+    """Union + broadcast-dim join: customer and supplier account balances
+    pooled per nation name. ``ds.union`` concatenates the two projected
+    streams without a shuffle; the 25-row nation map rides along broadcast."""
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table({"nationkey": t["c_nationkey"], "bal": t["c_acctbal"]}),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]).map_batches(
+        lambda t: pa.table({"nationkey": t["s_nationkey"], "bal": t["s_acctbal"]}),
+        batch_format="pyarrow",
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def to_name(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        names = pd_.Series(t["nationkey"].to_pandas()).map(name_of)
+        out = pa.table({"n_name": pa.array(names, pa.string()), "bal": t["bal"]})
+        # per-block combiner before the groupby
+        return out.group_by("n_name").aggregate([("bal", "sum")]).rename_columns(
+            ["n_name", "bal"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        cust.union(supp)
+        .map_batches(to_name, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("bal", alias_name="total_bal"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("total_bal"), "total_bal", _round2(t["total_bal"])
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("n_name")
+    )
+
+
+def events_value_histogram(sf_dir: str, bin_width: float = 10.0):
+    """Vectorized binning + count (the classic histogram shuffle shape:
+    per-block combiner first, tiny bin table after)."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def bins(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["value"], bin_width)), pa.int64())
+        out = pa.table({"bin": b})
+        return out.group_by("bin").aggregate([([], "count_all")]).rename_columns(
+            ["bin", "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(bins, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("bin")
+    )
+
+
+def part_type_stats(sf_dir: str):
+    """Groupby with mixed aggregates (count + mean) and DuckDB-compatible
+    half-away rounding."""
+    from ray.data.aggregate import Count, Mean
+
+    return (
+        _read(sf_dir, "part", columns=["p_type", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(Count(alias_name="n_parts"),
+                   Mean("p_retailprice", alias_name="avg_price"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("avg_price"), "avg_price", _round2(t["avg_price"])
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("p_type")
+    )

@@ -66,7 +66,8 @@ def _checked_names():
     "docs_token_stats", "docs_quality", "docs_fingerprint",
     "docs_exact_dedup", "knn_cosine", "events_user_sessions",
     "distinct_brands", "customers_without_orders", "region_nation_names",
-    "docs_with_labels", "events_props_k",
+    "docs_with_labels", "events_props_k", "q4_order_priority",
+    "nation_account_balance", "events_value_histogram", "part_type_stats",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     sql = entrymod.oracle_sql()[name]
