@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_account_balance": R.nation_account_balance,
         "events_value_histogram": R.events_value_histogram,
         "part_type_stats": R.part_type_stats,
+        "events_daily_moving_avg": R.events_daily_moving_avg,
+        "docs_bpe_token_stats": R.docs_bpe_token_stats,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -373,6 +375,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_parts,
                    ROUND(AVG(p_retailprice), 2) AS avg_price
             FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "events_daily_moving_avg": """
+            SELECT day, n,
+                   ROUND(AVG(n) OVER (ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg_n
+            FROM (
+                SELECT date_trunc('day', ts) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY day
+            ) d ORDER BY day
+        """,
+        "docs_bpe_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "events_props_k": """
             SELECT user_id,

@@ -155,6 +155,16 @@ def _candidate_pairs_from_banded(banded, num_coarse: int):
     pairs; that is inherent to LSH and bounded by dedup being the goal.
     """
 
+    return _dedup_candidate_pairs(
+        _raw_candidate_pairs(banded, num_coarse), num_coarse
+    )
+
+
+def _raw_candidate_pairs(banded, num_coarse: int):
+    """Coarse-partitioned vectorized pair generation; pairs are distinct
+    WITHIN a coarse partition only (the same pair can still surface from
+    bands hashed into different partitions)."""
+
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df["part"] = (df["band_key"] % np.int64(num_coarse)).astype("int64")
         return df
@@ -172,6 +182,15 @@ def _candidate_pairs_from_banded(banded, num_coarse: int):
         m = m[m["doc_a"] < m["doc_b"]]
         return m[["doc_a", "doc_b"]].drop_duplicates()
 
+    return (
+        banded.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(gen_pairs, batch_format="pandas")
+    )
+
+
+def _dedup_candidate_pairs(raw, num_coarse: int):
+    """Global pair dedup + schema normalization (the distributed path)."""
     from ray.data.aggregate import Count
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -181,10 +200,7 @@ def _candidate_pairs_from_banded(banded, num_coarse: int):
         return df[["doc_a", "doc_b"]].astype("int64")
 
     return (
-        banded.map_batches(add_part, batch_format="pandas")
-        .groupby("part")
-        .map_groups(gen_pairs, batch_format="pandas")
-        # the same pair can surface from bands in different coarse partitions
+        raw
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_nbands"))
         # the aggregate emits schema-less EMPTY blocks which Ray's map
@@ -232,6 +248,7 @@ def minhash_lsh_pairs(
     concurrency=(1, 4),
     num_coarse: int = 32,
     num_join_partitions: int | None = None,
+    max_driver_pairs: int = 2_000_000,
 ):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
 
@@ -242,10 +259,14 @@ def minhash_lsh_pairs(
     2. the band shuffle moves ONLY ``(band_key:int64, doc_id)`` — never the
        64-perm signature (the old layout shipped it ×bands),
     3. candidate pairs via coarse-partitioned vectorized self-merge
-       (:func:`_candidate_pairs_from_banded`), deduped globally,
-    4. est_jaccard verification joins the (small) candidate set back to the
-       signatures with two distributed hash joins and compares signature
-       matrices vectorized — no per-tiny-group Python loops anywhere.
+       (:func:`_raw_candidate_pairs`),
+    4. verification is size-adaptive: while the candidate set fits
+       ``max_driver_pairs`` (it is the RESULT — proportional to the dup
+       rate, not the corpus), the candidate docs' signatures are fetched
+       with one distributed semi-join filter and compared in one vectorized
+       numpy pass; past the threshold it switches to fully-distributed
+       dedup + two hash joins + in-task verify. No per-tiny-group Python
+       loops on either path.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(sf_dir, num_perm, shingle, concurrency)
@@ -277,7 +298,7 @@ def minhash_lsh_pairs(
         )
 
     banded = sigs.map_batches(bandify, batch_format="pandas")
-    cand = _candidate_pairs_from_banded(banded, num_coarse)
+    raw = _raw_candidate_pairs(banded, num_coarse).materialize()
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         # Ray's hash join rejects list-typed payload columns — ship the
@@ -287,6 +308,35 @@ def minhash_lsh_pairs(
             "sigb": [np.asarray(s, dtype=np.uint64).tobytes() for s in df["sig"]],
         })
 
+    if raw.count() <= max_driver_pairs:
+        # fast path: ONE vectorized verify over the whole candidate set
+        pairs_df = raw.to_pandas()
+        if pairs_df.empty:
+            return ray.data.from_pandas(
+                pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "est_jaccard": pd.Series(dtype="float64")})
+            )
+        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"]).astype("int64")
+        wanted = pa.array(
+            sorted(set(pairs_df["doc_a"]) | set(pairs_df["doc_b"])), pa.int64()
+        )
+        # distributed semi-join fetch: only candidate docs' signatures move
+        sub = sigs.map_batches(
+            lambda df: pack(df[df["doc_id"].isin(wanted.to_numpy())]),
+            batch_format="pandas",
+        ).to_pandas()
+        sig_of = dict(zip(sub["doc_id"], sub["sigb"]))
+        A = np.stack([np.frombuffer(sig_of[d], dtype=np.uint64)
+                      for d in pairs_df["doc_a"]])
+        B = np.stack([np.frombuffer(sig_of[d], dtype=np.uint64)
+                      for d in pairs_df["doc_b"]])
+        est = (A == B).mean(axis=1).round(4)
+        out = pairs_df.assign(est_jaccard=est)
+        out = out[out["est_jaccard"] >= threshold].reset_index(drop=True)
+        return ray.data.from_pandas(out)
+
+    cand = _dedup_candidate_pairs(raw, num_coarse)
     packed = sigs.map_batches(pack, batch_format="pandas")
     cand = _attach_column(cand, packed, "doc_a", "doc_id", "sigb", "sig_a",
                           num_join_partitions)

@@ -117,15 +117,19 @@ def q6_revenue_forecast(sf_dir: str):
     })
 
 
-def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
+                  broadcast_threshold: int = 5_000_000):
     """Join-heavy top-k: customer(seg) ⋈ orders ⋈ lineitem → top-k revenue.
 
     Scale shape (reworked per round-1 verdict — no fact table on the
     driver): customer is a DIMENSION, so its segment-filtered key set is
     broadcast once; the orders FACT table stream-filters against it in
-    tasks; lineitem pre-aggregates revenue per order inside ``map_batches``
-    (combiner) before ONE per-order groupby; the two per-order-key sides
-    then meet in a distributed hash join."""
+    tasks. The filtered order-key side then reaches lineitem adaptively:
+    BROADCAST semi-join while it fits (``broadcast_threshold`` keys —
+    one pinned array, zero extra shuffles), distributed hash join past it
+    — the standard size-aware join choice."""
+    import ray
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     keys = sorted(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
     key_set = pa.array(keys, pa.int64())  # dimension-sized, shipped once
@@ -134,20 +138,34 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         t = t.filter(pc.is_in(t["o_custkey"], value_set=key_set))
         return t.select(["o_orderkey"])
 
+    # the filtered order-key set is computed DISTRIBUTED and pinned (small:
+    # one int per segment order)
     seg_orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
         keep_seg_orders, batch_format="pyarrow"
-    )
+    ).materialize()
+    n_keys = seg_orders.count()
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
+    broadcast = n_keys <= broadcast_threshold
+    if broadcast:
+        # semi-join build side fits comfortably → broadcast it once via the
+        # object store and stream-filter lineitem (NO extra shuffle). This
+        # is the classic broadcast semi-join; past the threshold we fall
+        # back to the distributed hash join below.
+        key_arr = pa.array(
+            sorted(seg_orders.to_pandas()["o_orderkey"].unique()), pa.int64()
+        )
+        keys_ref = ray.put(key_arr)
+
     def partial(t: pa.Table) -> pa.Table:
+        if broadcast:
+            t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(keys_ref)))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         # per-block combiner: collapse to one partial row per orderkey
         part = pa.table({"o_orderkey": t["l_orderkey"], "revenue": rev})
-        import pyarrow.compute as _pc
-
         return part.group_by("o_orderkey").aggregate([("revenue", "sum")]).rename_columns(
             ["o_orderkey", "revenue"]
         )
@@ -158,13 +176,13 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
-        .join(
-            seg_orders,
-            join_type="inner",
-            num_partitions=8,
-            on=("o_orderkey",),
-        )
-        .map_batches(
+    )
+    if not broadcast:
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        out = out.join(seg_orders, join_type="inner", num_partitions=nparts,
+                       on=("o_orderkey",))
+    out = (
+        out.map_batches(
             lambda t: t.set_column(
                 t.column_names.index("revenue"), "revenue", _round2(t["revenue"])
             ),
@@ -410,3 +428,76 @@ def part_type_stats(sf_dir: str):
         )
         .sort("p_type")
     )
+
+
+def events_daily_moving_avg(sf_dir: str, window: int = 7):
+    """Windowed aggregate: 7-day trailing moving average of daily event
+    counts. The expensive part (per-day counts) is a distributed groupby
+    with per-block combiners; the moving window then runs over the TINY
+    post-aggregation table (≤ one row per day) inside a single
+    ``map_groups`` task — the standard two-phase shape for sliding windows
+    whose frame fits after rollup. For per-key windows at scale, partition
+    by key first (see windows.py sessionization)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        out = pa.table({"day": day})
+        return out.group_by("day").aggregate([([], "count_all")]).rename_columns(
+            ["day", "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def moving(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day").reset_index(drop=True)
+        from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+        df["avg_n"] = round_half_away(
+            df["n"].rolling(window, min_periods=1).mean().to_numpy(), 2
+        )
+        return df[["day", "n", "avg_n"]]
+
+    def const_key(df: pd.DataFrame) -> pd.DataFrame:
+        df["_g"] = 0
+        return df
+
+    return (
+        daily.map_batches(const_key, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(moving, batch_format="pandas")
+        .sort("day")
+    )
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def docs_bpe_token_stats(sf_dir: str):
+    """BPE-ish tokenization counts: words, numbers and punctuation as
+    separate tokens (the pre-tokenizer split most BPE vocabularies use),
+    vectorized with one Arrow regex kernel per batch."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.extract_regex_span_list(t["text"], _BPE_ISH) if hasattr(
+            pc, "extract_regex_span_list") else None
+        if toks is not None:
+            n = pc.list_value_length(toks).cast(pa.int64())
+        else:
+            # portable fallback: count via split on the same class pattern
+            import re as _re
+
+            rx = _re.compile(_BPE_ISH)
+            n = pa.array([len(rx.findall(v)) for v in t["text"].to_pylist()],
+                         pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
+
+    return ds.map_batches(stats, batch_format="pyarrow")

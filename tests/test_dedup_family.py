@@ -94,3 +94,17 @@ def test_entity_linking_exact_and_fuzzy(ray_session):
     fuzzy = linker.link_surface("Acme Corporation")
     assert fuzzy is not None and fuzzy[0].endswith("/acme_corp") and fuzzy[1] < 1.0
     assert linker.link_surface("Zzzzz Qqqqq GmbH XYZ") is None
+
+
+def test_minhash_distributed_fallback_path(ray_session, dup_dir):
+    """Past max_driver_pairs the join-based verify path must give the same
+    answer as the driver-bounded fast path."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    fast = minhash_lsh_pairs(dup_dir, threshold=0.6).to_pandas()
+    dist = minhash_lsh_pairs(dup_dir, threshold=0.6, max_driver_pairs=0).to_pandas()
+    cols = ["doc_a", "doc_b", "est_jaccard"]
+    f = fast[cols].sort_values(cols).reset_index(drop=True)
+    d = dist[cols].sort_values(cols).reset_index(drop=True)
+    assert f.equals(d)
+    assert len(f) >= 3
