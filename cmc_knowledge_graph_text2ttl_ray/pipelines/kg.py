@@ -195,16 +195,25 @@ def run_kg_pipeline(
     # (round-1 verdict: worker-local ``open()`` writes silently fragment
     # the metrics dir across nodes).
     metrics_dir = os.path.join(out_dir, "metrics") if out_dir else None
+    metrics_thread = None
     if metrics_dir:
         import shutil
+        import threading
 
         # metrics are derived data: always rebuild so stale part files from a
         # differently-batched previous run can never duplicate rows
         shutil.rmtree(metrics_dir, ignore_errors=True)
-        stats.select_columns(
-            ["doc_url", "workflow", "no_matches", "no_triples",
-             "total_match_len", "score"]
-        ).write_parquet(metrics_dir)
+
+        # overlap the metrics scan with the canonical-mapping scan — two
+        # independent dataset executions over the same records checkpoint
+        def _write_metrics():
+            stats.select_columns(
+                ["doc_url", "workflow", "no_matches", "no_triples",
+                 "total_match_len", "score"]
+            ).write_parquet(metrics_dir)
+
+        metrics_thread = threading.Thread(target=_write_metrics, daemon=True)
+        metrics_thread.start()
 
     if canonical_mode == "join":
         # 100-TB path: mapping stays a Dataset end-to-end; the rewrite is
@@ -240,6 +249,9 @@ def run_kg_pipeline(
             resume=resume,
         )
         timings["ttl_write"] = time.perf_counter() - t0
+
+    if metrics_thread is not None:
+        metrics_thread.join()
 
     links = None
     if kb_ttl is not None:
