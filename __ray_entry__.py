@@ -117,6 +117,19 @@ def _region_nation_names(sf_dir: str):
     return pd.DataFrame({"name": sorted(r.union(n).unique("name"))})
 
 
+def _corpus_clean_winners(sf_dir: str):
+    """Quality filter + exact dedup: winning (text_hash, doc_id) rows."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import clean_corpus
+
+    return clean_corpus(sf_dir)
+
+
+def _corpus_prep_stats(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import corpus_prep_stats
+
+    return corpus_prep_stats(sf_dir)
+
+
 def _docs_ngram_jaccard(sf_dir: str):
     """MinHash candidates verified with exact n-gram Jaccard."""
     from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
@@ -219,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": R.part_type_stats,
         "events_daily_moving_avg": R.events_daily_moving_avg,
         "docs_bpe_token_stats": R.docs_bpe_token_stats,
+        "corpus_clean_winners": _corpus_clean_winners,
+        "corpus_prep_stats": _corpus_prep_stats,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -392,6 +407,35 @@ def oracle_sql() -> dict[str, str]:
                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "corpus_clean_winners": """
+            WITH q AS (
+                SELECT doc_id, text, md5(text) AS text_hash,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                           / GREATEST(length(text), 1) AS alpha_ratio,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                FROM documents
+            )
+            SELECT text_hash, MIN(doc_id) AS doc_id
+            FROM q
+            WHERE alpha_ratio >= 0.6 AND n_tokens BETWEEN 10 AND 1000000
+            GROUP BY text_hash
+        """,
+        "corpus_prep_stats": """
+            WITH q AS (
+                SELECT doc_id, md5(text) AS text_hash,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                           / GREATEST(length(text), 1) AS alpha_ratio,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                FROM documents
+            ), k AS (
+                SELECT * FROM q
+                WHERE alpha_ratio >= 0.6 AND n_tokens BETWEEN 10 AND 1000000
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_total,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_quality,
+                   (SELECT CAST(COUNT(DISTINCT text_hash) AS BIGINT) FROM k)
+                       AS n_distinct
         """,
         "events_props_k": """
             SELECT user_id,

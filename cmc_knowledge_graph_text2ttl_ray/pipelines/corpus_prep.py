@@ -1,0 +1,131 @@
+"""Training-corpus preparation pipeline: quality filter → exact dedup →
+cleaned corpus. The composition a 100 TB pretraining-data run actually
+ships: every stage is a streaming transform, the only shuffle is the
+(hash, doc_id) dedup exchange, and the output is resumable partitioned
+parquet.
+
+Stage shapes:
+
+1. quality signals are computed INLINE with the filter (one scan — not a
+   metrics pass plus a filter pass),
+2. the filter is pure ``pyarrow.compute``,
+3. exact dedup ships only ``(md5, doc_id)`` pairs through the groupby
+   (per-block min-combiner first),
+4. the winner set joins back to the filtered text via a distributed hash
+   join under Ray, so no text ever reaches the driver; with ``out_dir``
+   the cleaned corpus lands as partitioned parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = ["clean_corpus", "corpus_prep_stats"]
+
+
+def _quality_filter(t: pa.Table, min_alpha_ratio: float, min_tokens: int,
+                    max_tokens: int) -> pa.Table:
+    text = t["text"]
+    n = pc.utf8_length(text).cast(pa.float64())
+    alpha = pc.utf8_length(
+        pc.replace_substring_regex(text, "[^a-zA-Z]", "")
+    ).cast(pa.float64())
+    toks = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    ).cast(pa.int64())
+    alpha_ratio = pc.divide(alpha, pc.max_element_wise(n, pa.scalar(1.0)))
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(alpha_ratio, pa.scalar(min_alpha_ratio)),
+            pc.greater_equal(toks, pa.scalar(min_tokens)),
+        ),
+        pc.less_equal(toks, pa.scalar(max_tokens)),
+    )
+    return t.filter(keep)
+
+
+def clean_corpus(
+    sf_dir: str,
+    min_alpha_ratio: float = 0.6,
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    out_dir: str | None = None,
+    num_join_partitions: int | None = None,
+):
+    """documents → quality-filtered, exactly-deduped corpus.
+
+    Returns the cleaned Dataset ``(doc_id, text_hash)`` (winners only; the
+    smallest ``doc_id`` represents each identical-text group). With
+    ``out_dir`` the full rows (id + text) are written as parquet.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def filt_hash(t: pa.Table) -> pa.Table:
+        t = _quality_filter(t, min_alpha_ratio, min_tokens, max_tokens)
+        h = pa.array(
+            [hashlib.md5(v.encode("utf-8")).hexdigest()
+             for v in t["text"].to_pylist()],
+            pa.string(),
+        )
+        out = pa.table({"text_hash": h, "doc_id": t["doc_id"]})
+        # per-block combiner: min doc_id per hash before the shuffle
+        return out.group_by("text_hash").aggregate([("doc_id", "min")]).rename_columns(
+            ["text_hash", "doc_id"]
+        )
+
+    from ray.data.aggregate import Min
+
+    winners = (
+        ds.map_batches(filt_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+    if out_dir is not None:
+        if num_join_partitions is None:
+            import ray as _ray
+
+            num_join_partitions = max(
+                2, int(_ray.cluster_resources().get("CPU", 8)) // 4
+            )
+        filtered = ds.map_batches(
+            lambda t: _quality_filter(t, min_alpha_ratio, min_tokens, max_tokens),
+            batch_format="pyarrow",
+        )
+        kept = winners.select_columns(["doc_id"]).repartition(num_join_partitions)
+        cleaned = filtered.join(
+            kept, join_type="inner", num_partitions=num_join_partitions,
+            on=("doc_id",),
+        )
+        cleaned.write_parquet(out_dir)
+    return winners
+
+
+def corpus_prep_stats(sf_dir: str, min_alpha_ratio: float = 0.6,
+                      min_tokens: int = 10, max_tokens: int = 1_000_000):
+    """One-row funnel summary: total docs → quality-passing → distinct."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kept = _quality_filter(t, min_alpha_ratio, min_tokens, max_tokens)
+        return pa.table({
+            "n_total": pa.array([t.num_rows], pa.int64()),
+            "n_quality": pa.array([kept.num_rows], pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_total", "n_quality"]
+    )
+    n_distinct = clean_corpus(sf_dir, min_alpha_ratio, min_tokens, max_tokens).count()
+    return pd.DataFrame({
+        "n_total": [int(counts["sum(n_total)"])],
+        "n_quality": [int(counts["sum(n_quality)"])],
+        "n_distinct": [int(n_distinct)],
+    })

@@ -108,3 +108,19 @@ def test_minhash_distributed_fallback_path(ray_session, dup_dir):
     d = dist[cols].sort_values(cols).reset_index(drop=True)
     assert f.equals(d)
     assert len(f) >= 3
+
+
+def test_clean_corpus_writes_deduped_output(ray_session, dup_dir, tmp_path):
+    """Corpus-prep end-to-end: quality filter + dedup + joined text output."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import clean_corpus
+
+    out = str(tmp_path / "clean")
+    winners = clean_corpus(dup_dir, min_tokens=5, out_dir=out).to_pandas()
+    # docs 0 and 2 are identical → one winner (doc 0); 5 docs → 4 winners
+    assert len(winners) == 4
+    assert 0 in set(winners["doc_id"]) and 2 not in set(winners["doc_id"])
+    cleaned = ray.data.read_parquet(out).to_pandas()
+    assert sorted(cleaned["doc_id"]) == sorted(winners["doc_id"])
+    assert "text" in cleaned.columns and cleaned["text"].str.len().min() > 0
