@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": R.part_type_stats,
         "events_daily_moving_avg": R.events_daily_moving_avg,
         "docs_bpe_token_stats": R.docs_bpe_token_stats,
+        "top_parts_per_brand": R.top_parts_per_brand,
         "corpus_clean_winners": _corpus_clean_winners,
         "corpus_prep_stats": _corpus_prep_stats,
         "distinct_brands": _distinct_brands,
@@ -436,6 +437,16 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM k) AS n_quality,
                    (SELECT CAST(COUNT(DISTINCT text_hash) AS BIGINT) FROM k)
                        AS n_distinct
+        """,
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_name, p_retailprice
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+                FROM part
+            ) t WHERE rn <= 2
+            ORDER BY p_brand, p_partkey
         """,
         "events_props_k": """
             SELECT user_id,

@@ -501,3 +501,23 @@ def docs_bpe_token_stats(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def top_parts_per_brand(sf_dir: str, k: int = 2):
+    """Per-group top-k (window row_number shape): the k most expensive parts
+    per brand. Brands are few → ``groupby(brand).map_groups`` is the coarse
+    per-group pattern (each group fits a task); the in-group top-k is a
+    vectorized ``nlargest``. Deterministic tie-break on p_partkey."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True]).head(k)
+        return g[["p_brand", "p_partkey", "p_name", "p_retailprice"]]
+
+    return (
+        _read(sf_dir, "part",
+              columns=["p_brand", "p_partkey", "p_name", "p_retailprice"])
+        .groupby("p_brand")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["p_brand", "p_partkey"])
+    )

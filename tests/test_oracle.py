@@ -69,7 +69,7 @@ def _checked_names():
     "docs_with_labels", "events_props_k", "q4_order_priority",
     "nation_account_balance", "events_value_histogram", "part_type_stats",
     "events_daily_moving_avg", "docs_bpe_token_stats",
-    "corpus_clean_winners", "corpus_prep_stats",
+    "corpus_clean_winners", "corpus_prep_stats", "top_parts_per_brand",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     sql = entrymod.oracle_sql()[name]
