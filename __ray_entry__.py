@@ -130,6 +130,44 @@ def _corpus_prep_stats(sf_dir: str):
     return corpus_prep_stats(sf_dir)
 
 
+def _multimodal_frames(sf_dir: str):
+    """Video-like frame sampling: one row per sampled frame (row-expanding
+    actor stage over fake-decoded frames)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.multimodal import sample_frames
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]).limit(64)
+
+    def to_video(t: pa.Table) -> pa.Table:
+        n = pa.array([12] * t.num_rows, pa.int64())
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": t["text"].cast(pa.binary()),
+                         "n_frames": n})
+
+    return sample_frames(ds.map_batches(to_video, batch_format="pyarrow"),
+                         every=4)
+
+
+def _multimodal_audio(sf_dir: str):
+    """Audio-like features (RMS, zero-crossing rate) over fake waveforms."""
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.multimodal import audio_features
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": t["text"].cast(pa.binary())})
+
+    return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
+
+
 def _docs_ngram_jaccard(sf_dir: str):
     """MinHash candidates verified with exact n-gram Jaccard."""
     from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
@@ -258,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": S.embedding_near_dup_pairs,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_audio": _multimodal_audio,
         # knowledge-graph construction (non-SQL; rows-only checks)
         "kg_triples": _kg_triples,
         "kg_stats": _kg_stats,

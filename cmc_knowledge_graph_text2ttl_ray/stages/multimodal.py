@@ -18,7 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["FakeDecoder", "LibraryDecoder", "MediaFeatures", "media_features"]
+__all__ = ["FakeDecoder", "LibraryDecoder", "MediaFeatures", "media_features",
+           "resize_media", "sample_frames", "AudioFeatures", "audio_features"]
 
 
 class FakeDecoder:
@@ -88,6 +89,113 @@ def media_features(ds, payload_column: str = "payload", id_column: str = "doc_id
     """Dataset with a binary payload column → per-item feature rows."""
     return ds.map_batches(
         MediaFeatures,
+        fn_constructor_kwargs=dict(payload_column=payload_column, id_column=id_column),
+        batch_format="pandas",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def resize_media(ds, payload_column: str = "payload", id_column: str = "doc_id",
+                 out_height: int = 4, out_width: int = 4,
+                 concurrency=(1, 4), batch_size: int = 32):
+    """Actor-pool resize stage: decode → block-mean downsample → re-encoded
+    bytes + typed dims. The resample math is real (numpy block mean); only
+    the codec boundary is the pluggable decoder."""
+
+    class _Resizer:
+        def __init__(self) -> None:
+            self._decoder = FakeDecoder()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for payload in df[payload_column]:
+                img = self._decoder.decode(bytes(payload))
+                h, w = img.shape
+                bh, bw = max(1, h // out_height), max(1, w // out_width)
+                resized = (
+                    img[: out_height * bh, : out_width * bw]
+                    .reshape(out_height, bh, out_width, bw)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                outs.append(resized.tobytes())
+            return pd.DataFrame({
+                id_column: df[id_column],
+                "payload": outs,
+                "height": np.full(len(df), out_height, dtype=np.int64),
+                "width": np.full(len(df), out_width, dtype=np.int64),
+            })
+
+    return ds.map_batches(_Resizer, batch_format="pandas",
+                          concurrency=concurrency, batch_size=batch_size)
+
+
+def sample_frames(ds, payload_column: str = "payload", id_column: str = "doc_id",
+                  n_frames_column: str = "n_frames", every: int = 4,
+                  concurrency=(1, 4), batch_size: int = 16):
+    """Frame-sampling stage for video-like payloads: one input row → one
+    OUTPUT ROW PER SAMPLED FRAME (row-expanding ``map_batches``). The fake
+    "video" is frame-seeded fake decodes; a real ffmpeg seek slots into the
+    same per-frame decode call. Batches stay small — each input row fans
+    out ``n_frames/every`` rows of frame payload."""
+
+    class _Sampler:
+        def __init__(self) -> None:
+            self._decoder = FakeDecoder()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, fnos, frames = [], [], []
+            for doc_id, payload, n_frames in zip(
+                df[id_column], df[payload_column], df[n_frames_column]
+            ):
+                for fno in range(0, int(n_frames), every):
+                    frame = self._decoder.decode(
+                        bytes(payload) + fno.to_bytes(4, "big")
+                    )
+                    ids.append(doc_id)
+                    fnos.append(fno)
+                    frames.append(frame.tobytes())
+            return pd.DataFrame({
+                id_column: pd.Series(ids, dtype=df[id_column].dtype),
+                "frame_no": pd.Series(fnos, dtype="int64"),
+                "frame": frames,
+            })
+
+    return ds.map_batches(_Sampler, batch_format="pandas",
+                          concurrency=concurrency, batch_size=batch_size)
+
+
+class AudioFeatures:
+    """Actor-pool audio stage: payload → fake waveform (deterministic, the
+    codec stand-in) → real DSP features (RMS, zero-crossing rate),
+    vectorized numpy per item."""
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "doc_id",
+                 n_samples: int = 1024) -> None:
+        self._payload = payload_column
+        self._id = id_column
+        self._n = n_samples
+        self._decoder = FakeDecoder(height=1, width=n_samples)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rms, zcr = [], []
+        for payload in df[self._payload]:
+            wave = self._decoder.decode(bytes(payload)).astype(np.float64).ravel()
+            wave = (wave - 127.5) / 127.5  # [-1, 1]
+            rms.append(float(np.sqrt((wave ** 2).mean())))
+            zcr.append(float((np.signbit(wave[1:]) != np.signbit(wave[:-1])).mean()))
+        return pd.DataFrame({
+            self._id: df[self._id],
+            "rms": np.round(rms, 4),
+            "zcr": np.round(zcr, 4),
+        })
+
+
+def audio_features(ds, payload_column: str = "payload", id_column: str = "doc_id",
+                   concurrency=(1, 4), batch_size: int = 32):
+    return ds.map_batches(
+        AudioFeatures,
         fn_constructor_kwargs=dict(payload_column=payload_column, id_column=id_column),
         batch_format="pandas",
         concurrency=concurrency,

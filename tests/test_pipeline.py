@@ -195,3 +195,42 @@ def test_metrics_written_via_ray(ray_session, tmp_path):
     assert {"doc_url", "workflow", "score"} <= set(m.columns)
     # one stats row per (doc, workflow) pair — no duplicated rows
     assert not m.duplicated(["doc_url", "workflow"]).any()
+
+
+def test_multimodal_resize_frames_audio(ray_session):
+    """Round-2 multimodal stages: resize dims, frame fan-out, audio features."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.multimodal import (
+        audio_features,
+        resize_media,
+        sample_frames,
+    )
+
+    rows = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "payload": pa.array([f"media-{i}".encode() for i in range(6)], pa.binary()),
+        "n_frames": pa.array([8, 8, 12, 12, 4, 4], pa.int64()),
+    })
+    ds = ray.data.from_arrow(rows)
+
+    resized = resize_media(ds, out_height=4, out_width=4).to_pandas()
+    assert set(resized["height"]) == {4} and set(resized["width"]) == {4}
+    assert all(len(p) == 16 for p in resized["payload"])
+    # deterministic: same payload → same resized bytes
+    again = resize_media(ray.data.from_arrow(rows), out_height=4, out_width=4).to_pandas()
+    assert list(resized.sort_values("doc_id")["payload"]) == list(
+        again.sort_values("doc_id")["payload"])
+
+    frames = sample_frames(ds, every=4).to_pandas()
+    # 8→2, 12→3, 4→1 sampled frames per doc
+    per_doc = frames.groupby("doc_id").size().to_dict()
+    assert per_doc == {0: 2, 1: 2, 2: 3, 3: 3, 4: 1, 5: 1}
+    assert set(frames["frame_no"]) <= {0, 4, 8}
+
+    audio = audio_features(ds).to_pandas()
+    assert len(audio) == 6
+    assert ((audio["rms"] > 0) & (audio["rms"] < 1)).all()
+    assert ((audio["zcr"] >= 0) & (audio["zcr"] <= 1)).all()
