@@ -103,6 +103,11 @@ def clean_corpus(
             kept, join_type="inner", num_partitions=num_join_partitions,
             on=("doc_id",),
         )
+        import shutil
+
+        # Ray write_parquet APPENDS uniquely-named part files: clear the
+        # target first so a retried run can't double the corpus
+        shutil.rmtree(out_dir, ignore_errors=True)
         cleaned.write_parquet(out_dir)
     return winners
 

@@ -131,32 +131,18 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle: int = 2,
         import ray
 
         # small warm floor (actor startup isn't free at bench scale) with a
-        # cluster-sized ceiling the pool can grow into on long corpora
+        # near-cluster ceiling the pool can grow into on long corpora. BOTH
+        # bounds leave CPU headroom for the upstream read tasks: the
+        # autoscaler grows to the ceiling, and a pool occupying every CPU
+        # deadlocks the pipeline (observed on 4-CPU test sessions).
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (min(4, cpus), cpus)
+        lo = min(4, max(1, cpus - 2))
+        concurrency = (lo, max(lo, cpus - 2))
     return ds.map_batches(
         _MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle=shingle),
         batch_format="pandas",
         concurrency=concurrency,
-    )
-
-
-def _candidate_pairs_from_banded(banded, num_coarse: int):
-    """(band_key, doc_id) rows → distinct candidate (doc_a, doc_b) pairs.
-
-    Scale shape: the per-band buckets are tiny and enormous in number, so a
-    ``groupby(band_key).map_groups`` would pay per-group overhead millions of
-    times (the anti-pattern measured 5× slower in dedup_triples). Instead the
-    rows are COARSE-partitioned (``band_key % num_coarse``) and each coarse
-    group generates all its buckets' pairs with ONE vectorized self-merge —
-    singleton buckets are dropped first, so the merge touches only rows that
-    can actually pair. A hot bucket (many identical docs) still costs m²
-    pairs; that is inherent to LSH and bounded by dedup being the goal.
-    """
-
-    return _dedup_candidate_pairs(
-        _raw_candidate_pairs(banded, num_coarse), num_coarse
     )
 
 
@@ -245,7 +231,7 @@ def minhash_lsh_pairs(
     shingle: int = 2,
     bands: int = 16,
     threshold: float = 0.7,
-    concurrency=(1, 4),
+    concurrency=None,
     num_coarse: int = 32,
     num_join_partitions: int | None = None,
     max_driver_pairs: int = 2_000_000,
@@ -401,7 +387,8 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
     Scale shape: banding is a vectorized numpy shift (4 rows of 16 bytes per
     doc — the 64-bit signature rides along, unlike MinHash's 512-byte one);
     pair generation is the coarse-partition self-merge of
-    :func:`_candidate_pairs_from_banded`; the Hamming distance is verified
+    the same coarse-partition self-merge shape as MinHash's
+    :func:`_raw_candidate_pairs`; the Hamming distance is verified
     vectorized (SWAR popcount) on the candidate rows, which carry both
     signatures out of the merge — no joins needed.
     """

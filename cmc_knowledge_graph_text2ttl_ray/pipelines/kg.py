@@ -206,11 +206,16 @@ def run_kg_pipeline(
 
         # overlap the metrics scan with the canonical-mapping scan — two
         # independent dataset executions over the same records checkpoint
+        metrics_err: list[BaseException] = []
+
         def _write_metrics():
-            stats.select_columns(
-                ["doc_url", "workflow", "no_matches", "no_triples",
-                 "total_match_len", "score"]
-            ).write_parquet(metrics_dir)
+            try:
+                stats.select_columns(
+                    ["doc_url", "workflow", "no_matches", "no_triples",
+                     "total_match_len", "score"]
+                ).write_parquet(metrics_dir)
+            except BaseException as ex:  # noqa: BLE001 - re-raised at join
+                metrics_err.append(ex)
 
         metrics_thread = threading.Thread(target=_write_metrics, daemon=True)
         metrics_thread.start()
@@ -252,6 +257,8 @@ def run_kg_pipeline(
 
     if metrics_thread is not None:
         metrics_thread.join()
+        if metrics_err:
+            raise metrics_err[0]
 
     links = None
     if kb_ttl is not None:
@@ -341,7 +348,13 @@ def run_kg_pipeline_waves(
         canonical, os.path.join(out_dir, "ttl"), prefixes=prefixes,
         num_buckets=num_buckets, resume=False,
     )
+    metrics_dir = os.path.join(out_dir, "metrics")
+    import shutil
+
+    # metrics are derived data: clear first — Ray write_parquet APPENDS
+    # uniquely-named part files, so a resumed run would duplicate rows
+    shutil.rmtree(metrics_dir, ignore_errors=True)
     recs.map_batches(_filter_rec("stats"), batch_format="pyarrow").select_columns(
         ["doc_url", "workflow", "no_matches", "no_triples", "total_match_len", "score"]
-    ).write_parquet(os.path.join(out_dir, "metrics"))
+    ).write_parquet(metrics_dir)
     return {"manifest": manifest, "entity_mapping": mapping_df, "waves": done}

@@ -487,17 +487,8 @@ def docs_bpe_token_stats(sf_dir: str):
                                columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        toks = pc.extract_regex_span_list(t["text"], _BPE_ISH) if hasattr(
-            pc, "extract_regex_span_list") else None
-        if toks is not None:
-            n = pc.list_value_length(toks).cast(pa.int64())
-        else:
-            # portable fallback: count via split on the same class pattern
-            import re as _re
-
-            rx = _re.compile(_BPE_ISH)
-            n = pa.array([len(rx.findall(v)) for v in t["text"].to_pylist()],
-                         pa.int64())
+        # one C kernel: count of non-overlapping matches per row
+        n = pc.count_substring_regex(t["text"], _BPE_ISH).cast(pa.int64())
         return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
 
     return ds.map_batches(stats, batch_format="pyarrow")

@@ -126,12 +126,23 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 16,
     the centroid matrix. Idempotent via a ``_DONE`` marker."""
     import json
 
+    def _input_fp() -> str:
+        # cheap content fingerprint: source path + size + mtime of the
+        # embeddings file — a regenerated corpus at the same path must
+        # invalidate the cached index (same bug class the kg.py records
+        # checkpoint fingerprints against)
+        p = f"{sf_dir}/embeddings.parquet"
+        st = os.stat(p)
+        return f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}"
+
     done = os.path.join(index_dir, "_DONE")
     cpath = os.path.join(index_dir, "centroids.npy")
     if os.path.exists(done):
         with open(done) as fh:
             meta = json.load(fh)
-        if meta.get("n_clusters") == n_clusters and os.path.exists(cpath):
+        if (meta.get("n_clusters") == n_clusters
+                and meta.get("input_fp") == _input_fp()
+                and os.path.exists(cpath)):
             return np.load(cpath)
     import shutil
 
@@ -148,7 +159,8 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 16,
         os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
     )
     with open(done, "w") as fh:
-        json.dump({"n_clusters": n_clusters, "sf_dir": sf_dir}, fh)
+        json.dump({"n_clusters": n_clusters, "sf_dir": sf_dir,
+                   "input_fp": _input_fp()}, fh)
     return centroids
 
 

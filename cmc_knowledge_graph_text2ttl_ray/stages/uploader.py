@@ -181,10 +181,20 @@ class HttpGraphUploader(GraphUploader):
 
             cred = base64.b64encode(f"{user}:{pw or ''}".encode()).decode()
             headers["Authorization"] = f"Basic {cred}"
-        status, body = self._request(verb, post_url, ttl_text.encode("utf-8"), headers)
-        if status not in (200, 201):
-            raise UploadError(f"Upload request failed [{status}]: {body[:500]}")
-        return post_url
+        data = ttl_text.encode("utf-8")
+        last: Exception | None = None
+        for _ in range(self._max_retries + 1):
+            try:
+                status, body = self._request(verb, post_url, data, headers)
+            except UploadError as ex:  # transient transport error → retry
+                last = ex
+                continue
+            if status not in (200, 201):
+                raise UploadError(f"Upload request failed [{status}]: {body[:500]}")
+            return post_url
+        raise UploadError(
+            f"Upload failed after {self._max_retries} transport retries: {last}"
+        )
 
     def _request(self, verb: str, url: str, data: bytes,
                  headers: dict[str, str]) -> tuple[int, str]:

@@ -57,6 +57,26 @@ _RE_TERM = re.compile(
 )
 
 
+def _string_mask(text: str) -> list[bool]:
+    """Per-character mask: True where the character sits inside a quoted
+    string literal (escape-aware)."""
+    mask = [False] * len(text)
+    in_str, esc = False, False
+    for i, ch in enumerate(text):
+        if in_str:
+            mask[i] = True
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            mask[i] = True
+            in_str = True
+    return mask
+
+
 def _minus_match(b: dict, s: dict) -> bool:
     """SPARQL MINUS compatibility: shared domain, all shared vars equal."""
     shared = b.keys() & s.keys()
@@ -386,9 +406,18 @@ class GraphIndex:
             if text:
                 elements.append(("bgp", self._parse_patterns(text, prefixes)))
 
-        kw = re.compile(r"(OPTIONAL|FILTER|MINUS|UNION)\b|\{", re.IGNORECASE)
+        # keywords/braces inside quoted literals are DATA; and '?filter' is a
+        # variable, not the FILTER keyword — hence the string-span mask and
+        # the left lookbehind
+        in_str = _string_mask(body)
+        kw = re.compile(r"(?<![?\w])(OPTIONAL|FILTER|MINUS|UNION)\b|\{",
+                        re.IGNORECASE)
         while pos < n:
             m = kw.search(body, pos)
+            while m is not None and in_str[m.start()]:
+                plain.append(body[pos : m.start() + 1])
+                pos = m.start() + 1
+                m = kw.search(body, pos)
             if m is None:
                 plain.append(body[pos:])
                 break

@@ -38,18 +38,18 @@ def is_remote_graph_id(graph_id: str) -> bool:
 
 def resolve_graph_url(graph_id: str, server_url_var: str = "STARDOG_SERVER") -> str:
     """``<stardog>`` placeholder → base URL from the environment
-    (StardogQueryHandler.query, :244-251)."""
-    if graph_id.startswith("<stardog>"):
-        base = os.environ.get(server_url_var)
-        if not base:
-            raise RemoteQueryError(
-                f"Stardog server URL environment variable {server_url_var} "
-                f"is not defined or empty"
-            )
-        graph_id = base + graph_id[9:]
-    if not isinstance(graph_id, str) or len(graph_id) < 5:
-        raise RemoteQueryError(f"Invalid SPARQL endpoint URL: {graph_id!r}")
-    return graph_id
+    (StardogQueryHandler.query, :244-251). Shares the uploader's resolver
+    so the placeholder semantics can never drift between the two."""
+    from cmc_knowledge_graph_text2ttl_ray.stages.uploader import (
+        UploadError,
+        resolve_db_url,
+    )
+
+    try:
+        url, _, _ = resolve_db_url(graph_id, server_url_var)
+    except UploadError as ex:
+        raise RemoteQueryError(str(ex)) from ex
+    return url
 
 
 class RemoteSparqlEndpoint:

@@ -247,3 +247,19 @@ def test_longturtle_format_and_roundtrip():
     assert sorted(rt) == sorted(
         (s, p, o, k, lg, dt) for (s, p, o, k, lg, dt) in triples
     )
+
+
+def test_query_keywords_and_braces_inside_literals():
+    """Code-review r2: '{', FILTER/UNION words inside quoted literals are
+    data; ?filter is a variable, not a keyword."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex(prefixes={"ex": "http://ex/"})
+    g.add(("http://ex/s", "http://ex/p", "a { b", "literal", None, None))
+    g.add(("http://ex/s", "http://ex/q", "use FILTER wisely", "literal", None, None))
+    rows = g.query('SELECT ?s WHERE { ?s ex:p "a { b" }')
+    assert rows == [{"s": "http://ex/s"}]
+    rows = g.query('SELECT ?s WHERE { ?s ex:q "use FILTER wisely" }')
+    assert rows == [{"s": "http://ex/s"}]
+    rows = g.query('SELECT ?filter WHERE { ?filter ex:p "a { b" }')
+    assert rows == [{"filter": "http://ex/s"}]
