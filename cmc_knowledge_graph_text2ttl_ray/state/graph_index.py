@@ -362,7 +362,46 @@ class GraphIndex:
         body, end = self._read_group(sparql, start)
         elements = self._parse_group(body, prefixes)
         rows = self._eval_group(elements, [{}])
-        rows.sort(key=lambda r: tuple(sorted(r.items())))
+
+        # SELECT clause: projection + DISTINCT
+        m_sel = re.search(r"\bSELECT\s+(DISTINCT\s+)?(.*?)\s*(?:WHERE\s*)?\{",
+                          sparql, re.IGNORECASE | re.DOTALL)
+        distinct = bool(m_sel and m_sel.group(1))
+        proj = (m_sel.group(2).split() if m_sel else [])
+        sel_vars = [v[1:] for v in proj if v.startswith("?")]
+        if sel_vars and "*" not in proj:
+            rows = [{v: r[v] for v in sel_vars if v in r} for r in rows]
+        if distinct:
+            seen, uniq = set(), []
+            for r in rows:
+                key = tuple(sorted(r.items()))
+                if key not in seen:
+                    seen.add(key)
+                    uniq.append(r)
+            rows = uniq
+
+        # solution modifiers after the group: ORDER BY / LIMIT / OFFSET
+        tail = sparql[end:]
+        m_ord = re.search(
+            r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
+            r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)",
+            tail, re.IGNORECASE)
+        if m_ord:
+            keys = re.findall(r"(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))",
+                              m_ord.group(1), re.IGNORECASE)
+            # stable multi-key sort: apply keys right-to-left
+            for direction, v1, v2 in reversed(keys):
+                var = v1 or v2
+                rows.sort(key=lambda r, var=var: (var not in r, r.get(var, "")),
+                          reverse=bool(direction) and direction.upper() == "DESC")
+        else:
+            rows.sort(key=lambda r: tuple(sorted(r.items())))  # deterministic
+        m_off = re.search(r"\bOFFSET\s+(\d+)", tail, re.IGNORECASE)
+        if m_off:
+            rows = rows[int(m_off.group(1)):]
+        m_lim = re.search(r"\bLIMIT\s+(\d+)", tail, re.IGNORECASE)
+        if m_lim:
+            rows = rows[: int(m_lim.group(1))]
         return rows
 
     # -- group parsing -------------------------------------------------------

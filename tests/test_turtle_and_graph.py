@@ -263,3 +263,17 @@ def test_query_keywords_and_braces_inside_literals():
     assert rows == [{"s": "http://ex/s"}]
     rows = g.query('SELECT ?filter WHERE { ?filter ex:p "a { b" }')
     assert rows == [{"filter": "http://ex/s"}]
+
+
+def test_query_distinct_order_limit():
+    g = _ex_graph()
+    # projection drops unselected vars; DISTINCT collapses the 3 typed rows
+    rows = g.query('SELECT DISTINCT ?t WHERE { ?p ex:type ?t }')
+    assert rows == [{"t": "http://ex/Person"}, {"t": "http://ex/Robot"}]
+    # ORDER BY DESC + LIMIT
+    rows = g.query(
+        'SELECT ?p ?a WHERE { ?p ex:age ?a } ORDER BY DESC(?a) LIMIT 2'
+    )
+    assert [r["a"] for r in rows] == ["5", "45"]  # lexical order: "5" > "45" > "30"
+    rows = g.query('SELECT ?p WHERE { ?p ex:age ?a } ORDER BY ?p LIMIT 1 OFFSET 1')
+    assert rows == [{"p": "http://ex/bob"}]
