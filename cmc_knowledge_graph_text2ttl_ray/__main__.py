@@ -93,6 +93,18 @@ def cmd_run(args) -> int:
 
     if args.pages.startswith("synth:"):
         pages = pages_dataset(int(args.pages.split(":", 1)[1]))
+    elif args.pages.startswith("pdf:"):
+        # PDF corpus ingestion: every file under the path becomes one row
+        # (url=path, pdf=bytes); the extraction stage routes pdf columns
+        # through the pure-Python parser + table recognizer
+        import pyarrow as pa
+
+        pages = ray.data.read_binary_files(
+            args.pages.split(":", 1)[1], include_paths=True
+        ).map_batches(
+            lambda t: pa.table({"url": t["path"], "pdf": t["bytes"]}),
+            batch_format="pyarrow",
+        )
     else:
         pages = ray.data.read_parquet(args.pages)
 
@@ -112,11 +124,13 @@ def cmd_run(args) -> int:
         out_dir=args.out,
         num_buckets=args.num_buckets,
         resume=not args.no_resume,
+        canonical_mode=args.canonical_mode,
     )
     summary = {
         "buckets": len(result["manifest"]["buckets"]),
         "n_triples": sum(b["n_triples"] for b in result["manifest"]["buckets"].values()),
-        "entities": len(result["entity_mapping"]),
+        "entities": (len(result["entity_mapping"])
+                     if result["entity_mapping"] is not None else None),
         "timings": {k: round(v, 2) for k, v in result["timings"].items()},
         "out_dir": args.out,
     }
@@ -132,12 +146,15 @@ def main(argv=None) -> int:
     p_run = sub.add_parser("run", help="full KG pipeline over a page corpus")
     p_run.add_argument("--workflow", action="append", help="workflow YAML (repeatable)")
     p_run.add_argument("--pages", required=True,
-                       help="parquet path/dir of pages, or synth:N for the synthetic corpus")
+                       help="parquet path/dir of pages, synth:N for the synthetic corpus, "
+                            "or pdf:DIR to ingest a directory of PDF files")
     p_run.add_argument("--out", required=True, help="output directory")
     p_run.add_argument("--graph", action="append", help="name=path.ttl lookup graph (repeatable)")
     p_run.add_argument("--num-cpus", type=int, default=32)
     p_run.add_argument("--num-buckets", type=int, default=64)
     p_run.add_argument("--no-resume", action="store_true")
+    p_run.add_argument("--canonical-mode", choices=["broadcast", "join"],
+                       default="broadcast", dest="canonical_mode")
     p_run.set_defaults(fn=cmd_run)
 
     p_doc = sub.add_parser("doc", help="run one document through the interpreter")

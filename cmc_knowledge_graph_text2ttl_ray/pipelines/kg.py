@@ -289,6 +289,7 @@ def run_kg_pipeline_waves(
     entity_ns: str = ENTITY_NS,
     num_buckets: int = 64,
     concurrency=None,
+    canonical_mode: str = "broadcast",
 ):
     """Input-fragment-level checkpointed pipeline (north rule: resumable
     per-partition checkpoints with lineage).
@@ -340,9 +341,21 @@ def run_kg_pipeline_waves(
     recs = ray.data.read_parquet(os.path.join(out_dir, "records"),
                                  file_extensions=["parquet"])
     triples = recs.map_batches(_filter_rec("triple"), batch_format="pyarrow")
-    mapping_df = mapping_from_entity_records(recs, entity_ns)
-    mapping = {r.iri: r.canonical for r in mapping_df.itertuples() if r.iri != r.canonical}
-    canonical = apply_canonical_mapping(triples, mapping)
+    if canonical_mode == "join":
+        from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import (
+            apply_canonical_mapping_join,
+            canonicalization_mapping_ds,
+        )
+
+        mapping_df = None
+        canonical = apply_canonical_mapping_join(
+            triples, canonicalization_mapping_ds(recs, entity_ns)
+        )
+    else:
+        mapping_df = mapping_from_entity_records(recs, entity_ns)
+        mapping = {r.iri: r.canonical for r in mapping_df.itertuples()
+                   if r.iri != r.canonical}
+        canonical = apply_canonical_mapping(triples, mapping)
     prefixes = collect_prefixes(plans)
     manifest = write_ttl_partitions(
         canonical, os.path.join(out_dir, "ttl"), prefixes=prefixes,

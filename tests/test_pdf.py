@@ -187,3 +187,28 @@ def test_pdf_doc_mode_cli(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "ent:Acme_Corp" in out.stdout
     assert "foundedIn 1987" in out.stdout
+
+
+def test_pdf_corpus_cli_run(tmp_path):
+    """End-to-end: a directory of PDFs through `run --pages pdf:DIR`."""
+    import json
+    import subprocess
+    import sys
+
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    stream = b"BT /F1 12 Tf 100 700 Td (Acme Corp was founded in 1987.) Tj ET"
+    for i in range(4):
+        (pdf_dir / f"report{i}.pdf").write_bytes(make_pdf([stream]))
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray", "run",
+         "--pages", f"pdf:{pdf_dir}", "--out", str(out_dir),
+         "--num-cpus", "4", "--num-buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_triples"] > 0
+    ttls = list((out_dir / "ttl").glob("part-*.ttl"))
+    assert ttls and any("Acme_Corp" in p.read_text() for p in ttls)
