@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "knn_cosine": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,
+        "knn_lsh": S.knn_lsh,
+        "emb_lsh_buckets": S.hyperplane_lsh_buckets,
         "embedding_near_dups": S.embedding_near_dup_pairs,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,

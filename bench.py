@@ -25,12 +25,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
+    "q4_order_priority",
     "orders_per_segment",
     "events_daily",
     "docs_token_stats",
     "docs_exact_dedup",
     "docs_minhash_pairs",
+    "docs_simhash_pairs",
+    "corpus_clean_winners",
     "knn_cosine",
+    "knn_ivf",
 ]
 
 

@@ -25,8 +25,8 @@ from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
 import pyarrow as pa
 import ray.data
 
-__all__ = ["knn_bruteforce", "knn_ivf", "embedding_near_dup_pairs",
-           "build_ivf_centroids", "build_ivf_index"]
+__all__ = ["knn_bruteforce", "knn_ivf", "knn_lsh", "embedding_near_dup_pairs",
+           "build_ivf_centroids", "build_ivf_index", "hyperplane_lsh_buckets"]
 
 
 def _emb(sf_dir: str):
@@ -272,4 +272,65 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
         # a pair assigned to two shared clusters surfaces twice
         .groupby(["vec_a", "vec_b"])
         .aggregate(Max("cosine", alias_name="cosine"))
+    )
+
+
+def hyperplane_lsh_buckets(sf_dir: str, n_bits: int = 12, seed: int = 11):
+    """Random-hyperplane LSH bucketing (the LSH-bucketed ANN alternative to
+    IVF): sign(V·H) per vector → one int bucket key, fully vectorized per
+    batch. Vectors in the same bucket are cosine-close with high
+    probability; the bucket key is the shuffle/partition key for
+    bucket-local search or near-dup scans."""
+    rng = np.random.RandomState(seed)
+    planes = None  # lazily sized to the embedding dim in the first batch
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        nonlocal planes
+        mat = _to_matrix(df["embedding"])
+        if planes is None:
+            planes = rng.randn(mat.shape[1], n_bits)
+        bits = (mat @ planes) > 0                       # (n, n_bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "bucket": (bits @ weights).astype("int64"),
+        })
+
+    return _emb(sf_dir).map_batches(bucketize, batch_format="pandas")
+
+
+def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
+            max_hamming: int = 1, seed: int = 11):
+    """LSH-bucketed approximate top-k: score ONLY vectors whose hyperplane
+    signature is within ``max_hamming`` bits of the query's (the multi-probe
+    trick — at 100 TB with a bucket-partitioned layout this is a pruned
+    read of 1+n_bits buckets out of 2^n_bits)."""
+    rng = np.random.RandomState(seed)
+    q = _query_vector(sf_dir, query_vec_id)
+    planes = rng.randn(len(q), n_bits)
+    qbits = int(((q @ planes) > 0) @ (1 << np.arange(n_bits, dtype=np.int64)))
+    # all bucket keys within max_hamming of the query's signature
+    probe = {qbits}
+    if max_hamming >= 1:
+        probe |= {qbits ^ (1 << b) for b in range(n_bits)}
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+
+    def sims(df: pd.DataFrame) -> pd.DataFrame:
+        mat = _to_matrix(df["embedding"])
+        bits = (mat @ planes) > 0
+        keys = (bits @ (1 << np.arange(n_bits, dtype=np.int64))).astype(np.int64)
+        keep = np.isin(keys, probe_arr) & (df["vec_id"].to_numpy() != query_vec_id)
+        if not keep.any():
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        s = _cosine(mat[keep], q)
+        out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy()[keep],
+                            "sim": round_half_away(s, 4)})
+        return out.nlargest(k, ["sim"])
+
+    return (
+        _emb(sf_dir)
+        .map_batches(sims, batch_format="pandas")
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
     )

@@ -92,7 +92,7 @@ def test_rows_only_queries_run(entrymod):
     """Non-SQL queries must at least execute and return a stable shape."""
     q = entrymod.queries()
     for name in ["docs_lang_id", "docs_simhash", "docs_rolling_fingerprint",
-                 "knn_ivf", "multimodal_features", "multimodal_frames", "multimodal_audio"]:
+                 "knn_ivf", "knn_lsh", "emb_lsh_buckets", "multimodal_features", "multimodal_frames", "multimodal_audio"]:
         df = _to_pandas(q[name](SF_DIR))
         assert len(df) > 0, name
 

@@ -212,3 +212,32 @@ def test_pdf_corpus_cli_run(tmp_path):
     assert summary["n_triples"] > 0
     ttls = list((out_dir / "ttl").glob("part-*.ttl"))
     assert ttls and any("Acme_Corp" in p.read_text() for p in ttls)
+
+
+def test_pdf_parser_never_crashes_on_fuzz():
+    """Property: arbitrary bytes either parse or raise PdfParseError — never
+    an unhandled exception (ingestion robustness for dirty corpora)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import (
+        PdfParseError,
+        extract_pdf_pages,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def run(payload):
+        try:
+            extract_pdf_pages(b"%PDF-1.4\n" + payload)
+        except PdfParseError:
+            pass
+
+    run()
+
+    # mutilated valid PDFs: truncations of a real one
+    base = make_pdf([TABLE_STREAM], compress=True)
+    for cut in (10, 100, len(base) // 2, len(base) - 5):
+        try:
+            extract_pdf_pages(base[:cut])
+        except PdfParseError:
+            pass

@@ -85,3 +85,24 @@ def test_ivf_index_reused_not_rebuilt(ray_session, emb_dir, tmp_path):
     c2 = build_ivf_index(d, idx, n_clusters=3)
     assert np.allclose(c1, c2)
     assert os.path.getmtime(os.path.join(idx, "centroids.npy")) == mtime
+
+
+def test_knn_lsh_finds_close_neighbors(ray_session, emb_dir):
+    """LSH-bucketed ANN: planted near-dup must surface for its source query."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        hyperplane_lsh_buckets,
+        knn_lsh,
+    )
+
+    d, planted = emb_dir
+    src, nid = planted[0]  # vec `nid` is a tiny perturbation of vec `src`
+    res = knn_lsh(d, query_vec_id=src, k=5, n_bits=6).to_pandas()
+    assert nid in set(res["vec_id"])
+    assert res["sim"].iloc[0] > 0.99
+    # bucketization is deterministic and assigns every vector
+    b1 = hyperplane_lsh_buckets(d).to_pandas().sort_values("vec_id")
+    b2 = hyperplane_lsh_buckets(d).to_pandas().sort_values("vec_id")
+    assert b1["bucket"].tolist() == b2["bucket"].tolist()
+    # near-identical vectors share a bucket
+    by_id = dict(zip(b1["vec_id"], b1["bucket"]))
+    assert by_id[src] == by_id[nid]
