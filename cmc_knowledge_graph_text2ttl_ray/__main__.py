@@ -105,6 +105,9 @@ def cmd_run(args) -> int:
             lambda t: pa.table({"url": t["path"], "pdf": t["bytes"]}),
             batch_format="pyarrow",
         )
+    elif args.pages.startswith("jsonl:") or args.pages.endswith((".jsonl", ".json")):
+        path = args.pages.split(":", 1)[1] if args.pages.startswith("jsonl:") else args.pages
+        pages = ray.data.read_json(path)
     else:
         pages = ray.data.read_parquet(args.pages)
 
@@ -147,7 +150,8 @@ def main(argv=None) -> int:
     p_run.add_argument("--workflow", action="append", help="workflow YAML (repeatable)")
     p_run.add_argument("--pages", required=True,
                        help="parquet path/dir of pages, synth:N for the synthetic corpus, "
-                            "or pdf:DIR to ingest a directory of PDF files")
+                            "pdf:DIR for a directory of PDF files, or jsonl:PATH / *.jsonl "
+                            "for JSON-lines page records")
     p_run.add_argument("--out", required=True, help="output directory")
     p_run.add_argument("--graph", action="append", help="name=path.ttl lookup graph (repeatable)")
     p_run.add_argument("--num-cpus", type=int, default=32)

@@ -187,3 +187,45 @@ def test_wave_retry_clears_partial_records(ray_session, tmp_path):
     t1 = sum(b["n_triples"] for b in res1["manifest"]["buckets"].values())
     t2 = sum(b["n_triples"] for b in res2["manifest"]["buckets"].values())
     assert t1 == t2
+
+
+def test_cli_jsonl_pages(tmp_path):
+    """JSON-lines page corpus through the run CLI."""
+    import json as _json
+
+    rows = []
+    for i in range(6):
+        rows.append({
+            "url": f"https://x/{i}",
+            "html": (f"<html><head><title>Doc {i}</title></head><body>"
+                     f"<p>Acme Corp was founded in 1987.</p></body></html>"),
+        })
+    src = tmp_path / "pages.jsonl"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray", "run",
+         "--pages", f"jsonl:{src}", "--out", str(out_dir),
+         "--num-cpus", "4", "--num-buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_triples"] > 0
+
+
+def test_waves_canonical_join_mode(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline_waves
+
+    src = str(tmp_path / "pages")
+    generate_pages_parquet(src, 120, num_files=4)
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    r_b = run_kg_pipeline_waves(files, str(tmp_path / "o1"), wave_size=2,
+                                concurrency=2)
+    r_j = run_kg_pipeline_waves(files, str(tmp_path / "o2"), wave_size=2,
+                                concurrency=2, canonical_mode="join")
+    tb = sum(b["n_triples"] for b in r_b["manifest"]["buckets"].values())
+    tj = sum(b["n_triples"] for b in r_j["manifest"]["buckets"].values())
+    assert tb == tj > 0
