@@ -168,6 +168,12 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_train_val_split(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import train_val_split
+
+    return train_val_split(sf_dir)
+
+
 def _docs_ngram_jaccard(sf_dir: str):
     """MinHash candidates verified with exact n-gram Jaccard."""
     from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
@@ -273,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": R.top_parts_per_brand,
         "corpus_clean_winners": _corpus_clean_winners,
         "corpus_prep_stats": _corpus_prep_stats,
+        "docs_train_val_split": _docs_train_val_split,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -489,6 +496,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM part
             ) t WHERE rn <= 2
             ORDER BY p_brand, p_partkey
+        """,
+        "docs_train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'e6666666'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
         """,
         "events_props_k": """
             SELECT user_id,

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["clean_corpus", "corpus_prep_stats"]
+__all__ = ["clean_corpus", "corpus_prep_stats", "train_val_split"]
 
 
 def _quality_filter(t: pa.Table, min_alpha_ratio: float, min_tokens: int,
@@ -134,3 +134,25 @@ def corpus_prep_stats(sf_dir: str, min_alpha_ratio: float = 0.6,
         "n_quality": [int(counts["sum(n_quality)"])],
         "n_distinct": [int(n_distinct)],
     })
+
+
+def train_val_split(sf_dir: str, train_fraction: float = 0.9):
+    """Deterministic, reshuffle-free train/val assignment: md5 of the doc id
+    keyed against a hex threshold. The same document lands in the same
+    split on every run, on every cluster size, with NO shuffle — the
+    standard content-hash split for 100 TB corpora (a random_shuffle-based
+    split would be an all-to-all exchange AND non-reproducible)."""
+    threshold = format(int(train_fraction * 16**8), "08x")
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()[:8]
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "split": (h < threshold).map({True: "train", False: "val"}),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(split, batch_format="pandas")

@@ -70,6 +70,7 @@ def _checked_names():
     "nation_account_balance", "events_value_histogram", "part_type_stats",
     "events_daily_moving_avg", "docs_bpe_token_stats",
     "corpus_clean_winners", "corpus_prep_stats", "top_parts_per_brand",
+    "docs_train_val_split",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     sql = entrymod.oracle_sql()[name]
