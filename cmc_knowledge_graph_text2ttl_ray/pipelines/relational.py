@@ -198,7 +198,11 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
 def q5_nation_revenue(sf_dir: str):
     """Broadcast-dim join chain: lineitem ⋈ supplier ⋈ nation → per-nation
     revenue. The two dimension tables ride along as hash maps; only the
-    tiny (nation, partial-revenue) pairs are shuffled."""
+    tiny (nation, partial-revenue) pairs are shuffled.
+
+    Partitioning assumption: supplier is broadcastable (TPC-H SF×10k rows —
+    tens of MB up to SF 1k). Past that, switch the supplier side to the
+    adaptive broadcast/hash-join pattern of :func:`q3_top_orders`."""
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     supp_to_nation = dict(
@@ -235,8 +239,12 @@ def orders_per_segment(sf_dir: str):
     and total price per customer market segment."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    import ray
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=nparts, on=("o_custkey",),
+        right_on=("c_custkey",),
     )
     from ray.data.aggregate import Count, Sum
 
