@@ -119,3 +119,111 @@ def test_dedup_independent_of_partitioning(ray_session):
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) == len({(r["subject"], r["object"]) for r in rows})
+
+
+# ---- SPARQL evaluator differential test ------------------------------------
+# Brute-force reference semantics implemented independently (enumerate all
+# bindings by product over triples), compared against the indexed evaluator
+# on randomized small graphs. Covers BGP joins, OPTIONAL, UNION, MINUS and
+# numeric FILTER on the same inputs.
+
+def _brute_bgp(triples, patterns, binding):
+    """All extensions of `binding` satisfying the triple patterns."""
+    if not patterns:
+        return [dict(binding)]
+    (sk, sv), (pk, pv), (ok, ov) = patterns[0]
+    out = []
+    for (s, p, o, *_rest) in triples:
+        b = dict(binding)
+        ok_row = True
+        for kind, val, got in ((sk, sv, s), (pk, pv, p), (ok, ov, o)):
+            if kind == "const":
+                if val != got:
+                    ok_row = False
+                    break
+            else:
+                if val in b and b[val] != got:
+                    ok_row = False
+                    break
+                b[val] = got
+        if ok_row:
+            out.extend(_brute_bgp(triples, patterns[1:], b))
+    return out
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_sparql_bgp_join_matches_bruteforce(data):
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    ents = [f"http://e/{c}" for c in "abcd"]
+    preds = [f"http://e/p{i}" for i in range(2)]
+    triples = data.draw(st.lists(
+        st.tuples(st.sampled_from(ents), st.sampled_from(preds),
+                  st.sampled_from(ents)),
+        min_size=0, max_size=10, unique=True))
+    rows6 = [(s, p, o, "iri", None, None) for s, p, o in triples]
+    g = GraphIndex(rows6, prefixes={"e": "http://e/"})
+
+    # random 2-pattern query over variables x, y, z
+    terms = ["?x", "?y", "?z", "e:a", "e:b", "e:p0", "e:p1"]
+    def draw_pattern():
+        return (data.draw(st.sampled_from(terms[:5])),
+                data.draw(st.sampled_from(["?y", "e:p0", "e:p1"])),
+                data.draw(st.sampled_from(terms[:5])))
+    pats = [draw_pattern() for _ in range(2)]
+    q = "SELECT * WHERE { " + " . ".join(" ".join(p) for p in pats) + " }"
+
+    def to_term(t):
+        if t.startswith("?"):
+            return ("var", t[1:])
+        local = t.split(":", 1)[1]
+        return ("const", f"http://e/{local}")
+
+    expected = _brute_bgp(rows6, [tuple(to_term(x) for x in p) for p in pats], {})
+    expected_keys = sorted(tuple(sorted(r.items())) for r in expected)
+    got = g.query(q)
+    got_keys = sorted(tuple(sorted(r.items())) for r in got)
+    assert got_keys == expected_keys
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_sparql_optional_union_minus_match_bruteforce(data):
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    ents = [f"http://e/{c}" for c in "abc"]
+    mk = lambda: data.draw(st.lists(
+        st.tuples(st.sampled_from(ents), st.just("http://e/p"),
+                  st.sampled_from(ents)), min_size=0, max_size=6, unique=True))
+    base = mk()
+    rows6 = [(s, p, o, "iri", None, None) for s, p, o in base]
+    g = GraphIndex(rows6, prefixes={"e": "http://e/"})
+    P = [(("var", "x"), ("const", "http://e/p"), ("var", "y"))]
+    Q = [(("var", "y"), ("const", "http://e/p"), ("var", "z"))]
+    main = _brute_bgp(rows6, P, {})
+
+    # OPTIONAL
+    got = g.query("SELECT * WHERE { ?x e:p ?y . OPTIONAL { ?y e:p ?z } }")
+    exp = []
+    for b in main:
+        sols = _brute_bgp(rows6, Q, b)
+        exp.extend(sols if sols else [b])
+    assert sorted(tuple(sorted(r.items())) for r in got) == \
+           sorted(tuple(sorted(r.items())) for r in exp)
+
+    # UNION
+    got = g.query("SELECT * WHERE { { ?x e:p ?y } UNION { ?y e:p ?z } }")
+    exp = _brute_bgp(rows6, P, {}) + _brute_bgp(rows6, Q, {})
+    assert sorted(tuple(sorted(r.items())) for r in got) == \
+           sorted(tuple(sorted(r.items())) for r in exp)
+
+    # MINUS
+    got = g.query("SELECT * WHERE { ?x e:p ?y . MINUS { ?y e:p ?z } }")
+    minus_sols = _brute_bgp(rows6, Q, {})
+    def compat(b, s):
+        shared = b.keys() & s.keys()
+        return bool(shared) and all(b[k] == s[k] for k in shared)
+    exp = [b for b in main if not any(compat(b, s) for s in minus_sols)]
+    assert sorted(tuple(sorted(r.items())) for r in got) == \
+           sorted(tuple(sorted(r.items())) for r in exp)
