@@ -15,9 +15,12 @@ Supported query subset (what rule workflows actually need):
 - triple patterns joined by nested index lookups (SPO/POS/OSP indexes),
 - terms: ``?var``, ``<iri>``, ``prefix:local``, ``"literal"`` (@lang /
   ^^datatype), numbers, booleans, ``a``,
-- ``OPTIONAL { }`` / ``FILTER( )`` / ``{ } UNION { }`` / ``MINUS { }``
-  with a practical FILTER-expression subset (comparisons, regex, bound,
-  contains/strstarts/strends, str/ucase/lcase/strlen, ``! && ||``).
+- ``OPTIONAL { }`` / ``FILTER( )`` / ``{ } UNION { }`` / ``MINUS { }`` /
+  ``BIND(expr AS ?v)`` / ``VALUES ?v { … }`` (and the tuple form with
+  ``UNDEF``), with a practical FILTER-expression subset (comparisons,
+  regex, bound, contains/strstarts/strends, str/ucase/lcase/strlen,
+  ``! && ||``), plus ``SELECT DISTINCT``, projection, ``ORDER BY``,
+  ``LIMIT`` / ``OFFSET``.
 
 Results are deterministic: rows are returned in sorted order.
 """
@@ -449,7 +452,7 @@ class GraphIndex:
         # variable, not the FILTER keyword — hence the string-span mask and
         # the left lookbehind
         in_str = _string_mask(body)
-        kw = re.compile(r"(?<![?\w])(OPTIONAL|FILTER|MINUS|UNION)\b|\{",
+        kw = re.compile(r"(?<![?\w])(OPTIONAL|FILTER|MINUS|UNION|BIND|VALUES)\b|\{",
                         re.IGNORECASE)
         while pos < n:
             m = kw.search(body, pos)
@@ -493,15 +496,85 @@ class GraphIndex:
                     raise QueryError(f"{word} must be followed by a group")
                 sub, pos = self._read_group(body, nxt)
                 elements.append((word.lower(), self._parse_group(sub, prefixes)))
-            else:  # FILTER
+            elif word == "FILTER":
                 if nxt >= n or body[nxt] != "(":
                     raise QueryError("FILTER must be followed by (expr)")
                 expr, pos = self._read_parens(body, nxt)
                 elements.append(("filter", _compile_filter(expr, prefixes)))
+            elif word == "BIND":
+                if nxt >= n or body[nxt] != "(":
+                    raise QueryError("BIND must be followed by (expr AS ?var)")
+                inner, pos = self._read_parens(body, nxt)
+                mb = re.search(r"\s+AS\s+\?(\w+)\s*$", inner, re.IGNORECASE)
+                if mb is None:
+                    raise QueryError("BIND requires 'expr AS ?var'")
+                fn = _compile_filter(inner[: mb.start()], prefixes)
+                elements.append(("bind", (mb.group(1), fn)))
+            else:  # VALUES
+                rest2 = body[nxt:]
+                mv = re.match(r"(\?(\w+)|\(\s*((?:\?\w+\s*)+)\))\s*", rest2)
+                if mv is None:
+                    raise QueryError("VALUES requires ?var or (?v1 ?v2 ...)")
+                vars_ = ([mv.group(2)] if mv.group(2)
+                         else re.findall(r"\?(\w+)", mv.group(3)))
+                brace = nxt + mv.end()
+                if brace >= n or body[brace] != "{":
+                    raise QueryError("VALUES requires a { data } block")
+                block, pos = self._read_group(body, brace)
+                rows = self._parse_values_block(block, vars_, prefixes)
+                elements.append(("values", (vars_, rows)))
         flush_plain()
         if not elements:
             raise QueryError("Empty WHERE body")
         return elements
+
+    def _parse_values_block(self, block: str, vars_: list[str],
+                            prefixes: dict[str, str]) -> list[tuple]:
+        """VALUES data rows: single-var form (flat terms) or tuple form
+        ``( t1 t2 ) ( ... )``; UNDEF → None."""
+        rows: list[tuple] = []
+        pos = 0
+        block = block.strip()
+        if len(vars_) == 1:
+            while pos < len(block):
+                mu = re.match(r"\s*UNDEF\s*", block[pos:])
+                if mu:
+                    rows.append((None,))
+                    pos += mu.end()
+                    continue
+                m = _RE_TERM.match(block, pos)
+                if m is None or m.end() == pos:
+                    break
+                pos = m.end()
+                rows.append((self._term(m, prefixes)[1],))
+            return rows
+        while pos < len(block):
+            ws = re.match(r"\s*", block[pos:])
+            pos += ws.end()
+            if pos >= len(block):
+                break
+            if block[pos] != "(":
+                raise QueryError("VALUES tuple rows must be parenthesized")
+            inner, off = self._read_parens(block, pos)
+            pos = off
+            row: list = []
+            ip = 0
+            while ip < len(inner):
+                mu = re.match(r"\s*UNDEF\s*", inner[ip:])
+                if mu:
+                    row.append(None)
+                    ip += mu.end()
+                    continue
+                m = _RE_TERM.match(inner, ip)
+                if m is None or m.end() == ip:
+                    break
+                ip = m.end()
+                row.append(self._term(m, prefixes)[1])
+            if len(row) != len(vars_):
+                raise QueryError(
+                    f"VALUES row arity {len(row)} != {len(vars_)} vars")
+            rows.append(tuple(row))
+        return rows
 
     @staticmethod
     def _read_parens(text: str, open_idx: int) -> tuple[str, int]:
@@ -553,6 +626,40 @@ class GraphIndex:
                 sols = self._eval_group(payload, [{}])
                 bindings = [b for b in bindings
                             if not any(_minus_match(b, s) for s in sols)]
+            elif kind == "bind":
+                var, fn = payload
+                nxt2 = []
+                for b in bindings:
+                    v = fn(b)
+                    if v is None:
+                        nxt2.append(b)  # expression error → var stays unbound
+                    else:
+                        sv = ("true" if v is True else
+                              "false" if v is False else str(v))
+                        if var in b:
+                            if b[var] == sv:
+                                nxt2.append(b)
+                        else:
+                            nb = dict(b)
+                            nb[var] = sv
+                            nxt2.append(nb)
+                bindings = nxt2
+            elif kind == "values":
+                vars_, rows_ = payload
+                nxt2 = []
+                for b in bindings:
+                    for row in rows_:
+                        ok2, nb = True, dict(b)
+                        for var, val in zip(vars_, row):
+                            if val is None:
+                                continue  # UNDEF
+                            if var in nb and nb[var] != val:
+                                ok2 = False
+                                break
+                            nb[var] = val
+                        if ok2:
+                            nxt2.append(nb)
+                bindings = nxt2
             # filters handled below
             if not bindings:
                 break

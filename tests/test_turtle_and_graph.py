@@ -277,3 +277,26 @@ def test_query_distinct_order_limit():
     assert [r["a"] for r in rows] == ["5", "45"]  # lexical order: "5" > "45" > "30"
     rows = g.query('SELECT ?p WHERE { ?p ex:age ?a } ORDER BY ?p LIMIT 1 OFFSET 1')
     assert rows == [{"p": "http://ex/bob"}]
+
+
+def test_query_bind_and_values():
+    g = _ex_graph()
+    # BIND a computed value
+    rows = g.query(
+        'SELECT ?p ?u WHERE { ?p ex:type ex:Person . '
+        'BIND(ucase(str(?p)) AS ?u) }'
+    )
+    assert {r["u"] for r in rows} == {"HTTP://EX/ALICE", "HTTP://EX/BOB"}
+    # VALUES single-var restricts the bindings
+    rows = g.query(
+        'SELECT ?p ?a WHERE { VALUES ?p { ex:alice ex:carol } . ?p ex:age ?a }'
+    )
+    assert {(r["p"], r["a"]) for r in rows} == {
+        ("http://ex/alice", "30"), ("http://ex/carol", "5")}
+    # VALUES tuple form with UNDEF wildcard
+    rows = g.query(
+        'SELECT ?p ?a WHERE { ?p ex:age ?a . '
+        'VALUES (?p ?a) { (ex:alice "30") (ex:bob UNDEF) } }'
+    )
+    assert {(r["p"], r["a"]) for r in rows} == {
+        ("http://ex/alice", "30"), ("http://ex/bob", "45")}
