@@ -60,18 +60,7 @@ def _checked_names():
     return sorted(__ray_entry__.oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", [
-    "q1_pricing_summary", "q6_revenue_forecast", "q3_top_orders", "q5_nation_revenue",
-    "orders_per_segment", "top_parts", "events_daily", "events_user_stats",
-    "docs_token_stats", "docs_quality", "docs_fingerprint",
-    "docs_exact_dedup", "knn_cosine", "events_user_sessions",
-    "distinct_brands", "customers_without_orders", "region_nation_names",
-    "docs_with_labels", "events_props_k", "q4_order_priority",
-    "nation_account_balance", "events_value_histogram", "part_type_stats",
-    "events_daily_moving_avg", "docs_bpe_token_stats",
-    "corpus_clean_winners", "corpus_prep_stats", "top_parts_per_brand",
-    "docs_train_val_split",
-])
+@pytest.mark.parametrize("name", _checked_names())
 def test_query_matches_oracle(entrymod, con, name):
     sql = entrymod.oracle_sql()[name]
     expected = _normalize(con.sql(sql).df())
