@@ -124,3 +124,36 @@ def test_clean_corpus_writes_deduped_output(ray_session, dup_dir, tmp_path):
     cleaned = ray.data.read_parquet(out).to_pandas()
     assert sorted(cleaned["doc_id"]) == sorted(winners["doc_id"])
     assert "text" in cleaned.columns and cleaned["text"].str.len().min() > 0
+
+
+def test_minhash_recall_on_planted_corpus(ray_session, tmp_path):
+    """Recall check at CI scale: every planted near-dup pair is recovered."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(800)]
+    texts, planted = [], []
+    for i in range(300):
+        texts.append(" ".join(rng.choice(vocab, size=60)))
+    for j in range(40):
+        src = int(rng.randint(0, 300))
+        words = texts[src].split()
+        for _ in range(3):
+            words[int(rng.randint(0, len(words)))] = str(rng.choice(vocab))
+        texts.append(" ".join(words))
+        planted.append((src, 300 + j))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"),
+    )
+    pairs = minhash_lsh_pairs(str(d), threshold=0.6).to_pandas()
+    found = {(min(a, b), max(a, b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    hits = sum(1 for p in planted if (min(p), max(p)) in found)
+    assert hits / len(planted) >= 0.95
