@@ -300,7 +300,7 @@ def hyperplane_lsh_buckets(sf_dir: str, n_bits: int = 12, seed: int = 11):
 
 
 def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
-            max_hamming: int = 1, seed: int = 11):
+            max_hamming: int = 2, seed: int = 11):
     """LSH-bucketed approximate top-k: score ONLY vectors whose hyperplane
     signature is within ``max_hamming`` bits of the query's (the multi-probe
     trick — at 100 TB with a bucket-partitioned layout this is a pruned
@@ -313,6 +313,9 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
     probe = {qbits}
     if max_hamming >= 1:
         probe |= {qbits ^ (1 << b) for b in range(n_bits)}
+    if max_hamming >= 2:
+        probe |= {qbits ^ (1 << b1) ^ (1 << b2)
+                  for b1 in range(n_bits) for b2 in range(b1 + 1, n_bits)}
     probe_arr = np.array(sorted(probe), dtype=np.int64)
 
     def sims(df: pd.DataFrame) -> pd.DataFrame:
