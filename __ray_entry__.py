@@ -191,10 +191,10 @@ def _docs_with_labels(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
-    import ray as _ray
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
 
-    _nparts = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 4)
-    joined = docs.join(emb, join_type="inner", num_partitions=_nparts,
+    joined = docs.join(emb, join_type="inner",
+                       num_partitions=default_join_partitions(),
                        on=("doc_id",), right_on=("vec_id",))
     return joined.select_columns(["doc_id", "lang", "label"])
 

@@ -105,7 +105,9 @@ def cmd_run(args) -> int:
             lambda t: pa.table({"url": t["path"], "pdf": t["bytes"]}),
             batch_format="pyarrow",
         )
-    elif args.pages.startswith("jsonl:") or args.pages.endswith((".jsonl", ".json")):
+    elif args.pages.startswith("jsonl:") or args.pages.endswith(".jsonl"):
+        # line-delimited JSON only (pyarrow's reader); a conventional JSON
+        # array file is NOT supported — convert to .jsonl first
         path = args.pages.split(":", 1)[1] if args.pages.startswith("jsonl:") else args.pages
         pages = ray.data.read_json(path)
     else:
@@ -151,7 +153,7 @@ def main(argv=None) -> int:
     p_run.add_argument("--pages", required=True,
                        help="parquet path/dir of pages, synth:N for the synthetic corpus, "
                             "pdf:DIR for a directory of PDF files, or jsonl:PATH / *.jsonl "
-                            "for JSON-lines page records")
+                            "for JSON-LINES page records (not JSON arrays)")
     p_run.add_argument("--out", required=True, help="output directory")
     p_run.add_argument("--graph", action="append", help="name=path.ttl lookup graph (repeatable)")
     p_run.add_argument("--num-cpus", type=int, default=32)

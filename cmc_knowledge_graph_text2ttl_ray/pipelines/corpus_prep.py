@@ -89,11 +89,11 @@ def clean_corpus(
 
     if out_dir is not None:
         if num_join_partitions is None:
-            import ray as _ray
-
-            num_join_partitions = max(
-                2, int(_ray.cluster_resources().get("CPU", 8)) // 4
+            from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+                default_join_partitions,
             )
+
+            num_join_partitions = default_join_partitions()
         filtered = ds.map_batches(
             lambda t: _quality_filter(t, min_alpha_ratio, min_tokens, max_tokens),
             batch_format="pyarrow",
@@ -142,7 +142,14 @@ def train_val_split(sf_dir: str, train_fraction: float = 0.9):
     split on every run, on every cluster size, with NO shuffle — the
     standard content-hash split for 100 TB corpora (a random_shuffle-based
     split would be an all-to-all exchange AND non-reproducible)."""
-    threshold = format(int(train_fraction * 16**8), "08x")
+    # clamp to the hex-comparable domain: ≥1 → everything trains ("g" sorts
+    # above every hex digit), ≤0 → nothing does
+    if train_fraction >= 1.0:
+        threshold = "g"
+    elif train_fraction <= 0.0:
+        threshold = "00000000"
+    else:
+        threshold = format(int(train_fraction * 16**8), "08x")
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
         h = df["doc_id"].map(

@@ -204,11 +204,9 @@ def _attach_column(pairs, source, pair_key: str, src_key: str, src_col: str,
     """Distributed hash join: bring ``source[src_col]`` onto the pair rows as
     ``out_col`` (no driver-side materialization — only matching rows move)."""
     if num_partitions is None:
-        import ray
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
 
-        # each join spawns num_partitions aggregator actors — size to the
-        # cluster so join pools can't starve other operators
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        num_partitions = default_join_partitions()
     j = pairs.join(
         source,
         join_type="inner",

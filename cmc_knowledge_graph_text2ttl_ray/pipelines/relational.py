@@ -178,8 +178,10 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
     if not broadcast:
-        nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
-        out = out.join(seg_orders, join_type="inner", num_partitions=nparts,
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
+
+        out = out.join(seg_orders, join_type="inner",
+                       num_partitions=default_join_partitions(),
                        on=("o_orderkey",))
     out = (
         out.map_batches(
@@ -239,12 +241,11 @@ def orders_per_segment(sf_dir: str):
     and total price per customer market segment."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    import ray
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
 
-    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
     joined = orders.join(
-        cust, join_type="inner", num_partitions=nparts, on=("o_custkey",),
-        right_on=("c_custkey",),
+        cust, join_type="inner", num_partitions=default_join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
     )
     from ray.data.aggregate import Count, Sum
 
@@ -340,10 +341,10 @@ def q4_order_priority(sf_dir: str):
 
     keys = li.map_batches(returned_keys, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    import ray
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
 
-    nparts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
-    semi = orders.join(keys, join_type="left_semi", num_partitions=nparts,
+    semi = orders.join(keys, join_type="left_semi",
+                       num_partitions=default_join_partitions(),
                        on=("o_orderkey",), right_on=("l_orderkey",))
     from ray.data.aggregate import Count
 

@@ -310,12 +310,15 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
     planes = rng.randn(len(q), n_bits)
     qbits = int(((q @ planes) > 0) @ (1 << np.arange(n_bits, dtype=np.int64)))
     # all bucket keys within max_hamming of the query's signature
+    from itertools import combinations
+
     probe = {qbits}
-    if max_hamming >= 1:
-        probe |= {qbits ^ (1 << b) for b in range(n_bits)}
-    if max_hamming >= 2:
-        probe |= {qbits ^ (1 << b1) ^ (1 << b2)
-                  for b1 in range(n_bits) for b2 in range(b1 + 1, n_bits)}
+    for d in range(1, max_hamming + 1):
+        for bits_flipped in combinations(range(n_bits), d):
+            flipped = qbits
+            for b in bits_flipped:
+                flipped ^= 1 << b
+            probe.add(flipped)
     probe_arr = np.array(sorted(probe), dtype=np.int64)
 
     def sims(df: pd.DataFrame) -> pd.DataFrame:

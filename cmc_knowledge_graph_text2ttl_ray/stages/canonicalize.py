@@ -219,12 +219,9 @@ def apply_canonical_mapping_join(triples_ds, mapping_ds,
     :func:`apply_canonical_mapping` (broadcast) whenever the mapping fits
     comfortably in a worker heap."""
     if num_partitions is None:
-        import ray
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
 
-        # each join spawns num_partitions aggregator actors; cap them so the
-        # two pools can't starve the rest of the pipeline on small clusters
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 4)
+        num_partitions = default_join_partitions()
 
     def coalesce(col: str):
         def f(t: pa.Table) -> pa.Table:

@@ -366,9 +366,44 @@ class GraphIndex:
         elements = self._parse_group(body, prefixes)
         rows = self._eval_group(elements, [{}])
 
-        # SELECT clause: projection + DISTINCT
-        m_sel = re.search(r"\bSELECT\s+(DISTINCT\s+)?(.*?)\s*(?:WHERE\s*)?\{",
-                          sparql, re.IGNORECASE | re.DOTALL)
+        # SPARQL modifier order: ORDER BY (may reference non-projected
+        # vars) → projection → DISTINCT → OFFSET/LIMIT.
+        tail = sparql[end:]
+        m_ord = re.search(
+            r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
+            r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)",
+            tail, re.IGNORECASE)
+        if m_ord:
+            keys = re.findall(r"(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))",
+                              m_ord.group(1), re.IGNORECASE)
+            # stable multi-key sort: apply keys right-to-left. Values
+            # compare numerically when both parse as numbers (matching the
+            # FILTER comparator); unbound sorts LOWEST per SPARQL, so it
+            # leads under ASC and trails under DESC.
+            for direction, v1, v2 in reversed(keys):
+                var = v1 or v2
+                desc = bool(direction) and direction.upper() == "DESC"
+                unbound = [r for r in rows if var not in r]
+                bound = [r for r in rows if var in r]
+
+                def sort_key(r, var=var):
+                    v = r[var]
+                    try:
+                        return (0, float(v), "")
+                    except (TypeError, ValueError):
+                        return (1, 0.0, str(v))
+
+                bound.sort(key=sort_key, reverse=desc)
+                rows = (bound + unbound) if desc else (unbound + bound)
+        else:
+            rows.sort(key=lambda r: tuple(sorted(r.items())))  # deterministic
+
+        # SELECT clause: projection + DISTINCT. The optional WHERE keyword
+        # must be whitespace-separated so a variable named ?where is not
+        # half-swallowed.
+        m_sel = re.search(
+            r"\bSELECT\s+(DISTINCT\s+)?(.*?)\s*(?:(?<=\s)WHERE\s*)?\{",
+            sparql, re.IGNORECASE | re.DOTALL)
         distinct = bool(m_sel and m_sel.group(1))
         proj = (m_sel.group(2).split() if m_sel else [])
         sel_vars = [v[1:] for v in proj if v.startswith("?")]
@@ -383,22 +418,6 @@ class GraphIndex:
                     uniq.append(r)
             rows = uniq
 
-        # solution modifiers after the group: ORDER BY / LIMIT / OFFSET
-        tail = sparql[end:]
-        m_ord = re.search(
-            r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
-            r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)",
-            tail, re.IGNORECASE)
-        if m_ord:
-            keys = re.findall(r"(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))",
-                              m_ord.group(1), re.IGNORECASE)
-            # stable multi-key sort: apply keys right-to-left
-            for direction, v1, v2 in reversed(keys):
-                var = v1 or v2
-                rows.sort(key=lambda r, var=var: (var not in r, r.get(var, "")),
-                          reverse=bool(direction) and direction.upper() == "DESC")
-        else:
-            rows.sort(key=lambda r: tuple(sorted(r.items())))  # deterministic
         m_off = re.search(r"\bOFFSET\s+(\d+)", tail, re.IGNORECASE)
         if m_off:
             rows = rows[int(m_off.group(1)):]
@@ -479,10 +498,8 @@ class GraphIndex:
                         raise QueryError("UNION must be followed by a group")
                     sub, pos = self._read_group(body, brace)
                     arms.append(self._parse_group(sub, prefixes))
-                if len(arms) == 1:
-                    elements.append(("union", arms))  # plain subgroup ≡ 1-arm union
-                else:
-                    elements.append(("union", arms))
+                # a plain subgroup is simply a 1-arm union
+                elements.append(("union", arms))
                 continue
             word = tok.upper()
             if word == "UNION":
@@ -537,7 +554,7 @@ class GraphIndex:
         block = block.strip()
         if len(vars_) == 1:
             while pos < len(block):
-                mu = re.match(r"\s*UNDEF\s*", block[pos:])
+                mu = re.match(r"\s*UNDEF(?![\w:])\s*", block[pos:])
                 if mu:
                     rows.append((None,))
                     pos += mu.end()
@@ -560,7 +577,7 @@ class GraphIndex:
             row: list = []
             ip = 0
             while ip < len(inner):
-                mu = re.match(r"\s*UNDEF\s*", inner[ip:])
+                mu = re.match(r"\s*UNDEF(?![\w:])\s*", inner[ip:])
                 if mu:
                     row.append(None)
                     ip += mu.end()

@@ -274,7 +274,7 @@ def test_query_distinct_order_limit():
     rows = g.query(
         'SELECT ?p ?a WHERE { ?p ex:age ?a } ORDER BY DESC(?a) LIMIT 2'
     )
-    assert [r["a"] for r in rows] == ["5", "45"]  # lexical order: "5" > "45" > "30"
+    assert [r["a"] for r in rows] == ["45", "30"]  # numeric-aware ordering
     rows = g.query('SELECT ?p WHERE { ?p ex:age ?a } ORDER BY ?p LIMIT 1 OFFSET 1')
     assert rows == [{"p": "http://ex/bob"}]
 
@@ -300,3 +300,41 @@ def test_query_bind_and_values():
     )
     assert {(r["p"], r["a"]) for r in rows} == {
         ("http://ex/alice", "30"), ("http://ex/bob", "45")}
+
+
+def test_query_order_by_numeric_and_unprojected():
+    """Code-review r2b: ORDER BY is numeric-aware, runs before projection,
+    and DESC puts unbound rows last."""
+    g = _ex_graph()
+    # numeric DESC: 45 > 30 > 5
+    rows = g.query('SELECT ?p ?a WHERE { ?p ex:age ?a } ORDER BY DESC(?a) LIMIT 2')
+    assert [r["a"] for r in rows] == ["45", "30"]
+    # ORDER BY a variable NOT in the projection still works
+    rows = g.query('SELECT ?p WHERE { ?p ex:age ?a } ORDER BY DESC(?a) LIMIT 1')
+    assert rows == [{"p": "http://ex/bob"}]
+    # DESC with unbound sort var: unbound rows trail
+    rows = g.query(
+        'SELECT ?p ?n WHERE { ?p ex:type ex:Person . OPTIONAL { ?p ex:nick ?n } } '
+        'ORDER BY DESC(?n)'
+    )
+    assert [r.get("n") for r in rows] == ["Ali", None]
+    # a variable literally named ?where projects correctly
+    rows = g.query('SELECT ?where { ?where ex:nick "Ali" }')
+    assert rows == [{"where": "http://ex/alice"}]
+
+
+def test_train_val_split_edges(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import train_val_split
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                             "text": pa.array(["x"] * 50, pa.string())}),
+                   str(d / "documents.parquet"))
+    all_train = train_val_split(str(d), train_fraction=1.0).to_pandas()
+    assert (all_train["split"] == "train").all()
+    none_train = train_val_split(str(d), train_fraction=0.0).to_pandas()
+    assert (none_train["split"] == "val").all()
