@@ -10,8 +10,10 @@ Scale shapes:
   hash per shingle + k universal-hash transforms), banded, and only
   (band_key:int64, doc_id) rows are shuffled; candidate pairs come from a
   coarse-partitioned vectorized self-merge and are verified by signature
-  similarity after two distributed hash joins. No O(n²) anywhere; bucket
-  skew is bounded because identical band-hashes imply near-identical docs.
+  similarity — size-adaptively: one vectorized pass over a driver-bounded
+  candidate set, or two distributed hash joins past the threshold. No
+  O(n²) anywhere; bucket skew is bounded because identical band-hashes
+  imply near-identical docs.
 - **SimHash**: 64-bit signatures; near-dup candidates via 4×16-bit band
   exact-match buckets (Hamming ≤ 3 ⇒ at least one band matches by
   pigeonhole for 4 bands).
