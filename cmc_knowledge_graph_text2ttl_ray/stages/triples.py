@@ -108,6 +108,7 @@ class TripleExtractor:
         text_column: str = "text",
         url_column: str = "url",
         allow_exec: bool = True,
+        allow_remote: bool = False,
         entity_ns: str | None = None,
         max_text_chars: int = 4_000_000,
     ) -> None:
@@ -118,7 +119,8 @@ class TripleExtractor:
         }
         self._interps = [
             (plan.name, plan.trigger,
-             WorkflowInterpreter(plan, graphs=graphs, allow_exec=allow_exec))
+             WorkflowInterpreter(plan, graphs=graphs, allow_exec=allow_exec,
+                                 allow_remote=allow_remote))
             for plan in plans
         ]
         self._text_column = text_column

@@ -186,3 +186,34 @@ def test_select_routes_to_remote_endpoint(fake_server, monkeypatch):
 
     with pytest.raises(InterpreterError, match="allow_remote"):
         WorkflowInterpreter(wf).run("dummy")
+
+
+def test_remote_select_from_extraction_actor(fake_server, ray_session):
+    """The full pipeline path: a workflow with an http: select runs inside a
+    Ray actor with allow_remote wired through TripleExtractor."""
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.triples import TripleExtractor
+    from cmc_knowledge_graph_text2ttl_ray.state.plan import compile_workflow
+
+    url = f"http://127.0.0.1:{fake_server.server_port}/db"
+    wf = compile_workflow(
+        "- prefix: ex\n  iri: http://e/\n"
+        f"- select: s label\n  from: {url}\n"
+        "  where: \"SELECT ?s ?label WHERE { ?s ?p ?label }\"\n"
+        "- subject: ex:doc\n  predicate: ex:linked\n  object:\n"
+        "    text: \"@{label}\"\n",
+        name="remote",
+    )
+    rows = pa.table({"url": ["https://x/1", "https://x/2"],
+                     "text": ["dummy", "dummy"]})
+    out = ray.data.from_arrow(rows).map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs=dict(plans=[wf], graphs_ttl={},
+                                   allow_remote=True),
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    triples = out[out["rec"] == "triple"]
+    assert (triples["object"] == "Acme Corp").any()
