@@ -130,6 +130,9 @@ def cmd_run(args) -> int:
         num_buckets=args.num_buckets,
         resume=not args.no_resume,
         canonical_mode=args.canonical_mode,
+        # pdf: sources are a lazy map plan (schema unknown without running
+        # the executor) — route explicitly instead of the auto sniff
+        source="pdf" if args.pages.startswith("pdf:") else "auto",
     )
     summary = {
         "buckets": len(result["manifest"]["buckets"]),

@@ -111,15 +111,14 @@ def _argmax_mapping(pdf: pd.DataFrame, entity_ns: str) -> pd.DataFrame:
 def mapping_from_entity_records(records_ds, entity_ns: str) -> pd.DataFrame:
     """Build the mapping from rec='entity' partial-count rows emitted by the
     extraction actors — no extra pass over the triple table."""
-    ent = records_ds.map_batches(
-        lambda t: pa.table(
-            {
-                "iri": t.filter(pc.equal(t["rec"], "entity"))["subject"],
-                "cnt": t.filter(pc.equal(t["rec"], "entity"))["no_triples"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def _ent(t: pa.Table) -> pa.Table:
+        # A rec-partitioned checkpoint read arrives pre-filtered without the
+        # rec column; mixed record streams still carry it.
+        if "rec" in t.column_names:
+            t = t.filter(pc.equal(t["rec"], "entity"))
+        return pa.table({"iri": t["subject"], "cnt": t["no_triples"]})
+
+    ent = records_ds.map_batches(_ent, batch_format="pyarrow")
     return _argmax_mapping(ent.to_pandas(), entity_ns)
 
 
@@ -171,7 +170,8 @@ def canonicalization_mapping_ds(records_ds, entity_ns: str,
     from ray.data.aggregate import Sum
 
     def ent_rows(t: pa.Table) -> pa.Table:
-        ent = t.filter(pc.equal(t["rec"], "entity"))
+        ent = (t.filter(pc.equal(t["rec"], "entity"))
+               if "rec" in t.column_names else t)
         iri = ent["subject"].combine_chunks().cast(pa.string())
         return pa.table({
             "key": _norm_key(_local_name(iri, entity_ns)),

@@ -66,6 +66,10 @@ def _extract_column(html: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
     """Replace/compute the ``text`` column from ``html`` (pyarrow batch)."""
+    if "html" not in batch.column_names:
+        # Already-extracted input (text present, html absent): pass through.
+        # Checked per batch so lazy datasets need no driver-side schema fetch.
+        return batch
     text = pc.cast(_extract_column(batch["html"]), pa.string())
     if "text" in batch.column_names:
         idx = batch.column_names.index("text")
@@ -110,14 +114,23 @@ def extract_pdf_batch(batch: pa.Table) -> pa.Table:
 def add_extracted_text(ds, batch_size: int = 1024, source: str = "auto"):
     """Dataset → Dataset with the extracted ``text`` column (streaming,
     stateless tasks, Arrow zero-copy for HTML; per-task PDF parsing for
-    ``pdf`` columns). ``source``: "html", "pdf", or "auto" (inspect the
-    schema — cheap for file-backed datasets)."""
+    ``pdf`` columns). ``source``: "html", "pdf", or "auto".
+
+    "auto" inspects only the LAZILY-KNOWN schema (free for file-backed
+    datasets). Forcing the schema of a lazy map plan spins up a whole
+    executor to peek one block (~1.3 s measured at 32 CPUs — the round-2
+    headline regression), so when the schema is unknown we assume "html"
+    (extract_text_batch passes through already-extracted batches anyway);
+    lazy non-HTML sources must pass ``source="pdf"`` explicitly."""
     if source == "auto":
         try:
-            names = ds.schema().names
+            sch = ds.schema(fetch_if_missing=False)
         except Exception:
-            names = []
-        if "pdf" in names and "html" not in names:
+            sch = None
+        names = list(sch.names) if sch is not None else None
+        if names is None:
+            source = "html"
+        elif "pdf" in names and "html" not in names:
             source = "pdf"
         elif "html" not in names and "text" in names:
             return ds  # already extracted — pass through
