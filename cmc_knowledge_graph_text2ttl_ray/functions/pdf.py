@@ -222,16 +222,31 @@ def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
     if sm is None:
         return b""
     raw = body[sm.end() :]
-    es = raw.rfind(b"endstream")
-    if es >= 0:
-        raw = raw[:es]
-    raw = raw.rstrip(b"\r\n")
     d = _obj_dict(body)
+    # Prefer the dict's /Length (PDF 32000-1 §7.3.8.2: the exact stream byte
+    # count) — compressed data may legitimately END in 0x0A/0x0D bytes, so
+    # stripping all trailing EOLs corrupts ~1-2% of valid FlateDecode
+    # streams. Without /Length, strip at most ONE EOL marker before
+    # 'endstream' per the spec.
+    length = _resolve(objs, d.get("Length"))
+    if isinstance(length, int) and 0 <= length <= len(raw):
+        raw = raw[:length]
+    else:
+        es = raw.rfind(b"endstream")
+        if es >= 0:
+            raw = raw[:es]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
     filt = d.get("Filter")
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
     for f in filters:
         if f == "/FlateDecode":
-            raw = zlib.decompress(raw)
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as ex:
+                raise PdfParseError(f"Bad FlateDecode stream: {ex}") from ex
         elif f is None:
             pass
         else:

@@ -17,6 +17,7 @@ documents, which is what makes the whole engine embarrassingly map-parallel.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from datetime import date, datetime
@@ -886,8 +887,27 @@ class WorkflowInterpreter:
     def register_graph(self, name: str, graph: GraphIndex) -> None:
         self._graphs[name] = graph
 
-    def _resolve_graph(self, graph_id: str) -> GraphIndex:
-        g = self._graphs.get(graph_id)
+    def _resolve_creds(self, op) -> tuple[str | None, str | None]:
+        """``username:``/``password:`` with ``$VAR`` environment resolution
+        (reference query_graph :2142-2151; undefined variable = hard error)."""
+        creds = []
+        for label, raw in (("Username", getattr(op, "username", None)),
+                           ("Password", getattr(op, "password", None))):
+            if raw is not None and raw.startswith("$"):
+                val = os.environ.get(raw[1:])
+                if val is None:
+                    raise InterpreterError(
+                        f"{label} environment variable {raw[1:]} is not defined"
+                    )
+                raw = val
+            creds.append(raw)
+        return creds[0], creds[1]
+
+    def _resolve_graph(self, graph_id: str,
+                       username: str | None = None,
+                       password: str | None = None) -> GraphIndex:
+        cache_key = graph_id if username is None else (graph_id, username, password)
+        g = self._graphs.get(cache_key)
         if g is None:
             if graph_id.startswith(("http:", "https:", "<stardog>")):
                 # Reference routes these to a Stardog HTTP endpoint
@@ -904,13 +924,14 @@ class WorkflowInterpreter:
                     RemoteSparqlEndpoint,
                 )
 
-                g = RemoteSparqlEndpoint(graph_id)
+                g = RemoteSparqlEndpoint(graph_id, username=username,
+                                         password=password)
             else:
                 try:
                     g = self._graph_loader(graph_id)
                 except Exception as ex:
                     raise InterpreterError(f"Failed to load graph '{graph_id}'") from ex
-            self._graphs[graph_id] = g
+            self._graphs[cache_key] = g
         return g
 
     def _op_select(self, op: P.SelectOp):
@@ -922,7 +943,9 @@ class WorkflowInterpreter:
         implemented here as documented instead.
         """
         where = self._expand(op.where)
-        graph = self._resolve_graph(op.graph_id)
+        username, password = self._resolve_creds(op)
+        graph = self._resolve_graph(op.graph_id, username=username,
+                                    password=password)
         rows = graph.query(where)
         if not rows:
             if op.else_steps is not None:

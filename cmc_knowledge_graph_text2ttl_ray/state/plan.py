@@ -302,6 +302,10 @@ class SelectOp:
     aliases: tuple[str, ...]
     steps: tuple | None
     else_steps: tuple | None
+    # Remote-endpoint HTTP basic auth (reference query_graph :2130-2151);
+    # a leading ``$`` defers to an environment variable at execution time.
+    username: str | None = None
+    password: str | None = None
 
 
 @dataclass(frozen=True)
@@ -662,6 +666,8 @@ def _compile_step(step, path: str):
             # (the reference types it str and then crashes executing it,
             # :2132 + :2167 — unusable as shipped).
             else_steps=_compile_opt_seq(step.get("else"), f"{path}.else"),
+            username=_attr(step, "username", str, optional=True),
+            password=_attr(step, "password", str, optional=True),
         )
     if "subject" in step or "predicate" in step or "object" in step:
         return _compile_triple(step, path)

@@ -55,8 +55,12 @@ def resolve_graph_url(graph_id: str, server_url_var: str = "STARDOG_SERVER") -> 
 class RemoteSparqlEndpoint:
     """Queries one remote SPARQL endpoint; drop-in for ``GraphIndex.query``.
 
-    :param url: endpoint/database URL (may use the ``<stardog>`` prefix).
-    :param username/password: HTTP basic auth credentials.
+    :param url: endpoint/database URL (may use the ``<stardog>`` prefix
+        and/or in-URL ``user[:pass]@`` credentials — a ``$VAR`` password
+        reads the environment, same resolver as the uploader).
+    :param username/password: HTTP basic auth credentials; in-URL
+        credentials take precedence (reference upload URL semantics,
+        text_to_turtle_processor.py:361-398).
     """
 
     def __init__(
@@ -67,9 +71,22 @@ class RemoteSparqlEndpoint:
         server_url_var: str = "STARDOG_SERVER",
         timeout: float = 30.0,
     ) -> None:
-        self._url = resolve_graph_url(url, server_url_var)
-        self._username = username
-        self._password = password
+        from cmc_knowledge_graph_text2ttl_ray.stages.uploader import (
+            UploadError,
+            resolve_db_url,
+        )
+
+        try:
+            self._url, user, pw = resolve_db_url(
+                url, server_url_var, username=username, password=password
+            )
+        except UploadError as ex:
+            raise RemoteQueryError(str(ex)) from ex
+        self._username = user
+        # resolve_db_url's STARDOG_PASSWORD fallback only applies when some
+        # username is in play — never send ambient credentials for an
+        # anonymous query (reference query handler takes creds explicitly).
+        self._password = pw if user is not None else None
         self._timeout = timeout
 
     def query(self, sparql: str) -> list[dict[str, str]]:

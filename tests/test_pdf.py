@@ -241,3 +241,37 @@ def test_pdf_parser_never_crashes_on_fuzz():
             extract_pdf_pages(base[:cut])
         except PdfParseError:
             pass
+
+
+def test_pdf_flate_stream_ending_in_eol_bytes():
+    """Compressed data may legitimately end in 0x0A/0x0D; /Length slicing
+    (and at most ONE EOL strip without /Length) must preserve those bytes
+    (ADVICE r2: rstrip(b'\\r\\n') corrupted ~1-2% of valid streams)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import pdf_to_xhtml
+
+    stream = b"BT /F1 12 Tf 100 730 Td (Probe 1039 ) Tj ET"
+    data = zlib.compress(stream)
+    assert data.endswith(b"\n\n")  # the regression trigger
+    # /Length path (make_pdf writes exact /Length)
+    assert "Probe 1039" in pdf_to_xhtml(make_pdf([stream], compress=True))
+    # no-/Length path: hand-build the content object without /Length
+    pdf = make_pdf([stream], compress=True)
+    needle = f"/Length {len(data)} ".encode()
+    assert needle in pdf
+    assert "Probe 1039" in pdf_to_xhtml(pdf.replace(needle, b""))
+
+
+def test_pdf_corrupt_flate_raises_pdfparseerror():
+    """zlib failures surface as PdfParseError (module contract), never raw
+    zlib.error."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import (
+        PdfParseError,
+        pdf_to_xhtml,
+    )
+
+    stream = b"BT /F1 12 Tf 100 730 Td (x) Tj ET"
+    data = zlib.compress(stream)
+    pdf = make_pdf([stream], compress=True)
+    bad = pdf.replace(data, b"\x00" * len(data))
+    with pytest.raises(PdfParseError):
+        pdf_to_xhtml(bad)
