@@ -62,21 +62,39 @@ _RE_TERM = re.compile(
 
 def _string_mask(text: str) -> list[bool]:
     """Per-character mask: True where the character sits inside a quoted
-    string literal (escape-aware)."""
+    string literal (escape-aware) or a ``<...>`` IRI span — both are DATA,
+    never syntax. An IRI span requires a whitespace-free run ending in
+    ``>`` so comparison operators in FILTER expressions (``?x < 5``) are
+    never mistaken for an IRI opener."""
     mask = [False] * len(text)
-    in_str, esc = False, False
-    for i, ch in enumerate(text):
-        if in_str:
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == '"':
             mask[i] = True
-            if esc:
-                esc = False
-            elif ch == "\\":
-                esc = True
-            elif ch == '"':
-                in_str = False
-        elif ch == '"':
-            mask[i] = True
-            in_str = True
+            i += 1
+            esc = False
+            while i < n:
+                mask[i] = True
+                c = text[i]
+                i += 1
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == '"':
+                    break
+            continue
+        if ch == "<":
+            j = i + 1
+            while j < n and not text[j].isspace() and text[j] not in '<>"':
+                j += 1
+            if j < n and text[j] == ">":
+                for k in range(i, j + 1):
+                    mask[k] = True
+                i = j + 1
+                continue
+        i += 1
     return mask
 
 
@@ -91,9 +109,10 @@ _FILTER_TOKEN = re.compile(
       (?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)
     | (?P<or>\|\|)|(?P<and>&&)
     | (?P<op>!=|<=|>=|=|<|>)|(?P<not>!)
+    | (?P<arith>[+\-*/])
     | (?P<var>\?[A-Za-z_]\w*)
     | (?P<string>"(?:[^"\\]|\\.)*")
-    | (?P<number>[+-]?\d+(?:\.\d+)?)
+    | (?P<number>\d+(?:\.\d+)?)
     | (?P<iri><[^>]*>)
     | (?P<name>[A-Za-z_][\w\-]*(?::[\w][\w.\-]*)?)
     )""",
@@ -108,7 +127,9 @@ def _compile_filter(expr: str, prefixes: dict[str, str]):
     """Compile a FILTER expression subset to a ``binding → bool`` closure.
 
     Supported: comparisons (= != < <= > >=; numeric when both sides parse as
-    numbers, else string), ``regex(?v, "pat"[, "i"])``, ``bound(?v)``,
+    numbers, else string), arithmetic (``+ - * /`` with unary minus; numeric
+    coercion, type errors evaluate the filter false per SPARQL), ``?v IN
+    (...)`` / ``NOT IN``, ``regex(?v, "pat"[, "i"])``, ``bound(?v)``,
     ``contains/strstarts/strends(?v, "s")``, ``str/ucase/lcase/strlen``,
     ``! && ||`` and parentheses.
     """
@@ -159,39 +180,123 @@ def _compile_filter(expr: str, prefixes: dict[str, str]):
             left = lambda b, l_=l_, r_=r_: bool(l_(b)) and bool(r_(b))
         return left
 
+    def _num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
     def parse_unary():
         if peek("not"):
             take("not")
             inner = parse_unary()
             return lambda b, inner=inner: not bool(inner(b))
-        if peek("lpar"):
+        return parse_comparison()
+
+    def parse_comparison():
+        left = parse_additive()
+        if peek("op"):
+            op = take("op")[1]
+            right = parse_additive()
+
+            def cmp(b, left=left, right=right, op=op):
+                lv, rv = left(b), right(b)
+                if lv is None or rv is None:
+                    return False
+                try:
+                    ln, rn = float(lv), float(rv)
+                    lv, rv = ln, rn
+                except (TypeError, ValueError):
+                    lv, rv = str(lv), str(rv)
+                return {
+                    "=": lv == rv, "!=": lv != rv, "<": lv < rv,
+                    "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv,
+                }[op]
+
+            return cmp
+        t = peek("name")
+        if t is not None and t[1].upper() in ("IN", "NOT"):
+            negate = t[1].upper() == "NOT"
+            take("name")
+            if negate:
+                nt = peek("name")
+                if nt is None or nt[1].upper() != "IN":
+                    raise QueryError(f"Expected IN after NOT in FILTER: {expr!r}")
+                take("name")
             take("lpar")
-            inner = parse_or()
+            items = []
+            if not peek("rpar"):
+                items.append(parse_additive())
+                while peek("comma"):
+                    take("comma")
+                    items.append(parse_additive())
             take("rpar")
-            return maybe_comparison(inner)
-        return maybe_comparison(parse_operand())
 
-    def maybe_comparison(left):
-        if not peek("op"):
-            return left
-        op = take("op")[1]
-        right = parse_operand()
+            def inlist(b, left=left, items=items, negate=negate):
+                lv = left(b)
+                if lv is None:
+                    return False
+                hit = False
+                for it in items:
+                    rv = it(b)
+                    if rv is None:
+                        continue
+                    ln, rn = _num(lv), _num(rv)
+                    if (ln is not None and rn is not None and ln == rn) or \
+                            str(lv) == str(rv):
+                        hit = True
+                        break
+                return (not hit) if negate else hit
 
-        def cmp(b, left=left, right=right, op=op):
-            lv, rv = left(b), right(b)
-            if lv is None or rv is None:
-                return False
-            try:
-                ln, rn = float(lv), float(rv)
-                lv, rv = ln, rn
-            except (TypeError, ValueError):
-                lv, rv = str(lv), str(rv)
-            return {
-                "=": lv == rv, "!=": lv != rv, "<": lv < rv,
-                "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv,
-            }[op]
+            return inlist
+        return left
 
-        return cmp
+    def parse_additive():
+        left = parse_mult()
+        while peek("arith") and peek("arith")[1] in "+-":
+            op = take("arith")[1]
+            right = parse_mult()
+
+            def add(b, l_=left, r_=right, op=op):
+                lv, rv = _num(l_(b)), _num(r_(b))
+                if lv is None or rv is None:
+                    return None
+                return lv + rv if op == "+" else lv - rv
+
+            left = add
+        return left
+
+    def parse_mult():
+        left = parse_primary()
+        while peek("arith") and peek("arith")[1] in "*/":
+            op = take("arith")[1]
+            right = parse_primary()
+
+            def mul(b, l_=left, r_=right, op=op):
+                lv, rv = _num(l_(b)), _num(r_(b))
+                if lv is None or rv is None:
+                    return None
+                if op == "/":
+                    return lv / rv if rv != 0 else None
+                return lv * rv
+
+            left = mul
+        return left
+
+    def parse_primary():
+        t = peek("arith")
+        if t is not None and t[1] in "+-":
+            op = take("arith")[1]
+            inner = parse_primary()
+
+            def signed(b, inner=inner, op=op):
+                v = _num(inner(b))
+                if v is None:
+                    return None
+                return -v if op == "-" else v
+
+            return signed
+        return parse_operand()
 
     def parse_operand():
         t = peek()
@@ -350,11 +455,16 @@ class GraphIndex:
     def query(self, sparql: str) -> list[dict[str, str]]:
         """Evaluate a SELECT query; returns sorted rows of var → string.
 
-        Supports basic graph patterns plus ``OPTIONAL { }``, ``FILTER( )``,
-        ``{ } UNION { }`` and ``MINUS { }`` (round-1 verdict: reference
-        workflows rely on FILTER for value constraints,
-        text_to_turtle_processor.py:2107-2202 runs full rdflib SPARQL).
-        FILTERs are applied at the end of their group, per SPARQL scoping.
+        Supports basic graph patterns plus ``OPTIONAL { }``, ``FILTER( )``
+        (with arithmetic and ``IN``), ``{ } UNION { }``, ``MINUS { }``,
+        ``BIND``/``VALUES``, property paths (``/ | ^ + * ?``), aggregates
+        (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT) with ``GROUP BY`` /
+        ``HAVING``, and the DISTINCT/ORDER BY/LIMIT/OFFSET modifiers
+        (round-1 verdict: reference workflows rely on these,
+        text_to_turtle_processor.py:2107-2202 runs full rdflib SPARQL;
+        still unsupported: subqueries, negated property sets ``!p``,
+        EXISTS). FILTERs are applied at the end of their group, per SPARQL
+        scoping.
         """
         prefixes = dict(self.prefixes)
         for m in _RE_PREFIX_DECL.finditer(sparql):
@@ -366,9 +476,11 @@ class GraphIndex:
         elements = self._parse_group(body, prefixes)
         rows = self._eval_group(elements, [{}])
 
-        # SPARQL modifier order: ORDER BY (may reference non-projected
-        # vars) → projection → DISTINCT → OFFSET/LIMIT.
+        # SPARQL modifier order: GROUP BY/aggregates → HAVING → ORDER BY
+        # (may reference non-projected vars) → projection → DISTINCT →
+        # OFFSET/LIMIT.
         tail = sparql[end:]
+        rows, agg_proj = self._apply_aggregation(sparql, tail, rows, prefixes)
         m_ord = re.search(
             r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
             r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)",
@@ -406,7 +518,10 @@ class GraphIndex:
             sparql, re.IGNORECASE | re.DOTALL)
         distinct = bool(m_sel and m_sel.group(1))
         proj = (m_sel.group(2).split() if m_sel else [])
-        sel_vars = [v[1:] for v in proj if v.startswith("?")]
+        if agg_proj is not None:
+            sel_vars, proj = agg_proj, agg_proj
+        else:
+            sel_vars = [v[1:] for v in proj if v.startswith("?")]
         if sel_vars and "*" not in proj:
             rows = [{v: r[v] for v in sel_vars if v in r} for r in rows]
         if distinct:
@@ -425,6 +540,125 @@ class GraphIndex:
         if m_lim:
             rows = rows[: int(m_lim.group(1))]
         return rows
+
+    # -- aggregation ---------------------------------------------------------
+
+    _RE_AGG_ITEM = re.compile(
+        r"^\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+        r"(DISTINCT\s+)?(\*|\?\w+)\s*"
+        r"(?:;\s*SEPARATOR\s*=\s*\"([^\"]*)\"\s*)?\)\s+AS\s+\?(\w+)\s*\)$",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _split_select_items(text: str) -> list[str]:
+        """Whitespace-split the SELECT list, keeping ``( ... AS ?x )`` items
+        (which contain spaces) intact."""
+        items, buf, depth = [], [], 0
+        for ch in text:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch.isspace() and depth == 0:
+                if buf:
+                    items.append("".join(buf))
+                    buf = []
+            else:
+                buf.append(ch)
+        if buf:
+            items.append("".join(buf))
+        return items
+
+    def _apply_aggregation(self, sparql: str, tail: str, rows: list[dict],
+                           prefixes: dict[str, str]):
+        """GROUP BY + SELECT aggregates + HAVING (reference workflows get
+        these from rdflib, text_to_turtle_processor.py:2107-2202).
+
+        Supported: COUNT(*/?v) / SUM / MIN / MAX / AVG / SAMPLE /
+        GROUP_CONCAT(?v ; SEPARATOR="...") with optional DISTINCT, ``GROUP
+        BY ?a ?b``, ``HAVING(expr)`` over group keys and aggregate aliases.
+        Returns (rows, projection-list) — projection None when the query has
+        no aggregation (caller keeps plain-SELECT semantics)."""
+        m_sel = re.search(
+            r"\bSELECT\s+(?:DISTINCT\s+)?(.*?)\s*(?:(?<=\s)WHERE\s*)?\{",
+            sparql, re.IGNORECASE | re.DOTALL)
+        items = self._split_select_items(m_sel.group(1)) if m_sel else []
+        agg_specs: list[tuple] = []   # (fname, distinct, var|None, sep, alias)
+        plain_vars: list[str] = []
+        for it in items:
+            m = self._RE_AGG_ITEM.match(it)
+            if m:
+                fname = m.group(1).upper()
+                var = None if m.group(3) == "*" else m.group(3)[1:]
+                if var is None and fname != "COUNT":
+                    raise QueryError(f"{fname}(*) is only valid for COUNT")
+                agg_specs.append((fname, bool(m.group(2)), var,
+                                  m.group(4) if m.group(4) is not None else " ",
+                                  m.group(5)))
+            elif it.startswith("?"):
+                plain_vars.append(it[1:])
+            elif it.startswith("("):
+                raise QueryError(f"Unsupported SELECT expression: {it}")
+        m_grp = re.search(r"\bGROUP\s+BY\s+((?:\?\w+\s*)+)", tail,
+                          re.IGNORECASE)
+        if not agg_specs and not m_grp:
+            return rows, None
+        group_vars = (re.findall(r"\?(\w+)", m_grp.group(1)) if m_grp
+                      else plain_vars)
+        groups: dict[tuple, list[dict]] = {}
+        for r in rows:
+            groups.setdefault(tuple(r.get(v) for v in group_vars), []).append(r)
+        if not group_vars and not groups:
+            groups[()] = []   # aggregate over the empty solution set
+        out = []
+        for key in groups:
+            grows = groups[key]
+            row = {v: k for v, k in zip(group_vars, key) if k is not None}
+            for fname, dist, var, sep, alias in agg_specs:
+                if var is None:           # COUNT(*)
+                    vals = [1] * len(grows)
+                    if dist:
+                        vals = vals[:1] if grows else []
+                else:
+                    vals = [r[var] for r in grows if r.get(var) is not None]
+                    if dist:
+                        vals = sorted(set(vals))
+                if fname == "COUNT":
+                    row[alias] = str(len(vals))
+                    continue
+                if fname == "GROUP_CONCAT":
+                    row[alias] = sep.join(str(v) for v in vals)
+                    continue
+                if not vals:
+                    continue              # SUM/MIN/MAX/AVG of nothing: unbound
+                if fname == "SAMPLE":
+                    row[alias] = str(min(vals))
+                    continue
+                nums = []
+                for v in vals:
+                    try:
+                        nums.append(float(v))
+                    except (TypeError, ValueError):
+                        nums = None
+                        break
+                if fname in ("SUM", "AVG"):
+                    if nums is None:
+                        raise QueryError(f"{fname} over non-numeric values")
+                    x = sum(nums) / (len(nums) if fname == "AVG" else 1)
+                elif nums is not None:
+                    x = min(nums) if fname == "MIN" else max(nums)
+                else:
+                    row[alias] = min(vals) if fname == "MIN" else max(vals)
+                    continue
+                row[alias] = str(int(x)) if float(x).is_integer() else str(x)
+            out.append(row)
+        m_hav = re.search(r"\bHAVING\s*\(", tail, re.IGNORECASE)
+        if m_hav:
+            expr, _ = self._read_parens(tail, m_hav.end() - 1)
+            fn = _compile_filter(expr, prefixes)
+            out = [r for r in out if fn(r)]
+        return out, (plain_vars + [a for *_x, a in agg_specs])
 
     # -- group parsing -------------------------------------------------------
 
@@ -467,11 +701,12 @@ class GraphIndex:
             if text:
                 elements.append(("bgp", self._parse_patterns(text, prefixes)))
 
-        # keywords/braces inside quoted literals are DATA; and '?filter' is a
-        # variable, not the FILTER keyword — hence the string-span mask and
-        # the left lookbehind
+        # keywords/braces inside quoted literals and <...> IRIs are DATA;
+        # '?filter' is a variable and 'ex:filter' a prefixed local name, not
+        # the FILTER keyword — hence the span mask and the left lookbehind
+        # (':' keeps prefixed names out)
         in_str = _string_mask(body)
-        kw = re.compile(r"(?<![?\w])(OPTIONAL|FILTER|MINUS|UNION|BIND|VALUES)\b|\{",
+        kw = re.compile(r"(?<![?\w:])(OPTIONAL|FILTER|MINUS|UNION|BIND|VALUES)\b|\{",
                         re.IGNORECASE)
         while pos < n:
             m = kw.search(body, pos)
@@ -689,20 +924,166 @@ class GraphIndex:
     ) -> list[tuple[tuple[str, str], ...]]:
         patterns = []
         for stmt in self._split_statements(body):
-            terms = []
-            pos = 0
-            while pos < len(stmt):
-                m = _RE_TERM.match(stmt, pos)
-                if m is None:
-                    raise QueryError(f"Cannot parse pattern term at: {stmt[pos:pos+40]!r}")
-                pos = m.end()
-                terms.append(self._term(m, prefixes))
-            if len(terms) != 3:
+            toks = self._tokenize_statement(stmt, prefixes)
+            if len(toks) == 3 and all(k == "term" for k, _ in toks):
+                patterns.append((toks[0][1], toks[1][1], toks[2][1]))
+                continue
+            # predicate-position property path: subject PATH object
+            if len(toks) < 3 or toks[0][0] != "term" or toks[-1][0] != "term":
                 raise QueryError(f"Pattern is not a triple: {stmt!r}")
-            patterns.append(tuple(terms))
+            ast = self._parse_path(toks[1:-1], stmt)
+            patterns.append((toks[0][1], ("path", ast), toks[-1][1]))
         if not patterns:
             raise QueryError("Empty WHERE body")
         return patterns
+
+    _RE_PATH_OP = re.compile(r"\s*([/|^+*?()])\s*")
+
+    def _tokenize_statement(self, stmt: str, prefixes: dict[str, str]):
+        """Statement → [("term", (kind, val)) | ("op", ch)] tokens; the op
+        alphabet is the SPARQL property-path operators."""
+        toks, pos = [], 0
+        while pos < len(stmt):
+            m = _RE_TERM.match(stmt, pos)
+            if m is not None and m.end() > pos:
+                toks.append(("term", self._term(m, prefixes)))
+                pos = m.end()
+                continue
+            m2 = self._RE_PATH_OP.match(stmt, pos)
+            if m2 is not None:
+                toks.append(("op", m2.group(1)))
+                pos = m2.end()
+                continue
+            raise QueryError(f"Cannot parse pattern term at: {stmt[pos:pos+40]!r}")
+        return toks
+
+    def _parse_path(self, toks: list, stmt: str):
+        """SPARQL property-path subset → AST (reference runs full rdflib):
+        sequences ``p1/p2``, alternatives ``p1|p2``, inverse ``^p``,
+        closures ``p+ p* p?``, grouped with parentheses. Negated property
+        sets (``!p``) are not supported."""
+        pos = 0
+
+        def peek():
+            return toks[pos] if pos < len(toks) else None
+
+        def parse_alt():
+            parts = [parse_seq()]
+            while peek() == ("op", "|"):
+                advance()
+                parts.append(parse_seq())
+            return parts[0] if len(parts) == 1 else ("alt", parts)
+
+        def parse_seq():
+            parts = [parse_unary()]
+            while peek() == ("op", "/"):
+                advance()
+                parts.append(parse_unary())
+            return parts[0] if len(parts) == 1 else ("seq", parts)
+
+        def advance():
+            nonlocal pos
+            pos += 1
+
+        def parse_unary():
+            inv = False
+            if peek() == ("op", "^"):
+                advance()
+                inv = True
+            node = parse_atom()
+            while peek() in (("op", "+"), ("op", "*"), ("op", "?")):
+                ch = toks[pos][1]
+                advance()
+                node = ({"+": "plus", "*": "star", "?": "opt"}[ch], node)
+            return ("inv", node) if inv else node
+
+        def parse_atom():
+            t = peek()
+            if t == ("op", "("):
+                advance()
+                node = parse_alt()
+                if peek() != ("op", ")"):
+                    raise QueryError(f"Unbalanced parens in path: {stmt!r}")
+                advance()
+                return node
+            if t is not None and t[0] == "term" and t[1][0] == "const":
+                advance()
+                return ("atom", t[1][1])
+            raise QueryError(f"Cannot parse property path in: {stmt!r}")
+
+        ast = parse_alt()
+        if pos != len(toks):
+            raise QueryError(f"Trailing tokens in property path: {stmt!r}")
+        return ast
+
+    def _path_nodes(self) -> list[str]:
+        return sorted(set(self._by_s) | set(self._by_o))
+
+    def _eval_path(self, ast, s: str | None, o: str | None) -> set:
+        """Evaluate a path AST → set of (subject, object) pairs, with the
+        bound ends (if any) pushed down as index lookups."""
+        kind = ast[0]
+        if kind == "atom":
+            return {(t[0], t[2]) for t in self.match(s, ast[1], o)}
+        if kind == "inv":
+            return {(b, a) for (a, b) in self._eval_path(ast[1], o, s)}
+        if kind == "alt":
+            out: set = set()
+            for sub in ast[1]:
+                out |= self._eval_path(sub, s, o)
+            return out
+        if kind == "seq":
+            parts = ast[1]
+            frontier = self._eval_path(parts[0], s, None)
+            for part in parts[1:-1]:
+                nxt = set()
+                for (a, mid) in frontier:
+                    for (_m, c) in self._eval_path(part, mid, None):
+                        nxt.add((a, c))
+                frontier = nxt
+                if not frontier:
+                    return set()
+            out = set()
+            for (a, mid) in frontier:
+                for (_m, c) in self._eval_path(parts[-1], mid, o):
+                    out.add((a, c))
+            return out
+        if kind == "opt":
+            pairs = self._eval_path(ast[1], s, o)
+            if s is not None:
+                if o is None or o == s:
+                    pairs.add((s, s))
+            elif o is not None:
+                pairs.add((o, o))
+            else:
+                pairs |= {(x, x) for x in self._path_nodes()}
+            return pairs
+        if kind in ("plus", "star"):
+            inner = ast[1]
+            if s is None and o is not None:
+                # pivot on the bound end: walk the inverse and flip back
+                flipped = self._eval_path((kind, ("inv", inner)), o, None)
+                return {(b, a) for (a, b) in flipped}
+            starts = [s] if s is not None else self._path_nodes()
+            out = set()
+            for st in starts:
+                reached: set = set()
+                frontier = {st}
+                while frontier:
+                    nxt = set()
+                    for nd in frontier:
+                        for (_a, y) in self._eval_path(inner, nd, None):
+                            if y not in reached:
+                                reached.add(y)
+                                nxt.add(y)
+                    frontier = nxt
+                if kind == "star":
+                    reached.add(st)
+                out |= {(st, y) for y in reached}
+            if o is not None:
+                out = {(a, b) for (a, b) in out if b == o}
+            return out
+        raise QueryError(f"Unknown path node: {kind}")
 
     @staticmethod
     def _split_statements(body: str) -> list[str]:
@@ -780,6 +1161,24 @@ class GraphIndex:
             if kind == "const":
                 return val
             return binding.get(val)
+
+        if pkind == "path":
+            s, o = bound(skind, sval), bound(okind, oval)
+            out2: list[dict[str, str]] = []
+            for sv, ov in sorted(self._eval_path(pval, s, o)):
+                nb = dict(binding)
+                ok = True
+                for kind, val, got in ((skind, sval, sv), (okind, oval, ov)):
+                    if kind == "var":
+                        prev = nb.get(val)
+                        if prev is None:
+                            nb[val] = got
+                        elif prev != got:
+                            ok = False
+                            break
+                if ok:
+                    out2.extend(self._join(patterns[1:], nb))
+            return out2
 
         s, p, o = bound(skind, sval), bound(pkind, pval), bound(okind, oval)
         out: list[dict[str, str]] = []

@@ -227,3 +227,92 @@ def test_sparql_optional_union_minus_match_bruteforce(data):
     exp = [b for b in main if not any(compat(b, s) for s in minus_sols)]
     assert sorted(tuple(sorted(r.items())) for r in got) == \
            sorted(tuple(sorted(r.items())) for r in exp)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_sparql_plus_closure_matches_bruteforce(data):
+    """p+ transitive closure vs an independent reachability computation on
+    random small digraphs, from every direction (s bound, o bound, neither)."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    nodes = [f"http://e/{c}" for c in "abcde"]
+    edges = data.draw(st.lists(
+        st.tuples(st.sampled_from(nodes), st.sampled_from(nodes)),
+        min_size=0, max_size=10, unique=True))
+    g = GraphIndex()
+    for s, o in edges:
+        g.add((s, "http://e/p", o, "iri", None, None))
+    # brute reachability via repeated relational join
+    reach = set(edges)
+    while True:
+        nxt = reach | {(a, d) for (a, b) in reach for (c, d) in edges if b == c}
+        if nxt == reach:
+            break
+        reach = nxt
+    got = {(r["x"], r["y"]) for r in
+           g.query("SELECT ?x ?y WHERE { ?x <http://e/p>+ ?y }")}
+    assert got == reach
+    if nodes:
+        a = data.draw(st.sampled_from(nodes))
+        got_fwd = {r["y"] for r in
+                   g.query(f"SELECT ?y WHERE {{ <{a}> <http://e/p>+ ?y }}")}
+        assert got_fwd == {y for (x, y) in reach if x == a}
+        got_bwd = {r["x"] for r in
+                   g.query(f"SELECT ?x WHERE {{ ?x <http://e/p>+ <{a}> }}")}
+        assert got_bwd == {x for (x, y) in reach if y == a}
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_sparql_groupby_count_sum_matches_python(data):
+    """GROUP BY + COUNT/SUM/MIN/MAX vs direct dict aggregation."""
+    from collections import defaultdict
+
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    subs = [f"http://e/s{i}" for i in range(4)]
+    cats = ["red", "blue"]
+    rows = data.draw(st.lists(
+        st.tuples(st.sampled_from(subs), st.sampled_from(cats),
+                  st.integers(min_value=0, max_value=99)),
+        min_size=0, max_size=12))
+    g = GraphIndex()
+    for i, (s, c, v) in enumerate(rows):
+        item = f"http://e/item{i}"
+        g.add((item, "http://e/of", s, "iri", None, None))
+        g.add((item, "http://e/cat", c, "literal", None, None))
+        g.add((item, "http://e/val", str(v), "literal", None, None))
+    agg = defaultdict(list)
+    for (s, c, v) in rows:
+        agg[c].append(v)
+    exp = [
+        {"c": c, "n": str(len(vs)), "tot": str(sum(vs)),
+         "lo": str(min(vs)), "hi": str(max(vs))}
+        for c, vs in agg.items()
+    ]
+    got = g.query(
+        "SELECT ?c (COUNT(*) AS ?n) (SUM(?v) AS ?tot) "
+        "(MIN(?v) AS ?lo) (MAX(?v) AS ?hi) WHERE { "
+        "?i <http://e/cat> ?c . ?i <http://e/val> ?v } GROUP BY ?c")
+    assert sorted(got, key=lambda r: r["c"]) == sorted(exp, key=lambda r: r["c"])
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_sparql_filter_arithmetic_matches_python(data):
+    """FILTER arithmetic/IN agree with direct Python evaluation."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    vals = data.draw(st.lists(st.integers(min_value=-50, max_value=50),
+                              min_size=0, max_size=10, unique=True))
+    g = GraphIndex()
+    for i, v in enumerate(vals):
+        g.add((f"http://e/s{i}", "http://e/v", str(v), "literal", None, None))
+    k = data.draw(st.integers(min_value=-5, max_value=5))
+    got = {r["x"] for r in g.query(
+        f"SELECT ?x WHERE {{ ?s <http://e/v> ?x . FILTER(?x * 2 + 1 > {k} * 3) }}")}
+    assert got == {str(v) for v in vals if v * 2 + 1 > k * 3}
+    got_in = {r["x"] for r in g.query(
+        "SELECT ?x WHERE { ?s <http://e/v> ?x . FILTER(?x IN (1, 2, 3)) }")}
+    assert got_in == {str(v) for v in vals if v in (1, 2, 3)}

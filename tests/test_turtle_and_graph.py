@@ -338,3 +338,76 @@ def test_train_val_split_edges(ray_session, tmp_path):
     assert (all_train["split"] == "train").all()
     none_train = train_val_split(str(d), train_fraction=0.0).to_pandas()
     assert (none_train["split"] == "val").all()
+
+
+def test_query_keywords_inside_iris_and_prefixed_names():
+    """ADVICE r2: terms containing keyword substrings — <.../union>,
+    ex:filter — are data, not group syntax."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex(prefixes={"ex": "http://ex/"})
+    g.add(("http://ex/a", "http://schema.org/union", "http://ex/b", "iri", None, None))
+    g.add(("http://ex/b", "http://ex/filter", "keep", "literal", None, None))
+    rows = g.query(
+        "SELECT ?x ?v WHERE { ?x <http://schema.org/union> ?y . "
+        "?y ex:filter ?v . }"
+    )
+    assert rows == [{"x": "http://ex/a", "v": "keep"}]
+    # an IRI containing OPTIONAL must also survive inside a real group mix
+    g.add(("http://ex/a", "http://ex/p.OPTIONAL", "x", "literal", None, None))
+    rows = g.query(
+        "SELECT ?v WHERE { ?x <http://schema.org/union> ?y . "
+        "OPTIONAL { ?x <http://ex/p.OPTIONAL> ?v } }"
+    )
+    assert rows == [{"v": "x"}]
+    # FILTER comparisons with '<' must not open a phantom IRI span that
+    # masks later keywords
+    g2 = _ex_graph()
+    rows = g2.query(
+        "SELECT ?s WHERE { ?s ex:age ?a . FILTER(?a < 40) "
+        "OPTIONAL { ?s ex:nick ?n } FILTER(bound(?n)) }"
+    )
+    assert rows == [{"s": "http://ex/alice"}]
+
+
+def test_query_aggregates_and_paths():
+    """Deterministic coverage for the round-3 SPARQL additions: aggregates
+    with GROUP BY/HAVING, property paths, FILTER arithmetic/IN."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = _ex_graph()
+    rows = g.query(
+        "SELECT ?t (COUNT(*) AS ?n) (AVG(?a) AS ?avg) WHERE "
+        "{ ?s ex:type ?t . ?s ex:age ?a } GROUP BY ?t ORDER BY DESC(?n)")
+    assert rows[0] == {"t": "http://ex/Person", "n": "2", "avg": "37.5"}
+    assert rows[1] == {"t": "http://ex/Robot", "n": "1", "avg": "5"}
+    rows = g.query(
+        "SELECT ?t (COUNT(*) AS ?n) WHERE { ?s ex:type ?t } "
+        "GROUP BY ?t HAVING(?n > 1)")
+    assert rows == [{"t": "http://ex/Person", "n": "2"}]
+    # implicit single group over empty solutions
+    assert g.query("SELECT (COUNT(*) AS ?n) WHERE { ?s ex:type ex:Alien }") \
+        == [{"n": "0"}]
+    # GROUP_CONCAT with separator + SAMPLE
+    rows = g.query(
+        "SELECT (GROUP_CONCAT(DISTINCT ?t ; SEPARATOR=\"|\") AS ?ts) "
+        "WHERE { ?s ex:type ?t }")
+    assert rows == [{"ts": "http://ex/Person|http://ex/Robot"}]
+
+    # property paths on a chain
+    g2 = GraphIndex(prefixes={"ex": "http://ex/"})
+    for a, b in [("a", "b"), ("b", "c"), ("c", "d")]:
+        g2.add((f"http://ex/{a}", "http://ex/knows", f"http://ex/{b}",
+                "iri", None, None))
+    g2.add(("http://ex/d", "http://ex/name", "Dave", "literal", None, None))
+    assert [r["v"] for r in g2.query(
+        "SELECT ?v WHERE { ex:a ex:knows+ ?v }")] == \
+        ["http://ex/b", "http://ex/c", "http://ex/d"]
+    assert [r["n"] for r in g2.query(
+        "SELECT ?n WHERE { ex:a ex:knows+/ex:name ?n }")] == ["Dave"]
+    assert [r["v"] for r in g2.query(
+        "SELECT ?v WHERE { ex:d (^ex:knows)* ?v }")] == \
+        ["http://ex/a", "http://ex/b", "http://ex/c", "http://ex/d"]
+    assert [r["v"] for r in g2.query(
+        "SELECT ?v WHERE { ex:a (ex:knows|ex:name)? ?v }")] == \
+        ["http://ex/a", "http://ex/b"]
