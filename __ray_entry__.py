@@ -77,26 +77,60 @@ def _user_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
-def _customers_without_orders(sf_dir: str):
-    """Left-anti join: customers with no high-value order (broadcast key
-    set built from a filtered scan; the fact side streams)."""
+def _customers_without_orders(sf_dir: str, broadcast_threshold: int = 5_000_000):
+    """Left-anti join: customers with no high-value order.
+
+    Scale shape (round-2 verdict: the driver ``unique()`` key set is
+    unbounded at 100×): the filtered order keys are de-duplicated
+    DISTRIBUTED (per-block combiner + groupby); under
+    ``broadcast_threshold`` the key set broadcasts once via ``ray.put``
+    and customers stream-filter (no shuffle); past it the anti-join runs
+    as a distributed left-outer hash join + null filter."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
     import ray.data
+    from ray.data.aggregate import Count
 
-    orders = ray.data.read_parquet(
+    keys_ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0)),
+        # per-block combiner: filter + collapse to distinct keys before the
+        # shuffle ships anything
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 450000.0))
+                   .select(["o_custkey"]).group_by("o_custkey").aggregate([]),
         batch_format="pyarrow",
-    )
-    keys = pa.array(sorted(set(orders.unique("o_custkey"))), pa.int64())
+    ).groupby("o_custkey").aggregate(Count(alias_name="cnt")).materialize()
+    n_keys = keys_ds.count()
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_name"])
-    out = cust.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys))),
-        batch_format="pyarrow",
-    )
+    if n_keys <= broadcast_threshold:
+        keys = pa.array(sorted(keys_ds.to_pandas()["o_custkey"]), pa.int64())
+        keys_ref = ray.put(keys)
+        out = cust.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                t["c_custkey"], value_set=ray.get(keys_ref)))),
+            batch_format="pyarrow",
+        )
+    else:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            default_join_partitions,
+        )
+
+        nparts = default_join_partitions()
+        out = cust.join(
+            # repartition: aggregate outputs can contain schema-less empty
+            # blocks that break join field resolution (Ray 2.49)
+            keys_ds.repartition(nparts),
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        ).map_batches(
+            lambda t: t.filter(pc.is_null(t["cnt"]))
+                       .select(["c_custkey", "c_name"]),
+            batch_format="pyarrow",
+        )
     # materialize via Arrow so an empty result still carries the schema
     import pyarrow as _pa
 

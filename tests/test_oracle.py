@@ -92,3 +92,13 @@ def test_entry_smoke(entrymod):
     df = _to_pandas(ds)
     assert len(df) > 100
     assert {"subject", "predicate", "object", "object_kind"} <= set(df.columns)
+
+
+def test_customers_without_orders_join_path(entrymod, con):
+    """broadcast_threshold=0 forces the distributed left-outer anti-join;
+    result must equal the broadcast path / oracle."""
+    got = _normalize(_to_pandas(
+        entrymod._customers_without_orders(SF_DIR, broadcast_threshold=0)))
+    exp = _normalize(con.execute(
+        entrymod.oracle_sql()["customers_without_orders"]).fetchdf())
+    pd.testing.assert_frame_equal(got, exp)
