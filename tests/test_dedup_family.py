@@ -157,3 +157,28 @@ def test_minhash_recall_on_planted_corpus(ray_session, tmp_path):
     found = {(min(a, b), max(a, b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     hits = sum(1 for p in planted if (min(p), max(p)) in found)
     assert hits / len(planted) >= 0.95
+
+
+def test_minhash_sig_spill_checkpoint_path(ray_session, dup_dir, tmp_path):
+    """sig_spill_docs=0 forces the parquet signature checkpoint; the pair
+    set must equal the object-store-pinned path, and the checkpoint must be
+    reused on a second run."""
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ckpt = str(tmp_path / "sigs")
+    base = minhash_lsh_pairs(dup_dir, threshold=0.6).to_pandas()
+    spill = minhash_lsh_pairs(dup_dir, threshold=0.6, sig_spill_docs=0,
+                              sig_checkpoint_dir=ckpt).to_pandas()
+    cols = ["doc_a", "doc_b", "est_jaccard"]
+    assert base[cols].sort_values(cols).reset_index(drop=True).equals(
+        spill[cols].sort_values(cols).reset_index(drop=True))
+    assert os.path.exists(os.path.join(ckpt, "_DONE"))
+    mtime = max(os.path.getmtime(os.path.join(ckpt, f))
+                for f in os.listdir(ckpt))
+    again = minhash_lsh_pairs(dup_dir, threshold=0.6, sig_spill_docs=0,
+                              sig_checkpoint_dir=ckpt).to_pandas()
+    assert len(again) == len(spill)
+    assert max(os.path.getmtime(os.path.join(ckpt, f))
+               for f in os.listdir(ckpt)) == mtime

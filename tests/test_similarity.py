@@ -106,3 +106,49 @@ def test_knn_lsh_finds_close_neighbors(ray_session, emb_dir):
     # near-identical vectors share a bucket
     by_id = dict(zip(b1["vec_id"], b1["bucket"]))
     assert by_id[src] == by_id[nid]
+
+
+def test_embedding_near_dup_hot_cluster_guard(ray_session, emb_dir):
+    """Sub-bucketing hot clusters (max_cluster_rows small enough to force
+    B>1 block pairs) must produce the SAME pair set as the unsplit run —
+    no cross-block pair may be lost."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    d, planted = emb_dir
+
+    def pairset(**kw):
+        df = embedding_near_dup_pairs(d, threshold=0.99, n_clusters=3,
+                                      **kw).to_pandas()
+        return {(int(a), int(b), float(c))
+                for a, b, c in zip(df["vec_a"], df["vec_b"], df["cosine"])}
+
+    base = pairset(max_cluster_rows=100_000)      # B = 1 everywhere
+    split = pairset(max_cluster_rows=8)           # forces many blocks
+    assert split == base and base
+
+
+def test_knn_lsh_pruned_layout(ray_session, emb_dir, tmp_path):
+    """The LSH index layout is bucket-partitioned parquet; a probe reads
+    only the probed buckets' files and the cached index is reused."""
+    import glob
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        build_lsh_index,
+        knn_lsh,
+    )
+
+    d, planted = emb_dir
+    idx = str(tmp_path / "lsh")
+    p1 = build_lsh_index(d, idx, n_bits=6)
+    assert glob.glob(os.path.join(idx, "vectors", "bucket=*", "*.parquet"))
+    mtime = os.path.getmtime(os.path.join(idx, "planes.npy"))
+    src, nid = planted[0]
+    res = knn_lsh(d, query_vec_id=src, k=5, n_bits=6, index_dir=idx).to_pandas()
+    assert nid in set(res["vec_id"])
+    # idempotent rebuild: planes untouched, identical matrix
+    p2 = build_lsh_index(d, idx, n_bits=6)
+    assert (p1 == p2).all()
+    assert os.path.getmtime(os.path.join(idx, "planes.npy")) == mtime
