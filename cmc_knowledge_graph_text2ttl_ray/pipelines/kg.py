@@ -24,6 +24,7 @@ import time
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from cmc_knowledge_graph_text2ttl_ray.functions import fsio
 from cmc_knowledge_graph_text2ttl_ray.stages.extract import add_extracted_text
 from cmc_knowledge_graph_text2ttl_ray.stages.triples import (
     TripleExtractor,
@@ -159,21 +160,24 @@ def run_kg_pipeline(
             ("\x00".join(p_.source or p_.name for p_ in plans) + "\x01" + input_desc).encode(),
             digest_size=12,
         ).hexdigest()
+        # All control files go through pyarrow.fs so out_dir may be a
+        # remote URI (s3://, file://) — same treatment as the TTL sink.
+        fs, base = fsio.resolve_fs(out_dir)
         records_dir = os.path.join(out_dir, "records")
-        done_marker = os.path.join(records_dir, "_DONE")
+        done_marker = fsio.fs_join(base, "records", "_DONE")
         marker_ok = False
-        if resume and os.path.exists(done_marker):
-            with open(done_marker) as fh:
-                marker_ok = fh.read().strip() == plan_fp
+        if resume and fsio.exists(fs, done_marker):
+            marker_ok = fsio.read_text(fs, done_marker).strip() == plan_fp
         if not marker_ok:
-            import shutil
-
-            shutil.rmtree(records_dir, ignore_errors=True)
+            try:
+                fs.delete_dir(fsio.fs_join(base, "records"))
+            except OSError:
+                pass
             # The TTL manifest is only valid for the records that produced
             # it: a plan/input change invalidates both, else resume would
             # skip every bucket and silently return old-plan shards.
             try:
-                os.remove(os.path.join(out_dir, "ttl", "manifest.json"))
+                fs.delete_file(fsio.fs_join(base, "ttl", "manifest.json"))
             except OSError:
                 pass
             # Hive-partition the checkpoint by record kind: the four
@@ -182,15 +186,17 @@ def run_kg_pipeline(
             # re-scanning the full record stream four times — at 100 TB the
             # stats/entity scans become ~free.
             recs.write_parquet(records_dir, partition_cols=["rec"])
-            with open(done_marker, "w") as fh:
-                fh.write(plan_fp)
+            fsio.write_text(fs, done_marker, plan_fp)
         import ray.data
 
         recs = ray.data.read_parquet(records_dir, file_extensions=["parquet"])
 
         def _kind_ds(kind: str):
             d = os.path.join(records_dir, f"rec={kind}")
-            if os.path.isdir(d):
+            from pyarrow import fs as pafs
+
+            info = fs.get_file_info(fsio.fs_join(base, "records", f"rec={kind}"))
+            if info.type == pafs.FileType.Directory:
                 return ray.data.read_parquet(d, file_extensions=["parquet"])
             # No rows of this kind were emitted → empty filter of the full set
             return recs.map_batches(_filter_rec(kind), batch_format="pyarrow")
@@ -244,8 +250,6 @@ def run_kg_pipeline(
         timings["ttl_write"] = time.perf_counter() - t0
 
     if out_dir:
-        import shutil
-
         # Metrics: a cheap pruned scan over the (parquet- or object-store-
         # backed) records, written THROUGH Ray so part files land correctly
         # on multi-node clusters / remote filesystems. Sequenced AFTER the
@@ -253,8 +257,12 @@ def run_kg_pipeline(
         # scan and the two executors contended for the same CPUs (judge-
         # measured 13-20% headline regression). Always rebuilt so stale part
         # files from a differently-batched previous run can't duplicate rows.
+        fs_m, base_m = fsio.resolve_fs(out_dir)
         metrics_dir = os.path.join(out_dir, "metrics")
-        shutil.rmtree(metrics_dir, ignore_errors=True)
+        try:
+            fs_m.delete_dir(fsio.fs_join(base_m, "metrics"))
+        except OSError:
+            pass
         t0 = time.perf_counter()
         stats.select_columns(
             ["doc_url", "workflow", "no_matches", "no_triples",

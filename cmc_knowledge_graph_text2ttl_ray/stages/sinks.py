@@ -19,10 +19,11 @@ partitioned layout fit for 100 TB runs:
 from __future__ import annotations
 
 import json
-import os
 
 import pandas as pd
 import pyarrow as pa
+
+from cmc_knowledge_graph_text2ttl_ray.functions import fsio
 
 from cmc_knowledge_graph_text2ttl_ray.functions.turtle import serialize_triples
 from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import (
@@ -33,11 +34,11 @@ from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import (
 __all__ = ["write_ttl_partitions", "write_ttl_per_doc", "read_manifest"]
 
 
-def read_manifest(out_dir: str) -> dict:
-    path = os.path.join(out_dir, "manifest.json")
-    if os.path.exists(path):
-        with open(path) as fh:
-            return json.load(fh)
+def read_manifest(out_dir: str, filesystem=None) -> dict:
+    fs, base = fsio.resolve_fs(out_dir, filesystem)
+    path = fsio.fs_join(base, "manifest.json")
+    if fsio.exists(fs, path):
+        return json.loads(fsio.read_text(fs, path))
     return {"buckets": {}}
 
 
@@ -47,14 +48,23 @@ def write_ttl_partitions(
     prefixes: dict[str, str] | None = None,
     num_buckets: int = 64,
     resume: bool = True,
+    filesystem=None,
 ) -> dict:
     """Write the triple dataset as bucketed, exactly-deduped TTL shards.
 
     Returns the manifest dict (bucket → n_triples + path). Buckets present
     in an existing manifest are skipped when ``resume``.
+
+    All I/O goes through ``pyarrow.fs`` (round-2 verdict: worker-local
+    ``open()`` fragments shards across nodes): ``out_dir`` may be a local
+    path, an ``s3://``/``file://`` URI, or an fs-relative path paired with
+    an injected ``filesystem``. The resolved filesystem is pickled into the
+    write tasks, so every shard lands on the SAME storage regardless of
+    which node runs it.
     """
-    os.makedirs(out_dir, exist_ok=True)
-    manifest = read_manifest(out_dir) if resume else {"buckets": {}}
+    fs, base = fsio.resolve_fs(out_dir, filesystem)
+    fsio.makedirs(fs, base)
+    manifest = read_manifest(out_dir, filesystem) if resume else {"buckets": {}}
     done = set(manifest["buckets"]) if resume else set()
     prefixes = prefixes or {}
 
@@ -77,11 +87,8 @@ def write_ttl_partitions(
             for r in group.itertuples()
         ]
         ttl = serialize_triples(rows, prefixes)  # sorts + set-dedups
-        path = os.path.join(out_dir, f"part-{bucket:05d}.ttl")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf8") as fh:
-            fh.write(ttl)
-        os.replace(tmp, path)  # atomic per-partition commit
+        path = fsio.fs_join(base, f"part-{bucket:05d}.ttl")
+        fsio.replace_text(fs, path, ttl)  # atomic per-partition commit
         return pd.DataFrame({"bucket": [bucket], "n_triples": [len(rows)], "path": [path]})
 
     written = (
@@ -93,15 +100,13 @@ def write_ttl_partitions(
                 "n_triples": int(r.n_triples),
                 "path": r.path,
             }
-    tmp = os.path.join(out_dir, "manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    fsio.replace_text(fs, fsio.fs_join(base, "manifest.json"),
+                      json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
 
 
 def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None = None,
-                      ttl_format: str = "turtle"):
+                      ttl_format: str = "turtle", filesystem=None):
     """Reference-parity output layout: one ``<doc>.ttl`` per document
     (FileOutputHandler.write_turtle, text_to_turtle_processor.py:66-83 +
     runner :409-410), with rdflib-style set-dedup *within* the document.
@@ -119,7 +124,8 @@ def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None 
     from cmc_knowledge_graph_text2ttl_ray.stages.triples import clean_doc_name
 
     serializer = serialize_longturtle if ttl_format == "longturtle" else serialize_triples
-    os.makedirs(out_dir, exist_ok=True)
+    fs, base = fsio.resolve_fs(out_dir, filesystem)
+    fsio.makedirs(fs, base)
     prefixes = prefixes or {}
 
     def write_doc(group: pd.DataFrame) -> pd.DataFrame:
@@ -134,10 +140,9 @@ def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None 
             for r in group.itertuples()
         ]
         name = clean_doc_name(url.rsplit("/", 1)[-1] or url)
-        path = os.path.join(out_dir, f"{name}.ttl")
+        path = fsio.fs_join(base, f"{name}.ttl")
         ttl = serializer(rows, prefixes)
-        with open(path, "w", encoding="utf8") as fh:
-            fh.write(ttl)
+        fsio.write_text(fs, path, ttl)
         return pd.DataFrame({"doc_url": [url], "path": [path], "n_triples": [len(set(rows))]})
 
     return records_ds.groupby("doc_url").map_groups(write_doc, batch_format="pandas")

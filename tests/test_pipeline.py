@@ -234,3 +234,55 @@ def test_multimodal_resize_frames_audio(ray_session):
     assert len(audio) == 6
     assert ((audio["rms"] > 0) & (audio["rms"] < 1)).all()
     assert ((audio["zcr"] >= 0) & (audio["zcr"] <= 1)).all()
+
+
+def test_ttl_sink_writes_through_filesystem_abstraction(ray_session, tmp_path):
+    """Sinks route all I/O through pyarrow.fs (round-2 verdict): writing
+    through a non-local-path filesystem (SubTreeFileSystem with fs-relative
+    paths) must produce identical shards + manifest and resume correctly."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import (
+        default_plans,
+        extraction_records,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+    from cmc_knowledge_graph_text2ttl_ray.stages.sinks import (
+        read_manifest,
+        write_ttl_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.stages.triples import collect_prefixes
+
+    recs = extraction_records(pages_dataset(40, override_num_blocks=2),
+                              concurrency=2).materialize()
+    import pyarrow.compute as pc
+
+    triples = recs.map_batches(
+        lambda t: t.filter(pc.equal(t["rec"], "triple")), batch_format="pyarrow")
+    prefixes = collect_prefixes(default_plans())
+
+    local_dir = str(tmp_path / "local")
+    m1 = write_ttl_partitions(triples, local_dir, prefixes=prefixes,
+                              num_buckets=4)
+
+    subtree_root = str(tmp_path / "subtree")
+    os.makedirs(subtree_root)
+    subfs = pafs.SubTreeFileSystem(subtree_root, pafs.LocalFileSystem())
+    m2 = write_ttl_partitions(triples, "out/ttl", prefixes=prefixes,
+                              num_buckets=4, filesystem=subfs)
+    assert {b: v["n_triples"] for b, v in m1["buckets"].items()} == \
+           {b: v["n_triples"] for b, v in m2["buckets"].items()}
+    for b, v in m1["buckets"].items():
+        with open(v["path"], encoding="utf8") as fh:
+            local_bytes = fh.read()
+        sub_path = os.path.join(subtree_root, m2["buckets"][b]["path"])
+        with open(sub_path, encoding="utf8") as fh:
+            assert fh.read() == local_bytes
+    # manifest read-back + resume skip through the injected fs
+    m3 = read_manifest("out/ttl", filesystem=subfs)
+    assert m3["buckets"].keys() == m2["buckets"].keys()
+    m4 = write_ttl_partitions(triples, "out/ttl", prefixes=prefixes,
+                              num_buckets=4, filesystem=subfs, resume=True)
+    assert m4["buckets"].keys() == m2["buckets"].keys()
