@@ -105,6 +105,17 @@ def cmd_run(args) -> int:
             lambda t: pa.table({"url": t["path"], "pdf": t["bytes"]}),
             batch_format="pyarrow",
         )
+    elif args.pages.startswith("docs:"):
+        # office/e-mail corpus ingestion (docx/odt/rtf/eml — the Tika
+        # analogue): every file becomes one row (url=path, doc=bytes)
+        import pyarrow as pa
+
+        pages = ray.data.read_binary_files(
+            args.pages.split(":", 1)[1], include_paths=True
+        ).map_batches(
+            lambda t: pa.table({"url": t["path"], "doc": t["bytes"]}),
+            batch_format="pyarrow",
+        )
     elif args.pages.startswith("jsonl:") or args.pages.endswith(".jsonl"):
         # line-delimited JSON only (pyarrow's reader); a conventional JSON
         # array file is NOT supported — convert to .jsonl first
@@ -132,7 +143,8 @@ def cmd_run(args) -> int:
         canonical_mode=args.canonical_mode,
         # pdf: sources are a lazy map plan (schema unknown without running
         # the executor) — route explicitly instead of the auto sniff
-        source="pdf" if args.pages.startswith("pdf:") else "auto",
+        source=("pdf" if args.pages.startswith("pdf:")
+                else "doc" if args.pages.startswith("docs:") else "auto"),
     )
     summary = {
         "buckets": len(result["manifest"]["buckets"]),
@@ -155,7 +167,8 @@ def main(argv=None) -> int:
     p_run.add_argument("--workflow", action="append", help="workflow YAML (repeatable)")
     p_run.add_argument("--pages", required=True,
                        help="parquet path/dir of pages, synth:N for the synthetic corpus, "
-                            "pdf:DIR for a directory of PDF files, or jsonl:PATH / *.jsonl "
+                            "pdf:DIR for a directory of PDF files, docs:DIR for "
+                            "docx/odt/rtf/eml files, or jsonl:PATH / *.jsonl "
                             "for JSON-LINES page records (not JSON arrays)")
     p_run.add_argument("--out", required=True, help="output directory")
     p_run.add_argument("--graph", action="append", help="name=path.ttl lookup graph (repeatable)")

@@ -20,9 +20,13 @@ Supported PDF subset (deliberately the common text-PDF core):
   unknown fonts fall back to 500/1000 em. Word *alignment* (what the table
   phases consume) survives approximate widths.
 
-NOT supported (raise or are skipped gracefully): encrypted PDFs, CID/Type0
-composite fonts with multi-byte encodings (text is decoded byte-wise),
-object streams (``/ObjStm``), rotation in the CTM (sheared boxes would need
+Type0/CID composite fonts are decoded via their ``/ToUnicode`` CMap when
+present (2-byte codes, ``bfchar``/``bfrange`` entries); widths fall back to
+the base-font metrics of the mapped characters.
+
+NOT supported (raise or are skipped gracefully): encrypted PDFs, Type0
+fonts WITHOUT a ToUnicode CMap (their text is decoded byte-wise), object
+streams (``/ObjStm``), rotation in the CTM (sheared boxes would need
 oriented rectangles; such ops keep translation+scale only).
 """
 
@@ -284,6 +288,85 @@ def _mat_mult(a, b):
     )
 
 
+class _Font:
+    """Resolved page font: base name for width metrics + optional
+    ToUnicode CMap (Type0/CID 2-byte decoding)."""
+
+    __slots__ = ("base", "cmap")
+
+    def __init__(self, base: str, cmap: dict[int, str] | None = None) -> None:
+        self.base = base
+        self.cmap = cmap
+
+
+_DEFAULT_FONT = _Font("Helvetica")
+
+_RE_CMAP_HEX = re.compile(rb"<([0-9A-Fa-f]+)>")
+_RE_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_RE_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+
+
+def _utf16_hex(h: bytes) -> str:
+    b = bytes.fromhex(h.decode("ascii"))
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap → {2-byte code: unicode string} (PDF 32000-1 §9.10.3:
+    ``bfchar`` pairs and ``bfrange`` runs, destination = UTF-16BE hex or an
+    array of per-code destinations)."""
+    cmap: dict[int, str] = {}
+    for block in _RE_BFCHAR.findall(data):
+        toks = _RE_CMAP_HEX.findall(block)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _utf16_hex(dst)
+    for block in _RE_BFRANGE.findall(data):
+        pos = 0
+        while True:
+            m_lo = _RE_CMAP_HEX.search(block, pos)
+            if m_lo is None:
+                break
+            m_hi = _RE_CMAP_HEX.search(block, m_lo.end())
+            if m_hi is None:
+                break
+            lo, hi = int(m_lo.group(1), 16), int(m_hi.group(1), 16)
+            rest = block[m_hi.end():].lstrip()
+            if rest.startswith(b"["):
+                close = rest.find(b"]")
+                dsts = _RE_CMAP_HEX.findall(rest[:close])
+                for i, d in enumerate(dsts):
+                    if lo + i <= hi:
+                        cmap[lo + i] = _utf16_hex(d)
+                pos = m_hi.end() + (len(block[m_hi.end():]) - len(rest)) + close + 1
+            else:
+                m_dst = _RE_CMAP_HEX.search(block, m_hi.end())
+                if m_dst is None:
+                    break
+                start = _utf16_hex(m_dst.group(1))
+                base_cp = ord(start[-1]) if start else 0
+                prefix = start[:-1]
+                for i in range(hi - lo + 1):
+                    cmap[lo + i] = prefix + chr(base_cp + i)
+                pos = m_dst.end()
+    return cmap
+
+
+def _decode_cid(s: str, cmap: dict[int, str]) -> str:
+    """latin-1-mapped raw string → unicode via 2-byte CMap codes."""
+    out = []
+    i, n = 0, len(s)
+    while i + 1 < n:
+        code = (ord(s[i]) << 8) | ord(s[i + 1])
+        out.append(cmap.get(code, "�"))
+        i += 2
+    if i < n:  # odd trailing byte: try a 1-byte code
+        out.append(cmap.get(ord(s[i]), s[i]))
+    return "".join(out)
+
+
 def _apply(m, x, y):
     return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
 
@@ -298,7 +381,7 @@ class _PageState:
         self.stack: list[tuple] = []
         self.tm = None
         self.tlm = None
-        self.font = "Helvetica"
+        self.font = _DEFAULT_FONT
         self.size = 12.0
         self.leading = 0.0
         self.char_sp = 0.0
@@ -314,10 +397,12 @@ class _PageState:
     def show(self, s: str) -> None:
         if self.tm is None:
             return
+        if self.font.cmap is not None:
+            s = _decode_cid(s, self.font.cmap)
         x, y = self.tm[4], self.tm[5]
         sx = abs(self.tm[0]) or 1.0
         for ch in s:
-            w = (_char_width(ch, self.font) / 1000.0) * self.size * sx
+            w = (_char_width(ch, self.font.base) / 1000.0) * self.size * sx
             if ch.isspace():
                 self.flush_word(x)
                 x += w + self.char_sp + self.word_sp
@@ -454,7 +539,7 @@ def _apply_op(op: str, stack: list, st: _PageState) -> None:
         st.tm = st.tlm = None
     elif op == "Tf":
         name, size = stack[-2], float(stack[-1])
-        st.font = st.fonts.get(str(name).lstrip("/"), "Helvetica")
+        st.font = st.fonts.get(str(name).lstrip("/"), _DEFAULT_FONT)
         st.size = size
     elif op == "TL":
         st.leading = float(stack[-1])
@@ -516,14 +601,23 @@ def _apply_op(op: str, stack: list, st: _PageState) -> None:
 # -------------------------------------------------------------- public API
 
 
-def _page_fonts(objs: dict[int, bytes], page: dict) -> dict[str, str]:
+def _page_fonts(objs: dict[int, bytes], page: dict) -> dict[str, "_Font"]:
     res = _resolve(objs, page.get("Resources")) or {}
     fonts = _resolve(objs, res.get("Font")) or {}
     out = {}
     for name, ref in fonts.items():
         fd = _resolve(objs, ref) or {}
-        base = fd.get("BaseFont", "/Helvetica")
-        out[name] = str(base).lstrip("/")
+        base = str(fd.get("BaseFont", "/Helvetica")).lstrip("/")
+        cmap = None
+        tu = fd.get("ToUnicode")
+        if fd.get("Subtype") == "/Type0" and isinstance(tu, _Ref):
+            body = objs.get(tu.num)
+            if body is not None:
+                try:
+                    cmap = _parse_tounicode(_stream_data(objs, body)) or None
+                except PdfParseError:
+                    cmap = None
+        out[name] = _Font(base, cmap)
     return out
 
 

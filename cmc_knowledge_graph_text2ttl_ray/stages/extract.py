@@ -18,7 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["extract_text_batch", "add_extracted_text"]
+__all__ = ["extract_text_batch", "extract_pdf_batch", "extract_doc_batch",
+           "add_extracted_text"]
 
 _CLOSE = "</html>"
 
@@ -111,6 +112,41 @@ def extract_pdf_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("extract_error", pa.array(errors, pa.string()))
 
 
+def extract_doc_batch(batch: pa.Table) -> pa.Table:
+    """``doc: binary`` (+ ``url``) column → ``text`` via the office-format
+    extractors (docx/odt/rtf/eml — the engine's Tika analogue,
+    text_to_turtle_runner.py:36-115). Per-row parsing runs inside the task;
+    bad rows become empty text + ``extract_error`` instead of failing the
+    block (same contract as :func:`extract_pdf_batch`)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import (
+        DocFormatError,
+        extract_document,
+    )
+
+    urls = (batch["url"].to_pylist() if "url" in batch.column_names
+            else [""] * batch.num_rows)
+    texts: list[str] = []
+    errors: list[str | None] = []
+    for v, u in zip(batch["doc"].to_pylist(), urls):
+        if v is None:
+            texts.append("")
+            errors.append("empty-doc")
+            continue
+        try:
+            texts.append(extract_document(v, u or ""))
+            errors.append(None)
+        except (DocFormatError, Exception) as ex:  # noqa: BLE001 - row-isolate
+            texts.append("")
+            errors.append(f"doc-parse: {ex}")
+    out = batch.drop_columns(["doc"])
+    text = pa.array(texts, pa.string())
+    if "text" in out.column_names:
+        out = out.set_column(out.column_names.index("text"), "text", text)
+    else:
+        out = out.append_column("text", text)
+    return out.append_column("extract_error", pa.array(errors, pa.string()))
+
+
 def add_extracted_text(ds, batch_size: int = 1024, source: str = "auto"):
     """Dataset → Dataset with the extracted ``text`` column (streaming,
     stateless tasks, Arrow zero-copy for HTML; per-task PDF parsing for
@@ -132,13 +168,16 @@ def add_extracted_text(ds, batch_size: int = 1024, source: str = "auto"):
             source = "html"
         elif "pdf" in names and "html" not in names:
             source = "pdf"
+        elif "doc" in names and "html" not in names:
+            source = "doc"
         elif "html" not in names and "text" in names:
             return ds  # already extracted — pass through
         else:
             source = "html"
-    fn = extract_pdf_batch if source == "pdf" else extract_text_batch
-    # PDF parsing is ~100× costlier per row than the HTML slice: smaller
-    # batches keep the pipeline's task granularity balanced
-    if source == "pdf":
+    fn = {"pdf": extract_pdf_batch, "doc": extract_doc_batch}.get(
+        source, extract_text_batch)
+    # document parsing is ~100× costlier per row than the HTML slice:
+    # smaller batches keep the pipeline's task granularity balanced
+    if source in ("pdf", "doc"):
         batch_size = min(batch_size, 64)
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

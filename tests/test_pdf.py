@@ -275,3 +275,43 @@ def test_pdf_corrupt_flate_raises_pdfparseerror():
     bad = pdf.replace(data, b"\x00" * len(data))
     with pytest.raises(PdfParseError):
         pdf_to_xhtml(bad)
+
+
+def make_cid_pdf() -> bytes:
+    """Minimal PDF with a Type0 font + ToUnicode CMap and a 2-byte-coded
+    hex string spelling 'Hello' (bfchar + bfrange coverage)."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"3 beginbfchar\n<0001> <0048>\n<0002> <0065>\n<0003> <006F>\n"
+            b"endbfchar\n"
+            b"1 beginbfrange\n<0010> <0012> <006C>\nendbfrange\n"
+            b"endcmap\nend\n")
+    content = b"BT /F1 12 Tf 100 700 Td <000100020010001000 03> Tj ET"
+    # (whitespace inside hex strings is legal and must be ignored)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+        3: (b"<< /Type /Font /Subtype /Type0 /BaseFont /MySerif "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: (f"<< /Length {len(content)} >>".encode()
+            + b"\nstream\n" + content + b"\nendstream"),
+        6: (f"<< /Length {len(cmap)} >>".encode()
+            + b"\nstream\n" + cmap + b"\nendstream"),
+    }
+    out = [b"%PDF-1.4\n"]
+    for num in sorted(objs):
+        out.append(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_pdf_type0_tounicode_cmap():
+    """VERDICT r2 #7: a CMap-carrying Type0 PDF round-trips with correct
+    text instead of byte-wise garbage."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import pdf_to_xhtml
+
+    xhtml = pdf_to_xhtml(make_cid_pdf())
+    assert "Hello" in xhtml
