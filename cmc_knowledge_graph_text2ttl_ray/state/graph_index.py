@@ -18,9 +18,12 @@ Supported query subset (what rule workflows actually need):
 - ``OPTIONAL { }`` / ``FILTER( )`` / ``{ } UNION { }`` / ``MINUS { }`` /
   ``BIND(expr AS ?v)`` / ``VALUES ?v { … }`` (and the tuple form with
   ``UNDEF``), with a practical FILTER-expression subset (comparisons,
-  regex, bound, contains/strstarts/strends, str/ucase/lcase/strlen,
-  ``! && ||``), plus ``SELECT DISTINCT``, projection, ``ORDER BY``,
-  ``LIMIT`` / ``OFFSET``.
+  arithmetic, ``IN``/``NOT IN``, regex, bound, contains/strstarts/
+  strends, str/ucase/lcase/strlen, ``! && ||``),
+- property paths in predicate position (``/ | ^ + * ?``, parenthesized),
+- aggregates (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT, DISTINCT) with
+  ``GROUP BY`` / ``HAVING``, and nested ``{ SELECT … }`` subqueries,
+- plus ``SELECT DISTINCT``, projection, ``ORDER BY``, ``LIMIT``/``OFFSET``.
 
 Results are deterministic: rows are returned in sorted order.
 """
@@ -452,7 +455,9 @@ class GraphIndex:
 
     # -- SPARQL-subset SELECT ------------------------------------------------
 
-    def query(self, sparql: str) -> list[dict[str, str]]:
+    def query(self, sparql: str,
+              _base_prefixes: dict[str, str] | None = None
+              ) -> list[dict[str, str]]:
         """Evaluate a SELECT query; returns sorted rows of var → string.
 
         Supports basic graph patterns plus ``OPTIONAL { }``, ``FILTER( )``
@@ -462,11 +467,14 @@ class GraphIndex:
         ``HAVING``, and the DISTINCT/ORDER BY/LIMIT/OFFSET modifiers
         (round-1 verdict: reference workflows rely on these,
         text_to_turtle_processor.py:2107-2202 runs full rdflib SPARQL;
-        still unsupported: subqueries, negated property sets ``!p``,
-        EXISTS). FILTERs are applied at the end of their group, per SPARQL
+        nested SELECT subqueries (evaluated in their own scope, natural-
+        joined into the outer group; still unsupported: negated property
+        sets ``!p``, EXISTS). FILTERs are applied at the end of their group, per SPARQL
         scoping.
         """
         prefixes = dict(self.prefixes)
+        if _base_prefixes:
+            prefixes.update(_base_prefixes)  # subquery inherits outer scope
         for m in _RE_PREFIX_DECL.finditer(sparql):
             prefixes[m.group(1)] = m.group(2)
         start = sparql.find("{")
@@ -720,9 +728,15 @@ class GraphIndex:
             plain.append(body[pos : m.start()])
             tok = m.group(0)
             if tok == "{":
-                # bare subgroup: either the left arm of UNION or a plain group
+                # bare subgroup: a SUBQUERY when it opens with SELECT, else
+                # the left arm of UNION or a plain group
                 flush_plain()
                 sub, pos = self._read_group(body, m.start())
+                if re.match(r"\s*SELECT\b", sub, re.IGNORECASE):
+                    # evaluated independently (its own scope, per SPARQL),
+                    # then natural-joined with the outer bindings
+                    elements.append(("subquery", (sub, dict(prefixes))))
+                    continue
                 arms = [self._parse_group(sub, prefixes)]
                 while True:
                     um = re.match(r"\s*UNION\s*", body[pos:], re.IGNORECASE)
@@ -894,6 +908,18 @@ class GraphIndex:
                         else:
                             nb = dict(b)
                             nb[var] = sv
+                            nxt2.append(nb)
+                bindings = nxt2
+            elif kind == "subquery":
+                sub_text, sub_prefixes = payload
+                rows_ = self.query(sub_text, _base_prefixes=sub_prefixes)
+                nxt2 = []
+                for b in bindings:
+                    for r in rows_:
+                        shared = b.keys() & r.keys()
+                        if all(b[k] == r[k] for k in shared):
+                            nb = dict(b)
+                            nb.update(r)
                             nxt2.append(nb)
                 bindings = nxt2
             elif kind == "values":

@@ -411,3 +411,66 @@ def test_query_aggregates_and_paths():
     assert [r["v"] for r in g2.query(
         "SELECT ?v WHERE { ex:a (ex:knows|ex:name)? ?v }")] == \
         ["http://ex/a", "http://ex/b"]
+
+
+def test_longturtle_golden_bytes_pinned():
+    """VERDICT r2 #8: byte-stability regression anchor for the longturtle
+    serializer. The golden file freezes the emitted bytes for a fixed
+    triple set (typed literal, lang tags, multi-object predicate, escaped
+    quotes/newline).
+
+    DEVIATION note: rdflib is not installable in this environment, so
+    byte-parity vs a given rdflib release's longturtle output is
+    UNVERIFIED; the pinned style differences are documented in
+    serialize_longturtle's docstring (deterministic engine-wide sort
+    instead of rdflib's insertion ordering). This test guarantees OUR
+    bytes never drift."""
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import serialize_longturtle
+
+    triples = [
+        ("http://example.org/kg/Acme_Corp", "http://example.org/kg/foundedIn",
+         "2008", "literal", None, "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.org/kg/Acme_Corp", "http://example.org/kg/label",
+         "Acme Corp", "literal", "en", None),
+        ("http://example.org/kg/Acme_Corp", "http://example.org/kg/label",
+         "Acme GmbH", "literal", "de", None),
+        ("http://example.org/kg/Acme_Corp", "http://example.org/kg/hq",
+         "http://example.org/place/Berlin", "iri", None, None),
+        ("http://example.org/place/Berlin",
+         "http://www.w3.org/2000/01/rdf-schema#label",
+         'City "Berlin"\nGermany', "literal", None, None),
+    ]
+    prefixes = {"ex": "http://example.org/kg/",
+                "place": "http://example.org/place/",
+                "rdfs": "http://www.w3.org/2000/01/rdf-schema#"}
+    golden = os.path.join(os.path.dirname(__file__), "golden_longturtle.ttl")
+    with open(golden, encoding="utf8") as fh:
+        assert serialize_longturtle(triples, prefixes) == fh.read()
+
+
+def test_query_subquery_join_and_scope():
+    """Nested { SELECT ... } evaluates in its own scope and natural-joins
+    into the outer group (outer PREFIX declarations are visible inside)."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex()
+    for s, t, a in [("alice", "Person", "30"), ("bob", "Person", "45"),
+                    ("carol", "Robot", "5")]:
+        g.add((f"http://ex/{s}", "http://ex/type", f"http://ex/{t}",
+               "iri", None, None))
+        g.add((f"http://ex/{s}", "http://ex/age", a, "literal", None, None))
+    rows = g.query(
+        "PREFIX ex: <http://ex/>\n"
+        "SELECT ?s ?n WHERE { ?s ex:type ?t . "
+        "{ SELECT ?t (COUNT(*) AS ?n) WHERE { ?x ex:type ?t } GROUP BY ?t "
+        "HAVING(?n > 1) } }")
+    assert rows == [{"s": "http://ex/alice", "n": "2"},
+                    {"s": "http://ex/bob", "n": "2"}]
+    # subquery LIMIT applies inside its own scope
+    rows = g.query(
+        "PREFIX ex: <http://ex/>\n"
+        "SELECT ?s WHERE { ?s ex:age ?a . "
+        "{ SELECT ?a WHERE { ?y ex:age ?a } ORDER BY DESC(?a) LIMIT 1 } }")
+    assert rows == [{"s": "http://ex/bob"}]
