@@ -75,6 +75,18 @@ def run_workload(num_cpus: int) -> dict:
     # the N vs 4N comparison measures the pipeline, not Ray spin-up).
     mult = int(os.environ.get("GRAFT_PAGES_PER_DOC", "10"))
     n_pages = mult * pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    # benchmarking hygiene: fork the Ray worker pool and exercise the
+    # partitioned-parquet write path on a trivial dataset so the measured
+    # run isn't charged one-time process spin-up / lazy code loading
+    # (measured ~3 s on the first partitioned write of a session, ~0.5 s
+    # after), then flush pending page-cache writeback from previous runs
+    warm_dir = "/tmp/graft_bench_warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    ray.data.range(10_000).map_batches(
+        lambda b: {"id": b["id"], "k": b["id"] % 2}
+    ).write_parquet(warm_dir, partition_cols=["k"])
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    os.sync()
     t0 = time.perf_counter()
     pages = pages_dataset(n_pages, override_num_blocks=max(64, num_cpus * 4))
     result = run_kg_pipeline(pages, out_dir=out_dir, concurrency=num_cpus, resume=False,
