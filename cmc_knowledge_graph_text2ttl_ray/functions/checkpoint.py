@@ -1,0 +1,56 @@
+"""Fingerprinted build-once checkpoint directories.
+
+Shared by every "build an expensive layout once, reuse until the input or
+parameters change" site (IVF index, LSH index, MinHash signature spill):
+the fingerprint covers the input files' identity (abspath + size +
+mtime_ns) AND the build parameters, so a regenerated corpus at the same
+path or a different parameterization can never silently reuse a stale
+layout (the divergence the hand-rolled copies of this logic developed —
+round-3 self-review)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+__all__ = ["input_fingerprint", "default_cache_dir", "is_valid", "reset",
+           "mark_done"]
+
+
+def input_fingerprint(paths: list[str], params: dict | None = None) -> str:
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}")
+    if params:
+        parts.append(json.dumps(params, sort_keys=True, default=str))
+    return "|".join(parts)
+
+
+def default_cache_dir(family: str, key: str) -> str:
+    """Stable per-(family, key) directory under /tmp."""
+    h = hashlib.md5(key.encode()).hexdigest()[:16]
+    return os.path.join("/tmp", family, h)
+
+
+def is_valid(ckpt_dir: str, fingerprint: str) -> bool:
+    done = os.path.join(ckpt_dir, "_DONE")
+    if not os.path.exists(done):
+        return False
+    try:
+        with open(done) as fh:
+            return json.load(fh).get("fp") == fingerprint
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def reset(ckpt_dir: str) -> None:
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+
+def mark_done(ckpt_dir: str, fingerprint: str, **extra) -> None:
+    with open(os.path.join(ckpt_dir, "_DONE"), "w") as fh:
+        json.dump({"fp": fingerprint, **extra}, fh)

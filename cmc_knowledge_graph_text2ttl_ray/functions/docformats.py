@@ -181,10 +181,17 @@ def rtf_to_text(data: bytes) -> str:
                 continue
             i = m.end()
             if m.group(3) is not None:          # \'hh
+                if pending_skip:
+                    # the ANSI fallback after \uN counts as ONE skippable
+                    # unit (RTF 1.9 §unicode): consume it, emit nothing
+                    pending_skip -= 1
+                    continue
                 if not skip_depth:
                     out.append(bytes([int(m.group(3), 16)]).decode("cp1252",
                                                                    "replace"))
                 continue
+            # any other control word ends the post-\uN skippable region
+            pending_skip = 0
             if m.group(4) is not None:          # escaped \{ \} \\ etc.
                 ch = m.group(4)
                 if not skip_depth:

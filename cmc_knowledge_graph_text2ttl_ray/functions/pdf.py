@@ -307,7 +307,10 @@ _RE_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 
 
 def _utf16_hex(h: bytes) -> str:
-    b = bytes.fromhex(h.decode("ascii"))
+    try:
+        b = bytes.fromhex(h.decode("ascii"))
+    except ValueError as ex:  # odd-length / malformed hex in a broken CMap
+        raise PdfParseError(f"Malformed CMap hex token: {h!r}") from ex
     try:
         return b.decode("utf-16-be")
     except UnicodeDecodeError:

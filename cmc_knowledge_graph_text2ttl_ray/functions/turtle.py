@@ -41,16 +41,16 @@ _ESCAPES = {
     "\r": "\\r",
     "\t": "\\t",
 }
+_ESCAPE_TABLE = str.maketrans(_ESCAPES)
 
 _RE_PN_LOCAL = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
 _RE_INT = re.compile(r"^[+-]?[0-9]+$")
 
 
 def _escape_literal(text: str) -> str:
-    out = []
-    for ch in text:
-        out.append(_ESCAPES.get(ch, ch))
-    return "".join(out)
+    # str.translate is a C loop — the escape path runs once per literal in
+    # every TTL shard, so this is serialization's hottest line
+    return text.translate(_ESCAPE_TABLE)
 
 
 def _shorten(iri: str, prefixes: dict[str, str]) -> str:

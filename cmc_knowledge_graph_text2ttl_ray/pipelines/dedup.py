@@ -268,28 +268,22 @@ def minhash_lsh_pairs(
     # every consumer re-reads from disk (the documented 100-TB path).
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     if n_docs > sig_spill_docs:
-        import hashlib
-        import json
+        from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt_mod
 
-        ckpt = sig_checkpoint_dir or os.path.join(
-            "/tmp", "graft_minhash_sigs",
-            hashlib.md5(f"{os.path.abspath(sf_dir)}:{num_perm}:{shingle}"
-                        .encode()).hexdigest()[:16])
-        st = os.stat(f"{sf_dir}/documents.parquet")
-        fp = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
-        done = os.path.join(ckpt, "_DONE")
-        ok = False
-        if os.path.exists(done):
-            with open(done) as fh:
-                ok = json.load(fh).get("fp") == fp
-        if not ok:
-            import shutil
-
-            shutil.rmtree(ckpt, ignore_errors=True)
+        ckpt = sig_checkpoint_dir or ckpt_mod.default_cache_dir(
+            "graft_minhash_sigs",
+            f"{os.path.abspath(sf_dir)}:{num_perm}:{shingle}")
+        # fingerprint includes the SIGNATURE PARAMETERS, not just the input
+        # file — an explicit sig_checkpoint_dir reused with different
+        # num_perm/shingle must rebuild, never reshape stale signatures
+        # (round-3 self-review finding)
+        fp = ckpt_mod.input_fingerprint(
+            [f"{sf_dir}/documents.parquet"],
+            {"num_perm": num_perm, "shingle": shingle})
+        if not ckpt_mod.is_valid(ckpt, fp):
+            ckpt_mod.reset(ckpt)
             sigs.write_parquet(ckpt)
-            with open(done, "w") as fh:
-                json.dump({"fp": fp, "num_perm": num_perm,
-                           "shingle": shingle}, fh)
+            ckpt_mod.mark_done(ckpt, fp, num_perm=num_perm, shingle=shingle)
         sigs = ray.data.read_parquet(ckpt, file_extensions=["parquet"])
     else:
         sigs = sigs.materialize()

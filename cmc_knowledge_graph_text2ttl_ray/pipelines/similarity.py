@@ -125,30 +125,14 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 16,
     probe many — a probe then reads ONLY its clusters' files (partition
     pruning at the storage layer), never scanning the full table. Returns
     the centroid matrix. Idempotent via a ``_DONE`` marker."""
-    import json
+    from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt
 
-    def _input_fp() -> str:
-        # cheap content fingerprint: source path + size + mtime of the
-        # embeddings file — a regenerated corpus at the same path must
-        # invalidate the cached index (same bug class the kg.py records
-        # checkpoint fingerprints against)
-        p = f"{sf_dir}/embeddings.parquet"
-        st = os.stat(p)
-        return f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}"
-
-    done = os.path.join(index_dir, "_DONE")
+    fp = ckpt.input_fingerprint([f"{sf_dir}/embeddings.parquet"],
+                                {"n_clusters": n_clusters, "iters": iters})
     cpath = os.path.join(index_dir, "centroids.npy")
-    if os.path.exists(done):
-        with open(done) as fh:
-            meta = json.load(fh)
-        if (meta.get("n_clusters") == n_clusters
-                and meta.get("input_fp") == _input_fp()
-                and os.path.exists(cpath)):
-            return np.load(cpath)
-    import shutil
-
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
+    if ckpt.is_valid(index_dir, fp) and os.path.exists(cpath):
+        return np.load(cpath)
+    ckpt.reset(index_dir)
     centroids = build_ivf_centroids(sf_dir, n_clusters, iters)
     np.save(cpath, centroids)
 
@@ -159,17 +143,15 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 16,
     _emb(sf_dir).map_batches(assign, batch_format="pandas").write_parquet(
         os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
     )
-    with open(done, "w") as fh:
-        json.dump({"n_clusters": n_clusters, "sf_dir": sf_dir,
-                   "input_fp": _input_fp()}, fh)
+    ckpt.mark_done(index_dir, fp, n_clusters=n_clusters, sf_dir=sf_dir)
     return centroids
 
 
 def _default_index_dir(sf_dir: str, n_clusters: int) -> str:
-    import hashlib
+    from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_clusters}".encode()).hexdigest()[:16]
-    return os.path.join("/tmp", "graft_ivf_cache", key)
+    return ckpt.default_cache_dir("graft_ivf_cache",
+                                  f"{os.path.abspath(sf_dir)}:{n_clusters}")
 
 
 def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_clusters: int = 16,
@@ -339,12 +321,10 @@ def hyperplane_lsh_buckets(sf_dir: str, n_bits: int = 12, seed: int = 11):
 
 
 def _default_lsh_dir(sf_dir: str, n_bits: int, seed: int) -> str:
-    import hashlib
+    from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt
 
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{n_bits}:{seed}".encode()
-    ).hexdigest()[:16]
-    return os.path.join("/tmp", "graft_lsh_cache", key)
+    return ckpt.default_cache_dir("graft_lsh_cache",
+                                  f"{os.path.abspath(sf_dir)}:{n_bits}:{seed}")
 
 
 def build_lsh_index(sf_dir: str, index_dir: str, n_bits: int = 8,
@@ -354,28 +334,16 @@ def build_lsh_index(sf_dir: str, index_dir: str, n_bits: int = 8,
     :func:`build_ivf_index` (round-2 verdict: without this layout knn_lsh
     scanned the full table per query). Build once, probe many; idempotent
     via a fingerprinted ``_DONE`` marker. Returns the plane matrix."""
-    import json
-
     import pyarrow.parquet as pq
 
-    def _input_fp() -> str:
-        p = f"{sf_dir}/embeddings.parquet"
-        st = os.stat(p)
-        return f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}"
+    from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt
 
-    done = os.path.join(index_dir, "_DONE")
+    fp = ckpt.input_fingerprint([f"{sf_dir}/embeddings.parquet"],
+                                {"n_bits": n_bits, "seed": seed})
     ppath = os.path.join(index_dir, "planes.npy")
-    if os.path.exists(done):
-        with open(done) as fh:
-            meta = json.load(fh)
-        if (meta.get("n_bits") == n_bits and meta.get("seed") == seed
-                and meta.get("input_fp") == _input_fp()
-                and os.path.exists(ppath)):
-            return np.load(ppath)
-    import shutil
-
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
+    if ckpt.is_valid(index_dir, fp) and os.path.exists(ppath):
+        return np.load(ppath)
+    ckpt.reset(index_dir)
     # plane matrix sized to the embedding dim — read ONE row, not the table
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
@@ -392,9 +360,7 @@ def build_lsh_index(sf_dir: str, index_dir: str, n_bits: int = 8,
     _emb(sf_dir).map_batches(assign, batch_format="pandas").write_parquet(
         os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
     )
-    with open(done, "w") as fh:
-        json.dump({"n_bits": n_bits, "seed": seed, "sf_dir": sf_dir,
-                   "input_fp": _input_fp()}, fh)
+    ckpt.mark_done(index_dir, fp, n_bits=n_bits, seed=seed, sf_dir=sf_dir)
     return planes
 
 

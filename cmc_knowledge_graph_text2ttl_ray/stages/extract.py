@@ -78,73 +78,56 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("text", text)
 
 
-def extract_pdf_batch(batch: pa.Table) -> pa.Table:
-    """``pdf: binary`` column → ``text`` column via the pure-Python PDF
-    parser + table recognizer (reference: get_pdf_content,
-    text_to_turtle_runner.py:131-141). Per-row Python is inherent here —
-    each row is a full document parse — and runs inside the task, never on
-    the driver. Unparseable rows become empty text + an ``extract_error``
-    column entry instead of failing the block."""
-    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import (
-        PdfParseError,
-        pdf_to_xhtml,
-    )
-
+def _extract_binary_batch(batch: pa.Table, column: str, parse,
+                          err_prefix: str) -> pa.Table:
+    """Shared row-isolating document-parse stage: ``column: binary`` (+
+    optional ``url``) → ``text`` + ``extract_error``. Per-row Python is
+    inherent — each row is a full document parse — and runs inside the
+    task, never on the driver; a bad row becomes empty text + an error
+    entry instead of failing the block."""
+    urls = (batch["url"].to_pylist() if "url" in batch.column_names
+            else [""] * batch.num_rows)
     texts: list[str] = []
     errors: list[str | None] = []
-    for v in batch["pdf"].to_pylist():
+    for v, u in zip(batch[column].to_pylist(), urls):
         if v is None:
             texts.append("")
-            errors.append("empty-pdf")
+            errors.append(f"empty-{column}")
             continue
         try:
-            texts.append(pdf_to_xhtml(v))
+            texts.append(parse(v, u or ""))
             errors.append(None)
-        except (PdfParseError, Exception) as ex:  # noqa: BLE001 - row-isolate
+        except Exception as ex:  # noqa: BLE001 - row-isolate
             texts.append("")
-            errors.append(f"pdf-parse: {ex}")
-    out = batch.drop_columns(["pdf"])
+            errors.append(f"{err_prefix}: {ex}")
+    out = batch.drop_columns([column])
     text = pa.array(texts, pa.string())
     if "text" in out.column_names:
         out = out.set_column(out.column_names.index("text"), "text", text)
     else:
         out = out.append_column("text", text)
     return out.append_column("extract_error", pa.array(errors, pa.string()))
+
+
+def extract_pdf_batch(batch: pa.Table) -> pa.Table:
+    """``pdf: binary`` column → ``text`` via the pure-Python PDF parser +
+    table recognizer (reference: get_pdf_content,
+    text_to_turtle_runner.py:131-141)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import pdf_to_xhtml
+
+    return _extract_binary_batch(batch, "pdf",
+                                 lambda v, _u: pdf_to_xhtml(v), "pdf-parse")
 
 
 def extract_doc_batch(batch: pa.Table) -> pa.Table:
     """``doc: binary`` (+ ``url``) column → ``text`` via the office-format
     extractors (docx/odt/rtf/eml — the engine's Tika analogue,
-    text_to_turtle_runner.py:36-115). Per-row parsing runs inside the task;
-    bad rows become empty text + ``extract_error`` instead of failing the
-    block (same contract as :func:`extract_pdf_batch`)."""
+    text_to_turtle_runner.py:36-115)."""
     from cmc_knowledge_graph_text2ttl_ray.functions.docformats import (
-        DocFormatError,
         extract_document,
     )
 
-    urls = (batch["url"].to_pylist() if "url" in batch.column_names
-            else [""] * batch.num_rows)
-    texts: list[str] = []
-    errors: list[str | None] = []
-    for v, u in zip(batch["doc"].to_pylist(), urls):
-        if v is None:
-            texts.append("")
-            errors.append("empty-doc")
-            continue
-        try:
-            texts.append(extract_document(v, u or ""))
-            errors.append(None)
-        except (DocFormatError, Exception) as ex:  # noqa: BLE001 - row-isolate
-            texts.append("")
-            errors.append(f"doc-parse: {ex}")
-    out = batch.drop_columns(["doc"])
-    text = pa.array(texts, pa.string())
-    if "text" in out.column_names:
-        out = out.set_column(out.column_names.index("text"), "text", text)
-    else:
-        out = out.append_column("text", text)
-    return out.append_column("extract_error", pa.array(errors, pa.string()))
+    return _extract_binary_batch(batch, "doc", extract_document, "doc-parse")
 
 
 def add_extracted_text(ds, batch_size: int = 1024, source: str = "auto"):

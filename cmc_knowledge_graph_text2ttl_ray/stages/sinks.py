@@ -80,12 +80,17 @@ def write_ttl_partitions(
         if str(bucket) in done:
             return pd.DataFrame({"bucket": [bucket], "n_triples": [-1], "path": ["<skipped>"]})
         group = group.drop_duplicates(subset=IDENTITY_COLS)
-        rows = [
-            (r.subject, r.predicate, r.object, r.object_kind,
-             None if pd.isna(r.object_lang) else r.object_lang,
-             None if pd.isna(r.object_datatype) else r.object_datatype)
-            for r in group.itertuples()
-        ]
+        # zip over numpy object arrays ≈ 5× faster than itertuples+isna
+        # astype(object) FIRST: on a float64 all-missing column, .where(...,
+        # None) keeps NaN (float64 can't hold None) and would leak '@nan'
+        # lang tags into the TTL
+        lg = group["object_lang"].astype(object).where(
+            group["object_lang"].notna(), None)
+        dt = group["object_datatype"].astype(object).where(
+            group["object_datatype"].notna(), None)
+        rows = list(zip(group["subject"].to_numpy(), group["predicate"].to_numpy(),
+                        group["object"].to_numpy(), group["object_kind"].to_numpy(),
+                        lg.to_numpy(), dt.to_numpy()))
         ttl = serialize_triples(rows, prefixes)  # sorts + set-dedups
         path = fsio.fs_join(base, f"part-{bucket:05d}.ttl")
         fsio.replace_text(fs, path, ttl)  # atomic per-partition commit
@@ -133,12 +138,16 @@ def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None 
         if group.empty:
             return pd.DataFrame({"doc_url": [], "path": [], "n_triples": []})
         url = group["doc_url"].iloc[0]
-        rows = [
-            (r.subject, r.predicate, r.object, r.object_kind,
-             None if pd.isna(r.object_lang) else r.object_lang,
-             None if pd.isna(r.object_datatype) else r.object_datatype)
-            for r in group.itertuples()
-        ]
+        # astype(object) FIRST: on a float64 all-missing column, .where(...,
+        # None) keeps NaN (float64 can't hold None) and would leak '@nan'
+        # lang tags into the TTL
+        lg = group["object_lang"].astype(object).where(
+            group["object_lang"].notna(), None)
+        dt = group["object_datatype"].astype(object).where(
+            group["object_datatype"].notna(), None)
+        rows = list(zip(group["subject"].to_numpy(), group["predicate"].to_numpy(),
+                        group["object"].to_numpy(), group["object_kind"].to_numpy(),
+                        lg.to_numpy(), dt.to_numpy()))
         name = clean_doc_name(url.rsplit("/", 1)[-1] or url)
         path = fsio.fs_join(base, f"{name}.ttl")
         ttl = serializer(rows, prefixes)

@@ -111,12 +111,12 @@ _FILTER_TOKEN = re.compile(
     r"""\s*(?:
       (?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)
     | (?P<or>\|\|)|(?P<and>&&)
+    | (?P<iri><[^<>\s"]*>)
     | (?P<op>!=|<=|>=|=|<|>)|(?P<not>!)
     | (?P<arith>[+\-*/])
     | (?P<var>\?[A-Za-z_]\w*)
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<number>\d+(?:\.\d+)?)
-    | (?P<iri><[^>]*>)
     | (?P<name>[A-Za-z_][\w\-]*(?::[\w][\w.\-]*)?)
     )""",
     re.VERBOSE,
@@ -625,9 +625,12 @@ class GraphIndex:
             row = {v: k for v, k in zip(group_vars, key) if k is not None}
             for fname, dist, var, sep, alias in agg_specs:
                 if var is None:           # COUNT(*)
-                    vals = [1] * len(grows)
                     if dist:
-                        vals = vals[:1] if grows else []
+                        # COUNT(DISTINCT *): number of distinct solutions
+                        vals = [1] * len({tuple(sorted(r.items()))
+                                          for r in grows})
+                    else:
+                        vals = [1] * len(grows)
                 else:
                     vals = [r[var] for r in grows if r.get(var) is not None]
                     if dist:

@@ -182,3 +182,20 @@ def test_minhash_sig_spill_checkpoint_path(ray_session, dup_dir, tmp_path):
     assert len(again) == len(spill)
     assert max(os.path.getmtime(os.path.join(ckpt, f))
                for f in os.listdir(ckpt)) == mtime
+
+
+def test_minhash_sig_spill_invalidates_on_param_change(ray_session, dup_dir, tmp_path):
+    """Round-3 review: an explicit sig_checkpoint_dir reused with different
+    signature parameters must REBUILD, not reshape stale signatures."""
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ckpt = str(tmp_path / "sigs")
+    a = minhash_lsh_pairs(dup_dir, threshold=0.6, num_perm=64, sig_spill_docs=0,
+                          sig_checkpoint_dir=ckpt).to_pandas()
+    mtime = os.path.getmtime(os.path.join(ckpt, "_DONE"))
+    b = minhash_lsh_pairs(dup_dir, threshold=0.6, num_perm=32, bands=8,
+                          sig_spill_docs=0, sig_checkpoint_dir=ckpt).to_pandas()
+    assert os.path.getmtime(os.path.join(ckpt, "_DONE")) > mtime  # rebuilt
+    assert len(a) and len(b)

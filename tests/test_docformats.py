@@ -154,3 +154,14 @@ def test_docs_corpus_cli_run(tmp_path):
     assert summary["n_triples"] > 0
     ttls = list((out_dir / "ttl").glob("part-*.ttl"))
     assert ttls and any("Acme_Corp" in p.read_text() for p in ttls)
+
+
+def test_rtf_unicode_ansi_fallback_consumed():
+    """Round-3 review: the \\'hh ANSI fallback after \\uN is consumed as the
+    skippable unit — no duplicate char, no swallowed following char."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import rtf_to_text
+
+    assert "Euro: €ABC" in rtf_to_text(b"{\\rtf1 Euro: \\u8364\\'80ABC\\par}")
+    assert "X: €Y" in rtf_to_text(b"{\\rtf1 X: \\u8364?Y\\par}")
+    # \uc2: two fallback units skipped
+    assert "Z: €W" in rtf_to_text(b"{\\rtf1\\uc2 Z: \\u8364??W\\par}")

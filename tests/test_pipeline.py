@@ -286,3 +286,32 @@ def test_ttl_sink_writes_through_filesystem_abstraction(ray_session, tmp_path):
     m4 = write_ttl_partitions(triples, "out/ttl", prefixes=prefixes,
                               num_buckets=4, filesystem=subfs, resume=True)
     assert m4["buckets"].keys() == m2["buckets"].keys()
+
+
+def test_ttl_sink_all_missing_lang_float_column(ray_session, tmp_path):
+    """Round-3 review: an all-missing object_lang/datatype column inferred
+    as float64 must serialize as plain literals — never '@nan' tags."""
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.sinks import write_ttl_partitions
+
+    df = pd.DataFrame({
+        "subject": ["http://e/s1", "http://e/s2"],
+        "predicate": ["http://e/p", "http://e/p"],
+        "object": ["v1", "v2"],
+        "object_kind": ["literal", "literal"],
+        "object_lang": [None, None],
+        "object_datatype": [None, None],
+    })
+    # float64 inference for the all-None columns
+    df["object_lang"] = df["object_lang"].astype("float64")
+    df["object_datatype"] = df["object_datatype"].astype("float64")
+    out = str(tmp_path / "ttl")
+    write_ttl_partitions(ray.data.from_pandas(df), out, num_buckets=2)
+    import glob
+
+    text = "".join(open(p, encoding="utf8").read()
+                   for p in glob.glob(out + "/part-*.ttl"))
+    assert '"v1"' in text and '"v2"' in text
+    assert "nan" not in text

@@ -474,3 +474,29 @@ def test_query_subquery_join_and_scope():
         "SELECT ?s WHERE { ?s ex:age ?a . "
         "{ SELECT ?a WHERE { ?y ex:age ?a } ORDER BY DESC(?a) LIMIT 1 } }")
     assert rows == [{"s": "http://ex/bob"}]
+
+
+def test_filter_iri_operands_and_count_distinct_star():
+    """Round-3 review: <iri> operands tokenize inside FILTER (IN and =),
+    comparison ops never open a phantom IRI span, and COUNT(DISTINCT *)
+    counts distinct solutions."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex()
+    for s, t in [("a", "A"), ("b", "A"), ("c", "B")]:
+        g.add((f"http://e/{s}", "http://e/type", f"http://e/{t}",
+               "iri", None, None))
+    assert len(g.query(
+        "SELECT ?s WHERE { ?s <http://e/type> ?t . "
+        "FILTER(?t IN (<http://e/A>)) }")) == 2
+    assert g.query(
+        "SELECT ?s WHERE { ?s <http://e/type> ?t . "
+        "FILTER(?t = <http://e/B>) }") == [{"s": "http://e/c"}]
+    assert g.query(
+        "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s <http://e/type> ?o }"
+    ) == [{"n": "3"}]
+    g.add(("http://e/a", "http://e/v", "5", "literal", None, None))
+    g.add(("http://e/b", "http://e/v", "9", "literal", None, None))
+    assert g.query(
+        "SELECT ?s WHERE { ?s <http://e/v> ?x . FILTER(?x <= 5 && ?x > 2) }"
+    ) == [{"s": "http://e/a"}]
