@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_moving_avg": R.events_daily_moving_avg,
         "docs_bpe_token_stats": R.docs_bpe_token_stats,
         "top_parts_per_brand": R.top_parts_per_brand,
+        "q12_priority_by_returnflag": R.q12_priority_by_returnflag,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q10_returned_customers": R.q10_returned_customers,
         "corpus_clean_winners": _corpus_clean_winners,
         "corpus_prep_stats": _corpus_prep_stats,
         "docs_train_val_split": _docs_train_val_split,
@@ -540,6 +543,33 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "q12_priority_by_returnflag": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "q10_returned_customers": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20
         """,
         "events_props_k": """
             SELECT user_id,

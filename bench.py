@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q4_order_priority",
+    "q12_priority_by_returnflag",
     "orders_per_segment",
     "events_daily",
     "docs_token_stats",

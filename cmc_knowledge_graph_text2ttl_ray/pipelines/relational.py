@@ -521,3 +521,141 @@ def top_parts_per_brand(sf_dir: str, k: int = 2):
         .map_groups(topk, batch_format="pandas")
         .sort(["p_brand", "p_partkey"])
     )
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """TPC-H Q12 shape: FACT-FACT distributed hash join (lineitem ⋈ orders
+    on orderkey — neither side is broadcastable at scale), then conditional
+    counts per return flag. The lineitem side is pre-projected to two
+    columns so only (orderkey, returnflag) pairs shuffle; the aggregation
+    is a per-block combiner + tiny global groupby."""
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = li.join(orders, join_type="inner",
+                num_partitions=default_join_partitions(),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        high = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi = pc.cast(high, pa.int64())
+        lo = pc.cast(pc.invert(high), pa.int64())
+        part = pa.table({"l_returnflag": t["l_returnflag"],
+                         "high_line_count": hi, "low_line_count": lo})
+        return part.group_by("l_returnflag").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        ).rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+        .sort("l_returnflag")
+    )
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: broadcast-dimension join (part type by partkey,
+    2k×SF rows → ray.put once) + a single global ratio. Returns ONE row:
+    promo revenue share in percent, rounded to 2 decimals."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo_keys = pa.array(
+        sorted(part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"]),
+        pa.int64(),
+    )
+    keys_ref = ray.put(promo_keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        promo = pc.is_in(t["l_partkey"], value_set=ray.get(keys_ref))
+        promo_rev = pc.if_else(promo, rev, pa.scalar(0.0))
+        return pa.table({
+            "promo": [pc.sum(promo_rev).as_py() or 0.0],
+            "total": [pc.sum(rev).as_py() or 0.0],
+        })
+
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo", alias_name="promo"), Sum("total", alias_name="total"))
+    pct = 100.0 * agg["promo"] / agg["total"] if agg["total"] else 0.0
+    return pa.table({"promo_revenue_pct": pa.array(
+        [float(_round2(pa.array([pct]))[0].as_py())], pa.float64())})
+
+
+def q10_returned_customers(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: revenue of RETURNED items per customer → top-k with
+    nation names. Pipeline: lineitem(R) per-block partial agg by orderkey →
+    groupby-sum → hash join to orders (orderkey→custkey) → groupby-sum by
+    custkey → broadcast customer/nation dimension lookup → top-k. Only
+    (orderkey, revenue) then (custkey, revenue) pairs ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        part = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        return part.group_by("l_orderkey").aggregate(
+            [("revenue", "sum")]).rename_columns(["l_orderkey", "revenue"])
+
+    by_order = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+        # aggregate outputs can contain schema-less empty blocks that break
+        # join field resolution (Ray 2.49) — coalesce first
+        .repartition(default_join_partitions())
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = by_order.join(orders, join_type="inner",
+                      num_partitions=default_join_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    by_cust = (
+        j.map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"],
+                                "revenue": t["revenue"]}),
+            batch_format="pyarrow")
+        .groupby("c_custkey").aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    name_of = dict(zip(cust["c_custkey"], zip(cust["c_name"], cust["n_name"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_pylist()
+        names = [name_of.get(kk, ("", "")) for kk in keys]
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": pa.array([n[0] for n in names], pa.string()),
+            "n_name": pa.array([n[1] for n in names], pa.string()),
+            "revenue": _round2(t["revenue"]),
+        })
+
+    return (
+        by_cust.map_batches(attach, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
