@@ -468,8 +468,8 @@ class GraphIndex:
         (round-1 verdict: reference workflows rely on these,
         text_to_turtle_processor.py:2107-2202 runs full rdflib SPARQL;
         nested SELECT subqueries (evaluated in their own scope, natural-
-        joined into the outer group; still unsupported: negated property
-        sets ``!p``, EXISTS). FILTERs are applied at the end of their group, per SPARQL
+        joined into the outer group), ``FILTER [NOT] EXISTS {}``, and
+        negated property sets ``!p`` / ``!(p1|^p2)``. FILTERs are applied at the end of their group, per SPARQL
         scoping.
         """
         prefixes = dict(self.prefixes)
@@ -766,6 +766,16 @@ class GraphIndex:
                 sub, pos = self._read_group(body, nxt)
                 elements.append((word.lower(), self._parse_group(sub, prefixes)))
             elif word == "FILTER":
+                m_ex = re.match(r"(NOT\s+)?EXISTS\s*\{", body[nxt:],
+                                re.IGNORECASE)
+                if m_ex is not None:
+                    # FILTER [NOT] EXISTS { pattern } — a group-valued
+                    # filter, applied per binding at group end like other
+                    # filters (SPARQL 1.1 §8.1)
+                    sub, pos = self._read_group(body, nxt + m_ex.end() - 1)
+                    elements.append(("exists", (bool(m_ex.group(1)),
+                                                self._parse_group(sub, prefixes))))
+                    continue
                 if nxt >= n or body[nxt] != "(":
                     raise QueryError("FILTER must be followed by (expr)")
                 expr, pos = self._read_parens(body, nxt)
@@ -874,6 +884,7 @@ class GraphIndex:
         self, elements: list[tuple], bindings: list[dict[str, str]]
     ) -> list[dict[str, str]]:
         filters = [e[1] for e in elements if e[0] == "filter"]
+        exists_filters = [e[1] for e in elements if e[0] == "exists"]
         for kind, payload in elements:
             if kind == "bgp":
                 bindings = [
@@ -941,11 +952,16 @@ class GraphIndex:
                         if ok2:
                             nxt2.append(nb)
                 bindings = nxt2
-            # filters handled below
+            # 'filter' and 'exists' elements are handled below
             if not bindings:
                 break
         for f in filters:
             bindings = [b for b in bindings if f(b)]
+        for negated, elems in exists_filters:
+            bindings = [
+                b for b in bindings
+                if bool(self._eval_group(elems, [b])) != negated
+            ]
         return bindings
 
     def _parse_patterns(
@@ -966,7 +982,7 @@ class GraphIndex:
             raise QueryError("Empty WHERE body")
         return patterns
 
-    _RE_PATH_OP = re.compile(r"\s*([/|^+*?()])\s*")
+    _RE_PATH_OP = re.compile(r"\s*([/|^+*?()!])\s*")
 
     def _tokenize_statement(self, stmt: str, prefixes: dict[str, str]):
         """Statement → [("term", (kind, val)) | ("op", ch)] tokens; the op
@@ -989,8 +1005,8 @@ class GraphIndex:
     def _parse_path(self, toks: list, stmt: str):
         """SPARQL property-path subset → AST (reference runs full rdflib):
         sequences ``p1/p2``, alternatives ``p1|p2``, inverse ``^p``,
-        closures ``p+ p* p?``, grouped with parentheses. Negated property
-        sets (``!p``) are not supported."""
+        closures ``p+ p* p?``, negated property sets ``!p`` / ``!(p1|^p2)``,
+        grouped with parentheses."""
         pos = 0
 
         def peek():
@@ -1026,8 +1042,37 @@ class GraphIndex:
                 node = ({"+": "plus", "*": "star", "?": "opt"}[ch], node)
             return ("inv", node) if inv else node
 
+        def parse_neg_member():
+            inv = False
+            if peek() == ("op", "^"):
+                advance()
+                inv = True
+            t = peek()
+            if t is None or t[0] != "term" or t[1][0] != "const":
+                raise QueryError(
+                    f"Negated property set members must be IRIs: {stmt!r}")
+            advance()
+            return (inv, t[1][1])
+
         def parse_atom():
             t = peek()
+            if t == ("op", "!"):
+                # negated property set !iri / !(iri1|^iri2|...) —
+                # SPARQL 1.1 §9.1 PathNegatedPropertySet
+                advance()
+                members = []
+                if peek() == ("op", "("):
+                    advance()
+                    members.append(parse_neg_member())
+                    while peek() == ("op", "|"):
+                        advance()
+                        members.append(parse_neg_member())
+                    if peek() != ("op", ")"):
+                        raise QueryError(f"Unbalanced parens in path: {stmt!r}")
+                    advance()
+                else:
+                    members.append(parse_neg_member())
+                return ("negset", members)
             if t == ("op", "("):
                 advance()
                 node = parse_alt()
@@ -1056,6 +1101,19 @@ class GraphIndex:
             return {(t[0], t[2]) for t in self.match(s, ast[1], o)}
         if kind == "inv":
             return {(b, a) for (a, b) in self._eval_path(ast[1], o, s)}
+        if kind == "negset":
+            fwd = {iri for inv, iri in ast[1] if not inv}
+            invs = {iri for inv, iri in ast[1] if inv}
+            out: set = set()
+            # forward part exists iff there is ≥1 forward member (or the
+            # set is pure-forward): matches any predicate NOT in the set
+            if fwd or not invs:
+                out |= {(t[0], t[2]) for t in self.match(s, None, o)
+                        if t[1] not in fwd}
+            if invs:
+                out |= {(t[2], t[0]) for t in self.match(o, None, s)
+                        if t[1] not in invs}
+            return out
         if kind == "alt":
             out: set = set()
             for sub in ast[1]:

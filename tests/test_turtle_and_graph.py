@@ -500,3 +500,47 @@ def test_filter_iri_operands_and_count_distinct_star():
     assert g.query(
         "SELECT ?s WHERE { ?s <http://e/v> ?x . FILTER(?x <= 5 && ?x > 2) }"
     ) == [{"s": "http://e/a"}]
+
+
+def test_query_filter_exists_not_exists():
+    """FILTER [NOT] EXISTS { pattern } is correlated with the outer binding
+    and composes with plain FILTERs."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex(prefixes={"ex": "http://ex/"})
+    for s, t in [("alice", "Person"), ("bob", "Person"), ("carol", "Robot")]:
+        g.add((f"http://ex/{s}", "http://ex/type", f"http://ex/{t}",
+               "iri", None, None))
+    g.add(("http://ex/alice", "http://ex/nick", "Ali", "literal", None, None))
+    assert g.query(
+        "SELECT ?s WHERE { ?s ex:type ex:Person . "
+        "FILTER EXISTS { ?s ex:nick ?n } }") == [{"s": "http://ex/alice"}]
+    assert g.query(
+        "SELECT ?s WHERE { ?s ex:type ?t . "
+        "FILTER NOT EXISTS { ?s ex:nick ?n } FILTER(?t = ex:Person) }"
+    ) == [{"s": "http://ex/bob"}]
+    # nested group keywords inside EXISTS parse correctly
+    assert g.query(
+        "SELECT ?s WHERE { ?s ex:type ?t . FILTER EXISTS { "
+        "{ ?s ex:nick ?n } UNION { ?s ex:type ex:Robot } } }"
+    ) == [{"s": "http://ex/alice"}, {"s": "http://ex/carol"}]
+
+
+def test_query_negated_property_sets():
+    """!p / !(p1|^p2) per SPARQL 1.1 §9.1: forward part matches predicates
+    outside the forward members; inverse members match reversed edges."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex(prefixes={"ex": "http://ex/"})
+    g.add(("http://ex/a", "http://ex/knows", "http://ex/b", "iri", None, None))
+    g.add(("http://ex/a", "http://ex/hates", "http://ex/c", "iri", None, None))
+    g.add(("http://ex/d", "http://ex/knows", "http://ex/a", "iri", None, None))
+    assert g.query("SELECT ?v WHERE { ex:a !ex:knows ?v }") == \
+        [{"v": "http://ex/c"}]
+    assert g.query("SELECT ?v WHERE { ex:a !(ex:knows|ex:hates) ?v }") == []
+    assert g.query("SELECT ?v WHERE { ex:a !(ex:hates|^ex:hates) ?v }") == \
+        [{"v": "http://ex/b"}, {"v": "http://ex/d"}]
+    assert g.query("SELECT ?v WHERE { ex:a !(^ex:knows) ?v }") == []
+    # composes with sequences
+    assert g.query("SELECT ?v WHERE { ex:d ex:knows/!ex:hates ?v }") == \
+        [{"v": "http://ex/b"}]
