@@ -341,16 +341,29 @@ def run_kg_pipeline_waves(
         import shutil
 
         shutil.rmtree(wave_dir, ignore_errors=True)
-        recs.write_parquet(wave_dir)
+        # same rec-partitioned layout as the single-run checkpoint: the
+        # wide stages below read ONLY the record kinds they need
+        recs.write_parquet(wave_dir, partition_cols=["rec"])
         done[key] = {"files": files, "records_dir": wave_dir}
         tmp = wave_manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(done, fh, indent=1, sort_keys=True)
         os.replace(tmp, wave_manifest_path)
 
-    recs = ray.data.read_parquet(os.path.join(out_dir, "records"),
-                                 file_extensions=["parquet"])
-    triples = recs.map_batches(_filter_rec("triple"), batch_format="pyarrow")
+    import glob as _glob
+
+    def _kind_ds(kind: str):
+        dirs = sorted(_glob.glob(
+            os.path.join(out_dir, "records", "wave=*", f"rec={kind}")))
+        if dirs:
+            return ray.data.read_parquet(dirs, file_extensions=["parquet"])
+        # no rows of this kind in any wave — empty via a full filtered read
+        return ray.data.read_parquet(
+            os.path.join(out_dir, "records"), file_extensions=["parquet"]
+        ).map_batches(_filter_rec(kind), batch_format="pyarrow")
+
+    triples = _kind_ds("triple")
+    entity_src = _kind_ds("entity")
     if canonical_mode == "join":
         from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import (
             apply_canonical_mapping_join,
@@ -359,10 +372,10 @@ def run_kg_pipeline_waves(
 
         mapping_df = None
         canonical = apply_canonical_mapping_join(
-            triples, canonicalization_mapping_ds(recs, entity_ns)
+            triples, canonicalization_mapping_ds(entity_src, entity_ns)
         )
     else:
-        mapping_df = mapping_from_entity_records(recs, entity_ns)
+        mapping_df = mapping_from_entity_records(entity_src, entity_ns)
         mapping = {r.iri: r.canonical for r in mapping_df.itertuples()
                    if r.iri != r.canonical}
         canonical = apply_canonical_mapping(triples, mapping)
@@ -377,7 +390,7 @@ def run_kg_pipeline_waves(
     # metrics are derived data: clear first — Ray write_parquet APPENDS
     # uniquely-named part files, so a resumed run would duplicate rows
     shutil.rmtree(metrics_dir, ignore_errors=True)
-    recs.map_batches(_filter_rec("stats"), batch_format="pyarrow").select_columns(
+    _kind_ds("stats").select_columns(
         ["doc_url", "workflow", "no_matches", "no_triples", "total_match_len", "score"]
     ).write_parquet(metrics_dir)
     return {"manifest": manifest, "entity_mapping": mapping_df, "waves": done}
