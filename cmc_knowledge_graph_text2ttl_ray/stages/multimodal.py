@@ -1,13 +1,15 @@
 """Multimodal column stages: decode / feature-extract over opaque ``binary``
 payload columns.
 
-Real image/audio codecs are not available in this container, so the decode
-kernel is pluggable: the default ``FakeDecoder`` is a deterministic stand-in
-(content-hash → fixed-size uint8 "pixel" grid) and ``LibraryDecoder`` is the
-clearly-marked stub that would wrap PIL/ffmpeg. Everything around the decode
-— schema handling, actor-pool stage shape, small batch sizes for large
-payloads, output layout — is real and tested, so swapping in a codec later
-is a one-class change.
+The decode kernel is pluggable. REAL decoders (pure Python, round-3):
+``PngDecoder`` (8-bit gray/RGB/RGBA PNG via ``functions/png.py``) and the
+WAV path in ``AudioFeatures`` (RIFF PCM via ``functions/wav.py``) — an
+``AutoDecoder`` sniffs the payload and routes PNG → real decode, anything
+else → the deterministic ``FakeDecoder`` stand-in (content-hash → uint8
+grid), so mixed corpora keep streaming. ``LibraryDecoder`` remains the
+clearly-marked stub for codecs this container can't provide (JPEG/video).
+Everything around the decode — schema handling, actor-pool stage shape,
+small batch sizes for large payloads, output layout — is real and tested.
 """
 
 from __future__ import annotations
@@ -18,8 +20,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["FakeDecoder", "LibraryDecoder", "MediaFeatures", "media_features",
-           "resize_media", "sample_frames", "AudioFeatures", "audio_features"]
+__all__ = ["FakeDecoder", "PngDecoder", "AutoDecoder", "LibraryDecoder",
+           "MediaFeatures", "media_features", "resize_media",
+           "sample_frames", "AudioFeatures", "audio_features"]
 
 
 class FakeDecoder:
@@ -37,6 +40,31 @@ class FakeDecoder:
             out += hashlib.blake2b(payload + counter.to_bytes(4, "big"), digest_size=32).digest()
             counter += 1
         return np.frombuffer(bytes(out[:n]), dtype=np.uint8).reshape(self.shape)
+
+
+class PngDecoder:
+    """REAL image decode: 8-bit PNG → (h, w) uint8 luma grid
+    (``functions/png.py`` — pure Python, all five scanline filters)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        from cmc_knowledge_graph_text2ttl_ray.functions.png import decode_png_gray
+
+        return decode_png_gray(bytes(payload))
+
+
+class AutoDecoder:
+    """Sniffing decoder: PNG payloads decode for real, anything else falls
+    back to the deterministic stand-in so mixed corpora keep streaming."""
+
+    def __init__(self, height: int = 8, width: int = 8) -> None:
+        self._png = PngDecoder()
+        self._fake = FakeDecoder(height, width)
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        b = bytes(payload)
+        if b.startswith(b"\x89PNG\r\n\x1a\n"):
+            return self._png.decode(b)
+        return self._fake.decode(b)
 
 
 class LibraryDecoder:
@@ -62,7 +90,20 @@ class MediaFeatures:
                  decoder=None) -> None:
         self._payload = payload_column
         self._id = id_column
-        self._decoder = decoder or FakeDecoder()
+        self._decoder = decoder or AutoDecoder()
+
+    @staticmethod
+    def _phash(img: np.ndarray) -> int:
+        """64-bit perceptual hash: block-mean the image to 8×8 (whatever its
+        true size), then above/below-mean bits."""
+        h, w = img.shape
+        ro, co = min(8, h), min(8, w)
+        bh, bw = h // ro, w // co
+        small = (img[: ro * bh, : co * bw]
+                 .reshape(ro, bh, co, bw).mean(axis=(1, 3)))
+        bits = (small.flatten() > small.mean()).astype(np.uint64)
+        return int((bits << np.arange(len(bits), dtype=np.uint64)).sum()
+                   & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         means, stds, phashes = [], [], []
@@ -70,10 +111,7 @@ class MediaFeatures:
             img = self._decoder.decode(bytes(payload))
             means.append(float(img.mean()))
             stds.append(float(img.std()))
-            # perceptual-hash-style bit signature: above/below mean per cell
-            bits = (img.flatten() > img.mean()).astype(np.uint64)
-            phashes.append(int((bits << np.arange(len(bits), dtype=np.uint64)).sum()
-                               & np.uint64(0x7FFF_FFFF_FFFF_FFFF)))
+            phashes.append(self._phash(img))
         return pd.DataFrame(
             {
                 self._id: df[self._id],
@@ -105,7 +143,7 @@ def resize_media(ds, payload_column: str = "payload", id_column: str = "doc_id",
 
     class _Resizer:
         def __init__(self) -> None:
-            self._decoder = FakeDecoder()
+            self._decoder = AutoDecoder()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             outs = []
@@ -181,10 +219,18 @@ class AudioFeatures:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         rms, zcr = [], []
         for payload in df[self._payload]:
-            wave = self._decoder.decode(bytes(payload)).astype(np.float64).ravel()
-            wave = (wave - 127.5) / 127.5  # [-1, 1]
-            rms.append(float(np.sqrt((wave ** 2).mean())))
-            zcr.append(float((np.signbit(wave[1:]) != np.signbit(wave[:-1])).mean()))
+            b = bytes(payload)
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                # REAL decode: RIFF PCM via functions/wav.py
+                from cmc_knowledge_graph_text2ttl_ray.functions.wav import decode_wav
+
+                wave, _sr = decode_wav(b)
+            else:
+                wave = self._decoder.decode(b).astype(np.float64).ravel()
+                wave = (wave - 127.5) / 127.5  # [-1, 1]
+            rms.append(float(np.sqrt((wave ** 2).mean())) if len(wave) else 0.0)
+            zcr.append(float((np.signbit(wave[1:]) != np.signbit(wave[:-1])).mean())
+                       if len(wave) > 1 else 0.0)
         return pd.DataFrame({
             self._id: df[self._id],
             "rms": np.round(rms, 4),
