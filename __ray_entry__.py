@@ -62,6 +62,23 @@ def _kg_entity_links(sf_dir: str):
     return link_entities(recs, default_kb_ttl(), "http://example.org/entity/")
 
 
+def _docs_lm_score(sf_dir: str):
+    """Corpus-trained char-trigram LM bits-per-trigram per doc (two-phase:
+    distributed train, broadcast model, vectorized score). Rows-only: the
+    model itself is not SQL-expressible."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import lm_scores
+
+    return lm_scores(sf_dir)
+
+
+def _docs_repetition(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
+        repetition_stats,
+    )
+
+    return repetition_stats(sf_dir)
+
+
 def _distinct_brands(sf_dir: str):
     """Set-op coverage: ds.unique over one column."""
     import pandas as pd
@@ -315,6 +332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_token_stats": R.docs_bpe_token_stats,
         "top_parts_per_brand": R.top_parts_per_brand,
         "q12_priority_by_returnflag": R.q12_priority_by_returnflag,
+        "docs_repetition": _docs_repetition,
+        "docs_lm_score": _docs_lm_score,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q10_returned_customers": R.q10_returned_customers,
         "corpus_clean_winners": _corpus_clean_winners,
@@ -543,6 +562,20 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "docs_repetition": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), c AS (
+                SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+            )
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                   ROUND(1.0 - COUNT(*)::DOUBLE / SUM(n), 4) AS dup_word_frac,
+                   ROUND(MAX(n)::DOUBLE / SUM(n), 4) AS top_word_frac
+            FROM c GROUP BY doc_id ORDER BY doc_id
         """,
         "q12_priority_by_returnflag": """
             SELECT l_returnflag,

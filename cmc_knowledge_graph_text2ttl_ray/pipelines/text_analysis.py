@@ -147,3 +147,141 @@ class LangId:
 def lang_id(sf_dir: str, concurrency=(1, 4)):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and most-common-word fraction (the classic LLM-training-data
+    quality filters for boilerplate/spam).
+
+    Fully vectorized: one str.split + explode per batch, two C-speed pandas
+    groupbys (doc×word counts → per-doc sum/count/max) — no Python loop
+    over rows. Per-block partials are exact because every doc's words live
+    in one row (map_batches never splits a row)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_words": pd.Series(dtype="int64"),
+                "n_distinct_words": pd.Series(dtype="int64"),
+                "dup_word_frac": pd.Series(dtype="float64"),
+                "top_word_frac": pd.Series(dtype="float64"),
+            })
+        words = df["text"].str.split(" ")
+        lens = words.str.len().to_numpy()
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "word": np.concatenate([np.asarray(w, dtype=object) for w in words]),
+        })
+        counts = (flat.groupby(["doc_id", "word"], sort=False)
+                  .size().rename("n").reset_index())
+        agg = counts.groupby("doc_id", sort=True).agg(
+            n_words=("n", "sum"), n_distinct_words=("n", "count"),
+            top=("n", "max"))
+        nw = agg["n_words"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "doc_id": agg.index.to_numpy(),
+            "n_words": agg["n_words"].to_numpy(dtype=np.int64),
+            "n_distinct_words": agg["n_distinct_words"].to_numpy(dtype=np.int64),
+            "dup_word_frac": round_half_away(
+                1.0 - agg["n_distinct_words"].to_numpy(dtype=np.float64) / nw, 4),
+            "top_word_frac": round_half_away(agg["top"].to_numpy(dtype=np.float64) / nw, 4),
+        })
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def _trigram_codes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """All char-trigram codes across a batch, fully vectorized: texts are
+    concatenated into one uint8 buffer, rolling 3-byte codes are computed
+    in one shot, and cross-document positions are masked out via offsets.
+    Returns (codes, doc_index_per_code)."""
+    bufs = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    if lens.sum() == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    codes_all = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+    # positions whose 3-byte window stays inside one document
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    n = len(codes_all)
+    keep = np.ones(n, dtype=bool)
+    for e in ends[:-1]:                 # few per batch: doc boundaries only
+        keep[max(0, e - 2):min(n, e)] = False
+    doc_idx = np.searchsorted(ends - 1, np.arange(n), side="left")
+    # windows starting in a doc with <3 bytes spill into the next doc and
+    # are already masked by the boundary rule above
+    return codes_all[keep], doc_idx[keep]
+
+
+def char_trigram_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed character-trigram count model: per-block vectorized
+    ``np.unique`` partials → one small ``groupby(code).sum`` (the distinct
+    trigram space of normalized text is tiny vs the corpus) → sorted
+    (codes, counts) arrays for ``searchsorted`` lookup. Returns
+    (codes, counts, total)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = _trigram_codes(df["text"])
+        u, c = np.unique(codes, return_counts=True)
+        return pd.DataFrame({"code": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("code").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()                     # |distinct trigrams| rows — small
+        .sort_values("code")
+    )
+    codes = counts["code"].to_numpy(dtype=np.int64)
+    ns = counts["n"].to_numpy(dtype=np.int64)
+    return codes, ns, int(ns.sum())
+
+
+def lm_scores(sf_dir: str):
+    """Per-document mean negative log2 trigram probability under the
+    corpus's own char-trigram model (the cheap LM-quality signal used to
+    rank training data; outliers = gibberish or boilerplate).
+
+    Two phases: the model is trained DISTRIBUTED (:func:`char_trigram_model`),
+    broadcast once via ``ray.put``, and scoring is one vectorized
+    searchsorted + bincount pass per batch. Add-one smoothing over the
+    observed trigram space keeps unseen trigrams finite."""
+    import ray
+
+    codes, ns, total = char_trigram_model(sf_dir)
+    vocab = max(1, len(codes))
+    logp = np.log2((ns + 1.0) / (total + vocab))
+    unseen = np.log2(1.0 / (total + vocab))
+    model_ref = ray.put((codes, logp, unseen))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+        codes_, logp_, unseen_ = ray.get(model_ref)
+        tri, doc_idx = _trigram_codes(df["text"])
+        out = np.zeros(len(df), dtype=np.float64)
+        cnt = np.zeros(len(df), dtype=np.int64)
+        if len(tri):
+            pos = np.searchsorted(codes_, tri)
+            pos_c = np.minimum(pos, len(codes_) - 1)
+            lp = np.where(codes_[pos_c] == tri, logp_[pos_c], unseen_)
+            np.add.at(out, doc_idx, -lp)
+            np.add.at(cnt, doc_idx, 1)
+        score_ = np.where(cnt > 0, out / np.maximum(cnt, 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_trigrams": cnt,
+            "lm_bits_per_trigram": round_half_away(score_, 4),
+        })
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")

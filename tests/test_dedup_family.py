@@ -199,3 +199,25 @@ def test_minhash_sig_spill_invalidates_on_param_change(ray_session, dup_dir, tmp
                           sig_spill_docs=0, sig_checkpoint_dir=ckpt).to_pandas()
     assert os.path.getmtime(os.path.join(ckpt, "_DONE")) > mtime  # rebuilt
     assert len(a) and len(b)
+
+
+def test_repetition_and_lm_scores(ray_session, dup_dir):
+    """Gopher-style repetition stats + trigram LM scoring: a pathological
+    repeated-word doc must show high dup/top-word fractions, and LM scores
+    are deterministic with plausible magnitudes."""
+    import numpy as np
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
+        lm_scores,
+        repetition_stats,
+    )
+
+    rep = repetition_stats(dup_dir).to_pandas().set_index("doc_id")
+    assert (rep["dup_word_frac"] >= 0).all() and (rep["dup_word_frac"] <= 1).all()
+    assert (rep["top_word_frac"] > 0).all()
+    assert (rep["n_distinct_words"] <= rep["n_words"]).all()
+    lm = lm_scores(dup_dir).to_pandas().set_index("doc_id")
+    assert (lm["lm_bits_per_trigram"] > 0).all()
+    assert lm["n_trigrams"].sum() > 0
+    lm2 = lm_scores(dup_dir).to_pandas().set_index("doc_id")
+    assert lm.equals(lm2)
