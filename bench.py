@@ -39,6 +39,18 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_calibration() -> float:
+    """Fixed single-core Python workload, timed. The sandbox host throttles
+    unpredictably (observed 1.9-2.7 s for this exact loop within one hour);
+    recording the calibration with every sample lets absolute numbers be
+    compared across machine-days."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _consume(result) -> int:
     """Force full execution; return row count."""
     if hasattr(result, "count"):
@@ -88,6 +100,7 @@ def run_workload(num_cpus: int) -> dict:
     ).write_parquet(warm_dir, partition_cols=["k"])
     shutil.rmtree(warm_dir, ignore_errors=True)
     os.sync()
+    cpu_calib = _cpu_calibration()
     t0 = time.perf_counter()
     pages = pages_dataset(n_pages, override_num_blocks=max(64, num_cpus * 4))
     result = run_kg_pipeline(pages, out_dir=out_dir, concurrency=num_cpus, resume=False,
@@ -116,6 +129,7 @@ def run_workload(num_cpus: int) -> dict:
         "n_triples": int(n_triples),
         "pages_per_sec": round(n_pages / kg_wall, 1),
         "triples_per_sec": round(n_triples / kg_wall, 1),
+        "cpu_calib_sec": cpu_calib,
         "phases": {k: round(v, 2) for k, v in result["timings"].items()},
     }
 
