@@ -39,16 +39,30 @@ BENCH_QUERIES = [
 ]
 
 
-def _cpu_calibration() -> float:
-    """Fixed single-core Python workload, timed. The sandbox host throttles
-    unpredictably (observed 1.9-2.7 s for this exact loop within one hour);
-    recording the calibration with every sample lets absolute numbers be
-    compared across machine-days."""
-    t0 = time.perf_counter()
+def _calib_loop(_=None) -> int:
     x = 0
     for i in range(20_000_000):
         x += i
-    return round(time.perf_counter() - t0, 3)
+    return x
+
+
+def _cpu_calibration() -> dict:
+    """Fixed CPU workloads, timed: one single-core loop and the same loop
+    on 8 processes at once. The sandbox host throttles single-core speed
+    AND multi-core capacity independently (observed 0.9-2.7 s single-core,
+    and parallel slowdowns with a fast single core, within one hour);
+    recording both with every sample lets absolute numbers be compared
+    across machine-days."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.perf_counter()
+    _calib_loop()
+    single = time.perf_counter() - t0
+    with ProcessPoolExecutor(max_workers=8) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(_calib_loop, range(8)))
+        par8 = time.perf_counter() - t0
+    return {"single_sec": round(single, 3), "par8_sec": round(par8, 3)}
 
 
 def _consume(result) -> int:
@@ -129,7 +143,7 @@ def run_workload(num_cpus: int) -> dict:
         "n_triples": int(n_triples),
         "pages_per_sec": round(n_pages / kg_wall, 1),
         "triples_per_sec": round(n_triples / kg_wall, 1),
-        "cpu_calib_sec": cpu_calib,
+        "cpu_calib": cpu_calib,
         "phases": {k: round(v, 2) for k, v in result["timings"].items()},
     }
 
