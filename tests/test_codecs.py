@@ -177,3 +177,29 @@ def test_audio_features_real_wav_through_stage(ray_session):
     assert abs(out["rms"].iloc[0] - 0.7071) < 0.01
     assert out["rms"].iloc[1] < 0.001
     assert abs(out["zcr"].iloc[0] - 0.02) < 0.005  # 10 Hz → 20 crossings/1000
+
+
+def test_png_wav_never_crash_on_fuzz():
+    """Codec contract: arbitrary bytes raise PngError/WavError or decode —
+    never an unhandled exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.png import PngError, decode_png
+    from cmc_knowledge_graph_text2ttl_ray.functions.wav import WavError, decode_wav
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def run(payload):
+        for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"RIFF\x24\x00\x00\x00WAVE"):
+            blob = prefix + payload
+            try:
+                decode_png(blob)
+            except PngError:
+                pass
+            try:
+                decode_wav(blob)
+            except WavError:
+                pass
+
+    run()

@@ -165,3 +165,57 @@ def test_rtf_unicode_ansi_fallback_consumed():
     assert "X: €Y" in rtf_to_text(b"{\\rtf1 X: \\u8364?Y\\par}")
     # \uc2: two fallback units skipped
     assert "Z: €W" in rtf_to_text(b"{\\rtf1\\uc2 Z: \\u8364??W\\par}")
+
+
+def test_docformats_never_crash_on_fuzz():
+    """Contract: arbitrary bytes either extract or raise DocFormatError —
+    never an unhandled exception (mirrors the PDF fuzz contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import (
+        DocFormatError,
+        extract_document,
+        rtf_to_text,
+    )
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def run(payload):
+        for name in ("x.docx", "x.odt", "x.eml", "sniff"):
+            try:
+                out = extract_document(payload, name)
+                assert isinstance(out, str)
+            except DocFormatError:
+                pass
+        try:
+            out = rtf_to_text(b"{\\rtf1" + payload + b"}")
+            assert isinstance(out, str)
+        except DocFormatError:
+            pass
+
+    run()
+
+
+def test_rtf_fuzz_control_words():
+    """RTF-shaped fuzz: random control words / groups / escapes parse to a
+    string without crashing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import rtf_to_text
+
+    token = st.one_of(
+        st.sampled_from([b"\\par ", b"\\tab ", b"\\u8364?", b"\\u-100?",
+                         b"\\'e9", b"{", b"}", b"\\uc2 ", b"\\b ", b"\\b0 ",
+                         b"{\\*\\weird junk}", b"\\\\", b"\\{", b"\\}"]),
+        st.text(alphabet="abc XYZ09.,", max_size=12).map(lambda t: t.encode()),
+    )
+
+    @given(st.lists(token, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def run(parts):
+        out = rtf_to_text(b"{\\rtf1" + b"".join(parts) + b"}")
+        assert isinstance(out, str)
+
+    run()
