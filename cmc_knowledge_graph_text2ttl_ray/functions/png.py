@@ -57,8 +57,12 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PngError(f"IHDR must be 13 bytes, got {len(body)}")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body)
+            if width == 0 or height == 0:
+                raise PngError("Zero-dimension PNG")
             if depth != 8:
                 raise PngError(f"Unsupported bit depth {depth} (only 8)")
             if color not in _CHANNELS:

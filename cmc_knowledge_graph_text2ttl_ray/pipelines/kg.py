@@ -353,14 +353,33 @@ def run_kg_pipeline_waves(
     import glob as _glob
 
     def _kind_ds(kind: str):
-        dirs = sorted(_glob.glob(
+        # partitioned waves (current layout) AND flat waves written by a
+        # previous engine version can coexist in one resumed run — reading
+        # only rec= dirs would silently drop the flat waves' records
+        part_dirs = sorted(_glob.glob(
             os.path.join(out_dir, "records", "wave=*", f"rec={kind}")))
-        if dirs:
-            return ray.data.read_parquet(dirs, file_extensions=["parquet"])
-        # no rows of this kind in any wave — empty via a full filtered read
-        return ray.data.read_parquet(
-            os.path.join(out_dir, "records"), file_extensions=["parquet"]
-        ).map_batches(_filter_rec(kind), batch_format="pyarrow")
+        flat_files = sorted(_glob.glob(
+            os.path.join(out_dir, "records", "wave=*", "*.parquet")))
+        parts = []
+        if part_dirs:
+            parts.append(ray.data.read_parquet(part_dirs,
+                                               file_extensions=["parquet"]))
+        if flat_files:
+            parts.append(ray.data.read_parquet(flat_files).map_batches(
+                _filter_rec(kind), batch_format="pyarrow"))
+        if not parts:
+            return ray.data.read_parquet(
+                os.path.join(out_dir, "records"), file_extensions=["parquet"]
+            ).map_batches(_filter_rec(kind), batch_format="pyarrow")
+        out = parts[0]
+        for extra in parts[1:]:
+            # drop the flat side's rec column so the union schemas align
+            extra = extra.map_batches(
+                lambda t: t.drop_columns([c for c in ("rec",)
+                                          if c in t.column_names]),
+                batch_format="pyarrow")
+            out = out.union(extra)
+        return out
 
     triples = _kind_ds("triple")
     entity_src = _kind_ds("entity")

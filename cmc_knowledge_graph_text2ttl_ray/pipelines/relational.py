@@ -637,14 +637,19 @@ def q10_returned_customers(sf_dir: str, k: int = 20):
             batch_format="pyarrow")
         .groupby("c_custkey").aggregate(Sum("revenue", alias_name="revenue"))
     )
+    import ray
+
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation",
                    columns=["n_nationkey", "n_name"]).to_pandas()
     cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    name_of = dict(zip(cust["c_custkey"], zip(cust["c_name"], cust["n_name"])))
+    # broadcast: ray.put ONCE, zero-copy per node — never in the closure
+    name_ref = ray.put(dict(zip(cust["c_custkey"],
+                                zip(cust["c_name"], cust["n_name"]))))
 
     def attach(t: pa.Table) -> pa.Table:
+        name_of = ray.get(name_ref)
         keys = t["c_custkey"].to_pylist()
         names = [name_of.get(kk, ("", "")) for kk in keys]
         return pa.table({

@@ -63,7 +63,14 @@ class AutoDecoder:
     def decode(self, payload: bytes) -> np.ndarray:
         b = bytes(payload)
         if b.startswith(b"\x89PNG\r\n\x1a\n"):
-            return self._png.decode(b)
+            from cmc_knowledge_graph_text2ttl_ray.functions.png import PngError
+
+            try:
+                return self._png.decode(b)
+            except PngError:
+                # unsupported PNG variant (palette/interlaced/16-bit) or a
+                # corrupt file: fall back so mixed corpora keep streaming
+                return self._fake.decode(b)
         return self._fake.decode(b)
 
 
@@ -76,6 +83,25 @@ class LibraryDecoder:
             "use FakeDecoder for plumbing tests or install a codec and implement "
             "decode() here."
         )
+
+
+def _block_mean_resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Bin-edge block-mean resize that handles ANY input size (including
+    images smaller than the target — real decoders produce arbitrary
+    dims, unlike the fixed-grid stand-in): each output cell averages its
+    [linspace] bin, bins never being empty."""
+    h, w = img.shape
+    ys = np.linspace(0, h, oh + 1).astype(np.int64)
+    xs = np.linspace(0, w, ow + 1).astype(np.int64)
+    out = np.empty((oh, ow), dtype=np.uint8)
+    for i in range(oh):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        y0 = min(y0, h - 1)
+        for j in range(ow):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            x0 = min(x0, w - 1)
+            out[i, j] = int(img[y0:y1, x0:x1].mean())
+    return out
 
 
 class MediaFeatures:
@@ -149,15 +175,8 @@ def resize_media(ds, payload_column: str = "payload", id_column: str = "doc_id",
             outs = []
             for payload in df[payload_column]:
                 img = self._decoder.decode(bytes(payload))
-                h, w = img.shape
-                bh, bw = max(1, h // out_height), max(1, w // out_width)
-                resized = (
-                    img[: out_height * bh, : out_width * bw]
-                    .reshape(out_height, bh, out_width, bw)
-                    .mean(axis=(1, 3))
-                    .astype(np.uint8)
-                )
-                outs.append(resized.tobytes())
+                outs.append(_block_mean_resize(img, out_height, out_width)
+                            .tobytes())
             return pd.DataFrame({
                 id_column: df[id_column],
                 "payload": outs,
@@ -220,12 +239,20 @@ class AudioFeatures:
         rms, zcr = [], []
         for payload in df[self._payload]:
             b = bytes(payload)
+            wave = None
             if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                # REAL decode: RIFF PCM via functions/wav.py
-                from cmc_knowledge_graph_text2ttl_ray.functions.wav import decode_wav
+                # REAL decode: RIFF PCM via functions/wav.py; unsupported
+                # variants (float/24-bit) fall back to the stand-in
+                from cmc_knowledge_graph_text2ttl_ray.functions.wav import (
+                    WavError,
+                    decode_wav,
+                )
 
-                wave, _sr = decode_wav(b)
-            else:
+                try:
+                    wave, _sr = decode_wav(b)
+                except WavError:
+                    wave = None
+            if wave is None:
                 wave = self._decoder.decode(b).astype(np.float64).ravel()
                 wave = (wave - 127.5) / 127.5  # [-1, 1]
             rms.append(float(np.sqrt((wave ** 2).mean())) if len(wave) else 0.0)

@@ -203,3 +203,56 @@ def test_png_wav_never_crash_on_fuzz():
                 pass
 
     run()
+
+
+def test_auto_decoder_falls_back_on_unsupported_png_and_small_resize(ray_session):
+    """Round-3 review: unsupported PNG variants fall back to the stand-in
+    instead of crashing the stage, and resize handles images SMALLER than
+    the target dims."""
+    import struct
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.multimodal import (
+        AutoDecoder,
+        media_features,
+        resize_media,
+    )
+
+    # 16-bit PNG header (unsupported depth) — valid signature, bad variant
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    bad_png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IEND", b""))
+    out = AutoDecoder().decode(bad_png)
+    assert out.shape == (8, 8)  # fake fallback
+
+    tiny = np.arange(9, dtype=np.uint8).reshape(3, 3)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_png(tiny), bad_png], pa.binary()),
+    }))
+    rs = resize_media(ds, out_height=4, out_width=4,
+                      concurrency=(1, 2)).to_pandas()
+    assert len(rs) == 2 and all(len(b) == 16 for b in rs["payload"])
+    feats = media_features(ds, concurrency=(1, 2)).to_pandas()
+    assert len(feats) == 2 and feats["mean_intensity"].notna().all()
+
+
+def test_audio_features_unsupported_wav_falls_back(ray_session):
+    """IEEE-float WAV (tag 3) routes to the stand-in, not a crash."""
+    import struct
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.multimodal import audio_features
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    blob = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 0))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([blob], pa.binary()),
+    }))
+    out = audio_features(ds, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 1 and float(out["rms"].iloc[0]) > 0  # fake waveform
