@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_token_stats": R.docs_bpe_token_stats,
         "top_parts_per_brand": R.top_parts_per_brand,
         "q12_priority_by_returnflag": R.q12_priority_by_returnflag,
+        "events_value_quantiles": R.events_value_quantiles,
         "docs_repetition": _docs_repetition,
         "docs_lm_score": _docs_lm_score,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -562,6 +563,16 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "events_value_quantiles": """
+            SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events
+            UNION ALL
+            SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_disc(value, 0.99) FROM events
+            ORDER BY q
         """,
         "docs_repetition": """
             WITH w AS (

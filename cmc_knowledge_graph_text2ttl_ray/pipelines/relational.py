@@ -664,3 +664,74 @@ def q10_returned_customers(sf_dir: str, k: int = 20):
         .sort(["revenue", "c_custkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
+                           n_bins: int = 8192):
+    """EXACT distributed quantiles (percentile_disc semantics) over
+    ``events.value`` without a global sort.
+
+    Three streaming passes, no all-to-all exchange:
+    1. global min/max/count (tiny aggregate),
+    2. one fixed-bin partial histogram per block, summed — locates the bin
+       containing each target rank,
+    3. one filtered pass collecting ONLY the values inside the needed bins
+       (n/n_bins rows in expectation) — exact rank selection on the driver.
+
+    A sort-based quantile moves the whole column through the object store;
+    this moves two small aggregates plus ~k·n/n_bins values, which is the
+    right shape at 100 TB (raise ``n_bins`` to shrink pass 3)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    stats = ds.aggregate(Min("value", alias_name="lo"),
+                         Max("value", alias_name="hi"),
+                         Count(alias_name="n"))
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    ranks = {q: max(1, int(np.ceil(q * n))) for q in qs}  # 1-based k-th
+    width = (hi - lo) / n_bins or 1.0
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        bins = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
+        counts = np.bincount(bins, minlength=n_bins)
+        return pa.table({"bin": np.arange(n_bins, dtype=np.int64),
+                         "cnt": counts.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    hist_df = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas().sort_values("bin")      # n_bins rows — driver-tiny
+    )
+    cum = hist_df["cnt"].cumsum().to_numpy()
+    bins_arr = hist_df["bin"].to_numpy()
+    need: dict[int, list[tuple[float, int]]] = {}
+    for q, k in ranks.items():
+        i = int(np.searchsorted(cum, k))
+        b = int(bins_arr[i])
+        # rank of the target within its bin
+        before = int(cum[i - 1]) if i > 0 else 0
+        need.setdefault(b, []).append((q, k - before))
+    wanted_bins = np.array(sorted(need), dtype=np.int64)
+
+    def in_bins(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        bins = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
+        keep = np.isin(bins, wanted_bins)
+        return pa.table({"value": v[keep], "bin": bins[keep]})
+
+    small = ds.map_batches(in_bins, batch_format="pyarrow").to_pandas()
+    out_q, out_v = [], []
+    for b, targets in need.items():
+        vals = np.sort(small.loc[small["bin"] == b, "value"].to_numpy())
+        for q, r in targets:
+            out_q.append(q)
+            out_v.append(float(vals[r - 1]))
+    order = np.argsort(out_q)
+    return pa.table({"q": pa.array(np.array(out_q)[order], pa.float64()),
+                     "value": pa.array(np.array(out_v)[order], pa.float64())})

@@ -102,3 +102,19 @@ def test_customers_without_orders_join_path(entrymod, con):
     exp = _normalize(con.execute(
         entrymod.oracle_sql()["customers_without_orders"]).fetchdf())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_quantiles_match_duckdb_at_sf001(entrymod, con):
+    """Histogram-refinement exact selection vs quantile_disc on a second
+    scale + brute-force rank check."""
+    import numpy as np
+
+    t = entrymod.queries()["events_value_quantiles"]("/root/testdata/sf0.01")
+    got = t.to_pandas()
+    vals = np.sort(duckdb_vals := __import__("duckdb").connect().execute(
+        "SELECT value FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+    ).fetchdf()["value"].to_numpy())
+    n = len(vals)
+    for q, v in zip(got["q"], got["value"]):
+        k = max(1, int(np.ceil(q * n)))
+        assert v == vals[k - 1], (q, v, vals[k - 1])
