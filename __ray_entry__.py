@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": R.top_parts_per_brand,
         "q12_priority_by_returnflag": R.q12_priority_by_returnflag,
         "events_value_quantiles": R.events_value_quantiles,
+        "events_asof_orders": R.events_asof_orders,
         "docs_repetition": _docs_repetition,
         "docs_lm_score": _docs_lm_score,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -563,6 +564,13 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_totalprice
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "events_value_quantiles": """
             SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events

@@ -735,3 +735,86 @@ def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
     order = np.argsort(out_q)
     return pa.table({"q": pa.array(np.array(out_q)[order], pa.float64()),
                      "value": pa.array(np.array(out_v)[order], pa.float64())})
+
+
+def asof_join(left, right, key: str, left_ts: str, right_ts: str,
+              left_cols: list[str], right_cols: list[str]):
+    """Generic AS-OF join (an operator Ray Data lacks natively): for every
+    left row, attach the single right row with the LARGEST ``right_ts`` ≤
+    ``left_ts`` within the same ``key`` (inner semantics — unmatched left
+    rows drop, like SQL ASOF JOIN).
+
+    Composition: both sides project to a shared schema (missing columns
+    null) tagged with a side marker, union WITHOUT a shuffle, then ONE
+    ``groupby(key).map_groups`` where each group sorts its right rows once
+    and answers all left rows with a single vectorized ``searchsorted``.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    one key's rows fit one task — salt hot keys upstream if a single key's
+    history outgrows worker memory."""
+    import pandas as pd_
+
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def project(cols, side):
+        def f(t: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in [key, "ts", "_side"] + all_cols:
+                if c == "ts":
+                    src = left_ts if side == 0 else right_ts
+                    arrays.append(t[src])
+                elif c == "_side":
+                    arrays.append(pa.array([side] * t.num_rows, pa.int8()))
+                elif c == key:
+                    arrays.append(t[key] if key in t.column_names else t[cols[0]])
+                elif c in t.column_names and c in cols:
+                    arrays.append(t[c])
+                else:
+                    arrays.append(pa.nulls(t.num_rows))
+                names.append(c)
+            return pa.table(dict(zip(names, arrays)))
+
+        return f
+
+    l2 = left.map_batches(project(left_cols, 0), batch_format="pyarrow")
+    r2 = right.map_batches(project(right_cols, 1), batch_format="pyarrow")
+
+    def per_key(g: pd_.DataFrame) -> pd_.DataFrame:
+        lmask = g["_side"] == 0
+        lrows = g[lmask]
+        rrows = g[~lmask].sort_values("ts", kind="stable")
+        empty = pd_.DataFrame({c: pd_.Series(dtype=g[c].dtype)
+                               for c in g.columns if c != "_side"})
+        if lrows.empty or rrows.empty:
+            return empty
+        idx = np.searchsorted(rrows["ts"].to_numpy(), lrows["ts"].to_numpy(),
+                              side="right") - 1
+        keep = idx >= 0
+        lrows = lrows[keep]
+        if lrows.empty:
+            return empty
+        matched = rrows.iloc[idx[keep]]
+        out = lrows[[key, "ts"] + [c for c in left_cols if c != key]].copy()
+        for c in right_cols:
+            out[c] = matched[c].to_numpy()
+        return out.reset_index(drop=True)
+
+    return l2.union(r2).groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def events_asof_orders(sf_dir: str):
+    """Each event joined AS-OF to the customer's most recent order at or
+    before the event timestamp (DuckDB ``ASOF JOIN`` oracle)."""
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_orderkey",
+                            "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "o_orderdate", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(events, orders, key="user_id",
+                    left_ts="ts", right_ts="o_orderdate",
+                    left_cols=["event_id"],
+                    right_cols=["o_orderkey", "o_totalprice"])
+    return out.sort("event_id")

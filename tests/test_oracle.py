@@ -118,3 +118,31 @@ def test_quantiles_match_duckdb_at_sf001(entrymod, con):
     for q, v in zip(got["q"], got["value"]):
         k = max(1, int(np.ceil(q * n)))
         assert v == vals[k - 1], (q, v, vals[k - 1])
+
+
+def test_asof_join_interleaved_timestamps(entrymod, ray_session):
+    """Non-degenerate as-of check: interleaved left/right times within one
+    key must each match their own most-recent right row (the events/orders
+    oracle case is time-disjoint, so this covers the real semantics)."""
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import asof_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "lt": pd.to_datetime(["2024-01-05", "2024-01-15", "2024-01-02",
+                              "2024-01-10", "2024-01-01", "2024-01-10"]),
+        "lid": [10, 11, 12, 20, 21, 30],
+    }))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "rt": pd.to_datetime(["2024-01-03", "2024-01-10", "2024-01-04",
+                              "2024-02-01"]),
+        "rv": ["a", "b", "c", "d"],
+    }))
+    out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                    left_cols=["lid"], right_cols=["rv"]).to_pandas()
+    got = dict(zip(out["lid"], out["rv"]))
+    # lid 12 (Jan 2 < first right Jan 3) and lid 21 and lid 30 drop (inner)
+    assert got == {10: "a", 11: "b", 20: "c"}
