@@ -817,4 +817,13 @@ def events_asof_orders(sf_dir: str):
                     left_ts="ts", right_ts="o_orderdate",
                     left_cols=["event_id"],
                     right_cols=["o_orderkey", "o_totalprice"])
-    return out.sort("event_id")
+
+    def restore_types(t: pa.Table) -> pa.Table:
+        # the tagged union carries nulls on the other side's columns, so
+        # integer columns come back float64 — cast to the oracle schema
+        for c in ("event_id", "o_orderkey"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pc.cast(t[c], pa.int64()))
+        return t
+
+    return out.map_batches(restore_types, batch_format="pyarrow").sort("event_id")
