@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_returnflag": R.q12_priority_by_returnflag,
         "events_value_quantiles": R.events_value_quantiles,
         "events_asof_orders": R.events_asof_orders,
+        "parts_price_tiers": R.parts_price_tiers,
         "docs_repetition": _docs_repetition,
         "docs_lm_score": _docs_lm_score,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -564,6 +565,15 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "parts_price_tiers": """
+            WITH tiers(lo, hi, tier) AS (VALUES
+                (0.0, 500.0, 'budget'), (500.0, 1000.0, 'mid'),
+                (1000.0, 1500.0, 'high'), (1500.0, 10000.0, 'premium'))
+            SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part JOIN tiers
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY tier ORDER BY tier
         """,
         "events_asof_orders": """
             SELECT e.event_id, e.user_id, e.ts,

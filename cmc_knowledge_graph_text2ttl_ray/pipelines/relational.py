@@ -827,3 +827,57 @@ def events_asof_orders(sf_dir: str):
         return t
 
     return out.map_batches(restore_types, batch_format="pyarrow").sort("event_id")
+
+
+def range_join(left, intervals_df, value_col: str,
+               lo_col: str, hi_col: str, payload_cols: list[str]):
+    """Generic broadcast RANGE (interval) join — another operator Ray Data
+    lacks natively: each left row matches the interval with
+    ``lo ≤ value < hi`` (intervals non-overlapping, sorted).
+
+    The interval table is a DIMENSION (pandas DataFrame): shipped once via
+    ``ray.put`` and applied per batch as one vectorized ``searchsorted``
+    over the sorted bounds — no shuffle at all. Rows outside every
+    interval drop (inner semantics)."""
+    import ray
+
+    iv = intervals_df.sort_values(lo_col).reset_index(drop=True)
+    los = iv[lo_col].to_numpy()
+    his = iv[hi_col].to_numpy()
+    if (los[1:] < his[:-1]).any():
+        raise ValueError("range_join requires non-overlapping intervals")
+    iv_ref = ray.put((los, his, {c: iv[c].to_numpy() for c in payload_cols}))
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        los_, his_, payload = ray.get(iv_ref)
+        v = t[value_col].to_numpy()
+        idx = np.searchsorted(los_, v, side="right") - 1
+        idx_c = np.clip(idx, 0, len(los_) - 1)
+        keep = (idx >= 0) & (v < his_[idx_c])
+        out = t.filter(pa.array(keep))
+        for c, arr in payload.items():
+            out = out.append_column(c, pa.array(arr[idx_c[keep]]))
+        return out
+
+    return left.map_batches(join_batch, batch_format="pyarrow")
+
+
+def parts_price_tiers(sf_dir: str):
+    """Parts bucketed into price tiers via the broadcast range join, then
+    counted per tier (DuckDB BETWEEN-join oracle)."""
+    import pandas as pd_
+
+    from ray.data.aggregate import Count
+
+    tiers = pd_.DataFrame({
+        "lo": [0.0, 500.0, 1000.0, 1500.0],
+        "hi": [500.0, 1000.0, 1500.0, 10_000.0],
+        "tier": ["budget", "mid", "high", "premium"],
+    })
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    joined = range_join(parts, tiers, value_col="p_retailprice",
+                        lo_col="lo", hi_col="hi", payload_cols=["tier"])
+    return (
+        joined.groupby("tier").aggregate(Count(alias_name="n_parts"))
+        .sort("tier")
+    )
