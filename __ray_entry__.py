@@ -568,8 +568,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_price_tiers": """
             WITH tiers(lo, hi, tier) AS (VALUES
-                (0.0, 500.0, 'budget'), (500.0, 1000.0, 'mid'),
-                (1000.0, 1500.0, 'high'), (1500.0, 10000.0, 'premium'))
+                (0.0, 925.0, 'budget'), (925.0, 950.0, 'mid'),
+                (950.0, 975.0, 'high'), (975.0, 10000.0, 'premium'))
             SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_parts
             FROM part JOIN tiers
               ON p_retailprice >= lo AND p_retailprice < hi

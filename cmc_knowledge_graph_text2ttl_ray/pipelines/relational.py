@@ -870,8 +870,8 @@ def parts_price_tiers(sf_dir: str):
     from ray.data.aggregate import Count
 
     tiers = pd_.DataFrame({
-        "lo": [0.0, 500.0, 1000.0, 1500.0],
-        "hi": [500.0, 1000.0, 1500.0, 10_000.0],
+        "lo": [0.0, 925.0, 950.0, 975.0],
+        "hi": [925.0, 950.0, 975.0, 10_000.0],
         "tier": ["budget", "mid", "high", "premium"],
     })
     parts = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
