@@ -62,7 +62,18 @@ def _cpu_calibration() -> dict:
         t0 = time.perf_counter()
         list(ex.map(_calib_loop, range(8)))
         par8 = time.perf_counter() - t0
-    return {"single_sec": round(single, 3), "par8_sec": round(par8, 3)}
+    # the virtio disk is the biggest noise source (measured 53-250 MB/s
+    # across windows; the pipeline writes ~200 MB at sf0.1)
+    probe = os.urandom(50 * 1024 * 1024)
+    t0 = time.perf_counter()
+    with open("/tmp/graft_disk_probe", "wb") as f:
+        f.write(probe)
+        f.flush()
+        os.fsync(f.fileno())
+    disk = time.perf_counter() - t0
+    os.remove("/tmp/graft_disk_probe")
+    return {"single_sec": round(single, 3), "par8_sec": round(par8, 3),
+            "disk_mb_s": round(50 / disk, 1)}
 
 
 def _consume(result) -> int:
