@@ -71,6 +71,14 @@ def _docs_lm_score(sf_dir: str):
     return lm_scores(sf_dir)
 
 
+def _docs_heavy_words(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
+        heavy_hitter_words,
+    )
+
+    return heavy_hitter_words(sf_dir)
+
+
 def _docs_repetition(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
         repetition_stats,
@@ -335,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": R.events_value_quantiles,
         "events_asof_orders": R.events_asof_orders,
         "parts_price_tiers": R.parts_price_tiers,
+        "events_hopping_windows": R.events_hopping_window_counts,
+        "docs_heavy_words": _docs_heavy_words,
         "docs_repetition": _docs_repetition,
         "docs_lm_score": _docs_lm_score,
         "q14_promo_revenue": R.q14_promo_revenue,
@@ -565,6 +575,23 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "events_hopping_windows": """
+            WITH w AS (
+                SELECT time_bucket(INTERVAL 3 HOUR, ts) AS window_start
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL 3 HOUR, ts) - INTERVAL 3 HOUR
+                FROM events
+            )
+            SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY window_start ORDER BY window_start
+        """,
+        "docs_heavy_words": """
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word HAVING COUNT(*) >= 900
+            ORDER BY n DESC, word
         """,
         "parts_price_tiers": """
             WITH tiers(lo, hi, tier) AS (VALUES

@@ -881,3 +881,38 @@ def parts_price_tiers(sf_dir: str):
         joined.groupby("tier").aggregate(Count(alias_name="n_parts"))
         .sort("tier")
     )
+
+
+def events_hopping_window_counts(sf_dir: str, window_hours: int = 6,
+                                 hop_hours: int = 3):
+    """HOPPING (sliding) event-time window counts — the streaming-window
+    operator Ray Data lacks natively: 6-hour windows advancing every 3
+    hours, so each event lands in ``window/hop`` windows.
+
+    Composition: one vectorized ``map_batches`` expands each event into
+    its window-start keys (epoch arithmetic, no Python loop), then a
+    single groupby-count over (window_start) — per-block partials combine
+    inside Ray's hash aggregate, so the shuffle moves one row per
+    (block, window)."""
+    assert window_hours % hop_hours == 0
+    k = window_hours // hop_hours
+    hop_us = hop_hours * 3600 * 1_000_000
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        base = (us // hop_us) * hop_us
+        starts = (base[:, None]
+                  - (np.arange(k, dtype=np.int64) * hop_us)[None, :]).ravel()
+        return pa.table({"window_start":
+                         pa.array(starts).cast(pa.timestamp("us"))})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"))
+        .sort("window_start")
+    )

@@ -285,3 +285,54 @@ def lm_scores(sf_dir: str):
 
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pandas")
+
+
+def heavy_hitter_words(sf_dir: str, min_count: int = 900,
+                       sketch_k: int = 2048):
+    """EXACT corpus-wide heavy-hitter words via a two-phase
+    sketch-then-verify plan (the scalable alternative to a full word
+    groupby):
+
+    1. each block runs a Misra-Gries-style top-``sketch_k`` summary (one
+       vectorized value_counts) — the union of block candidates provably
+       contains every word with global count ≥ n/sketch_k,
+    2. the candidate set (≤ sketch_k × blocks, tiny vs the vocabulary)
+       broadcasts via ``ray.put``; one filtered counting pass computes the
+       EXACT counts of candidates only, and the threshold is applied to
+       exact numbers — so the result equals the full groupby's, while the
+       shuffle only ever moves candidate rows."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def block_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        top = words.value_counts().head(sketch_k)
+        return pd.DataFrame({"word": top.index.astype(str)})
+
+    cand = set(
+        ds.map_batches(block_candidates, batch_format="pandas")
+        .to_pandas()["word"]
+    )
+    cand_ref = ray.put(cand)
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        words = words[words.isin(ray.get(cand_ref))]
+        c = words.value_counts()
+        return pd.DataFrame({"word": c.index.astype(str),
+                             "n": c.to_numpy(dtype=np.int64)})
+
+    out = (
+        ds.map_batches(exact_counts, batch_format="pandas")
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    )
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= min_count]
+        return df.astype({"n": "int64"})
+
+    return out.map_batches(threshold, batch_format="pandas").sort(
+        ["n", "word"], descending=[True, False])
