@@ -603,11 +603,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tier ORDER BY tier
         """,
         "events_asof_orders": """
-            SELECT e.event_id, e.user_id, e.ts,
-                   o.o_orderkey, o.o_totalprice
-            FROM events e ASOF JOIN orders o
-              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-            ORDER BY e.event_id
+            -- ASOF with a DETERMINISTIC tie-break (greatest payload tuple
+            -- among equal o_orderdate), matching the engine operator's
+            -- documented semantics; bare ASOF JOIN picks an arbitrary row
+            WITH best AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       MAX(o.o_orderdate) AS od
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+                GROUP BY e.event_id, e.user_id, e.ts
+            )
+            SELECT b.event_id, b.user_id, b.ts,
+                   o2.o_orderkey, o2.o_totalprice
+            FROM best b JOIN orders o2
+              ON o2.o_custkey = b.user_id AND o2.o_orderdate = b.od
+            QUALIFY row_number() OVER (
+                PARTITION BY b.event_id
+                ORDER BY o2.o_orderkey DESC, o2.o_totalprice DESC) = 1
+            ORDER BY b.event_id
         """,
         "events_value_quantiles": """
             SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events

@@ -64,14 +64,22 @@ def _cpu_calibration() -> dict:
         par8 = time.perf_counter() - t0
     # the virtio disk is the biggest noise source (measured 53-250 MB/s
     # across windows; the pipeline writes ~200 MB at sf0.1)
+    import tempfile
+
     probe = os.urandom(50 * 1024 * 1024)
-    t0 = time.perf_counter()
-    with open("/tmp/graft_disk_probe", "wb") as f:
-        f.write(probe)
-        f.flush()
-        os.fsync(f.fileno())
-    disk = time.perf_counter() - t0
-    os.remove("/tmp/graft_disk_probe")
+    fd, path = tempfile.mkstemp(prefix="graft_disk_probe_", dir="/tmp")
+    try:
+        t0 = time.perf_counter()
+        with os.fdopen(fd, "wb") as f:
+            f.write(probe)
+            f.flush()
+            os.fsync(f.fileno())
+        disk = time.perf_counter() - t0
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
     return {"single_sec": round(single, 3), "par8_sec": round(par8, 3),
             "disk_mb_s": round(50 / disk, 1)}
 

@@ -698,8 +698,9 @@ def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
         v = t["value"].to_numpy()
         bins = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
         counts = np.bincount(bins, minlength=n_bins)
-        return pa.table({"bin": np.arange(n_bins, dtype=np.int64),
-                         "cnt": counts.astype(np.int64)})
+        nz = np.flatnonzero(counts)   # emit ONLY occupied bins: the shuffle
+        return pa.table({"bin": nz,   # stays ≤ distinct-bins per batch
+                         "cnt": counts[nz].astype(np.int64)})
 
     from ray.data.aggregate import Sum
 
@@ -749,6 +750,11 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     ``groupby(key).map_groups`` where each group sorts its right rows once
     and answers all left rows with a single vectorized ``searchsorted``.
 
+    Ties on ``right_ts`` resolve DETERMINISTICALLY to the greatest right
+    payload tuple (right rows are sorted by [ts, *right_cols] and the last
+    match wins) — required for run-to-run stable output under Ray's
+    nondeterministic block order.
+
     Partitioning assumption (documented per the custom-operator contract):
     one key's rows fit one task — salt hot keys upstream if a single key's
     history outgrows worker memory."""
@@ -766,7 +772,11 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
                 elif c == "_side":
                     arrays.append(pa.array([side] * t.num_rows, pa.int8()))
                 elif c == key:
-                    arrays.append(t[key] if key in t.column_names else t[cols[0]])
+                    if key not in t.column_names:
+                        raise KeyError(
+                            f"asof_join: key column {key!r} missing from a "
+                            f"side's batch (rename upstream)")
+                    arrays.append(t[key])
                 elif c in t.column_names and c in cols:
                     arrays.append(t[c])
                 else:
@@ -782,7 +792,7 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     def per_key(g: pd_.DataFrame) -> pd_.DataFrame:
         lmask = g["_side"] == 0
         lrows = g[lmask]
-        rrows = g[~lmask].sort_values("ts", kind="stable")
+        rrows = g[~lmask].sort_values(["ts"] + right_cols, kind="stable")
         empty = pd_.DataFrame({c: pd_.Series(dtype=g[c].dtype)
                                for c in g.columns if c != "_side"})
         if lrows.empty or rrows.empty:
@@ -841,6 +851,8 @@ def range_join(left, intervals_df, value_col: str,
     interval drop (inner semantics)."""
     import ray
 
+    if len(intervals_df) == 0:
+        raise ValueError("range_join requires a non-empty interval table")
     iv = intervals_df.sort_values(lo_col).reset_index(drop=True)
     los = iv[lo_col].to_numpy()
     his = iv[hi_col].to_numpy()

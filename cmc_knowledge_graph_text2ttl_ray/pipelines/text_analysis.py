@@ -310,12 +310,24 @@ def heavy_hitter_words(sf_dir: str, min_count: int = 900,
     def block_candidates(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].str.split(" ").explode()
         top = words.value_counts().head(sketch_k)
-        return pd.DataFrame({"word": top.index.astype(str)})
+        # first row carries the block's TOTAL word count so the driver can
+        # verify the sketch guarantee without another pass
+        weight = np.zeros(len(top), dtype=np.int64)
+        if len(weight):
+            weight[0] = len(words)
+        return pd.DataFrame({"word": top.index.astype(str),
+                             "block_words": weight})
 
-    cand = set(
-        ds.map_batches(block_candidates, batch_format="pandas")
-        .to_pandas()["word"]
-    )
+    cand_df = ds.map_batches(block_candidates, batch_format="pandas").to_pandas()
+    total_words = int(cand_df["block_words"].sum())
+    if min_count * sketch_k < total_words:
+        # the per-block top-k union only provably contains words with
+        # global count ≥ N/sketch_k — beyond that the "exact" claim breaks
+        raise ValueError(
+            f"heavy_hitter_words: min_count={min_count} is below the sketch "
+            f"guarantee N/sketch_k={total_words}/{sketch_k}"
+            f"={total_words / sketch_k:.0f}; raise sketch_k or min_count")
+    cand = set(cand_df["word"])
     cand_ref = ray.put(cand)
 
     def exact_counts(df: pd.DataFrame) -> pd.DataFrame:

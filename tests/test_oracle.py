@@ -104,14 +104,15 @@ def test_customers_without_orders_join_path(entrymod, con):
     pd.testing.assert_frame_equal(got, exp)
 
 
-def test_quantiles_match_duckdb_at_sf001(entrymod, con):
-    """Histogram-refinement exact selection vs quantile_disc on a second
-    scale + brute-force rank check."""
+def test_quantiles_bruteforce_rank_at_sf01(entrymod, con):
+    """Histogram-refinement exact selection vs a brute-force k-th-smallest
+    rank check over the full sorted column at sf0.01 (the DuckDB
+    quantile_disc cross-check runs in test_query_matches_oracle)."""
     import numpy as np
 
     t = entrymod.queries()["events_value_quantiles"]("/root/testdata/sf0.01")
     got = t.to_pandas()
-    vals = np.sort(duckdb_vals := __import__("duckdb").connect().execute(
+    vals = np.sort(__import__("duckdb").connect().execute(
         "SELECT value FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
     ).fetchdf()["value"].to_numpy())
     n = len(vals)
