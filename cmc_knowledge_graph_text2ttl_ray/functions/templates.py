@@ -76,8 +76,14 @@ def expand_template(
         return template  # fast path: no references (most constant IRIs)
     original = template
     try:
+        pos = 0
         while True:
-            m = _RE_REF.search(template)
+            # Restart the scan at the last substitution point when the
+            # prefix provably contains no "@{" (keeps multi-ref templates
+            # linear); nested refs like @{a-@{b}} complete an OUTER ref
+            # left of the substitution, so any "@{" in the prefix forces a
+            # rescan from 0.
+            m = _RE_REF.search(template, pos)
             if m is None:
                 break
             optional = m.group(0).startswith("@{?")
@@ -111,7 +117,9 @@ def expand_template(
             func_id = m.group(6)
             if func_id is not None:
                 ext = _apply_func(func_id[1:], ext)
-            template = template[: m.start(0)] + (ext or "") + template[m.end(0) :]
+            start = m.start(0)
+            template = template[:start] + (ext or "") + template[m.end(0):]
+            pos = start if "@{" not in template[:start] else 0
     except TemplateError:
         raise
     except Exception as ex:  # pragma: no cover - defensive parity
