@@ -147,3 +147,29 @@ def test_asof_join_interleaved_timestamps(entrymod, ray_session):
     got = dict(zip(out["lid"], out["rv"]))
     # lid 12 (Jan 2 < first right Jan 3) and lid 21 and lid 30 drop (inner)
     assert got == {10: "a", 11: "b", 20: "c"}
+
+
+def test_asof_and_range_join_input_validation(entrymod, ray_session):
+    """Review-3 contracts: asof_join raises on a missing key column instead
+    of guessing; range_join rejects empty interval tables on the driver."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        asof_join,
+        range_join,
+    )
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1], "lt": pd.to_datetime(["2024-01-05"]), "lid": [1]}))
+    right_missing_key = ray.data.from_pandas(pd.DataFrame({
+        "wrong": [1], "rt": pd.to_datetime(["2024-01-01"]), "rv": ["a"]}))
+    with pytest.raises(Exception, match="key column"):
+        asof_join(left, right_missing_key, key="k", left_ts="lt",
+                  right_ts="rt", left_cols=["lid"],
+                  right_cols=["rv"]).to_pandas()
+    with pytest.raises(ValueError, match="non-empty interval"):
+        range_join(left, pd.DataFrame({"lo": [], "hi": [], "t": []}),
+                   value_col="lid", lo_col="lo", hi_col="hi",
+                   payload_cols=["t"])
