@@ -320,72 +320,95 @@ def hyperplane_lsh_buckets(sf_dir: str, n_bits: int = 12, seed: int = 11):
     return _emb(sf_dir).map_batches(bucketize, batch_format="pandas")
 
 
-def _default_lsh_dir(sf_dir: str, n_bits: int, seed: int) -> str:
+def _default_lsh_dir(sf_dir: str, n_bits: int, seed: int,
+                     n_tables: int = 1) -> str:
     from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt
 
-    return ckpt.default_cache_dir("graft_lsh_cache",
-                                  f"{os.path.abspath(sf_dir)}:{n_bits}:{seed}")
+    return ckpt.default_cache_dir(
+        "graft_lsh_cache",
+        f"{os.path.abspath(sf_dir)}:{n_bits}:{seed}:{n_tables}")
 
 
 def build_lsh_index(sf_dir: str, index_dir: str, n_bits: int = 8,
-                    seed: int = 11) -> np.ndarray:
+                    seed: int = 11, n_tables: int = 1) -> np.ndarray:
     """Materialize the hyperplane-LSH layout: planes + vectors as parquet
     PARTITIONED BY BUCKET (``index_dir/vectors/bucket=K/``), mirroring
     :func:`build_ivf_index` (round-2 verdict: without this layout knn_lsh
-    scanned the full table per query). Build once, probe many; idempotent
-    via a fingerprinted ``_DONE`` marker. Returns the plane matrix."""
+    scanned the full table per query).
+
+    ``n_tables`` > 1 builds MULTI-TABLE LSH (the standard recall fix for
+    unclustered data): each table has independent planes, each vector is
+    written once per table under key ``table·2^n_bits + bits`` (storage
+    ×L — the classic LSH trade), and a probe unions candidates across
+    tables. Build once, probe many; idempotent via a fingerprinted
+    ``_DONE`` marker. Returns the (n_tables, dim, n_bits) plane tensor."""
     import pyarrow.parquet as pq
 
     from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt
 
     fp = ckpt.input_fingerprint([f"{sf_dir}/embeddings.parquet"],
-                                {"n_bits": n_bits, "seed": seed})
+                                {"n_bits": n_bits, "seed": seed,
+                                 "n_tables": n_tables})
     ppath = os.path.join(index_dir, "planes.npy")
     if ckpt.is_valid(index_dir, fp) and os.path.exists(ppath):
         return np.load(ppath)
     ckpt.reset(index_dir)
-    # plane matrix sized to the embedding dim — read ONE row, not the table
+    # plane tensor sized to the embedding dim — read ONE row, not the table
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first["embedding"][0].as_py())
-    planes = np.random.RandomState(seed).randn(dim, n_bits)
+    planes = np.random.RandomState(seed).randn(n_tables, dim, n_bits)
     np.save(ppath, planes)
     weights = 1 << np.arange(n_bits, dtype=np.int64)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         mat = _to_matrix(df["embedding"])
-        bits = (mat @ planes) > 0
-        return df.assign(bucket=(bits @ weights).astype("int64"))
+        keys = []
+        for t_i in range(n_tables):
+            bits = (mat @ planes[t_i]) > 0
+            keys.append((bits @ weights).astype(np.int64)
+                        + (t_i << n_bits))
+        n = len(df)
+        return pd.DataFrame({
+            "vec_id": np.tile(df["vec_id"].to_numpy(), n_tables),
+            "embedding": [e for _ in range(n_tables) for e in df["embedding"]],
+            "bucket": np.concatenate(keys),
+        })
 
     _emb(sf_dir).map_batches(assign, batch_format="pandas").write_parquet(
         os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
     )
-    ckpt.mark_done(index_dir, fp, n_bits=n_bits, seed=seed, sf_dir=sf_dir)
+    ckpt.mark_done(index_dir, fp, n_bits=n_bits, seed=seed,
+                   n_tables=n_tables, sf_dir=sf_dir)
     return planes
 
 
 def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
             max_hamming: int = 2, seed: int = 11,
-            index_dir: str | None = None):
+            index_dir: str | None = None, n_tables: int = 1):
     """LSH-bucketed approximate top-k over the bucket-partitioned layout:
     score ONLY vectors whose hyperplane signature is within ``max_hamming``
-    bits of the query's (multi-probe) — a PRUNED READ of the probed
-    buckets' parquet partitions; the rest of the table never leaves
-    storage (round-2 verdict applied; same pattern as :func:`knn_ivf`)."""
-    index_dir = index_dir or _default_lsh_dir(sf_dir, n_bits, seed)
-    planes = build_lsh_index(sf_dir, index_dir, n_bits, seed)
-    q = _query_vector(sf_dir, query_vec_id)
-    qbits = int(((q @ planes) > 0) @ (1 << np.arange(n_bits, dtype=np.int64)))
-    # all bucket keys within max_hamming of the query's signature
+    bits of the query's in ANY of the ``n_tables`` tables (multi-probe ×
+    multi-table) — a PRUNED READ of the probed buckets' parquet
+    partitions; the rest of the table never leaves storage (round-2
+    verdict applied; same pattern as :func:`knn_ivf`). Candidates found by
+    several tables are deduped by a (vec_id → max sim) aggregate before
+    the top-k."""
     from itertools import combinations
 
-    probe = {qbits}
-    for d in range(1, max_hamming + 1):
-        for bits_flipped in combinations(range(n_bits), d):
-            flipped = qbits
-            for b in bits_flipped:
-                flipped ^= 1 << b
-            probe.add(flipped)
+    index_dir = index_dir or _default_lsh_dir(sf_dir, n_bits, seed, n_tables)
+    planes = build_lsh_index(sf_dir, index_dir, n_bits, seed, n_tables)
+    q = _query_vector(sf_dir, query_vec_id)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    probe: set[int] = set()
+    for t_i in range(n_tables):
+        qbits = int(((q @ planes[t_i]) > 0) @ weights)
+        for d in range(0, max_hamming + 1):
+            for bits_flipped in combinations(range(n_bits), d):
+                flipped = qbits
+                for b in bits_flipped:
+                    flipped ^= 1 << b
+                probe.add((t_i << n_bits) | flipped)
     import glob
 
     paths = sorted(
@@ -401,6 +424,7 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
         return ray.data.from_pandas(empty)
 
     def sims(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("vec_id")
         keep = df["vec_id"].to_numpy() != query_vec_id
         if not keep.any():
             return empty
@@ -410,9 +434,13 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
                             "sim": round_half_away(s, 4)})
         return out.nlargest(k, ["sim"])
 
+    from ray.data.aggregate import Max
+
     return (
         ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
         .map_batches(sims, batch_format="pandas")
+        # the same vector can surface from several tables' buckets
+        .groupby("vec_id").aggregate(Max("sim", alias_name="sim"))
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(k)
     )

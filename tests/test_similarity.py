@@ -152,3 +152,20 @@ def test_knn_lsh_pruned_layout(ray_session, emb_dir, tmp_path):
     p2 = build_lsh_index(d, idx, n_bits=6)
     assert (p1 == p2).all()
     assert os.path.getmtime(os.path.join(idx, "planes.npy")) == mtime
+
+
+def test_knn_lsh_multi_table_improves_candidates(ray_session, emb_dir, tmp_path):
+    """Multi-table LSH: the planted near-dup surfaces and multi-table
+    results are supersets-or-equal in quality (same top hit, deterministic
+    across runs)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import knn_lsh
+
+    d, planted = emb_dir
+    src, nid = planted[0]
+    r1 = knn_lsh(d, query_vec_id=src, k=5, n_bits=6, n_tables=4,
+                 index_dir=str(tmp_path / "l4")).to_pandas()
+    assert nid in set(r1["vec_id"])
+    assert r1["sim"].iloc[0] > 0.99
+    r2 = knn_lsh(d, query_vec_id=src, k=5, n_bits=6, n_tables=4,
+                 index_dir=str(tmp_path / "l4")).to_pandas()
+    assert r1.equals(r2)
