@@ -244,6 +244,25 @@ def _docs_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_verify(sf_dir, pairs)
 
 
+def _docs_cc_clusters(sf_dir: str):
+    """Distributed connected components (min-label + pointer doubling) on a
+    deterministic documents-derived edge set; recursive-CTE DuckDB oracle."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        cc_demo_clusters,
+    )
+
+    return cc_demo_clusters(sf_dir)
+
+
+def _docs_fuzzy_dedup(sf_dir: str):
+    """Full fuzzy-dedup: MinHash+LSH pairs → connected components → one
+    survivor per near-dup cluster. Rows-only (the MinHash pair set is not
+    SQL-expressible)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import fuzzy_dedup
+
+    return fuzzy_dedup(sf_dir).sort("doc_id")
+
+
 def _docs_with_labels(sf_dir: str):
     """Distributed hash join on row ids: documents ⋈ embeddings."""
     import ray.data
@@ -369,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": D.simhash_signatures,
         "docs_simhash_pairs": D.simhash_near_dup_pairs,
         "docs_ngram_jaccard": _docs_ngram_jaccard,
+        "docs_cc_clusters": _docs_cc_clusters,
+        "docs_fuzzy_dedup": _docs_fuzzy_dedup,
         # similarity search over embeddings
         "knn_cosine": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,
@@ -709,5 +730,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY sim DESC, vec_id
             LIMIT 10
+        """,
+        # connected components (min-reachable-id labeling) over a
+        # deterministic chain-shaped edge set derived from documents; the
+        # engine side runs the distributed min-label + pointer-doubling
+        # algorithm, the oracle a recursive transitive closure
+        "docs_cc_clusters": """
+            WITH RECURSIVE edges AS (
+              SELECT doc_id AS a, doc_id + (n_chars % 7) + 1 AS b
+              FROM documents
+              WHERE doc_id % 3 <> 0
+                AND doc_id + (n_chars % 7) + 1 <= (SELECT MAX(doc_id) FROM documents)
+            ),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.b, reach.r FROM sym s JOIN reach ON reach.node = s.a
+            )
+            SELECT node, MIN(r) AS cluster_id
+            FROM reach GROUP BY node ORDER BY node
         """,
     }

@@ -1,0 +1,306 @@
+"""Distributed graph algorithms over edge-list Datasets.
+
+The reference engine has no graph operator; this module belongs to the
+training-data-pipeline family: the near-duplicate detectors
+(``pipelines/dedup.py``) emit PAIRS, but a cleaning pipeline needs
+CLUSTERS and one survivor per cluster.  ``connected_components`` turns a
+pair Dataset into a (node, cluster_id) labeling; :func:`fuzzy_dedup`
+composes it with MinHash+LSH into a full fuzzy-dedup pass.
+
+Scale shapes
+------------
+
+- **Driver path** (edge count ≤ ``driver_threshold``): the PAIR SET is the
+  result of a dedup pass — proportional to the duplication rate, not the
+  corpus — so it is usually tiny even at huge corpus sizes.  It is pulled
+  once and solved with a fully-vectorized numpy min-label + pointer-doubling
+  loop (no Python per-edge work, O(log n) rounds).
+- **Distributed path** (past the threshold, or ``force_distributed``):
+  iterative *min-label propagation with pointer doubling* expressed in Ray
+  Data — per round, two hash joins (edge relax + label doubling) feeding ONE
+  ``groupby(node).min`` that simultaneously computes the new label and
+  carries the previous one, so convergence ("no label changed") is read off
+  the same shuffle instead of needing an extra comparison join.  Labels are
+  materialized per round (they are 2 ints/node — orders of magnitude smaller
+  than the corpus).  Pointer doubling makes the round count O(log diameter),
+  so even long path-shaped components converge in a handful of rounds; a
+  ``max_rounds`` cap (default log2(#edges)+4) bounds the worst case.
+
+Only (int64, int64) rows ever shuffle; the text / signature payloads never
+enter the algorithm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["connected_components", "fuzzy_dedup", "cc_demo_clusters"]
+
+
+def _cc_numpy(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Vectorized union-find-equivalent: min-label relax + pointer doubling.
+
+    ``ids`` from ``np.unique`` is ascending, so index order == id order and
+    the converged root index is the component's minimum id.
+    """
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        # unbuffered min-accumulate handles repeated endpoints correctly
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        lab = lab[lab]  # pointer doubling: lab[i] <= i so this only lowers
+        if np.array_equal(lab, prev):
+            break
+    return pd.DataFrame({"node": ids, "cluster_id": ids[lab]})
+
+
+def _norm_labels(num_parts: int):
+    """Post-aggregate normalizer: ray groupby emits schema-less empty blocks
+    that break downstream hash joins (same workaround as
+    ``dedup._dedup_candidate_pairs``)."""
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64")})
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "label": df["label"].astype("int64")})
+
+    return norm
+
+
+def connected_components(
+    edges,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    *,
+    driver_threshold: int = 2_000_000,
+    max_rounds: int | None = None,
+    num_join_partitions: int | None = None,
+    force_distributed: bool = False,
+):
+    """Label every node of an undirected edge list with the minimum node id
+    reachable from it (its connected component).
+
+    ``edges``: a Ray Dataset with two integer columns ``a`` and ``b``
+    (self-loops and duplicate/reversed edges are fine).  Returns a Dataset
+    with columns ``(node, cluster_id)`` covering every node that appears in
+    the edge list.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    if a == b:
+        raise ValueError("edge endpoint columns must differ")
+    edges = edges.select_columns([a, b]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+
+    if n_edges <= driver_threshold and not force_distributed:
+        df = edges.to_pandas()
+        return ray.data.from_pandas(
+            _cc_numpy(df[a].to_numpy(np.int64), df[b].to_numpy(np.int64)))
+
+    if num_join_partitions is None:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            default_join_partitions,
+        )
+
+        num_join_partitions = default_join_partitions()
+    if max_rounds is None:
+        max_rounds = int(np.ceil(np.log2(n_edges + 2))) + 4
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = t[a].cast(pa.int64()).combine_chunks()
+        v = t[b].cast(pa.int64()).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([u, v]),
+                         "dst": pa.concat_arrays([v, u])})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # round 0: label(u) = min(u, neighbors(u)) — the self-candidate comes
+    # from the reversed copy of each edge, and singleton-free coverage is
+    # guaranteed because every node appears as `src` in `sym`.
+    def seed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"node": t["src"],
+                         "label": pc.min_element_wise(t["src"], t["dst"])})
+
+    labels = (
+        sym.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .repartition(num_join_partitions)
+        .map_batches(_norm_labels(num_join_partitions), batch_format="pandas")
+        .materialize()
+    )
+
+    def relax_emit(t: pa.Table) -> pa.Table:
+        # join output: (src, dst, node, label) — forward label to dst
+        if "label" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "own": pa.array([], pa.int64())})
+        return pa.table({"node": t["dst"], "label": t["label"],
+                         "own": pa.nulls(len(t), pa.int64())})
+
+    def double_emit(t: pa.Table) -> pa.Table:
+        # join output: (node, label, node2, label2) — label(label(node))
+        if "label2" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "own": pa.array([], pa.int64())})
+        return pa.table({"node": t["node"], "label": t["label2"],
+                         "own": pa.nulls(len(t), pa.int64())})
+
+    def self_emit(t: pa.Table) -> pa.Table:
+        # carries the PREVIOUS label through the groupby as `own`, so the
+        # same shuffle yields both the new label and the change count
+        return pa.table({"node": t["node"], "label": t["label"],
+                         "own": t["label"]})
+
+    for _ in range(max_rounds):
+        relax = sym.join(
+            labels, join_type="inner", num_partitions=num_join_partitions,
+            on=("src",), right_on=("node",),
+        ).map_batches(relax_emit, batch_format="pyarrow")
+        ptr = labels.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["node2", "label2"]),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_join_partitions,
+            on=("label",), right_on=("node2",),
+        ).map_batches(double_emit, batch_format="pyarrow")
+        own = labels.map_batches(self_emit, batch_format="pyarrow")
+        merged = (
+            own.union(relax, ptr)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"),
+                       Min("own", alias_name="own"))
+            .materialize()
+        )
+
+        def changed_rows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if "own" not in t.column_names:
+                return pa.table({"c": pa.array([], pa.int64())})
+            n = pc.sum(pc.less(t["label"], t["own"])).as_py() or 0
+            return pa.table({"c": pa.array([n], pa.int64())})
+
+        n_changed = (
+            merged.map_batches(changed_rows, batch_format="pyarrow").sum("c")
+            or 0
+        )
+        labels = (
+            merged.select_columns(["node", "label"])
+            .repartition(num_join_partitions)
+            .map_batches(_norm_labels(num_join_partitions),
+                         batch_format="pandas")
+            .materialize()
+        )
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "cluster_id"]),
+        batch_format="pyarrow")
+
+
+def fuzzy_dedup(
+    sf_dir: str,
+    *,
+    threshold: float = 0.7,
+    broadcast_threshold: int = 5_000_000,
+    **minhash_kwargs,
+):
+    """Full fuzzy-dedup pass: MinHash+LSH pairs → connected components →
+    one survivor (the minimum doc_id) per near-duplicate cluster.
+
+    Returns (doc_id, cluster_id, keep): every document appears once;
+    ``cluster_id`` is the smallest doc_id of its near-dup cluster (its own
+    id when unpaired) and ``keep`` marks the survivor rows.
+
+    Scale shape: the cluster labeling covers ONLY documents that appeared
+    in a near-dup pair (dup-rate-proportional); while it fits
+    ``broadcast_threshold`` it broadcasts once via ``ray.put`` and the doc
+    table stream-maps against it (no shuffle of the corpus); past that it
+    falls back to a distributed left-outer hash join.
+    """
+    import ray
+    import ray.data
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold, **minhash_kwargs)
+    cc = connected_components(pairs, "doc_a", "doc_b").materialize()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    if cc.count() <= broadcast_threshold:
+        mapping = {int(r["node"]): int(r["cluster_id"])
+                   for r in cc.take_all()}
+        ref = ray.put(mapping)
+
+        def label(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            ids = df["doc_id"].astype("int64")
+            cl = ids.map(m).fillna(ids).astype("int64")
+            return pd.DataFrame({"doc_id": ids, "cluster_id": cl,
+                                 "keep": ids == cl})
+
+        return docs.map_batches(label, batch_format="pandas")
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "cluster_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        cl = pc.coalesce(t["cluster_id"], t["doc_id"])
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": cl,
+                         "keep": pc.equal(t["doc_id"], cl)})
+
+    return docs.join(
+        cc, join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",), right_on=("node",),
+    ).map_batches(finish, batch_format="pyarrow")
+
+
+def cc_demo_clusters(sf_dir: str, **cc_kwargs):
+    """Oracle-checkable CC exercise: a deterministic edge set derived from
+    the documents table (``doc_id → doc_id + (n_chars % 7) + 1``, skipping
+    ids divisible by 3) forms chain-shaped multi-hop components; the SQL
+    oracle computes the same labeling with a recursive CTE
+    (``__ray_entry__.oracle_sql()['docs_cc_clusters']``)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    max_id = docs.max("doc_id")
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        dst = did + np.asarray(t["n_chars"].to_numpy(zero_copy_only=False),
+                               dtype=np.int64) % 7 + 1
+        keep = (did % 3 != 0) & (dst <= max_id)
+        return pa.table({"a": pa.array(did[keep], pa.int64()),
+                         "b": pa.array(dst[keep], pa.int64())})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return connected_components(edges, "a", "b", **cc_kwargs).sort("node")

@@ -1,0 +1,146 @@
+"""Connected components + fuzzy-dedup survivor selection.
+
+The distributed path is exercised with ``force_distributed=True`` and a
+tiny ``num_join_partitions`` so CI covers the join/groupby rounds, and its
+labeling is checked against (a) the vectorized numpy driver path and (b) a
+brute-force BFS reference.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _bfs_components(edges):
+    """Reference labeling: min node id per component via plain BFS."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    label = {}
+    for start in adj:
+        if start in label:
+            continue
+        comp, queue = [start], [start]
+        seen = {start}
+        while queue:
+            x = queue.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    comp.append(y)
+                    queue.append(y)
+        m = min(comp)
+        for x in comp:
+            label[x] = m
+    return label
+
+
+def _edges_ds(edges):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(
+        {"doc_a": [e[0] for e in edges], "doc_b": [e[1] for e in edges]}))
+
+
+def _check(edges, **kw):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        connected_components,
+    )
+
+    got = connected_components(_edges_ds(edges), **kw).to_pandas()
+    want = _bfs_components(edges)
+    assert dict(zip(got["node"], got["cluster_id"])) == want
+
+
+def test_cc_driver_path_random_graph(ray_session):
+    rng = np.random.RandomState(5)
+    edges = [(int(a), int(b))
+             for a, b in rng.randint(0, 400, size=(300, 2))]
+    _check(edges)
+
+
+def test_cc_distributed_matches_bfs(ray_session):
+    rng = np.random.RandomState(9)
+    edges = [(int(a), int(b))
+             for a, b in rng.randint(0, 150, size=(120, 2))]
+    _check(edges, force_distributed=True, num_join_partitions=2)
+
+
+def test_cc_distributed_long_chain(ray_session):
+    # a 120-node path: diameter 119 — converges only because of pointer
+    # doubling (log rounds), within the default max_rounds cap
+    edges = [(i, i + 1) for i in range(119)]
+    _check(edges, force_distributed=True, num_join_partitions=2)
+
+
+def test_cc_self_loops_duplicates_empty(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        connected_components,
+    )
+
+    _check([(7, 7), (1, 2), (2, 1), (1, 2), (9, 9)])
+    empty = connected_components(_edges_ds([]))
+    assert empty.schema().names == ["node", "cluster_id"]
+    assert empty.count() == 0
+
+
+def test_cc_demo_matches_recursive_oracle(ray_session, tmp_path):
+    """Same labeling as the DuckDB WITH RECURSIVE oracle on a synthesized
+    documents table (chain-shaped multi-hop components)."""
+    import duckdb
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        cc_demo_clusters,
+    )
+    import __ray_entry__ as entrymod
+
+    rng = np.random.RandomState(3)
+    n = 200
+    table = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(["w " * int(k) for k in rng.randint(5, 60, n)]),
+        "n_chars": pa.array(rng.randint(10, 500, n), pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = cc_demo_clusters(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(entrymod.oracle_sql()["docs_cc_clusters"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"),
+        want.reset_index(drop=True).astype("int64"))
+
+
+def test_fuzzy_dedup_survivors(ray_session, tmp_path):
+    """Planted near-dup cluster collapses to one survivor (min doc_id);
+    distinct docs survive untouched."""
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank " * 6)
+    texts = {
+        0: base,
+        1: base.replace("lazy", "sleepy"),
+        2: base,
+        3: "completely different words about ray data pipelines and arrow "
+           "columns shuffles and actor pools " * 6,
+        4: "yet another unrelated text with its own vocabulary entirely "
+           "about turtles graphs and triples " * 6,
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()))}),
+        str(tmp_path / "documents.parquet"))
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import fuzzy_dedup
+
+    out = fuzzy_dedup(str(tmp_path), threshold=0.6).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert len(out) == 5
+    assert list(out.loc[[0, 1, 2], "cluster_id"]) == [0, 0, 0]
+    assert list(out.loc[[0, 1, 2], "keep"]) == [True, False, False]
+    assert out.loc[3, "keep"] and out.loc[4, "keep"]
+    assert out.loc[3, "cluster_id"] == 3 and out.loc[4, "cluster_id"] == 4
