@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis over documents
         "docs_token_stats": T.token_stats,
         "docs_quality": T.quality_scores,
+        "docs_pii_redacted": T.pii_redact,
+        "docs_normalized": T.normalize_texts,
         "docs_fingerprint": _docs_fingerprint,
         "docs_rolling_fingerprint": _docs_rolling_fingerprint,
         "docs_lang_id": _docs_lang_id,
@@ -730,6 +732,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY sim DESC, vec_id
             LIMIT 10
+        """,
+        # PII redaction: patterns are applied in order (email → phone →
+        # ipv4), each counted on and then replaced in the PREVIOUS
+        # pattern's output, exactly as the engine stage does. The
+        # deterministic contact line makes every pattern fire.
+        "docs_pii_redacted": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1-202-555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                          || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.42' AS t0
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, t0,
+                     len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM aug
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1, '\\+?[0-9][0-9\\- ]{7,}[0-9]')) AS n_phone,
+                     regexp_replace(t1, '\\+?[0-9][0-9\\- ]{7,}[0-9]',
+                                    '<PHONE>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_phone,
+                   len(regexp_extract_all(t2,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+                   regexp_replace(t2,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g') AS text_redacted
+            FROM s2
+        """,
+        # whitespace collapse (explicit ASCII class — RE2 and Python agree)
+        # + space-trim + NFC composition; the appended decomposed suffix
+        # makes NFC do real work
+        "docs_normalized": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || '  cafe' || chr(769) || ' ' || chr(9)
+                          || ' finale' || chr(10) AS t0
+              FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(
+                       t0, '[ \t\n\r\f\v]+', ' ', 'g'), ' ')) AS text_norm,
+                   length(nfc_normalize(trim(regexp_replace(
+                       t0, '[ \t\n\r\f\v]+', ' ', 'g'), ' '))) AS n_chars_norm
+            FROM aug
         """,
         # connected components (min-reachable-id labeling) over a
         # deterministic chain-shaped edge set derived from documents; the

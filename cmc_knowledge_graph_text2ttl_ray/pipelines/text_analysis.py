@@ -22,6 +22,8 @@ __all__ = [
     "fingerprints",
     "LangId",
     "lang_id",
+    "pii_redact",
+    "normalize_texts",
 ]
 
 
@@ -285,6 +287,89 @@ def lm_scores(sf_dir: str):
 
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pandas")
+
+
+# PII patterns are written to the RE2-compatible subset (no backrefs, no
+# lookaround) so the Python engine and the DuckDB oracle match byte-for-byte;
+# applied in order, each on the previous pattern's redacted output.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # [0-9] not \d: Python's \d is Unicode-wide, RE2's is ASCII-only
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9\- ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+class PiiRedactor:
+    """Actor-pool stage: compiled PII regexes held per actor; one vectorized
+    ``str.count`` + ``str.replace`` pass per pattern per batch.
+
+    The synthetic corpus contains no organic PII, so a deterministic
+    doc_id-derived contact line is appended first — it makes the oracle
+    comparison exercise every pattern instead of passing vacuously (the SQL
+    side builds the identical line, see ``oracle_sql()['docs_pii_redacted']``).
+    """
+
+    def __init__(self, augment: bool = True) -> None:
+        import re
+
+        self._pats = [(name, re.compile(pat), repl)
+                      for name, pat, repl in PII_PATTERNS]
+        self._augment = augment
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        if self._augment:
+            ids = df["doc_id"].astype("int64")
+            text = (text + " Contact user" + ids.astype(str)
+                    + "@example.com or +1-202-555-01"
+                    + (ids % 100).astype(str).str.zfill(2)
+                    + " at 10.0." + (ids % 256).astype(str) + ".42")
+        out = {"doc_id": df["doc_id"]}
+        for name, pat, repl in self._pats:
+            out[f"n_{name}"] = text.str.count(pat).astype("int64")
+            text = text.str.replace(pat, repl, regex=True)
+        out["text_redacted"] = text
+        return pd.DataFrame(out)
+
+
+def pii_redact(sf_dir: str, concurrency=(1, 4), augment: bool = True):
+    """Per-doc PII redaction + per-category match counts (training-data
+    hygiene pass). Columns: doc_id, n_email, n_phone, n_ipv4, text_redacted."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(PiiRedactor, batch_format="pandas",
+                          fn_constructor_kwargs=dict(augment=augment),
+                          concurrency=concurrency)
+
+
+def normalize_texts(sf_dir: str, augment: bool = True):
+    """Unicode + whitespace normalization: collapse ASCII whitespace runs,
+    trim, then NFC-normalize (combining marks compose). The whitespace class
+    is the explicit ASCII ``[ \\t\\n\\r\\f\\v]`` on both engines — Python's
+    ``\\s`` is Unicode-wide while RE2's is ASCII, so the explicit class is
+    what keeps the oracle byte-identical. ``augment`` appends a decomposed
+    ``e+U+0301`` suffix so composition is actually exercised."""
+    import re
+    import unicodedata
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].astype(str)
+        if augment:
+            text = text + "  cafe" + chr(0x0301) + " \t finale\n"
+        # strip(" ") not strip(): DuckDB's trim() removes spaces only,
+        # Python's bare strip() removes Unicode whitespace — keep them equal
+        collapsed = text.str.replace(ws, " ", regex=True).str.strip(" ")
+        fixed = collapsed.map(lambda s: unicodedata.normalize("NFC", s))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text_norm": fixed,
+            "n_chars_norm": fixed.str.len().astype("int64"),
+        })
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        norm, batch_format="pandas")
 
 
 def heavy_hitter_words(sf_dir: str, min_count: int = 900,
