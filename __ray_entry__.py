@@ -263,6 +263,24 @@ def _docs_fuzzy_dedup(sf_dir: str):
     return fuzzy_dedup(sf_dir).sort("doc_id")
 
 
+def _docs_decontaminated(sf_dir: str):
+    """Benchmark decontamination: exact passage containment vs a
+    deterministic corpus-derived benchmark set (broadcast scan)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.decontam import (
+        contains_benchmark,
+    )
+
+    return contains_benchmark(sf_dir).sort("doc_id")
+
+
+def _docs_ngram_overlap(sf_dir: str):
+    """Token-8-gram overlap counts vs the benchmark set (hash-based scale
+    path; rows-only — n-gram windows are not SQL-expressible)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.decontam import ngram_overlap
+
+    return ngram_overlap(sf_dir).sort("doc_id")
+
+
 def _docs_with_labels(sf_dir: str):
     """Distributed hash join on row ids: documents ⋈ embeddings."""
     import ray.data
@@ -392,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _docs_ngram_jaccard,
         "docs_cc_clusters": _docs_cc_clusters,
         "docs_fuzzy_dedup": _docs_fuzzy_dedup,
+        "docs_decontaminated": _docs_decontaminated,
+        "docs_ngram_overlap": _docs_ngram_overlap,
         # similarity search over embeddings
         "knn_cosine": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,
@@ -787,6 +807,20 @@ def oracle_sql() -> dict[str, str]:
                    length(nfc_normalize(trim(regexp_replace(
                        t0, '[ \t\n\r\f\v]+', ' ', 'g'), ' '))) AS n_chars_norm
             FROM aug
+        """,
+        # exact-passage decontamination vs the deterministic benchmark set
+        # (every 97th doc's leading 64 chars)
+        "docs_decontaminated": """
+            WITH bench AS (
+              SELECT substr(text, 1, 64) AS passage
+              FROM documents
+              WHERE doc_id % 97 = 0 AND length(text) >= 64
+            )
+            SELECT d.doc_id,
+                   EXISTS (SELECT 1 FROM bench b
+                           WHERE contains(d.text, b.passage)) AS contaminated
+            FROM documents d
+            ORDER BY doc_id
         """,
         # connected components (min-reachable-id labeling) over a
         # deterministic chain-shaped edge set derived from documents; the
