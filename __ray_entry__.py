@@ -281,6 +281,27 @@ def _docs_ngram_overlap(sf_dir: str):
     return ngram_overlap(sf_dir).sort("doc_id")
 
 
+def _emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (broadcast centroids, per-batch partial
+    sums) → per-cluster size/spread stats. Rows-only: iterative float
+    refinement is not SQL-expressible."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.clustering import (
+        kmeans_cluster_stats,
+    )
+
+    return kmeans_cluster_stats(sf_dir)
+
+
+def _emb_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: IVF-bucketed cosine pairs →
+    connected components → one survivor per semantic cluster."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.clustering import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(sf_dir).sort("vec_id")
+
+
 def _docs_with_labels(sf_dir: str):
     """Distributed hash join on row ids: documents ⋈ embeddings."""
     import ray.data
@@ -418,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": S.knn_lsh,
         "emb_lsh_buckets": S.hyperplane_lsh_buckets,
         "embedding_near_dups": S.embedding_near_dup_pairs,
+        "emb_kmeans": _emb_kmeans,
+        "emb_semantic_dedup": _emb_semantic_dedup,
         # multimodal plumbing
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
