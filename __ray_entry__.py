@@ -407,6 +407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lm_score": _docs_lm_score,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q10_returned_customers": R.q10_returned_customers,
+        "q7_nation_volume": R.q7_nation_volume,
+        "q13_customer_distribution": R.q13_customer_distribution,
+        "q18_large_orders": R.q18_large_orders,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "corpus_clean_winners": _corpus_clean_winners,
         "corpus_prep_stats": _corpus_prep_stats,
         "docs_train_val_split": _docs_train_val_split,
@@ -830,6 +834,63 @@ def oracle_sql() -> dict[str, str]:
                    length(nfc_normalize(trim(regexp_replace(
                        t0, '[ \t\n\r\f\v]+', ' ', 'g'), ' '))) AS n_chars_norm
             FROM aug
+        """,
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND(SUM(volume), 2) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                   AND TIMESTAMP '1997-12-31'
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 250
+            )
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                   ROUND(sum_qty, 2) AS sum_qty
+            FROM big JOIN orders ON o_orderkey = l_orderkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+                   AND l_quantity BETWEEN 1  AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         # exact-passage decontamination vs the deterministic benchmark set
         # (every 97th doc's leading 64 chars)

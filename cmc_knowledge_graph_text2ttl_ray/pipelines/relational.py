@@ -45,6 +45,15 @@ def _round2(col):
     return pc_round(col, 2)
 
 
+def _empty_df(fields: dict[str, "pa.DataType"]) -> pd.DataFrame:
+    """Typed empty result frame. Ray 2.49's hash join raises ArrowInvalid
+    when a side has zero rows overall (each empty partition builds a
+    0-column table), so pipelines whose join input can legitimately be
+    empty at small scale materialize the (post-aggregate, small) side,
+    check ``count()``, and short-circuit to this instead of joining."""
+    return pa.table({k: pa.array([], t) for k, t in fields.items()}).to_pandas()
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: big scan + 4-group aggregate with computed column."""
     ds = _read(
@@ -928,3 +937,270 @@ def events_hopping_window_counts(sf_dir: str, window_hours: int = 6,
         .aggregate(Count(alias_name="n_events"))
         .sort("window_start")
     )
+
+
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
+                     nation_b: str = "NATION_2"):
+    """TPC-H Q7 shape: shipping volume between a nation pair by year.
+
+    Scale plan: supplier and nation are dimensions — broadcast once
+    (suppkey → nation name) so the lineitem scan filters to the two nations
+    and pre-aggregates per (orderkey, supp_nation, year) BEFORE any
+    exchange; orders⋈customer runs as a distributed hash join producing
+    (orderkey → cust_nation); one more hash join + a tiny final groupby.
+    Only order-level partials ever shuffle, never raw lineitems."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"],
+                               sup["s_nationkey"].map(nmap))))
+    nmap_ref = ray.put(nmap)
+    pair = {nation_a, nation_b}
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+               & (df["l_shipdate"] <= pd.Timestamp("1997-12-31"))]
+        sn = d["l_suppkey"].map(ray.get(sup_ref))
+        d = d[sn.isin(pair)]
+        if d.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
+                                 "supp_nation": pd.Series(dtype="object"),
+                                 "l_year": pd.Series(dtype="int64"),
+                                 "volume": pd.Series(dtype="float64")})
+        out = pd.DataFrame({
+            "l_orderkey": d["l_orderkey"].astype("int64"),
+            "supp_nation": sn[sn.isin(pair)],
+            "l_year": d["l_shipdate"].dt.year.astype("int64"),
+            "volume": d["l_extendedprice"] * (1.0 - d["l_discount"]),
+        })
+        return out.groupby(["l_orderkey", "supp_nation", "l_year"],
+                           as_index=False)["volume"].sum()
+
+    def norm_part(df: pd.DataFrame) -> pd.DataFrame:
+        # aggregate emits schema-less empty blocks that break the join's
+        # field resolution — force the schema on every block
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
+                                 "supp_nation": pd.Series(dtype="object"),
+                                 "l_year": pd.Series(dtype="int64"),
+                                 "volume": pd.Series(dtype="float64")})
+        return df.astype({"l_orderkey": "int64", "l_year": "int64",
+                          "volume": "float64"})
+
+    partials = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["l_orderkey", "supp_nation", "l_year"])
+        .aggregate(Sum("volume", alias_name="volume"))
+        .repartition(default_join_partitions())
+        .map_batches(norm_part, batch_format="pandas")
+        # order-level partials for the two nations: post-aggregate small;
+        # pinned so the empty-input guard below doesn't re-run the scan
+        .materialize()
+    )
+    if partials.count() == 0:
+        return _empty_df({"supp_nation": pa.string(),
+                          "cust_nation": pa.string(),
+                          "l_year": pa.int64(), "revenue": pa.float64()})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=default_join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def cust_nat(t: pa.Table) -> pa.Table:
+        m = ray.get(nmap_ref)
+        names = [m.get(k, "") for k in t["c_nationkey"].to_pylist()]
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cust_nation": pa.array(names, pa.string())})
+
+    oc = oc.map_batches(cust_nat, batch_format="pyarrow")
+
+    j = partials.join(oc, join_type="inner",
+                      num_partitions=default_join_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def keep_pair(t: pa.Table) -> pa.Table:
+        sa = pc.and_(pc.equal(t["supp_nation"], nation_a),
+                     pc.equal(t["cust_nation"], nation_b))
+        sb = pc.and_(pc.equal(t["supp_nation"], nation_b),
+                     pc.equal(t["cust_nation"], nation_a))
+        t = t.filter(pc.or_(sa, sb))
+        return t.select(["supp_nation", "cust_nation", "l_year", "volume"])
+
+    out = (
+        j.map_batches(keep_pair, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("volume", alias_name="revenue"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "revenue" not in t.column_names:
+            return pa.table({"supp_nation": pa.array([], pa.string()),
+                             "cust_nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
+        return pa.table({"supp_nation": t["supp_nation"],
+                         "cust_nation": t["cust_nation"],
+                         "l_year": t["l_year"].cast(pa.int64()),
+                         "revenue": _round2(t["revenue"])})
+
+    return out.map_batches(fin, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"])
+
+
+def q13_customer_distribution(sf_dir: str,
+                              excl_priority: str = "1-URGENT"):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING zero-order customers (the left-outer-join subtlety).
+
+    Scale plan: per-block order counts by custkey → groupby sum (only
+    (custkey, count) pairs shuffle) → distributed LEFT OUTER join from the
+    customer key column (null → 0) → tiny final count-of-counts groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def percust(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_orderpriority"] != excl_priority]
+        c = d["o_custkey"].value_counts()
+        return pd.DataFrame({"o_custkey": c.index.astype("int64"),
+                             "n": c.to_numpy(dtype="int64")})
+
+    counts = (
+        orders.map_batches(percust, batch_format="pandas")
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n"))
+        .repartition(default_join_partitions())
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = cust.join(counts, join_type="left_outer",
+                  num_partitions=default_join_partitions(),
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def c_count(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names:
+            return pa.table({"c_count": pa.array([], pa.int64())})
+        filled = pc.coalesce(t["n"], pa.scalar(0, pa.int64()))
+        return pa.table({"c_count": filled.cast(pa.int64())})
+
+    return (
+        j.map_batches(c_count, batch_format="pyarrow")
+        .groupby("c_count").aggregate(Count(alias_name="custdist"))
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 250.0, k: int = 100):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a fact aggregate), joined back to order attributes.
+
+    Scale plan: per-block quantity sums by orderkey → groupby sum → filter
+    (the surviving set is tiny) → distributed hash join to orders → top-k
+    sort. Raw lineitems never shuffle, only (orderkey, qty) partials."""
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pa.table({"l_orderkey": t["l_orderkey"],
+                         "sum_qty": t["l_quantity"]})
+        return part.group_by("l_orderkey").aggregate(
+            [("sum_qty", "sum")]).rename_columns(["l_orderkey", "sum_qty"])
+
+    big = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["sum_qty"], min_qty))
+            if "sum_qty" in t.column_names else t,
+            batch_format="pyarrow")
+        .repartition(default_join_partitions())
+        # HAVING survivors: tiny by construction; pinned for the guard
+        .materialize()
+    )
+    if big.count() == 0:
+        return _empty_df({"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                          "o_orderdate": pa.timestamp("us"),
+                          "o_totalprice": pa.float64(),
+                          "sum_qty": pa.float64()})
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = big.join(orders, join_type="inner",
+                 num_partitions=default_join_partitions(),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "o_custkey": t["o_custkey"].cast(pa.int64()),
+            "o_orderdate": t["o_orderdate"],
+            "o_totalprice": t["o_totalprice"],
+            "sum_qty": _round2(t["sum_qty"]),
+        })
+
+    return (
+        j.map_batches(fin, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+_Q19_BRANCHES = [
+    ("Brand#1", 1, 15, 1.0, 11.0),
+    ("Brand#13", 10, 30, 10.0, 20.0),
+    ("Brand#20", 20, 50, 20.0, 30.0),
+]
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates across a
+    fact⋈dimension join. part is a dimension: broadcast (partkey → brand,
+    size) once; the lineitem scan evaluates all three OR-branches
+    vectorized and emits one partial row per block — no shuffle at all."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    ref = ray.put((dict(zip(part["p_partkey"], part["p_brand"])),
+                   dict(zip(part["p_partkey"], part["p_size"]))))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        brand_map, size_map = ray.get(ref)
+        brand = df["l_partkey"].map(brand_map)
+        size = df["l_partkey"].map(size_map)
+        qty = df["l_quantity"]
+        mask = None
+        for b, lo_s, hi_s, lo_q, hi_q in _Q19_BRANCHES:
+            m = ((brand == b) & (size >= lo_s) & (size <= hi_s)
+                 & (qty >= lo_q) & (qty <= hi_q))
+            mask = m if mask is None else (mask | m)
+        d = df[mask]
+        rev = float((d["l_extendedprice"] * (1.0 - d["l_discount"])).sum())
+        return pd.DataFrame({"revenue": [rev], "n": [len(d)]})
+
+    agg = li.map_batches(partial, batch_format="pandas").sum(["revenue", "n"])
+    return pd.DataFrame({
+        "revenue": [round(agg["sum(revenue)"], 2)],
+        "n": [int(agg["sum(n)"])],
+    })
