@@ -424,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": T.quality_scores,
         "docs_pii_redacted": T.pii_redact,
         "docs_normalized": T.normalize_texts,
+        "docs_df_table": T.document_frequency,
+        "docs_stratified_sample": T.stratified_sample,
         "docs_fingerprint": _docs_fingerprint,
         "docs_rolling_fingerprint": _docs_rolling_fingerprint,
         "docs_lang_id": _docs_lang_id,
@@ -834,6 +836,26 @@ def oracle_sql() -> dict[str, str]:
                    length(nfc_normalize(trim(regexp_replace(
                        t0, '[ \t\n\r\f\v]+', ' ', 'g'), ' '))) AS n_chars_norm
             FROM aug
+        """,
+        # document-frequency / IDF vocabulary table; tokenization is a
+        # literal single-space split on both engines (empty tokens kept)
+        "docs_df_table": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents
+            )
+            SELECT token, COUNT(*) AS n_docs,
+                   ROUND(LN((SELECT COUNT(*) FROM documents)
+                            / CAST(COUNT(*) AS DOUBLE)), 4) AS idf
+            FROM tok GROUP BY token ORDER BY token
+        """,
+        # deterministic md5-prefix stratified sampling (en 50%, rest 25%)
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '80000000' ELSE '40000000' END
+            ORDER BY doc_id
         """,
         "q7_nation_volume": """
             SELECT supp_nation, cust_nation, l_year,

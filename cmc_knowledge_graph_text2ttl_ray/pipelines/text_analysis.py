@@ -24,6 +24,8 @@ __all__ = [
     "lang_id",
     "pii_redact",
     "normalize_texts",
+    "document_frequency",
+    "stratified_sample",
 ]
 
 
@@ -287,6 +289,92 @@ def lm_scores(sf_dir: str):
 
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pandas")
+
+
+def document_frequency(sf_dir: str):
+    """Corpus-wide document-frequency table: (token, n_docs, idf).
+
+    The IDF table is the vocabulary-statistics backbone for TF-IDF ranking
+    and rare-token filters. Scale shape: per-batch the (doc, token) pairs
+    are DISTINCT-ed locally (one explode + drop_duplicates, C-speed) and
+    collapsed to per-token partial counts, so the shuffle moves one
+    (token, count) row per distinct token per block — bounded by vocabulary,
+    not corpus size. Tokenization is a literal single-space split (keeping
+    empty tokens) to stay byte-identical with the SQL oracle's
+    ``string_split(text, ' ')``."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    import pyarrow.parquet as pq
+
+    n_total = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "token": np.concatenate([np.asarray(t, dtype=object)
+                                     for t in toks
+                                     if isinstance(t, list) and len(t)])
+            if lens.sum() else np.empty(0, dtype=object),
+        })
+        per_tok = (flat.drop_duplicates()["token"]
+                   .value_counts())
+        return pd.DataFrame({"token": per_tok.index.astype(str),
+                             "n": per_tok.to_numpy(dtype=np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token").aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+        if df.empty:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "idf": pd.Series(dtype="float64")})
+        n = df["n_docs"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "token": df["token"].astype(str),
+            "n_docs": df["n_docs"].astype("int64"),
+            "idf": round_half_away(np.log(n_total / n), 4),
+        })
+
+    return out.map_batches(fin, batch_format="pandas").sort("token")
+
+
+# per-stratum sampling rates expressed as 8-hex-digit md5-prefix
+# thresholds (lexicographic compare works identically in Python and SQL)
+STRATA_THRESHOLDS = {"en": "80000000", "_default": "40000000"}
+
+
+def stratified_sample(sf_dir: str,
+                      thresholds: dict[str, str] | None = None):
+    """Deterministic hash-based stratified sampling: keep a doc when the
+    first 8 hex chars of ``md5(doc_id)`` sort below its language's
+    threshold (en: 50%, others: 25% by default).
+
+    Shuffle-free, join-free, reproducible at ANY cluster size or batch
+    split — the sampling decision depends only on the row itself (the same
+    property as the train/val split operator). Oracle-checked via the
+    identical md5-prefix rule in SQL."""
+    import hashlib
+
+    thresholds = thresholds or STRATA_THRESHOLDS
+    default = thresholds.get("_default", "40000000")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()[:8])
+        limit = df["lang"].map(lambda l: thresholds.get(l, default))
+        out = df.loc[(h < limit), ["doc_id", "lang"]]
+        return out.astype({"doc_id": "int64"})
+
+    return _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        keep, batch_format="pandas").sort("doc_id")
 
 
 # PII patterns are written to the RE2-compatible subset (no backrefs, no
