@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "corpus_clean_winners",
     "knn_cosine",
     "knn_ivf",
+    "q7_nation_volume",
+    "q18_large_orders",
+    "docs_fuzzy_dedup",
+    "emb_kmeans",
 ]
 
 

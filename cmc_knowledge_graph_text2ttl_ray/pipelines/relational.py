@@ -940,7 +940,8 @@ def events_hopping_window_counts(sf_dir: str, window_hours: int = 6,
 
 
 def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
-                     nation_b: str = "NATION_2"):
+                     nation_b: str = "NATION_2",
+                     broadcast_threshold: int = 2_000_000):
     """TPC-H Q7 shape: shipping volume between a nation pair by year.
 
     Scale plan: supplier and nation are dimensions — broadcast once
@@ -1008,42 +1009,85 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
         # pinned so the empty-input guard below doesn't re-run the scan
         .materialize()
     )
-    if partials.count() == 0:
+    n_part = partials.count()
+    if n_part == 0:
         return _empty_df({"supp_nation": pa.string(),
                           "cust_nation": pa.string(),
                           "l_year": pa.int64(), "revenue": pa.float64()})
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    oc = orders.join(cust, join_type="inner",
-                     num_partitions=default_join_partitions(),
-                     on=("o_custkey",), right_on=("c_custkey",))
+    if n_part <= broadcast_threshold:
+        # the partial set covers only the two nations' orders — usually
+        # driver-small. Broadcast it (plus the custkey → nation dimension)
+        # and fold everything into ONE orders scan: zero ds.joins, zero
+        # order-level shuffles; join-actor spin-up (the dominant cost of
+        # the distributed path at bench scale) disappears.
+        cust_pd = _read(sf_dir, "customer",
+                        ["c_custkey", "c_nationkey"]).to_pandas()
+        cmap_ref = ray.put(dict(zip(cust_pd["c_custkey"],
+                                    cust_pd["c_nationkey"].map(nmap))))
+        part_ref = ray.put(partials.to_pandas())
 
-    def cust_nat(t: pa.Table) -> pa.Table:
-        m = ray.get(nmap_ref)
-        names = [m.get(k, "") for k in t["c_nationkey"].to_pylist()]
-        return pa.table({"o_orderkey": t["o_orderkey"],
-                         "cust_nation": pa.array(names, pa.string())})
+        def scan(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(part_ref)
+            d = df.merge(m, left_on="o_orderkey", right_on="l_orderkey")
+            empty = pd.DataFrame({
+                "supp_nation": pd.Series(dtype="object"),
+                "cust_nation": pd.Series(dtype="object"),
+                "l_year": pd.Series(dtype="int64"),
+                "volume": pd.Series(dtype="float64")})
+            if d.empty:
+                return empty
+            cn = d["o_custkey"].map(ray.get(cmap_ref))
+            keep = (((d["supp_nation"] == nation_a) & (cn == nation_b))
+                    | ((d["supp_nation"] == nation_b) & (cn == nation_a)))
+            d = d[keep]
+            if d.empty:
+                return empty
+            out = pd.DataFrame({"supp_nation": d["supp_nation"],
+                                "cust_nation": cn[keep],
+                                "l_year": d["l_year"].astype("int64"),
+                                "volume": d["volume"]})
+            return out.groupby(["supp_nation", "cust_nation", "l_year"],
+                               as_index=False)["volume"].sum()
 
-    oc = oc.map_batches(cust_nat, batch_format="pyarrow")
+        out = (
+            orders.map_batches(scan, batch_format="pandas")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("volume", alias_name="revenue"))
+        )
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        oc = orders.join(cust, join_type="inner",
+                         num_partitions=default_join_partitions(),
+                         on=("o_custkey",), right_on=("c_custkey",))
 
-    j = partials.join(oc, join_type="inner",
-                      num_partitions=default_join_partitions(),
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+        def cust_nat(t: pa.Table) -> pa.Table:
+            m = ray.get(nmap_ref)
+            names = [m.get(k, "") for k in t["c_nationkey"].to_pylist()]
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "cust_nation": pa.array(names, pa.string())})
 
-    def keep_pair(t: pa.Table) -> pa.Table:
-        sa = pc.and_(pc.equal(t["supp_nation"], nation_a),
-                     pc.equal(t["cust_nation"], nation_b))
-        sb = pc.and_(pc.equal(t["supp_nation"], nation_b),
-                     pc.equal(t["cust_nation"], nation_a))
-        t = t.filter(pc.or_(sa, sb))
-        return t.select(["supp_nation", "cust_nation", "l_year", "volume"])
+        oc = oc.map_batches(cust_nat, batch_format="pyarrow")
 
-    out = (
-        j.map_batches(keep_pair, batch_format="pyarrow")
-        .groupby(["supp_nation", "cust_nation", "l_year"])
-        .aggregate(Sum("volume", alias_name="revenue"))
-    )
+        j = partials.join(oc, join_type="inner",
+                          num_partitions=default_join_partitions(),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def keep_pair(t: pa.Table) -> pa.Table:
+            sa = pc.and_(pc.equal(t["supp_nation"], nation_a),
+                         pc.equal(t["cust_nation"], nation_b))
+            sb = pc.and_(pc.equal(t["supp_nation"], nation_b),
+                         pc.equal(t["cust_nation"], nation_a))
+            t = t.filter(pc.or_(sa, sb))
+            return t.select(["supp_nation", "cust_nation", "l_year",
+                             "volume"])
+
+        out = (
+            j.map_batches(keep_pair, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("volume", alias_name="revenue"))
+        )
 
     def fin(t: pa.Table) -> pa.Table:
         if "revenue" not in t.column_names:
@@ -1061,7 +1105,8 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
 
 
 def q13_customer_distribution(sf_dir: str,
-                              excl_priority: str = "1-URGENT"):
+                              excl_priority: str = "1-URGENT",
+                              broadcast_threshold: int = 2_000_000):
     """TPC-H Q13 shape: distribution of per-customer order counts,
     INCLUDING zero-order customers (the left-outer-join subtlety).
 
@@ -1086,8 +1131,41 @@ def q13_customer_distribution(sf_dir: str,
         orders.map_batches(percust, batch_format="pandas")
         .groupby("o_custkey").aggregate(Sum("n", alias_name="n"))
         .repartition(default_join_partitions())
+        .materialize()   # one row per active customer — small
     )
     cust = _read(sf_dir, "customer", ["c_custkey"])
+    if counts.count() <= broadcast_threshold:
+        # broadcast the (custkey, count) array sorted by key; the customer
+        # scan resolves its count with one vectorized searchsorted — no
+        # join actors, no customer-table shuffle
+        import ray
+
+        cdf = counts.to_pandas().sort_values("o_custkey")
+        ref = ray.put((cdf["o_custkey"].to_numpy(dtype=np.int64),
+                       cdf["n"].to_numpy(dtype=np.int64)))
+
+        def percust_count(df: pd.DataFrame) -> pd.DataFrame:
+            keys, ns = ray.get(ref)
+            ck = df["c_custkey"].to_numpy(dtype=np.int64)
+            cc = np.zeros(len(ck), dtype=np.int64)
+            if len(keys):
+                pos = np.searchsorted(keys, ck)
+                pos_c = np.minimum(pos, len(keys) - 1)
+                hit = keys[pos_c] == ck
+                cc[hit] = ns[pos_c[hit]]
+            v, n = np.unique(cc, return_counts=True)
+            return pd.DataFrame({"c_count": v, "nc": n.astype(np.int64)})
+
+        return (
+            cust.map_batches(percust_count, batch_format="pandas")
+            .groupby("c_count").aggregate(Sum("nc", alias_name="custdist"))
+            .map_batches(
+                lambda df: df.astype({"c_count": "int64",
+                                      "custdist": "int64"})
+                if not df.empty else df, batch_format="pandas")
+            .sort(["custdist", "c_count"], descending=[True, True])
+        )
+
     j = cust.join(counts, join_type="left_outer",
                   num_partitions=default_join_partitions(),
                   on=("c_custkey",), right_on=("o_custkey",))
@@ -1105,7 +1183,8 @@ def q13_customer_distribution(sf_dir: str,
     )
 
 
-def q18_large_orders(sf_dir: str, min_qty: float = 250.0, k: int = 100):
+def q18_large_orders(sf_dir: str, min_qty: float = 250.0, k: int = 100,
+                     broadcast_threshold: int = 2_000_000):
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
     (HAVING over a fact aggregate), joined back to order attributes.
 
@@ -1137,13 +1216,49 @@ def q18_large_orders(sf_dir: str, min_qty: float = 250.0, k: int = 100):
         # HAVING survivors: tiny by construction; pinned for the guard
         .materialize()
     )
-    if big.count() == 0:
+    n_big = big.count()
+    if n_big == 0:
         return _empty_df({"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
                           "o_orderdate": pa.timestamp("us"),
                           "o_totalprice": pa.float64(),
                           "sum_qty": pa.float64()})
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    if n_big <= broadcast_threshold:
+        # HAVING survivors broadcast as a sorted key/qty array pair; the
+        # orders scan semi-filters + attaches sum_qty with one vectorized
+        # searchsorted — no join actors, no orders shuffle
+        import ray
+
+        bdf = big.to_pandas().sort_values("l_orderkey")
+        ref = ray.put((bdf["l_orderkey"].to_numpy(dtype=np.int64),
+                       bdf["sum_qty"].to_numpy(dtype=np.float64)))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+                round_half_away,
+            )
+
+            keys, qv = ray.get(ref)
+            ok = df["o_orderkey"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == ok
+            d = df[hit]
+            return pd.DataFrame({
+                "o_orderkey": d["o_orderkey"].astype("int64"),
+                "o_custkey": d["o_custkey"].astype("int64"),
+                "o_orderdate": d["o_orderdate"],
+                "o_totalprice": d["o_totalprice"],
+                "sum_qty": round_half_away(qv[pos_c[hit]], 2),
+            })
+
+        return (
+            orders.map_batches(attach, batch_format="pandas")
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(k)
+        )
+
     j = big.join(orders, join_type="inner",
                  num_partitions=default_join_partitions(),
                  on=("l_orderkey",), right_on=("o_orderkey",))
