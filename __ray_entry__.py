@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalized": T.normalize_texts,
         "docs_df_table": T.document_frequency,
         "docs_stratified_sample": T.stratified_sample,
+        "docs_tfidf_top_terms": T.tfidf_top_terms,
         "docs_fingerprint": _docs_fingerprint,
         "docs_rolling_fingerprint": _docs_rolling_fingerprint,
         "docs_lang_id": _docs_lang_id,
@@ -849,6 +850,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LN((SELECT COUNT(*) FROM documents)
                             / CAST(COUNT(*) AS DOUBLE)), 4) AS idf
             FROM tok GROUP BY token ORDER BY token
+        """,
+        # top-5 TF-IDF terms per doc; ranking uses the ROUNDED score with a
+        # token tie-break on both engines (idf itself rounded to 4 first,
+        # mirroring document_frequency's broadcast table)
+        "docs_tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM tok GROUP BY doc_id, token
+            ),
+            dfreq AS (
+              SELECT token, COUNT(DISTINCT doc_id) AS n_docs
+              FROM tok GROUP BY token
+            ),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     ROUND(tf.tf * ROUND(LN((SELECT COUNT(*) FROM documents)
+                           / CAST(dfreq.n_docs AS DOUBLE)), 4), 4) AS score
+              FROM tf JOIN dfreq ON tf.token = dfreq.token
+            )
+            SELECT doc_id, token, tf, score FROM scored
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) <= 5
+            ORDER BY doc_id, score DESC, token
         """,
         # deterministic md5-prefix stratified sampling (en 50%, rest 25%)
         "docs_stratified_sample": """

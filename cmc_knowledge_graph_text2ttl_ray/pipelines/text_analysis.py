@@ -26,6 +26,7 @@ __all__ = [
     "normalize_texts",
     "document_frequency",
     "stratified_sample",
+    "tfidf_top_terms",
 ]
 
 
@@ -344,6 +345,57 @@ def document_frequency(sf_dir: str):
         })
 
     return out.map_batches(fin, batch_format="pandas").sort("token")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Top-``k`` TF-IDF terms per document: (doc_id, token, tf, score).
+
+    Two-phase: the IDF table comes from the distributed
+    :func:`document_frequency` pass and broadcasts once (vocabulary-bounded,
+    like a model artifact); scoring + per-doc top-k is then a single
+    shuffle-free scan (per-batch explode → C-speed groupby count → idf map →
+    sort + ``groupby.head(k)``). Ranking uses the ROUNDED score with a token
+    tie-break so the result is deterministic and byte-equal to the SQL
+    window-function oracle."""
+    import ray
+
+    df_tab = document_frequency(sf_dir).to_pandas()
+    idf_ref = ray.put(dict(zip(df_tab["token"], df_tab["idf"])))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf = ray.get(idf_ref)
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "token": np.concatenate([np.asarray(t, dtype=object)
+                                     for t in toks
+                                     if isinstance(t, list) and len(t)])
+            if lens.sum() else np.empty(0, dtype=object),
+        })
+        if flat.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+        tf = (flat.groupby(["doc_id", "token"], sort=False)
+              .size().rename("tf").reset_index())
+        tf["score"] = round_half_away(
+            tf["tf"].to_numpy(dtype=np.float64)
+            * tf["token"].map(idf).to_numpy(dtype=np.float64), 4)
+        tf = tf.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True])
+        top = tf.groupby("doc_id", sort=False).head(k)
+        return pd.DataFrame({"doc_id": top["doc_id"].astype("int64"),
+                             "token": top["token"].astype(str),
+                             "tf": top["tf"].astype("int64"),
+                             "score": top["score"]})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pandas").sort(
+        ["doc_id", "score", "token"], descending=[False, True, False])
 
 
 # per-stratum sampling rates expressed as 8-hex-digit md5-prefix
