@@ -24,10 +24,15 @@ Type0/CID composite fonts are decoded via their ``/ToUnicode`` CMap when
 present (2-byte codes, ``bfchar``/``bfrange`` entries); widths fall back to
 the base-font metrics of the mapped characters.
 
+Object streams (``/Type /ObjStm``, PDF 1.5) are expanded after the scan:
+their contained objects are parsed out of the decompressed payload via the
+``N``/``First`` header, so catalogs/pages/fonts stored compressed resolve
+normally.
+
 NOT supported (raise or are skipped gracefully): encrypted PDFs, Type0
-fonts WITHOUT a ToUnicode CMap (their text is decoded byte-wise), object
-streams (``/ObjStm``), rotation in the CTM (sheared boxes would need
-oriented rectangles; such ops keep translation+scale only).
+fonts WITHOUT a ToUnicode CMap (their text is decoded byte-wise),
+rotation in the CTM (sheared boxes would need oriented rectangles; such
+ops keep translation+scale only).
 """
 
 from __future__ import annotations
@@ -201,6 +206,44 @@ def _parse_string(buf: bytes, pos: int) -> tuple[str, int]:
             out.append(c.decode("latin-1"))
         i += 1
     raise PdfParseError("Unterminated string")
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
+    """PDF 1.5 object streams (``/Type /ObjStm``): non-stream objects may be
+    stored INSIDE a compressed stream — invisible to the xref-free scan.
+    The stream starts with ``N`` (objnum, offset) integer pairs; object
+    bodies begin at ``/First`` + offset. Parsed objects are added under
+    their object numbers; a same-numbered top-level object (e.g. an
+    incremental-update replacement) wins, matching the scan's
+    last-definition-wins behavior for classic objects."""
+    for num in list(objs):
+        body = objs[num]
+        d = _obj_dict(body)
+        if d.get("Type") != "/ObjStm":
+            continue
+        try:
+            data = _stream_data(objs, body)
+        except PdfParseError:
+            continue
+        n = _resolve(objs, d.get("N"))
+        first = _resolve(objs, d.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int) \
+                or not (0 < first <= len(data)):
+            continue
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                     for i in range(n)]
+        except ValueError:
+            continue
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+            if not (0 <= off <= end <= len(data) - first):
+                continue
+            objs.setdefault(onum, data[first + off:first + end])
+    return objs
 
 
 def _obj_dict(body: bytes) -> dict:
@@ -662,7 +705,7 @@ def extract_pdf_pages(data: bytes) -> list[tuple[list[tuple], list[tuple]]]:
         raise PdfParseError("Not a PDF (missing %PDF header)")
     if b"/Encrypt" in data[:2048] or b"/Encrypt" in data[-2048:]:
         raise PdfParseError("Encrypted PDFs are not supported")
-    objs = _scan_objects(data)
+    objs = _expand_object_streams(_scan_objects(data))
     pages = []
     for page in _page_order(objs):
         box = _resolve(objs, page.get("MediaBox")) or [0, 0, 612, 792]

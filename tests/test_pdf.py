@@ -315,3 +315,83 @@ def test_pdf_type0_tounicode_cmap():
 
     xhtml = pdf_to_xhtml(make_cid_pdf())
     assert "Hello" in xhtml
+
+
+def make_pdf_objstm(page_streams: list[bytes]) -> bytes:
+    """Same document as :func:`make_pdf`, but every non-stream object
+    (catalog, pages tree, font, page dicts) is packed into a single
+    compressed /ObjStm — only the content streams stay top-level."""
+    n_pages = len(page_streams)
+    font_num = 3
+    first_page = 4
+    packed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        font_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(n_pages))
+    packed[2] = f"<< /Type /Pages /Kids [ {kids} ] /Count {n_pages} >>".encode()
+    top: dict[int, bytes] = {}
+    for i, stream in enumerate(page_streams):
+        pnum = first_page + 2 * i
+        cnum = pnum + 1
+        packed[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {cnum} 0 R >>"
+        ).encode()
+        data = zlib.compress(stream)
+        top[cnum] = (
+            f"<< /Filter /FlateDecode /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    nums = sorted(packed)
+    bodies, offsets, pos = [], [], 0
+    for num in nums:
+        offsets.append((num, pos))
+        bodies.append(packed[num])
+        pos += len(packed[num]) + 1
+    header = (" ".join(f"{n} {o}" for n, o in offsets) + " ").encode()
+    payload = header + b" ".join(bodies) + b" "
+    comp = zlib.compress(payload)
+    objstm = (
+        f"<< /Type /ObjStm /N {len(nums)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(comp)} >>".encode()
+        + b"\nstream\n" + comp + b"\nendstream"
+    )
+    out = [b"%PDF-1.5\n", b"50 0 obj\n" + objstm + b"\nendobj\n"]
+    for num in sorted(top):
+        out.append(f"{num} 0 obj\n".encode() + top[num] + b"\nendobj\n")
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_object_stream_pdf_matches_classic_layout():
+    """A PDF 1.5 document with its catalog/pages/font/page dicts packed in
+    a compressed object stream extracts identically to the classic layout."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import extract_pdf_pages
+
+    classic = extract_pdf_pages(make_pdf([TABLE_STREAM], compress=True))
+    packed = extract_pdf_pages(make_pdf_objstm([TABLE_STREAM]))
+    assert len(packed) == len(classic) == 1
+    assert packed[0][0] == classic[0][0]     # identical word boxes
+    assert packed[0][1] == classic[0][1]     # identical drawing rects
+
+
+def test_object_stream_top_level_wins_on_conflict():
+    """An object defined both top-level and inside an ObjStm resolves to
+    the top-level definition (incremental-update replacement)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import (
+        _expand_object_streams,
+        _scan_objects,
+    )
+
+    comp = zlib.compress(b"7 0 " + b"<< /Marker /Old >>")
+    pdf = (
+        b"%PDF-1.5\n"
+        b"50 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode "
+        + f"/Length {len(comp)} >>".encode()
+        + b"\nstream\n" + comp + b"\nendstream\nendobj\n"
+        b"7 0 obj\n<< /Marker /New >>\nendobj\n"
+    )
+    objs = _expand_object_streams(_scan_objects(pdf))
+    assert b"/New" in objs[7]
