@@ -263,6 +263,25 @@ def _docs_fuzzy_dedup(sf_dir: str):
     return fuzzy_dedup(sf_dir).sort("doc_id")
 
 
+def _events_distinct_users(sf_dir: str):
+    """Exact distributed distinct count (per-block unique + one groupby)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_distinct_users,
+    )
+
+    return events_distinct_users(sf_dir)
+
+
+def _events_users_hll(sf_dir: str):
+    """HyperLogLog distinct-user estimate — constant-size mergeable
+    registers, no key shuffle. Rows-only (approximate by design)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_users_hll,
+    )
+
+    return events_users_hll(sf_dir)
+
+
 def _docs_decontaminated(sf_dir: str):
     """Benchmark decontamination: exact passage containment vs a
     deterministic corpus-derived benchmark set (broadcast scan)."""
@@ -402,6 +421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": R.events_asof_orders,
         "parts_price_tiers": R.parts_price_tiers,
         "events_hopping_windows": R.events_hopping_window_counts,
+        "events_distinct_users": _events_distinct_users,
+        "events_users_hll": _events_users_hll,
         "docs_heavy_words": _docs_heavy_words,
         "docs_repetition": _docs_repetition,
         "docs_lm_score": _docs_lm_score,
@@ -850,6 +871,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LN((SELECT COUNT(*) FROM documents)
                             / CAST(COUNT(*) AS DOUBLE)), 4) AS idf
             FROM tok GROUP BY token ORDER BY token
+        """,
+        "events_distinct_users": """
+            SELECT COUNT(DISTINCT user_id) AS n_users FROM events
         """,
         # top-5 TF-IDF terms per doc; ranking uses the ROUNDED score with a
         # token tie-break on both engines (idf itself rounded to 4 first,

@@ -1,0 +1,62 @@
+"""HyperLogLog distinct counting: accuracy, mergeability, determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_hll_partial_merge_equals_whole():
+    """max-merge of per-chunk registers == registers of the whole array
+    (the property that makes per-block partials correct)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import _hll_partial
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000, size=30_000)
+    whole = _hll_partial(vals, 12)
+    merged = np.zeros_like(whole)
+    for chunk in np.array_split(vals, 7):
+        merged = np.maximum(merged, _hll_partial(chunk, 12))
+    assert np.array_equal(whole, merged)
+
+
+def test_hll_accuracy_50k_distinct():
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _hll_estimate,
+        _hll_partial,
+    )
+
+    true_n = 50_000
+    vals = np.arange(true_n, dtype=np.int64)
+    est = _hll_estimate(_hll_partial(vals, 12))
+    assert abs(est - true_n) / true_n < 0.05  # 1.6% expected at p=12
+
+
+def test_hll_small_range_linear_counting():
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _hll_estimate,
+        _hll_partial,
+    )
+
+    vals = np.arange(150, dtype=np.int64)
+    est = _hll_estimate(_hll_partial(vals, 12))
+    assert abs(est - 150) < 5
+
+
+def test_hll_vs_exact_on_events(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_distinct_users,
+        events_users_hll,
+    )
+
+    rng = np.random.RandomState(9)
+    users = rng.randint(0, 4000, size=20_000)
+    pq.write_table(pa.table({"user_id": pa.array(users, pa.int64())}),
+                   str(tmp_path / "events.parquet"))
+    exact = int(events_distinct_users(str(tmp_path))["n_users"].iloc[0])
+    assert exact == len(np.unique(users))
+    est = float(events_users_hll(str(tmp_path))["n_users_est"].iloc[0])
+    assert abs(est - exact) / exact < 0.05
+    # determinism: identical estimate on a second run
+    est2 = float(events_users_hll(str(tmp_path))["n_users_est"].iloc[0])
+    assert est == est2
