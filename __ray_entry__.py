@@ -308,7 +308,9 @@ def _emb_kmeans(sf_dir: str):
         kmeans_cluster_stats,
     )
 
-    return kmeans_cluster_stats(sf_dir)
+    # 8 Lloyd passes: inertia plateaus well before shift<tol on random
+    # vectors, and each pass costs a fixed executor round-trip
+    return kmeans_cluster_stats(sf_dir, max_iters=8)
 
 
 def _emb_semantic_dedup(sf_dir: str):
@@ -453,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _docs_lang_id,
         # dedup family
         "docs_exact_dedup": D.exact_dedup,
+        "docs_span_dedup": D.span_exact_dedup,
         "docs_minhash_pairs": D.minhash_lsh_pairs,
         "docs_simhash": D.simhash_signatures,
         "docs_simhash_pairs": D.simhash_near_dup_pairs,
@@ -792,6 +795,26 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # C4-style span dedup: 15-word spans, corpus-wide first occurrence
+        # wins (smallest doc_id then chunk_no); docs reassemble from their
+        # surviving spans and disappear when nothing survives.
+        "docs_span_dedup": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, (ord-1) // 15 AS chunk_no,
+                     string_agg(w, ' ' ORDER BY ord) AS chunk
+              FROM words GROUP BY doc_id, (ord-1) // 15),
+            ranked AS (
+              SELECT doc_id, chunk_no, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_no) AS rn
+              FROM chunks)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
         """,
         "knn_cosine": """
             SELECT vec_id,

@@ -36,6 +36,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "ngram_jaccard_verify",
+    "span_exact_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -530,3 +531,123 @@ def ngram_jaccard_verify(sf_dir: str, pairs, shingle: int = 2,
 
     verified = j.map_batches(jac, batch_format="pandas").to_pandas()
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _explode_chunks(df: pd.DataFrame, chunk_words: int) -> pd.DataFrame:
+    """Vectorized doc → (doc_id, chunk_no, chunk) explosion.
+
+    Splits on single spaces (matching SQL ``string_split(text, ' ')``
+    semantics exactly, so the DuckDB oracle sees identical chunks) and
+    groups every ``chunk_words`` consecutive words into one span. All the
+    heavy work is C-level: one vectorized split, numpy repeat/arange for
+    the ordinals, and one join call per CHUNK (not per word).
+    """
+    words = df["text"].str.split(" ")
+    lens = words.str.len().to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "chunk_no": pd.Series(dtype="int64"),
+                             "chunk": pd.Series(dtype="object")})
+    doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)
+    # word ordinal within its doc: global arange minus each doc's offset
+    off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ordinal = np.arange(lens.sum(), dtype=np.int64) - np.repeat(off, lens)
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+    chunk_no = ordinal // chunk_words
+    s = pd.Series(flat)
+    chunks = s.groupby([doc_ids, chunk_no]).agg(" ".join)
+    idx = chunks.index
+    return pd.DataFrame({
+        "doc_id": idx.get_level_values(0).to_numpy(dtype=np.int64),
+        "chunk_no": idx.get_level_values(1).to_numpy(dtype=np.int64),
+        "chunk": chunks.to_numpy(),
+    })
+
+
+def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
+                     num_join_partitions: int | None = None):
+    """C4-style corpus-wide span dedup: every ``chunk_words``-word span that
+    occurs more than once across the corpus is kept only at its FIRST
+    occurrence (smallest ``(doc_id, chunk_no)``); documents are reassembled
+    from their surviving spans, and documents whose every span was seen
+    earlier elsewhere drop entirely.
+
+    Reference behavior modeled on C4's three-sentence-span dedup
+    (Raffel et al. 2020); spans here are fixed word windows because the
+    synthetic corpus has no sentence boundaries.
+
+    Scale shape:
+    - the global first-occurrence exchange ships ``(chunk_md5, order_key)``
+      only — span TEXT never shuffles in stage 1 (per-block min combiner
+      before the groupby, same pattern as :func:`exact_dedup`);
+    - winners collapse to a per-doc keep-list (small: ints only), which
+      joins back to the raw text with ONE distributed hash join;
+    - reassembly re-chunks each surviving doc locally inside
+      ``map_batches`` — no driver materialization anywhere.
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    # order_key packs (doc_id, chunk_no) into one int64 so Ray's Min
+    # aggregate gives lexicographic first-occurrence directly.
+    SHIFT = np.int64(1) << np.int64(20)  # ≤ ~1M chunks/doc, ≤ ~2^43 doc ids
+
+    def hash_spans(df: pd.DataFrame) -> pd.DataFrame:
+        ch = _explode_chunks(df, chunk_words)
+        h = pd.util.hash_array(ch["chunk"].to_numpy(dtype=object)).astype(np.uint64)
+        out = pd.DataFrame({
+            "chunk_h": h.astype("int64"),  # reinterpret: stable, join-friendly
+            "order_key": ch["doc_id"].to_numpy() * SHIFT + ch["chunk_no"].to_numpy(),
+        })
+        return out.groupby("chunk_h", as_index=False).min()
+
+    from ray.data.aggregate import Min
+
+    winners = (
+        ds.map_batches(hash_spans, batch_format="pandas")
+        .groupby("chunk_h")
+        .aggregate(Min("order_key", alias_name="order_key"))
+    )
+
+    def keep_list(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["order_key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": key // SHIFT, "chunk_no": key % SHIFT})
+
+    # per-doc keep-set: ints only; the sort key for reassembly is chunk_no
+    kept = winners.map_batches(keep_list, batch_format="pandas")
+
+    if num_join_partitions is None:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            default_join_partitions,
+        )
+
+        num_join_partitions = default_join_partitions()
+
+    def agg_keeps(g: pd.DataFrame) -> pd.DataFrame:
+        # keep-list packed to bytes: pyarrow's hash join cannot carry list /
+        # tensor payload columns (same workaround as the packed MinHash sigs)
+        ks = np.sort(g["chunk_no"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "keep": [ks.tobytes()],
+        })
+
+    keeps_per_doc = kept.groupby("doc_id").map_groups(agg_keeps,
+                                                      batch_format="pandas")
+
+    joined = ds.join(
+        keeps_per_doc, join_type="inner", num_partitions=num_join_partitions,
+        on=("doc_id",),
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for text, keep in zip(df["text"], df["keep"]):
+            w = text.split(" ")
+            ks = np.frombuffer(keep, dtype=np.int64)
+            texts.append(" ".join(
+                " ".join(w[k * chunk_words:(k + 1) * chunk_words]) for k in ks
+            ))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "text": texts})
+
+    return joined.map_batches(reassemble, batch_format="pandas")

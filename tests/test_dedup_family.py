@@ -221,3 +221,47 @@ def test_repetition_and_lm_scores(ray_session, dup_dir):
     assert lm["n_trigrams"].sum() > 0
     lm2 = lm_scores(dup_dir).to_pandas().set_index("doc_id")
     assert lm.equals(lm2)
+
+
+def test_span_dedup_semantics(ray_session, tmp_path_factory):
+    """First occurrence wins across docs AND within a doc; a doc whose
+    every span was seen earlier drops entirely."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import span_exact_dedup
+
+    w = lambda pfx: " ".join(f"{pfx}{i}" for i in range(4))  # one 4-word span
+    texts = {
+        # doc 0: spans A B A  (A repeats within the doc)
+        0: " ".join([w("a"), w("b"), w("a")]),
+        # doc 1: spans B C    (B already seen in doc 0)
+        1: " ".join([w("b"), w("c")]),
+        # doc 2: spans A B    (all seen) → doc drops
+        2: " ".join([w("a"), w("b")]),
+    }
+    d = tmp_path_factory.mktemp("spandocs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(d / "documents.parquet"))
+
+    out = span_exact_dedup(str(d), chunk_words=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {0: " ".join([w("a"), w("b")]), 1: w("c")}
+
+
+def test_span_dedup_partial_tail_span(ray_session, tmp_path_factory):
+    """Spans shorter than chunk_words (doc tails) dedup as their own unit
+    and never merge with full-length spans sharing a prefix."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import span_exact_dedup
+
+    texts = {0: "x0 x1 x2 x3 t0 t1", 1: "t0 t1", 2: "x0 x1"}
+    d = tmp_path_factory.mktemp("taildocs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(d / "documents.parquet"))
+
+    out = span_exact_dedup(str(d), chunk_words=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    # doc 1's "t0 t1" tail-span duplicates doc 0's tail; doc 2's "x0 x1"
+    # is NOT a duplicate of doc 0's full first span
+    assert got == {0: "x0 x1 x2 x3 t0 t1", 2: "x0 x1"}
