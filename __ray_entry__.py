@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_df_table": T.document_frequency,
         "docs_stratified_sample": T.stratified_sample,
         "docs_tfidf_top_terms": T.tfidf_top_terms,
+        "docs_top_bigrams": T.top_ngrams,
         "docs_fingerprint": _docs_fingerprint,
         "docs_rolling_fingerprint": _docs_rolling_fingerprint,
         "docs_lang_id": _docs_lang_id,
@@ -795,6 +796,20 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # exact corpus-wide bigram counts; deterministic (cnt DESC, ngram)
+        # tie-break on both sides
+        "docs_top_bigrams": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents),
+            bg AS (
+              SELECT a.w || ' ' || b.w AS ngram
+              FROM words a JOIN words b
+                ON a.doc_id = b.doc_id AND b.ord = a.ord + 1)
+            SELECT ngram, COUNT(*) AS cnt FROM bg
+            GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
         """,
         # C4-style span dedup: 15-word spans, corpus-wide first occurrence
         # wins (smallest doc_id then chunk_no); docs reassemble from their

@@ -27,6 +27,7 @@ __all__ = [
     "document_frequency",
     "stratified_sample",
     "tfidf_top_terms",
+    "top_ngrams",
 ]
 
 
@@ -573,3 +574,56 @@ def heavy_hitter_words(sf_dir: str, min_count: int = 900,
 
     return out.map_batches(threshold, batch_format="pandas").sort(
         ["n", "word"], descending=[True, False])
+
+
+def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
+    """Corpus-wide top-k word n-grams (exact counts, deterministic
+    tie-break on the n-gram string).
+
+    Scale shape: per-block partial counts (one vectorized value_counts per
+    batch — the shuffle ships (ngram, partial_cnt) rows, never text) →
+    groupby sum → per-block top-k truncation (a global top-k row must be in
+    its block's top-k) → final sort over ≤ k × blocks candidate rows only,
+    so the ordering step never sees the full distinct-ngram table.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        empty = pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                              "cnt": pd.Series(dtype="int64")})
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            return empty
+        # an n-gram is valid when all n words come from the same doc
+        valid = doc_idx[: m] == doc_idx[n - 1:]
+        grams = flat[:m].copy()
+        for i in range(1, n):
+            grams = grams + " "
+            grams = grams + flat[i : m + i]
+        vc = pd.Series(grams[valid]).value_counts()
+        return pd.DataFrame({"ngram": vc.index.astype(object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "ngram"],
+                              ascending=[False, True]).head(k)
+
+    return (
+        counts.map_batches(local_topk, batch_format="pandas")
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(k)
+    )

@@ -265,3 +265,26 @@ def test_span_dedup_partial_tail_span(ray_session, tmp_path_factory):
     # doc 1's "t0 t1" tail-span duplicates doc 0's tail; doc 2's "x0 x1"
     # is NOT a duplicate of doc 0's full first span
     assert got == {0: "x0 x1 x2 x3 t0 t1", 2: "x0 x1"}
+
+
+def test_top_ngrams_doc_boundaries_and_trigram(ray_session, tmp_path_factory):
+    """N-grams never cross document boundaries; n=3 counts are exact."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import top_ngrams
+
+    texts = {0: "a b c", 1: "c a b", 2: "a b c"}
+    d = tmp_path_factory.mktemp("ngramdocs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(d / "documents.parquet"))
+
+    bi = top_ngrams(str(d), n=2, k=10).to_pandas()
+    got = dict(zip(bi["ngram"], bi["cnt"]))
+    # "c c" (doc 0 tail + doc 1 head) must NOT appear
+    assert got == {"a b": 3, "b c": 2, "c a": 1}
+
+    tri = top_ngrams(str(d), n=3, k=10).to_pandas()
+    got3 = dict(zip(tri["ngram"], tri["cnt"]))
+    assert got3 == {"a b c": 2, "c a b": 1}
