@@ -394,6 +394,42 @@ def _multimodal_features(sf_dir: str):
     return media_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+
+
+def _parts_pagerank(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import parts_pagerank
+
+    return parts_pagerank(sf_dir)
+
+
+def _pagerank_sql(iters: int = 4, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank as pure SQL (one CTE per
+    iteration) over the part co-purchase sequence graph — the DuckDB
+    oracle for the distributed ``pagerank`` operator. Same simplified
+    variant as the engine: multi-edges count per occurrence, dangling
+    mass is not redistributed."""
+    base = f"{1.0 - damping!r}/(SELECT cnt FROM nn)"
+    ctes = ["""e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND b.l_linenumber = a.l_linenumber + 1)""",
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+            "outdeg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+            "nn AS (SELECT COUNT(*) AS cnt FROM nodes)",
+            "r0 AS (SELECT node, 1.0/(SELECT cnt FROM nn) AS r FROM nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT n.node, {base} + {damping!r}*COALESCE(SUM(p.r / o.d), 0) AS r
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r{k-1} p ON p.node = e.src
+      LEFT JOIN outdeg o ON o.src = e.src
+      GROUP BY n.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS part, ROUND(r, 6) AS pagerank FROM r{iters}")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from cmc_knowledge_graph_text2ttl_ray.pipelines import relational as R
     from cmc_knowledge_graph_text2ttl_ray.pipelines import text_analysis as T
@@ -462,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": D.simhash_near_dup_pairs,
         "docs_ngram_jaccard": _docs_ngram_jaccard,
         "docs_cc_clusters": _docs_cc_clusters,
+        "parts_pagerank": _parts_pagerank,
         "docs_fuzzy_dedup": _docs_fuzzy_dedup,
         "docs_decontaminated": _docs_decontaminated,
         "docs_ngram_overlap": _docs_ngram_overlap,
@@ -797,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
         """,
+        "parts_pagerank": _pagerank_sql(),
         # exact corpus-wide bigram counts; deterministic (cnt DESC, ngram)
         # tie-break on both sides
         "docs_top_bigrams": """

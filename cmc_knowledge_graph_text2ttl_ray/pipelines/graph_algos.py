@@ -36,7 +36,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["connected_components", "fuzzy_dedup", "cc_demo_clusters"]
+__all__ = ["connected_components", "fuzzy_dedup", "cc_demo_clusters",
+           "pagerank", "copurchase_edges", "parts_pagerank"]
 
 
 def _cc_numpy(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
@@ -304,3 +305,154 @@ def cc_demo_clusters(sf_dir: str, **cc_kwargs):
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
     return connected_components(edges, "a", "b", **cc_kwargs).sort("node")
+
+
+def pagerank(edges, damping: float = 0.85, iters: int = 4,
+             num_join_partitions: int | None = None):
+    """Distributed PageRank over an (src, dst) edge-list Dataset.
+
+    Returns a ``(node, rank)`` Dataset after ``iters`` synchronous
+    iterations of the standard power-iteration update
+
+        r'(v) = (1 - d)/N + d * Σ_{(u,v) ∈ E} r(u)/outdeg(u)
+
+    Semantics notes (mirrored exactly by the SQL oracle): multi-edges
+    contribute once per occurrence, and dangling-node mass is NOT
+    redistributed (ranks then sum to < 1 when sinks exist — the simplified
+    variant; redistribution would add a per-iteration global scalar pass).
+
+    Scale shape: one up-front groupby computes out-degrees and is joined
+    into the edge list ONCE; each iteration is then exactly one hash join
+    (edges ⨝ ranks on src), a per-block partial-sum combiner, one
+    ``groupby(dst).sum`` and one left-outer join back onto the node table —
+    all payloads are (int64, float64) rows, never wider.  Ranks are
+    materialized per iteration (2 numbers per node) to cut the lazy plan at
+    the iteration boundary; at 100 TB the same boundary would be a parquet
+    checkpoint so a mid-run failure resumes from the last iteration.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    if num_join_partitions is None:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            default_join_partitions,
+        )
+
+        num_join_partitions = default_join_partitions()
+
+    def _col(name):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df[name].astype("int64")})
+
+        return f
+
+    nodes = (
+        edges.map_batches(_col("src"), batch_format="pandas")
+        .union(edges.map_batches(_col("dst"), batch_format="pandas"))
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda df: df.assign(rank=pd.Series(dtype="float64")),
+            batch_format="pandas")
+
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    # (src, dst, outdeg): join once, reused every iteration
+    edges_w = edges.join(
+        outdeg, join_type="inner", num_partitions=num_join_partitions,
+        on=("src",),
+    ).materialize()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.map_batches(
+        lambda df: df.assign(rank=np.float64(1.0 / n_nodes)),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(iters):
+        contrib_src = edges_w.join(
+            ranks, join_type="inner", num_partitions=num_join_partitions,
+            on=("src",), right_on=("node",),
+        )
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            w = df["rank"].to_numpy() / df["outdeg"].to_numpy()
+            out = pd.DataFrame({"dst": df["dst"].astype("int64"), "w": w})
+            return out.groupby("dst", as_index=False).sum()
+
+        contrib = (
+            contrib_src.map_batches(partial, batch_format="pandas")
+            .groupby("dst")
+            .aggregate(Sum("w", alias_name="w"))
+        )
+        joined = nodes.join(
+            contrib, join_type="left_outer",
+            num_partitions=num_join_partitions,
+            on=("node",), right_on=("dst",),
+        )
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            w = df["w"].fillna(0.0).to_numpy(dtype=np.float64)
+            return pd.DataFrame({
+                "node": df["node"].astype("int64"),
+                "rank": base + damping * w,
+            })
+
+        ranks = joined.map_batches(update, batch_format="pandas").materialize()
+
+    return ranks
+
+
+def copurchase_edges(sf_dir: str, num_join_partitions: int | None = None):
+    """Directed part→part edges from consecutive line numbers within each
+    order (the "bought together next" sequence graph) — a distributed
+    self-join of lineitem on (l_orderkey, l_linenumber + 1)."""
+    import ray.data
+
+    if num_join_partitions is None:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            default_join_partitions,
+        )
+
+        num_join_partitions = default_join_partitions()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+
+    def left_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "ln_next": df["l_linenumber"].astype("int64") + 1,
+            "src": df["l_partkey"].astype("int64"),
+        })
+
+    def right_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "r_orderkey": df["l_orderkey"].astype("int64"),
+            "ln": df["l_linenumber"].astype("int64"),
+            "dst": df["l_partkey"].astype("int64"),
+        })
+
+    j = li.map_batches(left_side, batch_format="pandas").join(
+        li.map_batches(right_side, batch_format="pandas"),
+        join_type="inner", num_partitions=num_join_partitions,
+        on=("l_orderkey", "ln_next"), right_on=("r_orderkey", "ln"),
+    )
+    return j.select_columns(["src", "dst"])
+
+
+def parts_pagerank(sf_dir: str, damping: float = 0.85, iters: int = 4):
+    """PageRank over the part co-purchase sequence graph, rounded for the
+    DuckDB oracle hash (both sides ROUND(…, 6))."""
+    ranks = pagerank(copurchase_edges(sf_dir), damping=damping, iters=iters)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"part": df["node"].astype("int64"),
+                             "pagerank": df["rank"].round(6)})
+
+    return ranks.map_batches(fin, batch_format="pandas")

@@ -144,3 +144,43 @@ def test_fuzzy_dedup_survivors(ray_session, tmp_path):
     assert list(out.loc[[0, 1, 2], "keep"]) == [True, False, False]
     assert out.loc[3, "keep"] and out.loc[4, "keep"]
     assert out.loc[3, "cluster_id"] == 3 and out.loc[4, "cluster_id"] == 4
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Distributed pagerank equals a dense numpy power iteration on a
+    small graph with a dangling node (2) and a multi-edge (0→1 twice)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import pagerank
+
+    edges = pd.DataFrame({"src": [0, 0, 0, 1, 3],
+                          "dst": [1, 1, 2, 2, 0]})
+    got = pagerank(ray.data.from_pandas(edges), damping=0.85,
+                   iters=5).to_pandas().set_index("node")["rank"]
+
+    nodes = [0, 1, 2, 3]
+    out = edges.groupby("src").size()
+    r = {n: 1 / 4 for n in nodes}
+    for _ in range(5):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in zip(edges["src"], edges["dst"]):
+            contrib[d] += r[s] / out[s]
+        r = {n: 0.15 / 4 + 0.85 * contrib[n] for n in nodes}
+    for n in nodes:
+        assert abs(got[n] - r[n]) < 1e-12, (n, got[n], r[n])
+    # dangling node 2 leaks mass: total < 1 in the simplified variant
+    assert got.sum() < 1.0
+
+
+def test_pagerank_empty_edges(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import pagerank
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"src": pd.Series(dtype="int64"),
+                      "dst": pd.Series(dtype="int64")}))
+    assert pagerank(empty).to_pandas().empty
