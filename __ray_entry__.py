@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": R.q13_customer_distribution,
         "q18_large_orders": R.q18_large_orders,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q22_idle_balances": R.q22_idle_balances,
         "corpus_clean_winners": _corpus_clean_winners,
         "corpus_prep_stats": _corpus_prep_stats,
         "docs_train_val_split": _docs_train_val_split,
@@ -835,6 +838,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "parts_pagerank": _pagerank_sql(),
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-07-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+            FROM supplier, rev
+            WHERE s_suppkey = l_suppkey
+              AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice), 0) / 7.0, 2)
+                   AS avg_yearly
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+              AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        "q22_idle_balances": """
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_nationkey BETWEEN 0 AND 12
+              AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0
+                                 AND c_nationkey BETWEEN 0 AND 12)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
         # exact corpus-wide bigram counts; deterministic (cnt DESC, ngram)
         # tie-break on both sides
         "docs_top_bigrams": """

@@ -1319,3 +1319,200 @@ def q19_disjunctive_revenue(sf_dir: str):
         "revenue": [round(agg["sum(revenue)"], 2)],
         "n": [int(agg["sum(n)"])],
     })
+
+
+def q15_top_supplier(sf_dir: str,
+                     date_lo: str = "1996-01-01", date_hi: str = "1996-07-01"):
+    """TPC-H Q15 shape: supplier(s) achieving the MAXIMUM revenue over a
+    ship-date window (modeled on reference query semantics; partsupp-free
+    schema adaptation).
+
+    Scale shape: revenue per supplier via per-block partial aggregation
+    (shuffle ships (suppkey, partial_rev) only), the global max is one
+    driver scalar, and the winning (usually single-row) supplier set joins
+    against the small supplier dimension with a broadcast pandas merge.
+    The max-filter compares the engine's OWN sums, so float associativity
+    can't misselect the winner."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp(date_lo))),
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp(date_hi))),
+        ))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return (
+            pa.table({"l_suppkey": t["l_suppkey"], "rev": rev})
+            .group_by("l_suppkey").aggregate([("rev", "sum")])
+            .rename_columns(["l_suppkey", "rev"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="total_revenue"))
+        .materialize()
+    )
+    max_rev = per_supp.max("total_revenue")
+    winners = per_supp.filter(
+        expr=f"total_revenue == {max_rev!r}"
+    ).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = out["total_revenue"].round(2)
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey").reset_index(drop=True)
+    )
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23",
+                               frac: float = 0.2):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below ``frac`` × that part's average quantity) were not
+    filled, for one brand. The correlated per-part AVG subquery becomes a
+    broadcast map.
+
+    Scale shape: the brand's part keys are a pruned dimension read
+    (broadcast via ``ray.put``); lineitem is scanned ONCE with an inline
+    semi-join filter, per-part (sum, count) partials aggregate to exact
+    averages, and the small per-part threshold table broadcasts back for
+    the final filtered sum — no fact-table shuffle at any point."""
+    import ray
+
+    part_keys = set(
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+        .filter(expr=f"p_brand == {brand!r}")
+        .to_pandas()["p_partkey"].astype("int64")
+    )
+    keys_ref = ray.put(part_keys)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["l_partkey"].isin(ray.get(keys_ref))]
+
+    brand_li = li.map_batches(brand_rows, batch_format="pandas").materialize()
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey")["l_quantity"].agg(["sum", "count"])
+        return pd.DataFrame({"l_partkey": g.index.astype("int64"),
+                             "qty_sum": g["sum"].to_numpy(),
+                             "qty_cnt": g["count"].to_numpy(dtype="int64")})
+
+    from ray.data.aggregate import Sum
+
+    avg_df = (
+        brand_li.map_batches(qty_partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_sum", alias_name="qty_sum"),
+                   Sum("qty_cnt", alias_name="qty_cnt"))
+        .to_pandas()
+    )
+    thr = dict(zip(avg_df["l_partkey"].astype("int64"),
+                   frac * avg_df["qty_sum"].to_numpy()
+                   / avg_df["qty_cnt"].to_numpy()))
+    thr_ref = ray.put(thr)
+
+    def below(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        lim = df["l_partkey"].map(t).to_numpy(dtype="float64")
+        keep = df["l_quantity"].to_numpy() < lim
+        return pd.DataFrame({"price": df.loc[keep, "l_extendedprice"]})
+
+    total = brand_li.map_batches(below, batch_format="pandas").sum("price")
+    return pd.DataFrame({"avg_yearly": [round((total or 0.0) / 7.0, 2)]})
+
+
+def q22_idle_balances(sf_dir: str, nation_lo: int = 0, nation_hi: int = 12,
+                      broadcast_threshold: int = 5_000_000):
+    """TPC-H Q22 shape: customers from a nation band with above-average
+    positive balances and NO urgent order, rolled up per nation (the
+    phone-prefix predicate is adapted to the schema's nation keys, and
+    the anti-join side is the URGENT-priority order subset so the result
+    is non-degenerate on the synthetic data, where every customer has
+    at least one order).
+
+    Scale shape: the global AVG is two driver scalars from one pruned
+    pre-aggregated scan; the "has no orders" anti-join reuses the adaptive
+    pattern — the DISTINCT customer keys of orders collapse per block
+    before the exchange, broadcast under the threshold, and flip to a
+    distributed left-anti hash join past it."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"]).filter(
+        expr=f"c_nationkey >= {nation_lo} and c_nationkey <= {nation_hi}"
+    ).materialize()
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], pa.scalar(0.0)))
+        return pa.table({
+            "s": pa.array([pc.sum(t["c_acctbal"]).as_py() or 0.0],
+                          pa.float64()),
+            "c": pa.array([t.num_rows], pa.int64()),
+        })
+
+    agg = cust.map_batches(bal_partial, batch_format="pyarrow").sum(["s", "c"])
+    n_pos = int(agg["sum(c)"])
+    if n_pos == 0:
+        return _empty_df({"c_nationkey": pa.int64(), "numcust": pa.int64(),
+                          "totacctbal": pa.float64()})
+    avg_bal = float(agg["sum(s)"]) / n_pos
+
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+
+    okeys = _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_custkey"])
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.unique(t["o_custkey"]).cast(pa.int64())})
+
+    okeys = (okeys.map_batches(distinct_block, batch_format="pyarrow")
+             .groupby("o_custkey").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]))
+    n_keys = okeys.count()
+    if n_keys <= broadcast_threshold:
+        key_ref = ray.put(set(okeys.to_pandas()["o_custkey"].astype("int64")))
+
+        def anti(df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df["c_custkey"].isin(ray.get(key_ref))]
+
+        idle = rich.map_batches(anti, batch_format="pandas")
+    else:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            default_join_partitions,
+        )
+
+        j = rich.join(okeys, join_type="left_outer",
+                      num_partitions=default_join_partitions(),
+                      on=("c_custkey",), right_on=("o_custkey",))
+        idle = j.map_batches(
+            lambda df: df[df["o_custkey"].isna()][
+                ["c_custkey", "c_nationkey", "c_acctbal"]],
+            batch_format="pandas")
+
+    out = (
+        idle.groupby("c_nationkey")
+        .aggregate(Count(alias_name="numcust"),
+                   Sum("c_acctbal", alias_name="totacctbal"))
+        .to_pandas()
+    )
+    if out.empty:
+        return _empty_df({"c_nationkey": pa.int64(), "numcust": pa.int64(),
+                          "totacctbal": pa.float64()})
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["totacctbal"].round(2)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
