@@ -396,6 +396,21 @@ def _multimodal_features(sf_dir: str):
 
 
 
+
+def _user_event_gaps(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.windows import user_event_gaps
+
+    return user_event_gaps(sf_dir)
+
+
+def _events_top_per_user(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.windows import (
+        events_top_per_user,
+    )
+
+    return events_top_per_user(sf_dir)
+
+
 def _parts_pagerank(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import parts_pagerank
 
@@ -447,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": R.events_daily,
         "events_user_stats": R.events_user_stats,
         "events_user_sessions": _user_sessions,
+        "events_user_gaps": _user_event_gaps,
+        "events_top_per_user": _events_top_per_user,
         "q4_order_priority": R.q4_order_priority,
         "nation_account_balance": R.nation_account_balance,
         "events_value_histogram": R.events_value_histogram,
@@ -838,6 +855,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "parts_pagerank": _pagerank_sql(),
+        "events_user_gaps": """
+            WITH lagged AS (
+              SELECT user_id,
+                     EXTRACT(EPOCH FROM ts - LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+              FROM events)
+            SELECT user_id, COUNT(gap_s) AS n_gaps,
+                   ROUND(AVG(gap_s), 4) AS avg_gap_s,
+                   MAX(gap_s) AS max_gap_s
+            FROM lagged GROUP BY user_id ORDER BY user_id
+        """,
+        "events_top_per_user": """
+            WITH ranked AS (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events)
+            SELECT user_id, event_id, value, rnk
+            FROM ranked WHERE rnk <= 3
+        """,
         "q15_top_supplier": """
             WITH rev AS (
               SELECT l_suppkey,
