@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": R.q18_large_orders,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q15_top_supplier": R.q15_top_supplier,
+        "q8_market_share": R.q8_market_share,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q22_idle_balances": R.q22_idle_balances,
         "corpus_clean_winners": _corpus_clean_winners,
@@ -874,6 +875,27 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, value, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "q8_market_share": """
+            WITH vol AS (
+              SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     (SELECT n_name FROM nation
+                      WHERE n_nationkey = s_nationkey) AS supp_nation
+              FROM lineitem, orders, customer, nation n1, region, part,
+                   supplier
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND l_partkey = p_partkey AND p_type = 'ECONOMY'
+                AND l_suppkey = s_suppkey
+                AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                    AND TIMESTAMP '1996-12-31')
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END) / SUM(volume), 4)
+                   AS mkt_share
+            FROM vol GROUP BY o_year ORDER BY o_year
         """,
         "q15_top_supplier": """
             WITH rev AS (

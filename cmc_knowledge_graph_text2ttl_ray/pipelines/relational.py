@@ -1516,3 +1516,111 @@ def q22_idle_balances(sf_dir: str, nation_lo: int = 0, nation_hi: int = 12,
     out["numcust"] = out["numcust"].astype("int64")
     out["totacctbal"] = out["totacctbal"].round(2)
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q8_market_share(sf_dir: str, nation: str = "NATION_3",
+                    region: str = "ASIA", p_type: str = "ECONOMY",
+                    date_lo: str = "1995-01-01", date_hi: str = "1996-12-31"):
+    """TPC-H Q8 shape: ``nation``'s share of ECONOMY-part order volume sold
+    to ``region`` customers, per order year.
+
+    Scale plan: part keys (one p_type), supplier→nation and
+    customer→nation-in-region are DIMENSIONS — broadcast once via
+    ``ray.put``. The lineitem scan filters by part key and pre-aggregates
+    per (orderkey, is_target_nation) volume partials BEFORE the only
+    all-to-all: a distributed hash join of those order partials against
+    the (date- and region-filtered) orders. The share divide happens on a
+    per-year table of a handful of rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                   "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_keys = set(
+        nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        .loc[lambda d: d["r_name"] == region, "n_nationkey"]
+    )
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(
+        expr=f"p_type == {p_type!r}").to_pandas()
+    pkeys_ref = ray.put(set(parts["p_partkey"].astype("int64")))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    snat_ref = ray.put(dict(zip(sup["s_suppkey"],
+                                sup["s_nationkey"].map(nmap))))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys_ref = ray.put(set(
+        cust.loc[cust["c_nationkey"].isin(region_keys), "c_custkey"]
+        .astype("int64")))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["l_partkey"].isin(ray.get(pkeys_ref))]
+        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
+                              "target": pd.Series(dtype="int64"),
+                              "volume": pd.Series(dtype="float64")})
+        if d.empty:
+            return empty
+        out = pd.DataFrame({
+            "l_orderkey": d["l_orderkey"].astype("int64"),
+            "target": (d["l_suppkey"].map(ray.get(snat_ref)) == nation)
+            .astype("int64"),
+            "volume": d["l_extendedprice"] * (1.0 - d["l_discount"]),
+        })
+        return out.groupby(["l_orderkey", "target"], as_index=False).sum()
+
+    partials = (
+        li.map_batches(li_partial, batch_format="pandas")
+        .groupby(["l_orderkey", "target"])
+        .aggregate(Sum("volume", alias_name="volume"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def ord_filter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["o_orderdate"] >= pd.Timestamp(date_lo))
+               & (df["o_orderdate"] <= pd.Timestamp(date_hi))
+               & df["o_custkey"].isin(ray.get(ckeys_ref))]
+        return pd.DataFrame({
+            "o_orderkey": d["o_orderkey"].astype("int64"),
+            "o_year": d["o_orderdate"].dt.year.astype("int64"),
+        })
+
+    j = partials.join(
+        orders.map_batches(ord_filter, batch_format="pandas"),
+        join_type="inner", num_partitions=default_join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                                 "total": pd.Series(dtype="float64"),
+                                 "nation_vol": pd.Series(dtype="float64")})
+        d = df.assign(total=df["volume"],
+                      nation_vol=df["volume"] * (df["target"] == 1))
+        return d.groupby("o_year", as_index=False)[["total", "nation_vol"]].sum()
+
+    per_year = (
+        j.map_batches(year_partial, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(Sum("total", alias_name="total"),
+                   Sum("nation_vol", alias_name="nation_vol"))
+        .to_pandas()
+    )
+    if per_year.empty:
+        return _empty_df({"o_year": pa.int64(), "mkt_share": pa.float64()})
+    per_year["mkt_share"] = (per_year["nation_vol"]
+                             / per_year["total"]).round(4)
+    return (per_year[["o_year", "mkt_share"]]
+            .astype({"o_year": "int64"})
+            .sort_values("o_year").reset_index(drop=True))
