@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": T.stratified_sample,
         "docs_tfidf_top_terms": T.tfidf_top_terms,
         "docs_top_bigrams": T.top_ngrams,
+        "docs_inverted_index": T.inverted_index,
         "docs_fingerprint": _docs_fingerprint,
         "docs_rolling_fingerprint": _docs_rolling_fingerprint,
         "docs_lang_id": _docs_lang_id,
@@ -528,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": S.knn_ivf,
         "knn_lsh": S.knn_lsh,
         "emb_lsh_buckets": S.hyperplane_lsh_buckets,
+        "emb_label_centroids": S.label_centroids,
         "embedding_near_dups": S.embedding_near_dup_pairs,
         "emb_kmeans": _emb_kmeans,
         "emb_semantic_dedup": _emb_semantic_dedup,
@@ -875,6 +877,24 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, value, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "docs_inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+              FROM documents)
+            SELECT term, COUNT(*) AS df,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                   AS postings
+            FROM pairs GROUP BY term ORDER BY term
+        """,
+        # per-label centroid exploded to (label, dim, value): DuckDB unnests
+        # the vector with ordinality and averages per (label, dim)
+        "emb_label_centroids": """
+            SELECT label, gs - 1 AS dim, ROUND(AVG(u), 6) AS value
+            FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS u,
+                         generate_subscripts(embedding, 1) AS gs
+                  FROM embeddings) t
+            GROUP BY label, gs ORDER BY label, dim
         """,
         "q8_market_share": """
             WITH vol AS (

@@ -27,7 +27,7 @@ import ray.data
 
 __all__ = ["knn_bruteforce", "knn_ivf", "knn_lsh", "embedding_near_dup_pairs",
            "build_ivf_centroids", "build_ivf_index", "build_lsh_index",
-           "hyperplane_lsh_buckets"]
+           "hyperplane_lsh_buckets", "label_centroids"]
 
 
 def _emb(sf_dir: str):
@@ -444,3 +444,49 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8,
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column, exploded to
+    (label, dim, value) rows so the result is flat and SQL-checkable.
+
+    Scale shape: each block contributes one (label, dim) partial-sum row
+    set (labels × dims — independent of row count), computed as a single
+    numpy matmul-free groupby-free accumulation; the only shuffle is the
+    tiny partial table's ``groupby(label, dim).sum``. This is the
+    vector-aggregate building block k-means's update step uses, exposed
+    as its own operator."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = _to_matrix(df["embedding"])
+        labels = df["label"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_dim = mat.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq, n_dim),
+            "dim": np.tile(np.arange(n_dim, dtype=np.int64), len(uniq)),
+            "s": sums.ravel(),
+            "c": np.repeat(cnts, n_dim),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"].astype("int64"),
+            "dim": df["dim"].astype("int64"),
+            "value": (df["s"] / df["c"]).round(6),
+        })
+
+    return agg.map_batches(fin, batch_format="pandas")

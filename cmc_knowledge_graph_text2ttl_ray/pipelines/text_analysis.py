@@ -28,6 +28,7 @@ __all__ = [
     "stratified_sample",
     "tfidf_top_terms",
     "top_ngrams",
+    "inverted_index",
 ]
 
 
@@ -626,4 +627,46 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
         counts.map_batches(local_topk, batch_format="pandas")
         .sort(["cnt", "ngram"], descending=[True, False])
         .limit(k)
+    )
+
+
+def inverted_index(sf_dir: str):
+    """Term → (document frequency, sorted posting list) over the corpus —
+    the retrieval-index build step as a Ray pipeline.
+
+    Scale shape: each block emits DISTINCT (term, doc_id) pairs (one
+    vectorized explode + drop_duplicates — raw positions never shuffle);
+    postings assemble in one ``groupby(term)`` with a vectorized in-group
+    sort. Contract: one term's postings fit one group — true for any
+    index that stores a flat posting list; past that, shard the index by
+    doc-id range per partition (the IVF layout in similarity.py shows the
+    partitioned-parquet pattern) rather than growing a single list."""
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        out = pd.DataFrame({
+            "term": flat,
+            "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens),
+        })
+        return out.drop_duplicates()
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": [int(len(ids))],
+            "postings": [",".join(map(str, ids))],
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("term")
+        .map_groups(assemble, batch_format="pandas")
     )
