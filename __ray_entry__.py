@@ -491,6 +491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": R.q8_market_share,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q22_idle_balances": R.q22_idle_balances,
+        "events_type_quantiles": R.events_type_quantiles,
+        "bloom_semi_join_revenue": R.bloom_semi_join_revenue,
         "corpus_clean_winners": _corpus_clean_winners,
         "corpus_prep_stats": _corpus_prep_stats,
         "docs_train_val_split": _docs_train_val_split,
@@ -895,6 +897,25 @@ def oracle_sql() -> dict[str, str]:
                          generate_subscripts(embedding, 1) AS gs
                   FROM embeddings) t
             GROUP BY label, gs ORDER BY label, dim
+        """,
+        "events_type_quantiles": """
+            SELECT event_type, 0.5 AS q,
+                   quantile_disc(value, 0.5) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, quantile_disc(value, 0.9)
+            FROM events GROUP BY event_type
+            ORDER BY event_type, q
+        """,
+        "bloom_semi_join_revenue": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q8_market_share": """
             WITH vol AS (

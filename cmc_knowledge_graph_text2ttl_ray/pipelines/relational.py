@@ -1624,3 +1624,115 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_3",
     return (per_year[["o_year", "mkt_share"]]
             .astype({"o_year": "int64"})
             .sort_values("o_year").reset_index(drop=True))
+
+
+def events_type_quantiles(sf_dir: str, qs=(0.5, 0.9)):
+    """Per-group exact quantiles (percentile_disc semantics): one
+    (event_type, q, value) row per group and quantile.
+
+    Scale shape: one ``groupby(event_type).map_groups`` shuffle with a
+    vectorized in-group sort. Contract: one type's values fit one group —
+    when a group outgrows a task, swap the in-group sort for the
+    histogram-refinement pass :func:`events_value_quantiles` runs
+    globally (same code per key)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "q": list(qs),
+            "value": [float(v[max(1, int(np.ceil(q * n))) - 1])
+                      for q in qs],
+        })
+
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pandas")
+
+
+def bloom_semi_join_revenue(sf_dir: str, priority: str = "1-URGENT",
+                            n_bits: int = 1 << 20):
+    """Revenue of lineitems whose order has the given priority, computed
+    with a BLOOM-FILTER-pruned semi-join: the build side's keys become a
+    compact bit array that prefilters the probe scan, and only the
+    (small) candidate set enters the exact distributed hash join — so the
+    all-to-all moves ~|matches| + false-positive rows instead of the full
+    fact table. The exact join makes the result independent of the
+    false-positive rate; the bloom only prunes.
+
+    Scale shape: per-block partial blooms are OR-combined (blocks × 128 KB
+    for the default 2^20 bits — driver-cheap) and broadcast once via
+    ``ray.put``; two splitmix64-derived hash probes per key, fully
+    vectorized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    okeys = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderpriority"]).filter(
+        expr=f"o_orderpriority == {priority!r}"
+    ).select_columns(["o_orderkey"]).materialize()
+
+    mask = np.uint64(n_bits - 1)
+
+    def _probes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # two independent probes from one splitmix64 finalization
+        z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return (z & mask, (z >> np.uint64(32)) & mask)
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits, dtype=bool)
+        h1, h2 = _probes(t["o_orderkey"].to_numpy())
+        bits[h1] = True
+        bits[h2] = True
+        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()],
+                                           pa.binary())})
+
+    merged = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in okeys.map_batches(block_bloom,
+                                 batch_format="pyarrow").iter_rows():
+        merged |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    bloom_ref = ray.put(np.unpackbits(merged).astype(bool))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        bits = ray.get(bloom_ref)
+        h1, h2 = _probes(df["l_orderkey"].to_numpy(dtype=np.int64))
+        return df[bits[h1] & bits[h2]]
+
+    cand = li.map_batches(prefilter, batch_format="pandas")
+    exact = cand.join(okeys, join_type="inner",
+                      num_partitions=default_join_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "revenue": df["l_extendedprice"] * (1.0 - df["l_discount"]),
+            "n_items": np.ones(len(df), dtype=np.int64),
+        })
+        return out.groupby("l_returnflag", as_index=False).sum()
+
+    res = (
+        exact.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    if res.empty:
+        return _empty_df({"l_returnflag": pa.string(),
+                          "revenue": pa.float64(), "n_items": pa.int64()})
+    res["revenue"] = res["revenue"].round(2)
+    res["n_items"] = res["n_items"].astype("int64")
+    return res.sort_values("l_returnflag").reset_index(drop=True)

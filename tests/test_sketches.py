@@ -60,3 +60,30 @@ def test_hll_vs_exact_on_events(ray_session, tmp_path):
     # determinism: identical estimate on a second run
     est2 = float(events_users_hll(str(tmp_path))["n_users_est"].iloc[0])
     assert est == est2
+
+
+def test_bloom_prefilter_prunes_but_stays_exact(ray_session):
+    """The bloom prefilter must never drop a true match (no false
+    negatives); the exact join then equals the plain semi-join result
+    regardless of false positives — checked at a tiny n_bits where FPs
+    are guaranteed."""
+    import duckdb
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        bloom_semi_join_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tiny = bloom_semi_join_revenue(sf, n_bits=1 << 10)  # heavy FP regime
+    big = bloom_semi_join_revenue(sf, n_bits=1 << 20)
+    assert tiny.equals(big)
+    want = duckdb.connect().execute(f"""
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM read_parquet('{sf}/lineitem.parquet')
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM read_parquet('{sf}/orders.parquet')
+            WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag""").df()
+    assert list(big["n_items"]) == list(want["n_items"])
