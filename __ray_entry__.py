@@ -411,6 +411,15 @@ def _events_top_per_user(sf_dir: str):
     return events_top_per_user(sf_dir)
 
 
+
+def _events_type_distinct_users(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_type_distinct_users,
+    )
+
+    return events_type_distinct_users(sf_dir)
+
+
 def _parts_pagerank(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import parts_pagerank
 
@@ -478,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_windows": R.events_hopping_window_counts,
         "events_distinct_users": _events_distinct_users,
         "events_users_hll": _events_users_hll,
+        "events_type_distinct_users": _events_type_distinct_users,
         "docs_heavy_words": _docs_heavy_words,
         "docs_repetition": _docs_repetition,
         "docs_lm_score": _docs_lm_score,
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_terms": T.tfidf_top_terms,
         "docs_top_bigrams": T.top_ngrams,
         "docs_inverted_index": T.inverted_index,
+        "docs_bm25_topk": T.bm25_topk,
         "docs_fingerprint": _docs_fingerprint,
         "docs_rolling_fingerprint": _docs_rolling_fingerprint,
         "docs_lang_id": _docs_lang_id,
@@ -879,6 +890,41 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, value, rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "events_type_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # Okapi BM25 (k1=1.2, b=0.75), idf = ln((N-df+.5)/(df+.5)+1)
+        "docs_bm25_topk": """
+            WITH stats AS (
+              SELECT COUNT(*) AS n,
+                     AVG(len(string_split(text, ' '))) AS avgdl
+              FROM documents),
+            words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            tf AS (
+              SELECT doc_id, w, COUNT(*) AS tf FROM words
+              WHERE w IN ('spark', 'merge', 'window') GROUP BY doc_id, w),
+            dfx AS (
+              SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+              WHERE w IN ('spark', 'merge', 'window') GROUP BY w),
+            dl AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS dl
+              FROM documents),
+            scored AS (
+              SELECT tf.doc_id,
+                     SUM(ln((stats.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1)
+                         * tf.tf * (1.2 + 1)
+                         / (tf.tf + 1.2 * (1 - 0.75
+                                           + 0.75 * dl.dl / stats.avgdl)))
+                     AS score
+              FROM tf, dfx, dl, stats
+              WHERE tf.w = dfx.w AND dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id)
+            SELECT doc_id, ROUND(score, 4) AS score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "docs_inverted_index": """
             WITH pairs AS (

@@ -18,7 +18,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-__all__ = ["hll_distinct", "events_distinct_users", "events_users_hll"]
+__all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
+           "events_type_distinct_users"]
 
 
 def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
@@ -101,3 +102,33 @@ def events_users_hll(sf_dir: str, p: int = 12):
         "n_users_est": [round(out["estimate"], 1)],
         "n_registers": [out["n_registers"]],
     })
+
+
+def events_type_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — the grouped companion
+    to :func:`events_distinct_users`. Per-block distinct (type, user)
+    pairs collapse before the exchange; the pair-level groupby dedups
+    globally and the per-type count runs over the already-tiny distinct
+    table. For approximate-at-scale, the HLL partials in this module
+    group the registers by type the same way."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(distinct_block, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    out = pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users")).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -29,6 +29,7 @@ __all__ = [
     "tfidf_top_terms",
     "top_ngrams",
     "inverted_index",
+    "bm25_topk",
 ]
 
 
@@ -670,3 +671,83 @@ def inverted_index(sf_dir: str):
         .groupby("term")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def bm25_topk(sf_dir: str, query: str = "spark merge window", k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 retrieval: top-k documents for a bag-of-words query.
+
+    Okapi BM25 (Robertson & Zaragoza 2009), idf = ln((N-df+.5)/(df+.5)+1).
+
+    Scale shape: corpus stats (N, avgdl) are one streaming aggregate; df
+    is computed for the QUERY'S terms only (per-block distinct pairs →
+    tiny groupby) and broadcast as an idf dict; scoring is then a single
+    lineage-free pass — per block a vectorized explode/filter/pivot gives
+    each doc's tf vector, blocks emit only their local top-k, and the
+    final exact top-k sorts ≤ k × blocks candidate rows."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    terms = sorted(set(query.split()))
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def len_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["text"].str.split(" ").str.len()
+        return pd.DataFrame({"n": [len(df)], "dl_sum": [int(dl.sum())]})
+
+    tot = ds.map_batches(len_partial, batch_format="pandas").sum(
+        ["n", "dl_sum"])
+    n_docs = int(tot["sum(n)"])
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    avgdl = tot["sum(dl_sum)"] / n_docs
+
+    def df_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        out = pd.DataFrame({
+            "term": flat,
+            "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64),
+                                lens),
+        })
+        return out[out["term"].isin(terms)].drop_duplicates()
+
+    df_tbl = (
+        ds.map_batches(df_pairs, batch_format="pandas")
+        .groupby("term").aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    idf = {t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+           for t, d in zip(df_tbl["term"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        idfs = ray.get(idf_ref)
+        words = df["text"].str.split(" ")
+        dl = words.str.len().to_numpy(dtype=np.float64)
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in words]) \
+            if lens.sum() else np.array([], dtype=object)
+        row_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        score = np.zeros(len(df), dtype=np.float64)
+        denom_norm = k1 * (1.0 - b + b * dl / avgdl)
+        for t, w_idf in idfs.items():
+            tf = np.bincount(row_idx[flat == t], minlength=len(df))
+            s = w_idf * tf * (k1 + 1.0) / (tf + denom_norm)
+            score += np.where(tf > 0, s, 0.0)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "score": score})
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    res = (
+        ds.map_batches(score_block, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    res["score"] = res["score"].round(4)
+    return res
