@@ -233,6 +233,12 @@ def _docs_train_val_split(sf_dir: str):
     return train_val_split(sf_dir)
 
 
+def _docs_pack_sequences(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def _docs_ngram_jaccard(sf_dir: str):
     """MinHash candidates verified with exact n-gram Jaccard."""
     from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
@@ -501,11 +507,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": R.q8_market_share,
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q22_idle_balances": R.q22_idle_balances,
+        "events_salted_type_stats": R.salted_type_stats,
+        "orders_rollup": R.orders_rollup,
         "events_type_quantiles": R.events_type_quantiles,
         "bloom_semi_join_revenue": R.bloom_semi_join_revenue,
         "corpus_clean_winners": _corpus_clean_winners,
         "corpus_prep_stats": _corpus_prep_stats,
         "docs_train_val_split": _docs_train_val_split,
+        "docs_pack_sequences": _docs_pack_sequences,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -746,6 +755,46 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "events_salted_type_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_year, -1) AS o_year,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   n_orders, total_price
+            FROM (
+                SELECT year(o_orderdate) AS o_year, o_orderpriority,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       ROUND(SUM(o_totalprice), 2) AS total_price
+                FROM orders
+                GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+            )
+            ORDER BY o_year, o_orderpriority
+        """,
+        "docs_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+'))
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_off,
+                   CAST(cum AS BIGINT) AS end_off,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+                             ELSE (cum - 1) // 512 END AS BIGINT) AS last_seq
+            FROM c
         """,
         "events_hopping_windows": """
             WITH w AS (

@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "docs_fuzzy_dedup",
     "emb_kmeans",
+    "q8_market_share",
+    "docs_top_bigrams",
+    "emb_label_centroids",
+    "docs_bm25_topk",
+    "events_type_quantiles",
 ]
 
 

@@ -25,7 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["clean_corpus", "corpus_prep_stats", "train_val_split"]
+__all__ = ["clean_corpus", "corpus_prep_stats", "train_val_split",
+           "pack_sequences"]
 
 
 def _quality_filter(t: pa.Table, min_alpha_ratio: float, min_tokens: int,
@@ -163,3 +164,81 @@ def train_val_split(sf_dir: str, train_fraction: float = 0.9):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(split, batch_format="pandas")
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512):
+    """Fixed-length training-sequence packing: concatenate every document's
+    token stream in ``doc_id`` order and cut the combined stream into
+    ``seq_len``-token chunks; per document, emit its global token span and
+    the first/last chunk it lands in — the bookkeeping a
+    tokenize-concat-chunk pretraining loader needs.
+
+    Scale shape: a distributed PREFIX SUM. Sort by doc_id (the one
+    all-to-all — range partitioning makes block doc-id ranges disjoint),
+    then (1) one row PER BLOCK (first doc_id, block token total) flows to
+    the driver — blocks ≪ rows, so this is bounded — (2) an exclusive
+    scan over those per-block totals yields each block's base offset,
+    broadcast via ``ray.put``, and (3) a second embarrassingly-parallel
+    pass adds the base to each block's local cumulative sum. The token
+    streams themselves never move or materialize.
+    """
+    import numpy as np
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                   r"\s+")
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                         "n_tokens": toks})
+
+    counted = ds.map_batches(tok_counts, batch_format="pyarrow") \
+                .sort("doc_id").materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        return pa.table({
+            "first": pa.array([pc.min(t["doc_id"]).as_py()], pa.int64()),
+            "total": pa.array([pc.sum(t["n_tokens"]).as_py()], pa.int64()),
+        })
+
+    summaries = (counted.map_batches(block_summary, batch_format="pyarrow")
+                 .to_pandas().sort_values("first"))
+    bases = dict(zip(
+        summaries["first"],
+        np.concatenate([[0], summaries["total"].to_numpy(np.int64)
+                        .cumsum()[:-1]]),
+    ))
+    bases_ref = ray.put(bases)
+
+    def spans(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "start_off": pa.array([], pa.int64()),
+                             "end_off": pa.array([], pa.int64()),
+                             "first_seq": pa.array([], pa.int64()),
+                             "last_seq": pa.array([], pa.int64())})
+        nt = t["n_tokens"].to_numpy()
+        base = ray.get(bases_ref)[int(pc.min(t["doc_id"]).as_py())]
+        end = base + nt.cumsum()
+        start = end - nt
+        first_seq = start // seq_len
+        last_seq = np.where(nt == 0, first_seq,
+                            (end - 1) // seq_len)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "start_off": pa.array(start, pa.int64()),
+            "end_off": pa.array(end, pa.int64()),
+            "first_seq": pa.array(first_seq, pa.int64()),
+            "last_seq": pa.array(last_seq, pa.int64()),
+        })
+
+    return counted.map_batches(spans, batch_format="pyarrow")

@@ -1407,14 +1407,14 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23",
                              "qty_sum": g["sum"].to_numpy(),
                              "qty_cnt": g["count"].to_numpy(dtype="int64")})
 
-    from ray.data.aggregate import Sum
-
+    # driver-side combine: the partial table is bounded by blocks ×
+    # brand-parts (a pruned dimension), so collecting it skips the
+    # shuffle's fixed actor overhead for a dimension-sized result
     avg_df = (
         brand_li.map_batches(qty_partial, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("qty_sum", alias_name="qty_sum"),
-                   Sum("qty_cnt", alias_name="qty_cnt"))
         .to_pandas()
+        .groupby("l_partkey", as_index=False)[["qty_sum", "qty_cnt"]]
+        .sum()
     )
     thr = dict(zip(avg_df["l_partkey"].astype("int64"),
                    frac * avg_df["qty_sum"].to_numpy()
@@ -1520,17 +1520,21 @@ def q22_idle_balances(sf_dir: str, nation_lo: int = 0, nation_hi: int = 12,
 
 def q8_market_share(sf_dir: str, nation: str = "NATION_3",
                     region: str = "ASIA", p_type: str = "ECONOMY",
-                    date_lo: str = "1995-01-01", date_hi: str = "1996-12-31"):
+                    date_lo: str = "1995-01-01", date_hi: str = "1996-12-31",
+                    broadcast_threshold: int = 5_000_000):
     """TPC-H Q8 shape: ``nation``'s share of ECONOMY-part order volume sold
     to ``region`` customers, per order year.
 
-    Scale plan: part keys (one p_type), supplier→nation and
-    customer→nation-in-region are DIMENSIONS — broadcast once via
-    ``ray.put``. The lineitem scan filters by part key and pre-aggregates
-    per (orderkey, is_target_nation) volume partials BEFORE the only
-    all-to-all: a distributed hash join of those order partials against
-    the (date- and region-filtered) orders. The share divide happens on a
-    per-year table of a handful of rows."""
+    Scale plan: part keys (one p_type), target-nation supplier keys and
+    customer-in-region keys are DIMENSIONS — broadcast once via
+    ``ray.put``. The (date- and region-filtered) orders side is reduced
+    DISTRIBUTED to (o_orderkey, o_year) pairs; while that fits the
+    broadcast threshold it is shipped once as two sorted numpy arrays and
+    the single lineitem scan does filter + year lookup + per-(year,
+    target) pre-aggregation in one pass — the only all-to-all is a
+    groupby over a handful of (o_year, target) partial rows. Past the
+    threshold it falls back to the distributed hash join (same answer,
+    one extra shuffle) — the standard size-aware join choice."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1545,43 +1549,19 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_3",
         nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
         .loc[lambda d: d["r_name"] == region, "n_nationkey"]
     )
-    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    target_natkeys = set(nat.loc[nat["n_name"] == nation, "n_nationkey"])
 
     parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).filter(
         expr=f"p_type == {p_type!r}").to_pandas()
-    pkeys_ref = ray.put(set(parts["p_partkey"].astype("int64")))
+    pkeys_ref = ray.put(np.sort(parts["p_partkey"].to_numpy(np.int64)))
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    snat_ref = ray.put(dict(zip(sup["s_suppkey"],
-                                sup["s_nationkey"].map(nmap))))
+    tsup_ref = ray.put(np.sort(
+        sup.loc[sup["s_nationkey"].isin(target_natkeys), "s_suppkey"]
+        .to_numpy(np.int64)))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    ckeys_ref = ray.put(set(
+    ckeys_ref = ray.put(
         cust.loc[cust["c_nationkey"].isin(region_keys), "c_custkey"]
-        .astype("int64")))
-
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
-                "l_discount"])
-
-    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[df["l_partkey"].isin(ray.get(pkeys_ref))]
-        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype="int64"),
-                              "target": pd.Series(dtype="int64"),
-                              "volume": pd.Series(dtype="float64")})
-        if d.empty:
-            return empty
-        out = pd.DataFrame({
-            "l_orderkey": d["l_orderkey"].astype("int64"),
-            "target": (d["l_suppkey"].map(ray.get(snat_ref)) == nation)
-            .astype("int64"),
-            "volume": d["l_extendedprice"] * (1.0 - d["l_discount"]),
-        })
-        return out.groupby(["l_orderkey", "target"], as_index=False).sum()
-
-    partials = (
-        li.map_batches(li_partial, batch_format="pandas")
-        .groupby(["l_orderkey", "target"])
-        .aggregate(Sum("volume", alias_name="volume"))
-    )
+        .to_numpy(np.int64))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                       "o_orderdate"])
@@ -1595,11 +1575,87 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_3",
             "o_year": d["o_orderdate"].dt.year.astype("int64"),
         })
 
-    j = partials.join(
-        orders.map_batches(ord_filter, batch_format="pandas"),
-        join_type="inner", num_partitions=default_join_partitions(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
+    ord_years = orders.map_batches(ord_filter,
+                                   batch_format="pandas").materialize()
+    broadcast = ord_years.count() <= broadcast_threshold
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    if broadcast:
+        om = ord_years.to_pandas().sort_values("o_orderkey")
+        okeys_ref = ray.put(om["o_orderkey"].to_numpy(np.int64))
+        oyears_ref = ray.put(om["o_year"].to_numpy(np.int64))
+
+        def li_year_partial(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "o_year": pd.Series(dtype="int64"),
+                "target": pd.Series(dtype="int64"),
+                "volume": pd.Series(dtype="float64")})
+            pk = ray.get(pkeys_ref)
+            ok = ray.get(okeys_ref)
+            if len(pk) == 0 or len(ok) == 0:
+                return empty
+            lk = df["l_orderkey"].to_numpy(np.int64)
+            pos = np.clip(np.searchsorted(
+                pk, df["l_partkey"].to_numpy(np.int64)), 0, len(pk) - 1)
+            keep = pk[pos] == df["l_partkey"].to_numpy(np.int64)
+            opos = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+            keep &= ok[opos] == lk
+            if not keep.any():
+                return empty
+            d = df[keep]
+            ts = ray.get(tsup_ref)
+            sk = d["l_suppkey"].to_numpy(np.int64)
+            if len(ts) == 0:
+                target = np.zeros(len(d), dtype=np.int64)
+            else:
+                spos = np.clip(np.searchsorted(ts, sk), 0, len(ts) - 1)
+                target = (ts[spos] == sk).astype(np.int64)
+            out = pd.DataFrame({
+                "o_year": ray.get(oyears_ref)[opos[keep]],
+                "target": target,
+                "volume": (d["l_extendedprice"]
+                           * (1.0 - d["l_discount"])).to_numpy(),
+            })
+            return out.groupby(["o_year", "target"], as_index=False).sum()
+
+        joined = li.map_batches(li_year_partial, batch_format="pandas")
+    else:
+        def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "l_orderkey": pd.Series(dtype="int64"),
+                "target": pd.Series(dtype="int64"),
+                "volume": pd.Series(dtype="float64")})
+            pk = ray.get(pkeys_ref)
+            if len(pk) == 0:
+                return empty
+            pos = np.clip(np.searchsorted(
+                pk, df["l_partkey"].to_numpy(np.int64)), 0, len(pk) - 1)
+            d = df[pk[pos] == df["l_partkey"].to_numpy(np.int64)]
+            if d.empty:
+                return empty
+            ts = ray.get(tsup_ref)
+            sk = d["l_suppkey"].to_numpy(np.int64)
+            if len(ts) == 0:
+                target = np.zeros(len(d), dtype=np.int64)
+            else:
+                spos = np.clip(np.searchsorted(ts, sk), 0, len(ts) - 1)
+                target = (ts[spos] == sk).astype(np.int64)
+            out = pd.DataFrame({
+                "l_orderkey": d["l_orderkey"].astype("int64"),
+                "target": target,
+                "volume": (d["l_extendedprice"]
+                           * (1.0 - d["l_discount"])).to_numpy(),
+            })
+            return out.groupby(["l_orderkey", "target"], as_index=False).sum()
+
+        joined = li.map_batches(li_partial, batch_format="pandas").join(
+            ord_years, join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
 
     def year_partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1611,7 +1667,7 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_3",
         return d.groupby("o_year", as_index=False)[["total", "nation_vol"]].sum()
 
     per_year = (
-        j.map_batches(year_partial, batch_format="pandas")
+        joined.map_batches(year_partial, batch_format="pandas")
         .groupby("o_year")
         .aggregate(Sum("total", alias_name="total"),
                    Sum("nation_vol", alias_name="nation_vol"))
@@ -1736,3 +1792,91 @@ def bloom_semi_join_revenue(sf_dir: str, priority: str = "1-URGENT",
     res["revenue"] = res["revenue"].round(2)
     res["n_items"] = res["n_items"].astype("int64")
     return res.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def salted_type_stats(sf_dir: str, num_salts: int = 32):
+    """Per-event-type count/sum computed through EXPLICIT key salting — the
+    skew pattern the north rule calls for, as a first-class operator: stage
+    1 groups by (event_type, salt) so one hot type's rows spread over
+    ``num_salts`` independent reducers; stage 2 combines the ≤ num_salts
+    partial rows per type. For combinable aggregates the per-batch
+    combiner below already collapses hot keys to one row per block — the
+    salted two-stage shape is the tool for when the per-group state is NOT
+    combinable (heavy sketches, map_groups UDFs) and one reducer would
+    otherwise hold a whole hot key."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "salt": (df["event_id"].to_numpy(np.int64) % num_salts),
+            "value": df["value"],
+            "n": np.ones(len(df), dtype=np.int64),
+        })
+        return out.groupby(["event_type", "salt"], as_index=False).sum()
+
+    staged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "salt"])
+        .aggregate(Sum("value", alias_name="value"),
+                   Sum("n", alias_name="n"))
+        # stage 2: ≤ num_salts rows per type — a trivially small combine
+        .groupby("event_type")
+        .aggregate(Sum("value", alias_name="sum_value"),
+                   Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    if staged.empty:
+        return _empty_df({"event_type": pa.string(),
+                          "n_events": pa.int64(),
+                          "sum_value": pa.float64()})
+    return pd.DataFrame({
+        "event_type": staged["event_type"],
+        "n_events": staged["n_events"].astype("int64"),
+        "sum_value": staged["sum_value"].round(2),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def orders_rollup(sf_dir: str):
+    """ROLLUP(year, priority) totals: finest-level distributed partials →
+    bounded driver combine → the coarser levels derived additively (never a
+    second scan). Rollup sentinel rows use -1 / 'ALL' instead of NULL so
+    the result hashes identically across engines."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority",
+                                          "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_year": df["o_orderdate"].dt.year.astype("int64"),
+            "o_orderpriority": df["o_orderpriority"],
+            "n_orders": np.ones(len(df), dtype=np.int64),
+            "total_price": df["o_totalprice"],
+        })
+        return out.groupby(["o_year", "o_orderpriority"],
+                           as_index=False).sum()
+
+    # bounded: years × priorities × blocks rows
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return _empty_df({"o_year": pa.int64(),
+                          "o_orderpriority": pa.string(),
+                          "n_orders": pa.int64(),
+                          "total_price": pa.float64()})
+    fine = parts.groupby(["o_year", "o_orderpriority"], as_index=False)[
+        ["n_orders", "total_price"]].sum()
+    by_year = fine.groupby("o_year", as_index=False)[
+        ["n_orders", "total_price"]].sum()
+    by_year["o_orderpriority"] = "ALL"
+    grand = pd.DataFrame({
+        "o_year": [-1], "o_orderpriority": ["ALL"],
+        "n_orders": [fine["n_orders"].sum()],
+        "total_price": [fine["total_price"].sum()],
+    })
+    out = pd.concat([fine, by_year, grand], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price"] = out["total_price"].round(2)
+    return (out[["o_year", "o_orderpriority", "n_orders", "total_price"]]
+            .sort_values(["o_year", "o_orderpriority"])
+            .reset_index(drop=True))

@@ -456,8 +456,6 @@ def label_centroids(sf_dir: str):
     tiny partial table's ``groupby(label, dim).sum``. This is the
     vector-aggregate building block k-means's update step uses, exposed
     as its own operator."""
-    from ray.data.aggregate import Sum
-
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["label", "embedding"])
 
@@ -476,17 +474,18 @@ def label_centroids(sf_dir: str):
             "c": np.repeat(cnts, n_dim),
         })
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["label", "dim"])
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
-    )
-
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "label": df["label"].astype("int64"),
-            "dim": df["dim"].astype("int64"),
-            "value": (df["s"] / df["c"]).round(6),
-        })
-
-    return agg.map_batches(fin, batch_format="pandas")
+    # Final combine runs on the DRIVER: the partial table is bounded by
+    # blocks × labels × dims (independent of row count), so collecting it
+    # is safe and skips a full shuffle-actor Aggregate round-trip that
+    # costs seconds of fixed overhead for a 640-row result.
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                             "dim": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="float64")})
+    agg = parts.groupby(["label", "dim"], as_index=False)[["s", "c"]].sum()
+    return pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "dim": agg["dim"].astype("int64"),
+        "value": (agg["s"] / agg["c"]).round(6),
+    }).sort_values(["label", "dim"]).reset_index(drop=True)

@@ -606,17 +606,60 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
             return empty
         # an n-gram is valid when all n words come from the same doc
         valid = doc_idx[: m] == doc_idx[n - 1:]
-        grams = flat[:m].copy()
-        for i in range(1, n):
+        # count in integer space: factorize words once, pack each n-gram's
+        # word codes into one int64 key, np.unique the keys, and build the
+        # n-gram STRING only once per distinct key — the per-occurrence
+        # Python string concat this replaces dominated the stage wall.
+        codes, uniq_words = pd.factorize(pd.Series(flat), sort=False)
+        codes = codes.astype(np.int64)
+        base = np.int64(max(len(uniq_words), 1))
+        uw = np.asarray(uniq_words, dtype=object)
+        if n * np.log2(float(base) + 1) < 62:
+            keys = codes[:m][valid].copy()
+            for i in range(1, n):
+                keys = keys * base + codes[i: m + i][valid]
+            if len(keys) == 0:
+                return empty
+            uk, cnts = np.unique(keys, return_counts=True)
+            # unpack distinct keys back to word codes (last word first)
+            parts = []
+            rem = uk.copy()
+            for _ in range(n):
+                parts.append(rem % base)
+                rem //= base
+            parts.reverse()
+        else:
+            # packed key would overflow int64: unique over the code columns
+            cols = np.stack([codes[i: m + i][valid] for i in range(n)],
+                            axis=1)
+            if len(cols) == 0:
+                return empty
+            uk, cnts = np.unique(cols, axis=0, return_counts=True)
+            parts = [uk[:, i] for i in range(n)]
+        grams = uw[parts[0]]
+        for p in parts[1:]:
             grams = grams + " "
-            grams = grams + flat[i : m + i]
-        vc = pd.Series(grams[valid]).value_counts()
-        return pd.DataFrame({"ngram": vc.index.astype(object),
-                             "cnt": vc.to_numpy(dtype=np.int64)})
+            grams = grams + uw[p]
+        return pd.DataFrame({"ngram": grams,
+                             "cnt": cnts.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    # Adaptive finish: the distributed groupby's shuffle has seconds of
+    # fixed overhead, so when the (ngram, partial_cnt) table is small —
+    # vocabulary-bounded, typically ≪ corpus size — sum it on the driver;
+    # past the threshold, run the full distributed combine.
+    if partials.count() <= 2_000_000:
+        pdf = partials.to_pandas()
+        if pdf.empty:
+            return ray.data.from_pandas(pdf)
+        agg = pdf.groupby("ngram", as_index=False)["cnt"].sum()
+        return ray.data.from_pandas(
+            agg.sort_values(["cnt", "ngram"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
 
     counts = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("ngram")
+        partials.groupby("ngram")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
 
