@@ -432,6 +432,12 @@ def _parts_pagerank(sf_dir: str):
     return parts_pagerank(sf_dir)
 
 
+def _parts_triangles(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import parts_triangles
+
+    return parts_triangles(sf_dir)
+
+
 def _pagerank_sql(iters: int = 4, damping: float = 0.85) -> str:
     """Unrolled power-iteration PageRank as pure SQL (one CTE per
     iteration) over the part co-purchase sequence graph — the DuckDB
@@ -543,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _docs_ngram_jaccard,
         "docs_cc_clusters": _docs_cc_clusters,
         "parts_pagerank": _parts_pagerank,
+        "parts_triangles": _parts_triangles,
         "docs_fuzzy_dedup": _docs_fuzzy_dedup,
         "docs_decontaminated": _docs_decontaminated,
         "docs_ngram_overlap": _docs_ngram_overlap,
@@ -920,6 +927,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "parts_pagerank": _pagerank_sql(),
+        "parts_triangles": """
+            WITH raw AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND b.l_linenumber = a.l_linenumber + 1),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                FROM raw WHERE src <> dst)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
         "events_user_gaps": """
             WITH lagged AS (
               SELECT user_id,

@@ -27,3 +27,48 @@ def default_coarse_partitions(n_rows: int, rows_per_part: int = 200_000,
     if floor is None:
         floor = max(2, int(ray.cluster_resources().get("CPU", 8)))
     return max(floor, -(-int(n_rows) // rows_per_part))
+
+
+def coarse_group_reduce(ds, keys, combine, num_coarse: int | None = None,
+                        n_rows_hint: int | None = None):
+    """High-cardinality replacement for ``ds.groupby(keys).aggregate(...)``.
+
+    Ray's sort-based aggregate pays ~1 ms of per-distinct-group overhead
+    in each reduce task (measured: a 293k-group Count took 72 s at 8
+    blocks, 384 s at 1 block — while this pattern runs it in 0.2 s). For
+    group counts in the tens of thousands and up, exchange rows on
+    ``hash(keys) % num_coarse`` instead and let ``combine`` — a
+    vectorized pandas reduction that MUST itself collapse duplicates, e.g.
+    ``lambda g: g.groupby(keys, as_index=False).sum()`` — run once per
+    coarse partition at C speed.
+
+    ``combine`` receives each partition's rows WITHOUT the internal
+    ``_cpart`` column. Each coarse partition is one task: size
+    ``num_coarse`` with the data (pass ``n_rows_hint`` when the input row
+    count is known; default = cluster CPUs × 4).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    keys = list(keys)
+    if num_coarse is None:
+        if n_rows_hint is not None:
+            num_coarse = default_coarse_partitions(n_rows_hint)
+        else:
+            num_coarse = max(2, int(ray.cluster_resources()
+                                    .get("CPU", 8)) * 4)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False) \
+            .to_numpy(np.uint64)
+        out = df.copy()
+        out["_cpart"] = (h % np.uint64(num_coarse)).astype("int64")
+        return out
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        return combine(g.drop(columns=["_cpart"]))
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_cpart")
+            .map_groups(reduce_part, batch_format="pandas"))

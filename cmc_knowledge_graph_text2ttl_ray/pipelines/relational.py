@@ -179,12 +179,14 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
             ["o_orderkey", "revenue"]
         )
 
-    from ray.data.aggregate import Sum
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
 
-    out = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    out = coarse_group_reduce(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        lambda g: g.groupby("o_orderkey", as_index=False)["revenue"].sum(),
     )
     if not broadcast:
         from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
@@ -999,10 +1001,17 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
         return df.astype({"l_orderkey": "int64", "l_year": "int64",
                           "volume": "float64"})
 
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
     partials = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby(["l_orderkey", "supp_nation", "l_year"])
-        .aggregate(Sum("volume", alias_name="volume"))
+        coarse_group_reduce(
+            li.map_batches(partial, batch_format="pandas"),
+            ["l_orderkey", "supp_nation", "l_year"],
+            lambda g: g.groupby(["l_orderkey", "supp_nation", "l_year"],
+                                as_index=False)["volume"].sum(),
+        )
         .repartition(default_join_partitions())
         .map_batches(norm_part, batch_format="pandas")
         # order-level partials for the two nations: post-aggregate small;
@@ -1205,13 +1214,21 @@ def q18_large_orders(sf_dir: str, min_qty: float = 250.0, k: int = 100,
         return part.group_by("l_orderkey").aggregate(
             [("sum_qty", "sum")]).rename_columns(["l_orderkey", "sum_qty"])
 
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # groups are complete within a coarse partition, so the HAVING
+        # filter is applied right here — survivors only leave the task
+        s = g.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        return s[s["sum_qty"] > min_qty]
+
     big = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey").aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["sum_qty"], min_qty))
-            if "sum_qty" in t.column_names else t,
-            batch_format="pyarrow")
+        coarse_group_reduce(
+            li.map_batches(partial, batch_format="pyarrow"),
+            ["l_orderkey"], combine,
+        )
         .repartition(default_join_partitions())
         # HAVING survivors: tiny by construction; pinned for the guard
         .materialize()

@@ -184,3 +184,29 @@ def test_pagerank_empty_edges(ray_session):
         pd.DataFrame({"src": pd.Series(dtype="int64"),
                       "dst": pd.Series(dtype="int64")}))
     assert pagerank(empty).to_pandas().empty
+
+
+def test_triangle_count_known_graph(ray_session):
+    import ray.data
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5 + self-loop + multi-edges
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 5), (2, 1), (3, 1), (1, 2)]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    out = triangle_count(ds)
+    assert out["n_triangles"].tolist() == [4]
+
+
+def test_triangle_count_join_fallback_parity(ray_session):
+    import ray.data
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        copurchase_edges,
+        triangle_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = copurchase_edges(sf).materialize()
+    fast = triangle_count(e, a="src", b="dst")
+    slow = triangle_count(e, a="src", b="dst", broadcast_threshold=0)
+    assert fast["n_triangles"].tolist() == slow["n_triangles"].tolist()
