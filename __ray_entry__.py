@@ -535,6 +535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": T.stratified_sample,
         "docs_tfidf_top_terms": T.tfidf_top_terms,
         "docs_top_bigrams": T.top_ngrams,
+        "docs_quality_deciles": T.quality_deciles,
+        "docs_weighted_sample": T.weighted_sample,
         "docs_inverted_index": T.inverted_index,
         "docs_bm25_topk": T.bm25_topk,
         "docs_fingerprint": _docs_fingerprint,
@@ -762,6 +764,44 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+                SELECT doc_id, text,
+                       pow(CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS UBIGINT) / 4294967296.0,
+                           1.0 / GREATEST(length(text), 1)) AS sel_key
+                FROM documents)
+            ORDER BY sel_key DESC, doc_id LIMIT 50
+        """,
+        "docs_quality_deciles": """
+            WITH t AS (SELECT length(text) AS n_chars FROM documents),
+            q AS (SELECT
+                percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS q1,
+                percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS q2,
+                percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS q3,
+                percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS q4,
+                percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS q5,
+                percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS q6,
+                percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS q7,
+                percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS q8,
+                percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS q9
+                FROM t)
+            SELECT CAST(1 + CAST(n_chars > q.q1 AS INT)
+                          + CAST(n_chars > q.q2 AS INT)
+                          + CAST(n_chars > q.q3 AS INT)
+                          + CAST(n_chars > q.q4 AS INT)
+                          + CAST(n_chars > q.q5 AS INT)
+                          + CAST(n_chars > q.q6 AS INT)
+                          + CAST(n_chars > q.q7 AS INT)
+                          + CAST(n_chars > q.q8 AS INT)
+                          + CAST(n_chars > q.q9 AS INT) AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(n_chars), 2) AS avg_chars
+            FROM t, q
+            GROUP BY decile ORDER BY decile
         """,
         "events_salted_type_stats": """
             SELECT event_type,

@@ -80,12 +80,16 @@ def clean_corpus(
             ["text_hash", "doc_id"]
         )
 
-    from ray.data.aggregate import Min
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
 
-    winners = (
-        ds.map_batches(filt_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    # coarse hash-partition reduce instead of groupby(hash).aggregate:
+    # distinct hashes ≈ distinct documents (see coarse_group_reduce)
+    winners = coarse_group_reduce(
+        ds.map_batches(filt_hash, batch_format="pyarrow"),
+        ["text_hash"],
+        lambda g: g.groupby("text_hash", as_index=False)["doc_id"].min(),
     )
 
     if out_dir is not None:

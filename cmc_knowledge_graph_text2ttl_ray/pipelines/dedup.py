@@ -56,12 +56,17 @@ def exact_dedup(sf_dir: str):
         # per-block combiner: keep min doc_id per hash before the shuffle
         return out.groupby("text_hash", as_index=False).min()
 
-    from ray.data.aggregate import Min
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
 
-    return (
-        ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    # coarse hash-partition reduce, NOT groupby(hash).aggregate: distinct
+    # hashes ≈ distinct documents, and Ray's sort-based aggregate pays
+    # per-distinct-group overhead (see coarse_group_reduce docstring)
+    return coarse_group_reduce(
+        ds.map_batches(hash_batch, batch_format="pandas"),
+        ["text_hash"],
+        lambda g: g.groupby("text_hash", as_index=False)["doc_id"].min(),
     )
 
 
@@ -181,7 +186,9 @@ def _raw_candidate_pairs(banded, num_coarse: int):
 
 def _dedup_candidate_pairs(raw, num_coarse: int):
     """Global pair dedup + schema normalization (the distributed path)."""
-    from ray.data.aggregate import Count
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -190,10 +197,12 @@ def _dedup_candidate_pairs(raw, num_coarse: int):
         return df[["doc_a", "doc_b"]].astype("int64")
 
     return (
-        raw
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nbands"))
-        # the aggregate emits schema-less EMPTY blocks which Ray's map
+        coarse_group_reduce(
+            raw, ["doc_a", "doc_b"],
+            lambda g: g[["doc_a", "doc_b"]].drop_duplicates(),
+            num_coarse=num_coarse,
+        )
+        # an empty input yields schema-less EMPTY blocks which Ray's map
         # operators skip (so no UDF can repair them) and which break the
         # downstream hash join's field resolution; repartition coalesces
         # every block under one unified schema. The pair set is small, so
@@ -488,9 +497,15 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
         .groupby("part")
         .map_groups(gen_verified_pairs, batch_format="pandas")
     )
-    from ray.data.aggregate import Min
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return coarse_group_reduce(
+        pairs, ["doc_a", "doc_b"],
+        lambda g: g.groupby(["doc_a", "doc_b"],
+                            as_index=False)["hamming"].min(),
+    )
 
 
 def ngram_jaccard_verify(sf_dir: str, pairs, shingle: int = 2,
@@ -600,12 +615,17 @@ def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
         })
         return out.groupby("chunk_h", as_index=False).min()
 
-    from ray.data.aggregate import Min
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
 
-    winners = (
-        ds.map_batches(hash_spans, batch_format="pandas")
-        .groupby("chunk_h")
-        .aggregate(Min("order_key", alias_name="order_key"))
+    # distinct chunk hashes ≈ corpus tokens / chunk_words — the largest
+    # group cardinality in the engine; the coarse reduce avoids the
+    # per-distinct-group aggregate overhead entirely
+    winners = coarse_group_reduce(
+        ds.map_batches(hash_spans, batch_format="pandas"),
+        ["chunk_h"],
+        lambda g: g.groupby("chunk_h", as_index=False)["order_key"].min(),
     )
 
     def keep_list(df: pd.DataFrame) -> pd.DataFrame:

@@ -243,9 +243,16 @@ def char_trigram_model(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
         return pd.DataFrame({"code": u.astype(np.int64),
                              "n": c.astype(np.int64)})
 
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
     counts = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("code").aggregate(Sum("n", alias_name="n"))
+        coarse_group_reduce(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["code"],
+            lambda g: g.groupby("code", as_index=False)["n"].sum(),
+        )
         .to_pandas()                     # |distinct trigrams| rows — small
         .sort_values("code")
     )
@@ -328,9 +335,17 @@ def document_frequency(sf_dir: str):
         return pd.DataFrame({"token": per_tok.index.astype(str),
                              "n": per_tok.to_numpy(dtype=np.int64)})
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("token").aggregate(Sum("n", alias_name="n_docs"))
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    # vocabulary-cardinality reduce → coarse hash partitions, not a
+    # per-distinct-group Ray aggregate (see coarse_group_reduce)
+    out = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["token"],
+        lambda g: g.groupby("token", as_index=False)["n"].sum()
+        .rename(columns={"n": "n_docs"}),
     )
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -565,9 +580,14 @@ def heavy_hitter_words(sf_dir: str, min_count: int = 900,
         return pd.DataFrame({"word": c.index.astype(str),
                              "n": c.to_numpy(dtype=np.int64)})
 
-    out = (
-        ds.map_batches(exact_counts, batch_format="pandas")
-        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    out = coarse_group_reduce(
+        ds.map_batches(exact_counts, batch_format="pandas"),
+        ["word"],
+        lambda g: g.groupby("word", as_index=False)["n"].sum(),
     )
 
     def threshold(df: pd.DataFrame) -> pd.DataFrame:
@@ -658,17 +678,20 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
             agg.sort_values(["cnt", "ngram"], ascending=[False, True])
             .head(k).reset_index(drop=True))
 
-    counts = (
-        partials.groupby("ngram")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
     )
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["cnt", "ngram"],
-                              ascending=[False, True]).head(k)
+    def combine_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # groups are complete per coarse partition: sum, then truncate to
+        # the partition's top-k (a global top-k row must be in its
+        # partition's top-k)
+        s = g.groupby("ngram", as_index=False)["cnt"].sum()
+        return s.sort_values(["cnt", "ngram"],
+                             ascending=[False, True]).head(k)
 
     return (
-        counts.map_batches(local_topk, batch_format="pandas")
+        coarse_group_reduce(partials, ["ngram"], combine_topk)
         .sort(["cnt", "ngram"], descending=[True, False])
         .limit(k)
     )
@@ -702,17 +725,24 @@ def inverted_index(sf_dir: str):
         return out.drop_duplicates()
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+        # ALL terms of the coarse partition in one vectorized pass
+        g = g.drop_duplicates().sort_values(["term", "doc_id"])
+        ids = g["doc_id"].astype(str)
+        agg = ids.groupby(g["term"], sort=False).agg(",".join)
+        dfs = g.groupby("term", sort=False).size()
         return pd.DataFrame({
-            "term": [g["term"].iloc[0]],
-            "df": [int(len(ids))],
-            "postings": [",".join(map(str, ids))],
+            "term": agg.index.astype(object),
+            "df": dfs.to_numpy(dtype=np.int64),
+            "postings": agg.to_numpy(dtype=object),
         })
 
-    return (
-        ds.map_batches(pairs, batch_format="pandas")
-        .groupby("term")
-        .map_groups(assemble, batch_format="pandas")
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    return coarse_group_reduce(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["term"], assemble,
     )
 
 
@@ -757,9 +787,17 @@ def bm25_topk(sf_dir: str, query: str = "spark merge window", k: int = 10,
         })
         return out[out["term"].isin(terms)].drop_duplicates()
 
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
     df_tbl = (
-        ds.map_batches(df_pairs, batch_format="pandas")
-        .groupby("term").aggregate(Count(alias_name="df"))
+        coarse_group_reduce(
+            ds.map_batches(df_pairs, batch_format="pandas"),
+            ["term"],
+            lambda g: g.groupby("term", as_index=False)
+            .size().rename(columns={"size": "df"}),
+        )
         .to_pandas()
     )
     idf = {t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
@@ -794,3 +832,101 @@ def bm25_topk(sf_dir: str, query: str = "spark merge window", k: int = 10,
     )
     res["score"] = res["score"].round(4)
     return res
+
+
+def quality_deciles(sf_dir: str, qs=tuple(i / 10 for i in range(1, 10))):
+    """Decile bucketing over document length — the quality-resampling
+    primitive (bucket a corpus by a score, then sample per bucket).
+
+    Scale shape: two bounded driver round-trips, no all-to-all. (1) each
+    block emits a (n_chars → count) histogram — bounded by DISTINCT
+    lengths, not rows; the driver merges them and reads the exact
+    ``percentile_disc`` thresholds off the cumulative distribution.
+    (2) thresholds broadcast back; each block buckets its rows vectorized
+    (searchsorted) and emits ≤ 10 partial (decile, n, sum) rows; the
+    driver sums them. Returns (decile, n_docs, avg_chars) — decile d =
+    1 + #thresholds strictly below the value."""
+    import ray
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"]).cast(pa.int64())
+        vc = n.combine_chunks().value_counts()
+        return pa.table({"n_chars": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    h = (ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+         .groupby("n_chars", as_index=False)["cnt"].sum()
+         .sort_values("n_chars"))
+    if h.empty:
+        return pd.DataFrame({"decile": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "avg_chars": pd.Series(dtype="float64")})
+    vals = h["n_chars"].to_numpy(np.int64)
+    cum = h["cnt"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1])
+    # percentile_disc: value at rank ceil(q*n) (1-based)
+    ranks = np.maximum(1, np.ceil(np.asarray(qs) * total).astype(np.int64))
+    thresholds = vals[np.searchsorted(cum, ranks)]
+    thr_ref = ray.put(np.asarray(thresholds, dtype=np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        n = pc.utf8_length(t["text"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # decile = 1 + #thresholds strictly below the value
+        dec = 1 + np.searchsorted(thr, n, side="left")
+        # a value equal to a threshold belongs to that threshold's bucket:
+        # side="left" counts thresholds < value... but equal thresholds
+        # must not push the value up a bucket, which side="left" ensures.
+        uniq, inv = np.unique(dec, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({"decile": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby("decile", as_index=False)[["n", "s"]].sum())
+    return pd.DataFrame({
+        "decile": parts["decile"].astype("int64"),
+        "n_docs": parts["n"].astype("int64"),
+        "avg_chars": (parts["s"] / parts["n"]).round(2),
+    }).sort_values("decile").reset_index(drop=True)
+
+
+def weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): weight = document length, uniform u drawn
+    from md5(doc_id) so every run and every cluster size draws the same
+    sample, selection key = u^(1/w), global top-k by key.
+
+    Scale shape: the key is computed per block; each block keeps its local
+    top-k (a global winner must be in its block's top-k), so the final
+    exact sort sees ≤ k × blocks rows — the distributed-reservoir shape.
+    No shuffle of the corpus, ever."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_chars": pd.Series(dtype="int64"),
+                                 "sel_key": pd.Series(dtype="float64")})
+        u = (df["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+            .to_numpy(np.float64))
+        u = u / 4294967296.0  # 2^32: u ∈ [0, 1)
+        w = df["text"].str.len().to_numpy(np.float64)
+        key = u ** (1.0 / np.maximum(w, 1.0))
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "n_chars": w.astype(np.int64),
+                            "sel_key": key})
+        return out.sort_values(["sel_key", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    return (ds.map_batches(keyed, batch_format="pandas")
+            .sort(["sel_key", "doc_id"], descending=[True, False])
+            .limit(k)
+            .select_columns(["doc_id", "n_chars"]))

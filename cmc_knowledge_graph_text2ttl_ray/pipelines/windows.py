@@ -2,15 +2,26 @@
 
 The reference is strictly batch with no windowing (SURVEY §2.10); these are
 engine additions for event tables. Sessionization is the canonical
-"stateful per key, ordered within key" operator: expressed Ray-Data-first as
-``groupby(user).map_groups`` with an in-group sort — the partitioning
-assumption (all events of a user fit one group) is the documented contract.
+"stateful per key, ordered within key" operator: expressed Ray-Data-first
+as ONE exchange on ``hash(user) % P`` coarse partitions followed by a
+cross-user VECTORIZED kernel per partition (sort by (user, ts), detect
+boundaries, per-user cumulative ops via pandas ``groupby`` at C speed) —
+NOT a per-user ``map_groups`` call, which pays per-group Python overhead
+linear in the number of users (see
+``functions/cluster.py::coarse_group_reduce``). The partitioning contract
+is unchanged: all events of one user land in one partition; partition
+count scales with the data, so one task never holds more than ~rows/P.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
+
+from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+    coarse_group_reduce,
+)
 
 __all__ = ["sessionize", "user_sessions", "user_event_gaps",
            "events_top_per_user"]
@@ -18,24 +29,30 @@ __all__ = ["sessionize", "user_sessions", "user_event_gaps",
 GAP_MINUTES = 30
 
 
+def _with_sessions(g: pd.DataFrame, gap: pd.Timedelta) -> pd.DataFrame:
+    """Vectorized per-user session numbering for ALL users of a partition:
+    sort by (user, ts, event_id); a session opens on a user change or a
+    gap over the threshold; ``session_seq`` is the per-user cumsum."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    user = g["user_id"].to_numpy()
+    new_user = np.empty(len(g), dtype=bool)
+    if len(g):
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+    new_session = g["ts"].diff().gt(gap).to_numpy() | new_user
+    g = g.assign(
+        session_seq=pd.Series(new_session, index=g.index)
+        .groupby(g["user_id"], sort=False).cumsum().astype("int64"))
+    return g
+
+
 def sessionize(events_ds, gap_minutes: int = GAP_MINUTES):
     """Assign session ids per user: a new session starts when the gap to the
     previous event exceeds ``gap_minutes``. Returns per-event rows with
     ``session_seq`` (1-based per user)."""
-
     gap = pd.Timedelta(minutes=gap_minutes)
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        new_session = g["ts"].diff().gt(gap)
-        if len(new_session):
-            # diff() of the first row is NaT → gt gives False, not NaN; the
-            # first event always opens a session.
-            new_session.iloc[0] = True
-        g["session_seq"] = new_session.cumsum().astype("int64")
-        return g
-
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return coarse_group_reduce(
+        events_ds, ["user_id"], lambda g: _with_sessions(g, gap))
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = GAP_MINUTES):
@@ -43,60 +60,67 @@ def user_sessions(sf_dir: str, gap_minutes: int = GAP_MINUTES):
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
-    sessions = sessionize(ds, gap_minutes)
+    gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(g["session_seq"].max())],
-                "n_events": [len(g)],
-            }
-        )
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = _with_sessions(g, gap)
+        agg = s.groupby("user_id", sort=False).agg(
+            n_sessions=("session_seq", "max"),
+            n_events=("session_seq", "size"))
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(),
+            "n_sessions": agg["n_sessions"].to_numpy(dtype=np.int64),
+            "n_events": agg["n_events"].to_numpy(dtype=np.int64),
+        })
 
-    return sessions.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return coarse_group_reduce(ds, ["user_id"], combine)
 
 
 def user_event_gaps(sf_dir: str):
     """Per-user LAG() statistics: inter-event gap seconds (count / avg /
     max) ordered by (ts, event_id) within each user — the window-function
-    shape ``LAG(ts) OVER (PARTITION BY user ORDER BY ts)``.
-
-    Scale shape: one ``groupby(user).map_groups`` shuffle; within a group
-    everything is a vectorized sort + diff. Contract (as for
-    :func:`sessionize`): one user's events fit one group — keys are users,
-    so group size is bounded by per-user activity, not corpus size."""
+    shape ``LAG(ts) OVER (PARTITION BY user ORDER BY ts)``."""
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds().dropna()
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = g["user_id"].to_numpy()
+        gaps = g["ts"].diff().dt.total_seconds()
+        if len(g):
+            first = np.empty(len(g), dtype=bool)
+            first[0] = True
+            first[1:] = user[1:] != user[:-1]
+            gaps = gaps.mask(pd.Series(first, index=g.index))
+        agg = gaps.groupby(g["user_id"], sort=False).agg(
+            ["count", "mean", "max"])
+        mean = agg["mean"].round(4)
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_gaps": [int(len(gaps))],
-            "avg_gap_s": [round(float(gaps.mean()), 4) if len(gaps) else None],
-            "max_gap_s": [float(gaps.max()) if len(gaps) else None],
+            "user_id": agg.index.to_numpy(),
+            "n_gaps": agg["count"].to_numpy(dtype=np.int64),
+            "avg_gap_s": mean.where(agg["count"] > 0, None).to_numpy(),
+            "max_gap_s": agg["max"].where(agg["count"] > 0, None).to_numpy(),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return coarse_group_reduce(ds, ["user_id"], combine)
 
 
 def events_top_per_user(sf_dir: str, k: int = 3):
     """Per-user top-k events by value — the ROW_NUMBER() OVER
     (PARTITION BY user ORDER BY value DESC, event_id) ≤ k window shape,
-    with the rank returned. Same one-shuffle map_groups contract."""
+    with the rank returned."""
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"],
-                          ascending=[False, True], kind="stable").head(k)
-        g = g.assign(rnk=pd.RangeIndex(1, len(g) + 1).astype("int64"))
-        return g[["user_id", "event_id", "value", "rnk"]]
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="stable")
+        rnk = g.groupby("user_id", sort=False).cumcount() + 1
+        g = g.assign(rnk=rnk.astype("int64"))
+        return g[g["rnk"] <= k][["user_id", "event_id", "value", "rnk"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return coarse_group_reduce(ds, ["user_id"], combine)

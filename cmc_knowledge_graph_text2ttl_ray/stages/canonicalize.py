@@ -161,13 +161,18 @@ def apply_canonical_mapping(triples_ds, mapping: dict[str, str]):
 
 
 def canonicalization_mapping_ds(records_ds, entity_ns: str,
-                                num_coarse: int = 32):
+                                num_coarse: int | None = 32):
     """Fully-DISTRIBUTED mapping build (the 100-TB path; round-1 verdict:
     the driver-side pandas arg-max caps out when distinct surface forms run
-    to billions). rec='entity' partial rows → ``groupby(key, iri).sum`` →
-    per-key arg-max inside coarse hash partitions → a ``(iri, canonical)``
-    Dataset. Nothing touches the driver."""
-    from ray.data.aggregate import Sum
+    to billions). ONE exchange: rec='entity' partial rows hash-partition by
+    ``key`` alone, so each coarse task holds every (key, iri) vote of its
+    keys and does the sum AND the per-key arg-max in the same vectorized
+    pass — a (key, iri) groupby().aggregate here would pay Ray's
+    per-distinct-group overhead (see coarse_group_reduce) and still need a
+    second exchange for the arg-max. Nothing touches the driver."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
 
     def ent_rows(t: pa.Table) -> pa.Table:
         ent = (t.filter(pc.equal(t["rec"], "entity"))
@@ -179,35 +184,22 @@ def canonicalization_mapping_ds(records_ds, entity_ns: str,
             "cnt": ent["no_triples"].combine_chunks().cast(pa.int64()),
         })
 
-    def add_kpart(df: pd.DataFrame) -> pd.DataFrame:
-        df["kpart"] = (
-            pd.util.hash_array(df["key"].to_numpy(dtype=object))
-            % num_coarse
-        ).astype("int64")
-        return df
-
-    def argmax_per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def sum_argmax(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized arg-max over ALL keys of the coarse partition at once:
         # max count, lexicographically-smallest IRI tie-break
         if g.empty:
             return pd.DataFrame({"iri": pd.Series(dtype=object),
                                  "canonical": pd.Series(dtype=object)})
+        g = g.groupby(["key", "iri"], as_index=False)["cnt"].sum()
         g = g.sort_values(["key", "cnt", "iri"], ascending=[True, False, True])
         canon = g.groupby("key", sort=False)["iri"].first().rename("canonical")
         out = g.merge(canon, left_on="key", right_index=True)
         out = out[out["iri"] != out["canonical"]]
         return out[["iri", "canonical"]]
 
-    return (
-        records_ds.map_batches(ent_rows, batch_format="pyarrow")
-        .groupby(["key", "iri"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        # repair the aggregate's schema-less empty blocks (Ray skips UDFs on
-        # empty blocks, so a downstream fix-up can't) before the next stage
-        .repartition(max(2, num_coarse // 4))
-        .map_batches(add_kpart, batch_format="pandas")
-        .groupby("kpart")
-        .map_groups(argmax_per_key, batch_format="pandas")
+    return coarse_group_reduce(
+        records_ds.map_batches(ent_rows, batch_format="pyarrow"),
+        ["key"], sum_argmax, num_coarse=num_coarse,
     )
 
 
