@@ -55,17 +55,46 @@ def _seed_centroids(ds, k: int) -> np.ndarray:
 
 
 def kmeans_fit(sf_dir: str, k: int = 16, max_iters: int = 20,
-               tol: float = 1e-6):
+               tol: float = 1e-6, driver_threshold: int = 100_000):
     """Lloyd's k-means with true squared-euclidean assignment.
 
     Returns ``(centroids, info)`` where ``info`` records per-iteration
     inertia (always non-increasing) and the final iteration count.
+
+    Below ``driver_threshold`` rows the iteration loop runs on the driver
+    over one pulled matrix (each distributed iteration is a full Dataset
+    execution whose fixed overhead dwarfs the math at small n); past it,
+    the loop is the broadcast-centroids + (k × dim)-partials shape with
+    the corpus streaming every iteration and never shuffling.
     """
     import ray
 
     ds = _emb(sf_dir).materialize()  # re-read per iteration from the pin
     centroids = _seed_centroids(ds, k)
     inertia_hist: list[float] = []
+
+    if ds.count() <= driver_threshold:
+        mat = _to_matrix(ds.to_pandas().sort_values("vec_id")["embedding"])
+        counts = np.zeros(k, dtype=np.int64)
+        for it in range(max_iters):
+            d2 = ((centroids * centroids).sum(axis=1)[None, :]
+                  - 2.0 * (mat @ centroids.T))
+            idx = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(mat)), idx] + (mat * mat).sum(axis=1)
+            inertia_hist.append(float(best.sum()))
+            sums = np.zeros_like(centroids)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, idx, mat)
+            np.add.at(counts, idx, 1)
+            new_c = centroids.copy()
+            nz = counts > 0
+            new_c[nz] = sums[nz] / counts[nz, None]
+            shift = float(np.max(np.linalg.norm(new_c - centroids, axis=1)))
+            centroids = new_c
+            if shift <= tol:
+                break
+        return centroids, {"n_iters": it + 1, "inertia": inertia_hist,
+                           "counts": counts}
 
     for it in range(max_iters):
         c_ref = ray.put(centroids)
