@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": S.knn_lsh,
         "emb_lsh_buckets": S.hyperplane_lsh_buckets,
         "emb_label_centroids": S.label_centroids,
+        "emb_centroid_confusion": S.centroid_confusion,
         "embedding_near_dups": S.embedding_near_dup_pairs,
         "emb_kmeans": _emb_kmeans,
         "emb_semantic_dedup": _emb_semantic_dedup,
@@ -1163,6 +1164,34 @@ def oracle_sql() -> dict[str, str]:
               FROM chunks)
             SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text
             FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        "emb_centroid_confusion": """
+            WITH dims AS (
+                SELECT label, dim, AVG(val) AS v
+                FROM (
+                    SELECT label,
+                           unnest(CAST(embedding AS DOUBLE[])) AS val,
+                           unnest(range(len(embedding))) AS dim
+                    FROM embeddings)
+                GROUP BY label, dim
+            ), cents AS (
+                SELECT label, list(v ORDER BY dim) AS c
+                FROM dims GROUP BY label
+            ), sims AS (
+                SELECT e.vec_id, e.label,
+                       c.label AS assigned,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.c) AS sim
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, label, assigned,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, assigned) AS rn
+                FROM sims
+            )
+            SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n
+            FROM best WHERE rn = 1
+            GROUP BY label, assigned ORDER BY label, assigned
         """,
         "knn_cosine": """
             SELECT vec_id,

@@ -27,7 +27,8 @@ import ray.data
 
 __all__ = ["knn_bruteforce", "knn_ivf", "knn_lsh", "embedding_near_dup_pairs",
            "build_ivf_centroids", "build_ivf_index", "build_lsh_index",
-           "hyperplane_lsh_buckets", "label_centroids"]
+           "hyperplane_lsh_buckets", "label_centroids",
+           "centroid_confusion"]
 
 
 def _emb(sf_dir: str):
@@ -489,3 +490,63 @@ def label_centroids(sf_dir: str):
         "dim": agg["dim"].astype("int64"),
         "value": (agg["s"] / agg["c"]).round(6),
     }).sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def centroid_confusion(sf_dir: str):
+    """Nearest-centroid confusion: assign each embedding to the per-label
+    centroid with the highest cosine similarity (tie → smallest label) and
+    count (label, assigned) pairs — the label-coherence check run after
+    any embedding-space clustering.
+
+    Scale shape: exact centroids come from one bounded partial-sum pass
+    (labels × dims per block, driver-combined); the centroid matrix —
+    labels × dims, tiny by construction — broadcasts via ``ray.put``; the
+    assignment scan is one matmul per block emitting ≤ labels² partial
+    count rows. No shuffle anywhere."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        mat = _to_matrix(df["embedding"])
+        labels = df["label"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        s = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(s, inv, mat)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"label": uniq,
+                             "s": list(s),
+                             "c": cnt})
+
+    parts = ds.map_batches(sums, batch_format="pandas").to_pandas()
+    agg: dict[int, tuple[np.ndarray, int]] = {}
+    for r in parts.itertuples():
+        s, c = agg.get(r.label, (0.0, 0))
+        agg[r.label] = (s + np.asarray(r.s), c + r.c)
+    labels = np.array(sorted(agg), dtype=np.int64)
+    cents = np.vstack([agg[l][0] / agg[l][1] for l in labels])
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    ref = ray.put((labels, cents_n))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        lab_ids, cn = ray.get(ref)
+        mat = _to_matrix(df["embedding"])
+        mn = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mn @ cn.T
+        # argmax with smallest-label tie-break: labels ascending, argmax
+        # returns the first maximum
+        idx = np.argmax(sims, axis=1)
+        out = pd.DataFrame({"label": df["label"].to_numpy(np.int64),
+                            "assigned": lab_ids[idx]})
+        g = out.groupby(["label", "assigned"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    res = (ds.map_batches(assign, batch_format="pandas").to_pandas()
+           .groupby(["label", "assigned"], as_index=False)["n"].sum())
+    return pd.DataFrame({
+        "label": res["label"].astype("int64"),
+        "assigned": res["assigned"].astype("int64"),
+        "n": res["n"].astype("int64"),
+    }).sort_values(["label", "assigned"]).reset_index(drop=True)

@@ -58,6 +58,21 @@ def is_aws_env() -> bool:
 
 # Prefixed-name detection for subjects/predicates/iri objects
 # (reference re_prefix_ref, text_to_turtle_processor.py:2347).
+_CODE_CACHE: dict = {}
+
+
+def _compiled(src: str, mode: str):
+    """Per-process cache of compiled eval:/exec:/if: code objects — the
+    expressions come from a fixed workflow set, so compiling on every page
+    is pure waste (profiled in the extraction hot path)."""
+    key = (mode, src)
+    code = _CODE_CACHE.get(key)
+    if code is None:
+        code = compile(src, "<workflow>", mode)
+        _CODE_CACHE[key] = code
+    return code
+
+
 _RE_PREFIX_REF = re.compile(r"\s*([a-zA-Z][a-zA-Z0-9]*)\:([a-zA-Z][a-zA-Z0-9_\.\-/#]*)\s*")
 _RE_MATCH_GROUP_COND = re.compile(r"(\w+)\.(\d+)")
 
@@ -322,7 +337,8 @@ class WorkflowInterpreter:
                 f"Embedded Python ({what}) is disabled (allow_exec=False)"
             )
         try:
-            return eval(expr, global_env)  # noqa: S307 - trusted workflow surface
+            # noqa: S307 - trusted workflow surface
+            return eval(_compiled(expr, "eval"), global_env)
         except Exception as ex:
             raise InterpreterError(f"Evaluating expr for {what} failed: {ex}") from ex
 
@@ -332,7 +348,7 @@ class WorkflowInterpreter:
             raise InterpreterError("exec: is disabled (allow_exec=False)")
         env = {"vars": self._var, "matches": self._matches}
         try:
-            exec(op.code, env)  # noqa: S102 - trusted workflow surface
+            exec(_compiled(op.code, "exec"), env)  # noqa: S102 - trusted workflow surface
         except Exception as ex:
             raise InterpreterError(f"exec of embedded Python failed: {ex}") from ex
         return (True, None)
