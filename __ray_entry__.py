@@ -515,6 +515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_balances": R.q22_idle_balances,
         "events_salted_type_stats": R.salted_type_stats,
         "orders_rollup": R.orders_rollup,
+        "sole_supplier_orders": R.sole_supplier_orders,
+        "parts_supplier_counts": R.parts_supplier_counts,
         "events_type_quantiles": R.events_type_quantiles,
         "bloom_semi_join_revenue": R.bloom_semi_join_revenue,
         "corpus_clean_winners": _corpus_clean_winners,
@@ -765,6 +767,32 @@ def oracle_sql() -> dict[str, str]:
                              < 'e6666666'
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "sole_supplier_orders": """
+            WITH pairs AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+            ), sole AS (
+                SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+                FROM pairs GROUP BY l_orderkey
+                HAVING COUNT(DISTINCT l_suppkey) = 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_sole_orders
+            FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY n_sole_orders DESC, s.s_suppkey LIMIT 10
+        """,
+        "parts_supplier_counts": """
+            WITH rel AS (
+                SELECT DISTINCT p.p_brand, p.p_type, l.l_suppkey
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            )
+            SELECT p_brand, p_type,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM rel GROUP BY p_brand, p_type
+            ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20
         """,
         "docs_weighted_sample": """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

@@ -1897,3 +1897,145 @@ def orders_rollup(sf_dir: str):
     return (out[["o_year", "o_orderpriority", "n_orders", "total_price"]]
             .sort_values(["o_year", "o_orderpriority"])
             .reset_index(drop=True))
+
+
+def sole_supplier_orders(sf_dir: str, k: int = 10):
+    """TPC-H q21 shape adapted to this schema (no commit/receipt dates):
+    suppliers ranked by how many finished ('F') orders they supplied
+    ALONE — the EXISTS / NOT-EXISTS pair collapsed into one per-order
+    aggregate.
+
+    Scale shape: lineitem emits distinct (orderkey, suppkey) pairs per
+    block; ONE coarse exchange keyed by orderkey counts distinct
+    suppliers per order and keeps sole-supplier survivors only (≤ 1 row
+    per order). The 'F'-status key set filters the lineitem scan inline —
+    broadcast while it fits, distributed hash join of the (already
+    reduced) survivors past the threshold. Per-supplier count + name
+    attach finish on the driver (supplier is a dimension)."""
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def fkeys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "F")) \
+            .select(["o_orderkey"])
+
+    fkeys_ds = orders.map_batches(fkeys,
+                                  batch_format="pyarrow").materialize()
+    broadcast = fkeys_ds.count() <= 5_000_000
+    if broadcast:
+        f_ref = ray.put(np.sort(fkeys_ds.to_pandas()["o_orderkey"]
+                                .to_numpy(np.int64)))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"),
+                            "l_suppkey": df["l_suppkey"].astype("int64")})
+        if broadcast:
+            fk = ray.get(f_ref)
+            if len(fk):
+                pos = np.clip(np.searchsorted(fk,
+                                              out["l_orderkey"].to_numpy()),
+                              0, len(fk) - 1)
+                out = out[fk[pos] == out["l_orderkey"].to_numpy()]
+            else:
+                out = out.iloc[:0]
+        return out.drop_duplicates()
+
+    def sole(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        n = g.groupby("l_orderkey")["l_suppkey"].transform("nunique")
+        return g[n == 1]
+
+    survivors = coarse_group_reduce(
+        li.map_batches(pairs, batch_format="pandas"),
+        ["l_orderkey"], sole,
+    )
+    if not broadcast:
+        survivors = survivors.join(
+            fkeys_ds, join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+    per_supp = (
+        survivors.select_columns(["l_suppkey"])
+        .to_pandas()
+        .groupby("l_suppkey", as_index=False).size()
+        .rename(columns={"size": "n_sole_orders"})
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = per_supp.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = out.sort_values(["n_sole_orders", "s_suppkey"],
+                          ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype("int64"),
+        "s_name": out["s_name"],
+        "n_sole_orders": out["n_sole_orders"].astype("int64"),
+    }).reset_index(drop=True)
+
+
+def parts_supplier_counts(sf_dir: str, k: int = 20):
+    """TPC-H q16 shape adapted (no partsupp table): distinct suppliers
+    per (p_brand, p_type), from the observed lineitem relationships.
+
+    Scale shape: distinct (partkey, suppkey) via one coarse exchange;
+    part's (brand, type) dims broadcast; the per-(brand, type) DISTINCT
+    supplier count is a second coarse exchange keyed by the dimension
+    pair — both combines vectorized."""
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand",
+                                  "p_type"]).to_pandas().sort_values("p_partkey")
+    pk_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                      part["p_brand"].to_numpy(object),
+                      part["p_type"].to_numpy(object)))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+        }).drop_duplicates()
+
+    distinct = coarse_group_reduce(
+        li.map_batches(pairs, batch_format="pandas"),
+        ["l_partkey", "l_suppkey"],
+        lambda g: g.drop_duplicates(),
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        keys, brands, types = ray.get(pk_ref)
+        pos = np.clip(np.searchsorted(keys, df["l_partkey"].to_numpy()),
+                      0, max(len(keys) - 1, 0))
+        keep = (len(keys) > 0) & (keys[pos] == df["l_partkey"].to_numpy())
+        d = df[keep]
+        p = pos[keep]
+        return pd.DataFrame({"p_brand": brands[p], "p_type": types[p],
+                             "l_suppkey": d["l_suppkey"].to_numpy()}
+                            ).drop_duplicates()
+
+    counts = (
+        coarse_group_reduce(
+            distinct.map_batches(attach, batch_format="pandas"),
+            ["p_brand", "p_type"],
+            lambda g: g.drop_duplicates()
+            .groupby(["p_brand", "p_type"], as_index=False)["l_suppkey"]
+            .nunique().rename(columns={"l_suppkey": "supplier_cnt"}),
+        )
+        .to_pandas()
+    )
+    return (counts.sort_values(
+        ["supplier_cnt", "p_brand", "p_type"],
+        ascending=[False, True, True]).head(k)
+        .astype({"supplier_cnt": "int64"}).reset_index(drop=True))
