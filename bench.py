@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "emb_label_centroids",
     "docs_bm25_topk",
     "events_type_quantiles",
+    "parts_triangles",
+    "docs_pack_sequences",
+    "docs_weighted_sample",
+    "emb_centroid_confusion",
 ]
 
 
