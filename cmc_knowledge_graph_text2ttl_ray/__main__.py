@@ -116,6 +116,12 @@ def cmd_run(args) -> int:
             lambda t: pa.table({"url": t["path"], "doc": t["bytes"]}),
             batch_format="pyarrow",
         )
+    elif args.pages.startswith("warc:"):
+        # Common-Crawl-style WARC shards (plain or .warc.gz): one file per
+        # read task, response records → pages-schema rows
+        from cmc_knowledge_graph_text2ttl_ray.sources.warc import warc_dataset
+
+        pages = warc_dataset(args.pages.split(":", 1)[1])
     elif args.pages.startswith("jsonl:") or args.pages.endswith(".jsonl"):
         # line-delimited JSON only (pyarrow's reader); a conventional JSON
         # array file is NOT supported — convert to .jsonl first
@@ -144,7 +150,8 @@ def cmd_run(args) -> int:
         # pdf: sources are a lazy map plan (schema unknown without running
         # the executor) — route explicitly instead of the auto sniff
         source=("pdf" if args.pages.startswith("pdf:")
-                else "doc" if args.pages.startswith("docs:") else "auto"),
+                else "doc" if args.pages.startswith("docs:")
+                else "html" if args.pages.startswith("warc:") else "auto"),
     )
     summary = {
         "buckets": len(result["manifest"]["buckets"]),
