@@ -417,6 +417,14 @@ def _events_top_per_user(sf_dir: str):
     return events_top_per_user(sf_dir)
 
 
+def _events_user_running_totals(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.windows import (
+        user_running_totals,
+    )
+
+    return user_running_totals(sf_dir)
+
+
 
 def _events_type_distinct_users(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
@@ -485,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_sessions": _user_sessions,
         "events_user_gaps": _user_event_gaps,
         "events_top_per_user": _events_top_per_user,
+        "events_user_running_totals": _events_user_running_totals,
         "q4_order_priority": R.q4_order_priority,
         "nation_account_balance": R.nation_account_balance,
         "events_value_histogram": R.events_value_histogram,
@@ -517,6 +526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": R.orders_rollup,
         "sole_supplier_orders": R.sole_supplier_orders,
         "parts_supplier_counts": R.parts_supplier_counts,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q9_profit_by_nation_year": R.q9_profit_by_nation_year,
+        "q11_important_parts": R.q11_important_parts,
+        "q20_dominant_suppliers": R.q20_dominant_suppliers,
         "events_type_quantiles": R.events_type_quantiles,
         "bloom_semi_join_revenue": R.bloom_semi_join_revenue,
         "corpus_clean_winners": _corpus_clean_winners,
@@ -538,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_terms": T.tfidf_top_terms,
         "docs_top_bigrams": T.top_ngrams,
         "docs_quality_deciles": T.quality_deciles,
+        "docs_source_stats": T.source_stats,
+        "docs_url_dedup": T.url_dedup,
         "docs_weighted_sample": T.weighted_sample,
         "docs_inverted_index": T.inverted_index,
         "docs_bm25_topk": T.bm25_topk,
@@ -793,6 +808,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
             FROM rel GROUP BY p_brand, p_type
             ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20
+        """,
+        "events_user_running_totals": """
+            SELECT event_id, user_id,
+                   SUM(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS running_sum,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT)
+                       AS running_n
+            FROM events ORDER BY user_id, running_n
+        """,
+        "docs_source_stats": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(SUM(n_chars) / COUNT(*), 2) AS avg_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "docs_url_dedup": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'http://site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.com/path/'
+                       || CAST(doc_id % 1000 AS VARCHAR)
+                       || CASE WHEN doc_id % 3 IN (0, 1)
+                               THEN '?a=1&b=2' ELSE '' END AS canonical_url
+                FROM documents)
+            SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   MIN(doc_id) AS first_doc_id
+            FROM urls GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        "q2_min_cost_supplier": """
+            WITH costs AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS uc
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), best AS (
+                SELECT l_partkey, l_suppkey, uc,
+                       ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                          ORDER BY uc, l_suppkey) AS rn
+                FROM costs
+            )
+            SELECT b.l_partkey AS p_partkey, p.p_brand, s.s_name,
+                   ROUND(b.uc, 2) AS min_cost
+            FROM best b
+            JOIN part p ON p.p_partkey = b.l_partkey
+            JOIN supplier s ON s.s_suppkey = b.l_suppkey
+            WHERE b.rn = 1 ORDER BY p_partkey
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS profit
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY nation, o_year ORDER BY nation, o_year
+        """,
+        "q11_important_parts": """
+            WITH totals AS (
+                SELECT l_partkey AS p_partkey, SUM(l_quantity) AS sum_qty,
+                       SUM(l_extendedprice) AS raw_value
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_partkey, sum_qty, ROUND(raw_value, 2) AS value
+            FROM totals
+            WHERE sum_qty > 1.1 * (SELECT SUM(sum_qty) / COUNT(*)
+                                   FROM totals)
+            ORDER BY p_partkey
+        """,
+        "q20_dominant_suppliers": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), tot AS (
+                SELECT l_partkey, SUM(qty) AS total_qty,
+                       COUNT(*) AS nsupp
+                FROM ps GROUP BY l_partkey
+            ), winners AS (
+                SELECT ps.l_suppkey, ps.l_partkey
+                FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey
+                WHERE ps.qty > 2.0 * tot.total_qty / tot.nsupp
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(COUNT(DISTINCT w.l_partkey) AS BIGINT)
+                       AS dominated_parts
+            FROM winners w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY dominated_parts DESC, s.s_suppkey LIMIT 100
         """,
         "docs_weighted_sample": """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

@@ -2039,3 +2039,240 @@ def parts_supplier_counts(sf_dir: str, k: int = 20):
         ["supplier_cnt", "p_brand", "p_type"],
         ascending=[False, True, True]).head(k)
         .astype({"supplier_cnt": "int64"}).reset_index(drop=True))
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape adapted to this schema (no ``partsupp`` table): for
+    every part observed in ``lineitem``, the supplier offering the minimum
+    unit price (``l_extendedprice / l_quantity``), ties broken by lowest
+    ``l_suppkey`` — the correlated min-cost subquery of Q2 collapsed into
+    a distributed arg-min.
+
+    Scale shape: the lineitem scan emits per-block partial minima per
+    (partkey, suppkey) — the only rows that shuffle; ONE coarse exchange
+    keyed by partkey re-minimizes and picks the arg-min supplier per part
+    (vectorized sort + first). The result is dimension-sized (≤ one row
+    per part), so brand / supplier-name attach happens on the driver."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uc = df["l_extendedprice"].to_numpy() / df["l_quantity"].to_numpy()
+        return (pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "uc": uc})
+            .groupby(["l_partkey", "l_suppkey"], as_index=False)["uc"].min())
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["uc"].min()
+        g = g.sort_values(["l_partkey", "uc", "l_suppkey"], kind="mergesort")
+        return g.drop_duplicates("l_partkey", keep="first")
+
+    best = coarse_group_reduce(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], argmin,
+    ).to_pandas()
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = (best.merge(part, left_on="l_partkey", right_on="p_partkey")
+           .merge(sup, left_on="l_suppkey", right_on="s_suppkey"))
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    out["min_cost"] = round_half_away(out["uc"].to_numpy(), 2)
+    return (out[["p_partkey", "p_brand", "s_name", "min_cost"]]
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q9_profit_by_nation_year(sf_dir: str,
+                             broadcast_threshold: int = 5_000_000):
+    """TPC-H Q9 shape: profit ``l_extendedprice * (1 - l_discount)`` per
+    (supplier nation, order year). The part-name LIKE filter is dropped
+    (every part qualifies) — the join topology is the point.
+
+    Scale shape: supplier→nation-name is a broadcast dimension lookup.
+    The orders side is reduced DISTRIBUTED to (o_orderkey, o_year) pairs;
+    under the threshold those ship once as two sorted numpy arrays and the
+    single lineitem scan does year lookup + per-(nation, year) partial sums
+    in one pass (only ~nations×years rows shuffle); past it, the standard
+    distributed hash join on orderkey (q8's size-aware pattern)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sm = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey") \
+        .sort_values("s_suppkey")
+    skeys_ref = ray.put(sm["s_suppkey"].to_numpy(np.int64))
+    snames_ref = ray.put(sm["n_name"].to_numpy(object))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oyears(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_year": df["o_orderdate"].dt.year.astype("int64")})
+
+    ord_years = orders.map_batches(oyears,
+                                   batch_format="pandas").materialize()
+    broadcast = ord_years.count() <= broadcast_threshold
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+        sk = ray.get(skeys_ref)
+        sn = ray.get(snames_ref)
+        pos = np.clip(np.searchsorted(sk, df["l_suppkey"].to_numpy()),
+                      0, max(len(sk) - 1, 0))
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "nation": sn[pos],
+            "amount": df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())})
+
+    if broadcast:
+        om = ord_years.to_pandas().sort_values("o_orderkey")
+        okeys_ref = ray.put(om["o_orderkey"].to_numpy(np.int64))
+        oyears_ref = ray.put(om["o_year"].to_numpy(np.int64))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            d = attach_nation(df)
+            ok = ray.get(okeys_ref)
+            if len(ok) == 0:
+                return pd.DataFrame({"nation": pd.Series(dtype=object),
+                                     "o_year": pd.Series(dtype="int64"),
+                                     "profit": pd.Series(dtype="float64")})
+            pos = np.clip(np.searchsorted(ok, d["l_orderkey"].to_numpy()),
+                          0, len(ok) - 1)
+            d["o_year"] = ray.get(oyears_ref)[pos]
+            d = d[ok[pos] == d["l_orderkey"].to_numpy()]
+            return (d.groupby(["nation", "o_year"], as_index=False)["amount"]
+                    .sum().rename(columns={"amount": "profit"}))
+
+        agg = (li.map_batches(partial, batch_format="pandas")
+               .groupby(["nation", "o_year"])
+               .aggregate(Sum("profit", alias_name="profit")))
+    else:
+        joined = li.map_batches(attach_nation, batch_format="pandas").join(
+            ord_years, join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+        agg = (joined.groupby(["nation", "o_year"])
+               .aggregate(Sum("amount", alias_name="profit")))
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    out = agg.to_pandas()
+    out["profit"] = round_half_away(out["profit"].to_numpy(), 2)
+    return (out.sort_values(["nation", "o_year"])
+            .reset_index(drop=True)[["nation", "o_year", "profit"]])
+
+
+def q11_important_parts(sf_dir: str, factor: float = 1.1):
+    """TPC-H Q11 shape adapted (no partsupp): parts whose total lineitem
+    quantity exceeds ``factor ×`` the average per-part total — the
+    global-scalar HAVING subquery of Q11.
+
+    Scale shape: one lineitem scan with per-block partial (qty, value)
+    sums per partkey; ONE coarse exchange finishes the per-part totals
+    (dimension-sized result). The global threshold is a driver-side
+    scalar over that small aggregate — no second pass over the fact
+    table. Quantity sums are integer-valued doubles, so the threshold
+    comparison is exact-deterministic at any partition order."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "p_partkey": df["l_partkey"].astype("int64"),
+            "sum_qty": df["l_quantity"].to_numpy(),
+            "value": df["l_extendedprice"].to_numpy()})
+            .groupby("p_partkey", as_index=False).sum())
+
+    totals = coarse_group_reduce(
+        li.map_batches(partial, batch_format="pandas"),
+        ["p_partkey"],
+        lambda g: g.groupby("p_partkey", as_index=False).sum(),
+    ).to_pandas()
+    if totals.empty:
+        return _empty_df({"p_partkey": pa.int64(), "sum_qty": pa.float64(),
+                          "value": pa.float64()})
+    threshold = factor * (totals["sum_qty"].sum() / len(totals))
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    out = totals[totals["sum_qty"] > threshold].copy()
+    out["value"] = round_half_away(out["value"].to_numpy(), 2)
+    return (out.sort_values("p_partkey")
+            .reset_index(drop=True)[["p_partkey", "sum_qty", "value"]])
+
+
+def q20_dominant_suppliers(sf_dir: str, factor: float = 2.0, k: int = 100):
+    """TPC-H Q20 shape adapted: suppliers who supplied some part at more
+    than ``factor ×`` the average supplier's share of that part's total
+    quantity — Q20's nested half-of-total-quantity semi-join re-expressed
+    as a per-part dominance test.
+
+    Scale shape: lineitem emits per-block partial quantity sums per
+    (partkey, suppkey); ONE coarse exchange keyed by partkey finishes the
+    pair sums AND evaluates the dominance predicate inside the same task
+    (the per-part total and supplier count never leave the partition).
+    Only dominating (suppkey, partkey) survivors — a tiny set — reach the
+    final supplier rollup. Sums are integer-valued doubles → the
+    threshold compare is partition-order-deterministic."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "qty": df["l_quantity"].to_numpy()})
+            .groupby(["l_partkey", "l_suppkey"], as_index=False).sum())
+
+    def dominate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["l_partkey", "l_suppkey"], as_index=False).sum()
+        grp = g.groupby("l_partkey")["qty"]
+        avg_share = grp.transform("sum") / grp.transform("size")
+        return g[g["qty"] > factor * avg_share][["l_suppkey", "l_partkey"]]
+
+    winners = coarse_group_reduce(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], dominate,
+    ).to_pandas()
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    if winners.empty:
+        return _empty_df({"s_suppkey": pa.int64(), "s_name": pa.string(),
+                          "dominated_parts": pa.int64()})
+    counts = (winners.groupby("l_suppkey", as_index=False)["l_partkey"]
+              .nunique().rename(columns={"l_suppkey": "s_suppkey",
+                                         "l_partkey": "dominated_parts"}))
+    out = counts.merge(sup, on="s_suppkey")
+    return (out.sort_values(["dominated_parts", "s_suppkey"],
+                            ascending=[False, True]).head(k)
+            .astype({"dominated_parts": "int64"})
+            .reset_index(drop=True)[["s_suppkey", "s_name",
+                                     "dominated_parts"]])

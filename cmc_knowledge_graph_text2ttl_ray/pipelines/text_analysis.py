@@ -930,3 +930,100 @@ def weighted_sample(sf_dir: str, k: int = 50):
             .sort(["sel_key", "doc_id"], descending=[True, False])
             .limit(k)
             .select_columns(["doc_id", "n_chars"]))
+
+
+def source_stats(sf_dir: str):
+    """Per-source corpus profile: doc count, mean length, distinct langs —
+    the domain-level triage table a crawl-corpus curator reads first.
+
+    Scale shape: ``source`` is low-cardinality (a domain-bucket label), so
+    one scan emits per-block partials (count, char sum, per-source lang
+    set) and a tiny driver combine finishes — no all-to-all, the fact
+    table streams once."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    ds = _docs(sf_dir, columns=["source", "n_chars", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source")
+        out = g.agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        out["langs"] = g["lang"].agg(lambda s: "\x00".join(sorted(set(s))))
+        return out.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        import pyarrow as _pa
+
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "avg_chars": pd.Series(dtype="float64"),
+                             "n_langs": pd.Series(dtype="int64")})
+    g = parts.groupby("source")
+    out = g.agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+    out["n_langs"] = g["langs"].agg(
+        lambda s: len(set.union(*(set(x.split("\x00")) for x in s))))
+    out = out.reset_index()
+    out["avg_chars"] = round_half_away(
+        out["sum_chars"].to_numpy(np.float64) / out["n_docs"].to_numpy(), 2)
+    return (out[["source", "n_docs", "avg_chars", "n_langs"]]
+            .astype({"n_docs": "int64", "n_langs": "int64"})
+            .sort_values("source").reset_index(drop=True))
+
+
+def url_dedup(sf_dir: str):
+    """Canonical-URL dedup — the first (and cheapest) dedup pass of every
+    crawl pipeline: canonicalize each page URL (RFC 3986 syntax rules +
+    tracking-param strip, see ``functions/url.py``), then count duplicates
+    and keep the first doc per canonical URL.
+
+    The documents table carries no URL column, so each doc's messy URL is
+    derived deterministically from ``doc_id`` (three variant families:
+    tracking params + fragment + mixed case / unsorted params + default
+    port / trailing slash) — the oracle states the *expected canonical
+    form* directly, so the normalizer is verified end-to-end.
+
+    Scale shape: URL synthesis + canonicalization are one streaming scan;
+    only (canonical_url, doc_id) pairs shuffle through ONE coarse exchange
+    keyed by the canonical URL (hash-partitioned, skew-free: URL keys are
+    near-unique)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.functions.url import (
+        canonicalize_urls,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        urls = []
+        for i in ids:
+            host, path, v = int(i) % 50, int(i) % 1000, int(i) % 3
+            if v == 0:
+                u = (f"HTTP://Site{host}.Example.COM/path/{path}"
+                     f"?utm_source=x&b=2&a=1#frag")
+            elif v == 1:
+                u = f"http://site{host}.example.com:80/path/{path}?b=2&a=1"
+            else:
+                u = f"http://Site{host}.example.com//path//{path}/"
+            urls.append(u)
+        pairs = pd.DataFrame({"doc_id": ids,
+                              "canonical_url": canonicalize_urls(urls)})
+        return (pairs.groupby("canonical_url", as_index=False)
+                .agg(n_dups=("doc_id", "size"),
+                     first_doc_id=("doc_id", "min")))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("canonical_url", as_index=False)
+                .agg(n_dups=("n_dups", "sum"),
+                     first_doc_id=("first_doc_id", "min")))
+
+    out = coarse_group_reduce(
+        ds.map_batches(messy, batch_format="pandas"),
+        ["canonical_url"], combine,
+    ).to_pandas()
+    return (out.astype({"n_dups": "int64", "first_doc_id": "int64"})
+            .sort_values("canonical_url").reset_index(drop=True))

@@ -124,3 +124,34 @@ def events_top_per_user(sf_dir: str, k: int = 3):
         return g[g["rnk"] <= k][["user_id", "event_id", "value", "rnk"]]
 
     return coarse_group_reduce(ds, ["user_id"], combine)
+
+
+def user_running_totals(sf_dir: str):
+    """Per-event running totals within each user — the
+    ``SUM(value) OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)`` window shape, plus the running row number.
+    No rounding: the cumsum is evaluated in the exact order the SQL
+    window uses, so both sides produce bit-identical doubles.
+
+    Same partitioning contract as the rest of this module: ONE exchange
+    on hash(user) % P, then a cross-user vectorized kernel (sort once,
+    segmented cumsum via groupby) per coarse partition. The cumulative
+    sum is evaluated in the same (ts, event_id) order the SQL window
+    uses, so the floating-point result is bit-deterministic."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)["value"]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "running_sum": grp.cumsum().to_numpy(),
+            "running_n": (g.groupby("user_id", sort=False).cumcount()
+                          + 1).to_numpy(np.int64),
+        })
+
+    return coarse_group_reduce(ds, ["user_id"], combine)
