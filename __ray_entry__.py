@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_deciles": T.quality_deciles,
         "docs_source_stats": T.source_stats,
         "docs_url_dedup": T.url_dedup,
+        "docs_source_quota_sample": T.source_quota_sample,
         "docs_weighted_sample": T.weighted_sample,
         "docs_inverted_index": T.inverted_index,
         "docs_bm25_topk": T.bm25_topk,
@@ -561,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _docs_lang_id,
         # dedup family
         "docs_exact_dedup": D.exact_dedup,
+        "docs_new_shard_dedup": D.new_shard_exact_dedup,
         "docs_span_dedup": D.span_exact_dedup,
         "docs_minhash_pairs": D.minhash_lsh_pairs,
         "docs_simhash": D.simhash_signatures,
@@ -818,6 +820,31 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id) AS BIGINT)
                        AS running_n
             FROM events ORDER BY user_id, running_n
+        """,
+        "docs_source_quota_sample": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 20 ORDER BY source, doc_id
+        """,
+        "docs_new_shard_dedup": """
+            WITH corpus AS (
+                SELECT md5(text) AS h, MIN(doc_id) AS first_doc
+                FROM documents WHERE doc_id % 10 <> 0 GROUP BY h
+            ), news AS (
+                SELECT doc_id, md5(text) AS h
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT n.doc_id,
+                   CAST(CASE WHEN c.first_doc IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS is_dup,
+                   COALESCE(c.first_doc, -1) AS dup_of
+            FROM news n LEFT JOIN corpus c ON c.h = n.h
+            ORDER BY n.doc_id
         """,
         "docs_source_stats": """
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "docs_pack_sequences",
     "docs_weighted_sample",
     "emb_centroid_confusion",
+    "q9_profit_by_nation_year",
+    "q20_dominant_suppliers",
+    "docs_url_dedup",
+    "events_user_running_totals",
 ]
 
 

@@ -671,3 +671,86 @@ def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
                              "text": texts})
 
     return joined.map_batches(reassemble, batch_format="pandas")
+
+
+def new_shard_exact_dedup(sf_dir: str, broadcast_threshold: int = 5_000_000):
+    """Incremental crawl dedup: check a NEW shard of documents against the
+    EXISTING corpus by exact content hash — the per-snapshot dedup step of
+    a rolling crawl (new shard = ``doc_id % 10 == 0`` here, the rest is
+    the standing corpus). Returns one row per new doc with ``is_dup`` and
+    the first matching corpus doc (``-1`` when novel).
+
+    Scale shape: one scan hashes both sides; the corpus side reduces
+    DISTRIBUTED to distinct (md5, first_doc_id) pairs — duplicates
+    collapse before anything wide happens. Under the threshold that
+    reduced index broadcasts once via ``ray.put`` and the new-shard scan
+    probes it in-task (no shuffle at all); past it, the standard
+    distributed hash join on the 16-byte digest."""
+    import hashlib
+
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def hashed(df: pd.DataFrame, keep_new: bool) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        mask = (ids % 10 == 0) if keep_new else (ids % 10 != 0)
+        d = df[mask]
+        md5 = d["text"].map(
+            lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"doc_id": d["doc_id"].astype("int64"),
+                             "h": md5})
+
+    corpus = coarse_group_reduce(
+        ds.map_batches(lambda df: hashed(df, False), batch_format="pandas")
+        .map_batches(lambda df: df.groupby("h", as_index=False)["doc_id"]
+                     .min(), batch_format="pandas"),
+        ["h"],
+        lambda g: g.groupby("h", as_index=False)["doc_id"].min(),
+    ).materialize()
+
+    new = ds.map_batches(lambda df: hashed(df, True), batch_format="pandas")
+
+    if corpus.count() <= broadcast_threshold:
+        idx = corpus.to_pandas().sort_values("h")
+        h_ref = ray.put(idx["h"].to_numpy(object))
+        d_ref = ray.put(idx["doc_id"].to_numpy(np.int64))
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            hs = ray.get(h_ref)
+            fd = ray.get(d_ref)
+            out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)})
+            if len(hs) == 0 or df.empty:
+                out["is_dup"] = np.zeros(len(out), np.int64)
+                out["dup_of"] = np.full(len(out), -1, np.int64)
+                return out
+            pos = np.clip(np.searchsorted(hs, df["h"].to_numpy(object)),
+                          0, len(hs) - 1)
+            hit = hs[pos] == df["h"].to_numpy(object)
+            out["is_dup"] = hit.astype(np.int64)
+            out["dup_of"] = np.where(hit, fd[pos], -1).astype(np.int64)
+            return out
+
+        return (new.map_batches(probe, batch_format="pandas")
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    joined = new.join(
+        corpus.map_batches(
+            lambda df: df.rename(columns={"doc_id": "dup_first"}),
+            batch_format="pandas"),
+        join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("h",),
+    ).to_pandas()
+    dup = joined["dup_first"].notna()
+    return (pd.DataFrame({
+        "doc_id": joined["doc_id"].astype("int64"),
+        "is_dup": dup.astype("int64"),
+        "dup_of": joined["dup_first"].fillna(-1).astype("int64")})
+        .sort_values("doc_id").reset_index(drop=True))

@@ -1027,3 +1027,35 @@ def url_dedup(sf_dir: str):
     ).to_pandas()
     return (out.astype({"n_dups": "int64", "first_doc_id": "int64"})
             .sort_values("canonical_url").reset_index(drop=True))
+
+
+def source_quota_sample(sf_dir: str, quota: int = 20):
+    """Per-source quota sampling — cap each source's contribution at
+    ``quota`` docs, chosen deterministically by md5(doc_id) order (the
+    standard down-weighting of over-represented domains when mixing a
+    training corpus; hash order makes the pick reproducible at any
+    cluster size, no RNG state).
+
+    Scale shape: each block keeps at most ``quota`` candidate rows per
+    source (a vectorized groupby head), so at most
+    ``quota × n_sources × n_blocks`` small rows shuffle through the final
+    per-source selection — the fact table itself never moves."""
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def keyed_topn(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        d = pd.DataFrame({"source": df["source"],
+                          "doc_id": df["doc_id"].astype("int64"),
+                          "sel_key": key})
+        d = d.sort_values(["source", "sel_key", "doc_id"], kind="stable")
+        return d.groupby("source", sort=False).head(quota)
+
+    parts = ds.map_batches(keyed_topn, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "doc_id": pd.Series(dtype="int64")})
+    parts = parts.sort_values(["source", "sel_key", "doc_id"], kind="stable")
+    out = parts.groupby("source", sort=False).head(quota)
+    return (out[["source", "doc_id"]]
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))

@@ -288,3 +288,23 @@ def test_top_ngrams_doc_boundaries_and_trigram(ray_session, tmp_path_factory):
     tri = top_ngrams(str(d), n=3, k=10).to_pandas()
     got3 = dict(zip(tri["ngram"], tri["cnt"]))
     assert got3 == {"a b c": 2, "c a b": 1}
+
+
+def test_new_shard_dedup_broadcast_and_join_paths_agree(ray_session):
+    """The size-aware broadcast probe and the distributed left-outer join
+    must produce identical (doc_id, is_dup, dup_of) rows."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        new_shard_exact_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fast = new_shard_exact_dedup(sf)
+    slow = new_shard_exact_dedup(sf, broadcast_threshold=0)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert (fast["doc_id"] % 10 == 0).all()
+    # duplicates point at a real corpus doc, novels at the -1 sentinel
+    dups = fast[fast["is_dup"] == 1]
+    assert (dups["dup_of"] % 10 != 0).all() or dups.empty
+    assert (fast.loc[fast["is_dup"] == 0, "dup_of"] == -1).all()
