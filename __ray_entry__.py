@@ -425,6 +425,14 @@ def _events_user_running_totals(sf_dir: str):
     return user_running_totals(sf_dir)
 
 
+def _events_funnel(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.windows import (
+        funnel_counts,
+    )
+
+    return funnel_counts(sf_dir)
+
+
 
 def _events_type_distinct_users(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
@@ -444,6 +452,14 @@ def _parts_triangles(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import parts_triangles
 
     return parts_triangles(sf_dir)
+
+
+def _parts_degree_histogram(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        parts_degree_histogram,
+    )
+
+    return parts_degree_histogram(sf_dir)
 
 
 def _pagerank_sql(iters: int = 4, damping: float = 0.85) -> str:
@@ -494,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": _user_event_gaps,
         "events_top_per_user": _events_top_per_user,
         "events_user_running_totals": _events_user_running_totals,
+        "events_funnel": _events_funnel,
         "q4_order_priority": R.q4_order_priority,
         "nation_account_balance": R.nation_account_balance,
         "events_value_histogram": R.events_value_histogram,
@@ -571,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cc_clusters": _docs_cc_clusters,
         "parts_pagerank": _parts_pagerank,
         "parts_triangles": _parts_triangles,
+        "parts_degree_histogram": _parts_degree_histogram,
         "docs_fuzzy_dedup": _docs_fuzzy_dedup,
         "docs_decontaminated": _docs_decontaminated,
         "docs_ngram_overlap": _docs_ngram_overlap,
@@ -810,6 +828,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
             FROM rel GROUP BY p_brand, p_type
             ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20
+        """,
+        "parts_degree_histogram": """
+            WITH raw AS (
+                SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND b.l_linenumber = a.l_linenumber + 1),
+            deg AS (
+                SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS out_deg
+                FROM raw GROUP BY src)
+            SELECT out_deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY out_deg ORDER BY out_deg
+        """,
+        "events_funnel": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT * FROM (
+                SELECT 'view' AS stage,
+                       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+                UNION ALL
+                SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+                UNION ALL
+                SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+            ) ORDER BY n_users DESC, stage
         """,
         "events_user_running_totals": """
             SELECT event_id, user_id,

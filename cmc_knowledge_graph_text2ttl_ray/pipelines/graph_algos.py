@@ -618,3 +618,44 @@ def parts_triangles(sf_dir: str):
     """Triangle count of the (undirected, simplified) part co-purchase
     sequence graph."""
     return triangle_count(copurchase_edges(sf_dir), a="src", b="dst")
+
+
+def parts_degree_histogram(sf_dir: str):
+    """Degree distribution of the part co-purchase graph: distinct
+    out-degree per node, then the histogram (out_degree → node count) —
+    the first structural profile run over any web/link graph before
+    choosing partitioning for the iterative algorithms above.
+
+    Scale shape: edges are deduped per block, then ONE coarse exchange
+    keyed by src finishes the distinct-neighbor counts (one row per
+    node); the histogram itself is a per-block partial count over that
+    dimension-sized table plus a tiny driver combine (degree values are
+    few)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    edges = copurchase_edges(sf_dir)
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    deg = coarse_group_reduce(
+        edges.map_batches(distinct_pairs, batch_format="pandas"),
+        ["src"],
+        lambda g: (g.drop_duplicates()
+                   .groupby("src", as_index=False)["dst"].nunique()
+                   .rename(columns={"dst": "out_deg"})),
+    )
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("out_deg", as_index=False)
+                .size().rename(columns={"size": "n_nodes"}))
+
+    parts = deg.map_batches(partial_hist, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"out_deg": pd.Series(dtype="int64"),
+                             "n_nodes": pd.Series(dtype="int64")})
+    out = parts.groupby("out_deg", as_index=False)["n_nodes"].sum()
+    return (out.astype({"out_deg": "int64", "n_nodes": "int64"})
+            .sort_values("out_deg").reset_index(drop=True))

@@ -155,3 +155,46 @@ def user_running_totals(sf_dir: str):
         })
 
     return coarse_group_reduce(ds, ["user_id"], combine)
+
+
+def funnel_counts(sf_dir: str, stages=("view", "click", "purchase")):
+    """Funnel analysis: how many users progress through the ordered stage
+    sequence (first 'view', then the first 'click' strictly after it,
+    then the first 'purchase' strictly after that) — the sequential
+    pattern-match shape product analytics runs over event streams.
+
+    Same contract as the rest of the module: ONE exchange on
+    hash(user) % P; inside each coarse partition the stage-by-stage
+    "first event after t" is a vectorized cross-user kernel (sort once,
+    per-stage groupby-first against the running per-user threshold).
+    Only per-partition stage counts (len(stages) rows each) leave the
+    tasks."""
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        # running per-user threshold: ts of the previous stage's first hit
+        thresh = None  # None = stage 0: no lower bound
+        counts = []
+        for stage in stages:
+            e = g[g["event_type"] == stage]
+            if thresh is not None:
+                e = e.merge(thresh, on="user_id", how="inner")
+                e = e[e["ts"] > e["prev_ts"]]
+            first = (e.groupby("user_id", as_index=False)["ts"].min()
+                     .rename(columns={"ts": "prev_ts"}))
+            counts.append(len(first))
+            thresh = first
+        return pd.DataFrame({"stage": list(stages),
+                             "n_users": np.asarray(counts, np.int64)})
+
+    parts = coarse_group_reduce(ds, ["user_id"], combine).to_pandas()
+    out = (parts.groupby("stage", as_index=False)["n_users"].sum()
+           .astype({"n_users": "int64"}))
+    # present in funnel order, not alphabetical
+    order = {s: i for i, s in enumerate(stages)}
+    return (out.assign(_o=out["stage"].map(order)).sort_values("_o")
+            .drop(columns="_o").reset_index(drop=True))
