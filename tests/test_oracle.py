@@ -104,6 +104,20 @@ def test_customers_without_orders_join_path(entrymod, con):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_q9_join_path(entrymod, con):
+    """broadcast_threshold=0 forces the distributed lineitem-orders hash
+    join; result must equal the broadcast path / oracle."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        q9_profit_by_nation_year,
+    )
+
+    got = _normalize(_to_pandas(
+        q9_profit_by_nation_year(SF_DIR, broadcast_threshold=0)))
+    exp = _normalize(con.execute(
+        entrymod.oracle_sql()["q9_profit_by_nation_year"]).fetchdf())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
 def test_quantiles_bruteforce_rank_at_sf01(entrymod, con):
     """Histogram-refinement exact selection vs a brute-force k-th-smallest
     rank check over the full sorted column at sf0.01 (the DuckDB

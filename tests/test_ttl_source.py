@@ -1,0 +1,82 @@
+"""Round-trip tests for sources/ttl.py: sink-serialized shards must read
+back into the exact triple set."""
+
+import pandas as pd
+import pytest
+
+TRIPLES = [
+    ("http://e/s1", "http://e/p", "http://e/o1", "iri", None, None),
+    ("http://e/s1", "http://e/p", "hello \"quoted\"\nline", "literal",
+     None, None),
+    ("http://e/s2", "http://e/name", "Born", "literal", "en", None),
+    ("http://e/s2", "http://e/count", "42", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("http://e/s2", "http://e/score", "1.5", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#float"),
+    ("http://e/s3", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://e/Class", "iri", None, None),
+]
+PREFIXES = {"e": "http://e/"}
+
+
+def _write_shards(tmp_path, serializer):
+    for i, chunk in enumerate([TRIPLES[:3], TRIPLES[3:]]):
+        (tmp_path / f"shard-{i}.ttl").write_text(
+            serializer(chunk, PREFIXES), encoding="utf-8")
+    # non-ttl files must be ignored by the reader
+    (tmp_path / "manifest.json").write_text("{}")
+    return str(tmp_path)
+
+
+def _norm(df: pd.DataFrame) -> set:
+    return set(map(tuple, df[["subject", "predicate", "object",
+                              "object_kind", "object_lang",
+                              "object_datatype"]]
+                   .fillna("\x00").itertuples(index=False)))
+
+
+@pytest.mark.parametrize("style", ["plain", "long"])
+def test_ttl_roundtrip(ray_session, tmp_path, style):
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import (
+        serialize_longturtle,
+        serialize_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+
+    ser = serialize_triples if style == "plain" else serialize_longturtle
+    d = _write_shards(tmp_path, ser)
+    got = ttl_dataset(d).to_pandas()
+    want = pd.DataFrame(
+        TRIPLES, columns=["subject", "predicate", "object", "object_kind",
+                          "object_lang", "object_datatype"])
+    assert _norm(got) == _norm(want)
+
+
+def test_ttl_src_file_column(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import (
+        serialize_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+
+    d = _write_shards(tmp_path, serialize_triples)
+    got = ttl_dataset(d, include_src_file=True).to_pandas()
+    assert got["src_file"].str.endswith(".ttl").all()
+    assert got["src_file"].nunique() == 2
+
+
+def test_ttl_kg_sink_roundtrip(ray_session, tmp_path):
+    """The KG pipeline's own sink output reads back: triple set equality
+    against the dataset that produced it."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+    from cmc_knowledge_graph_text2ttl_ray.stages.sinks import (
+        write_ttl_partitions,
+    )
+
+    res = run_kg_pipeline(pages_dataset(60), concurrency=2)
+    triples = res["triples"]
+    out = tmp_path / "kg"
+    write_ttl_partitions(triples, str(out), num_buckets=3)
+    back = ttl_dataset(str(out)).to_pandas()
+    assert _norm(back) == _norm(triples.to_pandas())
