@@ -29,10 +29,17 @@ their contained objects are parsed out of the decompressed payload via the
 ``N``/``First`` header, so catalogs/pages/fonts stored compressed resolve
 normally.
 
-NOT supported (raise or are skipped gracefully): encrypted PDFs, Type0
-fonts WITHOUT a ToUnicode CMap (their text is decoded byte-wise),
-rotation in the CTM (sheared boxes would need oriented rectangles; such
-ops keep translation+scale only).
+Encrypted PDFs (standard security handler, empty user password — RC4
+40..128-bit and AES-128 /AESV2) are decrypted transparently via
+:mod:`cmc_knowledge_graph_text2ttl_ray.functions.pdf_crypt`; streams are decrypted at read
+time with per-object keys, mirroring how the reference's PyMuPDF opens
+password-less encrypted files.
+
+NOT supported (raise or are skipped gracefully): password-protected PDFs
+(non-empty user password) and AES-256 (R 5/6), Type0 fonts WITHOUT a
+ToUnicode CMap (their text is decoded byte-wise), rotation in the CTM
+(sheared boxes would need oriented rectangles; such ops keep
+translation+scale only).
 """
 
 from __future__ import annotations
@@ -77,9 +84,20 @@ def _char_width(ch: str, base_font: str) -> float:
 _RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
-def _scan_objects(data: bytes) -> dict[int, bytes]:
+class _Objs(dict):
+    """objnum → body bytes, plus the per-document decryption context:
+    ``gens`` (objnum → generation, for per-object keys) and ``crypt``
+    (a StandardSecurityHandler, or None for unencrypted files)."""
+
+    def __init__(self):
+        super().__init__()
+        self.gens: dict[int, int] = {}
+        self.crypt = None
+
+
+def _scan_objects(data: bytes) -> "_Objs":
     """objnum → object body bytes (xref-free scan)."""
-    objs: dict[int, bytes] = {}
+    objs = _Objs()
     for m in _RE_OBJ.finditer(data):
         start = m.end()
         # the body runs to the matching 'endobj'; streams may contain the
@@ -94,7 +112,9 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
                 eo = data.find(b"endobj", es)
                 if eo < 0:
                     continue
-        objs[int(m.group(1))] = data[start:eo]
+        num = int(m.group(1))
+        objs[num] = data[start:eo]
+        objs.gens[num] = int(m.group(2))
     if not objs:
         raise PdfParseError("No PDF objects found")
     return objs
@@ -222,7 +242,7 @@ def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
         if d.get("Type") != "/ObjStm":
             continue
         try:
-            data = _stream_data(objs, body)
+            data = _stream_data(objs, body, num)
         except PdfParseError:
             continue
         n = _resolve(objs, d.get("N"))
@@ -264,7 +284,8 @@ def _resolve(objs: dict[int, bytes], val, depth: int = 0):
     return val
 
 
-def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
+def _stream_data(objs: dict[int, bytes], body: bytes,
+                 num: int | None = None) -> bytes:
     sm = re.compile(rb"stream\r?\n").search(body)
     if sm is None:
         return b""
@@ -286,6 +307,14 @@ def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
             raw = raw[:-2]
         elif raw.endswith((b"\n", b"\r")):
             raw = raw[:-1]
+    crypt = getattr(objs, "crypt", None)
+    if crypt is not None and num is not None:
+        from cmc_knowledge_graph_text2ttl_ray.functions.pdf_crypt import PdfCryptError
+
+        try:
+            raw = crypt.decrypt(num, getattr(objs, "gens", {}).get(num, 0), raw)
+        except PdfCryptError as ex:
+            raise PdfParseError(f"Stream decryption failed: {ex}") from ex
     filt = d.get("Filter")
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
     for f in filters:
@@ -660,7 +689,8 @@ def _page_fonts(objs: dict[int, bytes], page: dict) -> dict[str, "_Font"]:
             body = objs.get(tu.num)
             if body is not None:
                 try:
-                    cmap = _parse_tounicode(_stream_data(objs, body)) or None
+                    cmap = _parse_tounicode(
+                        _stream_data(objs, body, tu.num)) or None
                 except PdfParseError:
                     cmap = None
         out[name] = _Font(base, cmap)
@@ -698,14 +728,67 @@ def _page_order(objs: dict[int, bytes]) -> list[dict]:
     return ordered
 
 
+def _setup_decryption(data: bytes, objs: "_Objs") -> None:
+    """Attach a StandardSecurityHandler to ``objs`` when the file carries
+    an /Encrypt dictionary (classic trailer or XRef-stream dict; latest
+    definition wins, matching incremental-update semantics). Unencrypted
+    files are the fast path: one substring check, no parsing."""
+    if b"/Encrypt" not in data:
+        return
+    cands: list[dict] = []
+    for m in re.finditer(rb"trailer", data):
+        try:
+            val, _ = _parse_value(data, m.end())
+        except Exception:  # noqa: BLE001 - 'trailer' may match inside streams
+            continue
+        if isinstance(val, dict):
+            cands.append(val)
+    for _num, body in sorted(objs.items()):
+        d = _obj_dict(body)
+        if d.get("Type") == "/XRef":
+            cands.append(d)
+    seen_encrypt = False
+    for d in reversed(cands):
+        if "Encrypt" not in d:
+            continue
+        seen_encrypt = True
+        enc = _resolve(objs, d["Encrypt"])
+        if not isinstance(enc, dict):
+            continue
+        ids = _resolve(objs, d.get("ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids:
+            first = ids[0]
+            if isinstance(first, str):
+                id0 = first.encode("latin-1", "replace")
+            elif isinstance(first, bytes):
+                id0 = first
+        from cmc_knowledge_graph_text2ttl_ray.functions.pdf_crypt import (
+            PdfCryptError,
+            StandardSecurityHandler,
+        )
+
+        try:
+            objs.crypt = StandardSecurityHandler(enc, id0)
+        except PdfCryptError as ex:
+            raise PdfParseError(str(ex)) from ex
+        return
+    if seen_encrypt:
+        # an /Encrypt entry we cannot resolve means streams WOULD be
+        # ciphertext — parsing on would emit garbage, so fail loudly
+        raise PdfParseError("Encrypted PDF with unresolvable /Encrypt dict")
+
+
 def extract_pdf_pages(data: bytes) -> list[tuple[list[tuple], list[tuple]]]:
     """PDF bytes → per-page ``(words, drawings)`` in top-left coordinates,
     ready for :func:`page_layout.recognize_doc`."""
     if not data.startswith(b"%PDF"):
         raise PdfParseError("Not a PDF (missing %PDF header)")
-    if b"/Encrypt" in data[:2048] or b"/Encrypt" in data[-2048:]:
-        raise PdfParseError("Encrypted PDFs are not supported")
-    objs = _expand_object_streams(_scan_objects(data))
+    objs = _scan_objects(data)
+    _setup_decryption(data, objs)
+    # object streams are themselves encrypted, so expansion must run with
+    # the crypt context already in place
+    objs = _expand_object_streams(objs)
     pages = []
     for page in _page_order(objs):
         box = _resolve(objs, page.get("MediaBox")) or [0, 0, 612, 792]
@@ -714,7 +797,7 @@ def extract_pdf_pages(data: bytes) -> list[tuple[list[tuple], list[tuple]]]:
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
         blob = b"\n".join(
-            _stream_data(objs, objs[r.num])
+            _stream_data(objs, objs[r.num], r.num)
             for r in refs
             if isinstance(r, _Ref) and r.num in objs
         )

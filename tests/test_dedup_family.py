@@ -220,7 +220,8 @@ def test_repetition_and_lm_scores(ray_session, dup_dir):
     assert (lm["lm_bits_per_trigram"] > 0).all()
     assert lm["n_trigrams"].sum() > 0
     lm2 = lm_scores(dup_dir).to_pandas().set_index("doc_id")
-    assert lm.equals(lm2)
+    # values are deterministic; row ORDER across blocks is not a contract
+    assert lm.sort_index().equals(lm2.sort_index())
 
 
 def test_span_dedup_semantics(ray_session, tmp_path_factory):
