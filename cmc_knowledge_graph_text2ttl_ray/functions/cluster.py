@@ -2,7 +2,27 @@
 
 from __future__ import annotations
 
-__all__ = ["default_join_partitions", "default_coarse_partitions"]
+__all__ = ["default_join_partitions", "default_coarse_partitions",
+           "sorted_lookup"]
+
+
+def sorted_lookup(keys, queries):
+    """Vectorized membership + position lookup into a SORTED key array:
+    ``(found_mask, positions)``; positions are meaningful only where
+    ``found_mask`` is True.
+
+    This is the broadcast-dimension join idiom (searchsorted → clip →
+    equality check) used by every `q*` shape that ships a small sorted
+    side via ``ray.put``. Centralized because two hand-rolled copies
+    shipped without the equality check or the empty-array guard — an
+    absent key silently matched its nearest neighbor (round-3 review)."""
+    import numpy as np
+
+    q = np.asarray(queries)
+    if len(keys) == 0:
+        return np.zeros(len(q), dtype=bool), np.zeros(len(q), dtype=np.int64)
+    pos = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+    return np.asarray(keys)[pos] == q, pos
 
 
 def default_join_partitions(divisor: int = 4, floor: int = 2) -> int:

@@ -232,7 +232,9 @@ class StandardSecurityHandler:
         h = hashlib.md5()
         h.update(_PAD)
         h.update(o_entry[:32])
-        h.update(struct.pack("<i", p))
+        # /P is defined as a signed 32-bit value but many producers store
+        # it unsigned (e.g. 4294963392 == -3904): normalize before packing
+        h.update(struct.pack("<i", p - (1 << 32) if p > 0x7FFFFFFF else p))
         h.update(id0)
         if r >= 4 and not self.encrypt_metadata:
             h.update(b"\xff\xff\xff\xff")

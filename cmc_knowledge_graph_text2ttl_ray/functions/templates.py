@@ -119,7 +119,10 @@ def expand_template(
                 ext = _apply_func(func_id[1:], ext)
             start = m.start(0)
             template = template[:start] + (ext or "") + template[m.end(0):]
-            pos = start if "@{" not in template[:start] else 0
+            # restart ONE char left of the substitution: a '@' at start-1
+            # can combine with a substituted value beginning '{...}' into a
+            # new reference (e.g. "@@{v}" with v="{x}" → "@{x}")
+            pos = max(start - 1, 0) if "@{" not in template[:start] else 0
     except TemplateError:
         raise
     except Exception as ex:  # pragma: no cover - defensive parity

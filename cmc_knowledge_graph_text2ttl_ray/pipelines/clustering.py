@@ -211,36 +211,6 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.95,
     vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id"])
 
-    if cc.count() <= broadcast_threshold:
-        mapping = {int(r["node"]): int(r["cluster_id"]) for r in cc.take_all()}
-        ref = ray.put(mapping)
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import label_clusters
 
-        def label(df: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(ref)
-            ids = df["vec_id"].astype("int64")
-            cl = ids.map(m).fillna(ids).astype("int64")
-            return pd.DataFrame({"vec_id": ids, "cluster_id": cl,
-                                 "keep": ids == cl})
-
-        return vecs.map_batches(label, batch_format="pandas")
-
-    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
-        default_join_partitions,
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if "cluster_id" not in t.column_names:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "cluster_id": pa.array([], pa.int64()),
-                             "keep": pa.array([], pa.bool_())})
-        cl = pc.coalesce(t["cluster_id"], t["vec_id"])
-        return pa.table({"vec_id": t["vec_id"], "cluster_id": cl,
-                         "keep": pc.equal(t["vec_id"], cl)})
-
-    return vecs.join(
-        cc, join_type="left_outer",
-        num_partitions=default_join_partitions(),
-        on=("vec_id",), right_on=("node",),
-    ).map_batches(finish, batch_format="pyarrow")
+    return label_clusters(vecs, "vec_id", cc, broadcast_threshold)

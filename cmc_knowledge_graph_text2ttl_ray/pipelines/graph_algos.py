@@ -247,6 +247,23 @@ def fuzzy_dedup(
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
 
+    return label_clusters(docs, "doc_id", cc, broadcast_threshold)
+
+
+def label_clusters(entities, id_col: str, cc, broadcast_threshold: int):
+    """Attach connected-component labels to an entity Dataset → rows
+    ``(id_col, cluster_id, keep)``: ``cluster_id`` is the component id
+    (the entity's own id when unpaired) and ``keep`` marks the minimum-id
+    survivor. Shared finish for the fuzzy/semantic dedup family (the two
+    previous verbatim copies drifted independently — round-3 review).
+
+    Scale shape: the component map covers only entities that appeared in
+    a pair (dup-rate-proportional); under ``broadcast_threshold`` it is
+    broadcast once via ``ray.put`` and the entity table stream-maps
+    against it (no corpus shuffle), else a distributed left-outer hash
+    join labels it."""
+    import ray
+
     if cc.count() <= broadcast_threshold:
         mapping = {int(r["node"]): int(r["cluster_id"])
                    for r in cc.take_all()}
@@ -254,12 +271,12 @@ def fuzzy_dedup(
 
         def label(df: pd.DataFrame) -> pd.DataFrame:
             m = ray.get(ref)
-            ids = df["doc_id"].astype("int64")
+            ids = df[id_col].astype("int64")
             cl = ids.map(m).fillna(ids).astype("int64")
-            return pd.DataFrame({"doc_id": ids, "cluster_id": cl,
+            return pd.DataFrame({id_col: ids, "cluster_id": cl,
                                  "keep": ids == cl})
 
-        return docs.map_batches(label, batch_format="pandas")
+        return entities.map_batches(label, batch_format="pandas")
 
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         default_join_partitions,
@@ -269,17 +286,17 @@ def fuzzy_dedup(
         import pyarrow.compute as pc
 
         if "cluster_id" not in t.column_names:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], pa.int64()),
                              "cluster_id": pa.array([], pa.int64()),
                              "keep": pa.array([], pa.bool_())})
-        cl = pc.coalesce(t["cluster_id"], t["doc_id"])
-        return pa.table({"doc_id": t["doc_id"], "cluster_id": cl,
-                         "keep": pc.equal(t["doc_id"], cl)})
+        cl = pc.coalesce(t["cluster_id"], t[id_col])
+        return pa.table({id_col: t[id_col], "cluster_id": cl,
+                         "keep": pc.equal(t[id_col], cl)})
 
-    return docs.join(
+    return entities.join(
         cc, join_type="left_outer",
         num_partitions=default_join_partitions(),
-        on=("doc_id",), right_on=("node",),
+        on=(id_col,), right_on=("node",),
     ).map_batches(finish, batch_format="pyarrow")
 
 

@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
 __all__ = [
     "q1_pricing_summary",
     "q6_revenue_forecast",
@@ -1382,7 +1384,7 @@ def q15_top_supplier(sf_dir: str,
     supp = _read(sf_dir, "supplier",
                  columns=["s_suppkey", "s_name"]).to_pandas()
     out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
-    out["total_revenue"] = out["total_revenue"].round(2)
+    out["total_revenue"] = round_half_away(out["total_revenue"], 2)
     return (
         out[["s_suppkey", "s_name", "total_revenue"]]
         .sort_values("s_suppkey").reset_index(drop=True)
@@ -1531,7 +1533,7 @@ def q22_idle_balances(sf_dir: str, nation_lo: int = 0, nation_hi: int = 12,
                           "totacctbal": pa.float64()})
     out["c_nationkey"] = out["c_nationkey"].astype("int64")
     out["numcust"] = out["numcust"].astype("int64")
-    out["totacctbal"] = out["totacctbal"].round(2)
+    out["totacctbal"] = round_half_away(out["totacctbal"], 2)
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
@@ -1692,8 +1694,8 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_3",
     )
     if per_year.empty:
         return _empty_df({"o_year": pa.int64(), "mkt_share": pa.float64()})
-    per_year["mkt_share"] = (per_year["nation_vol"]
-                             / per_year["total"]).round(4)
+    per_year["mkt_share"] = round_half_away(
+        per_year["nation_vol"] / per_year["total"], 4)
     return (per_year[["o_year", "mkt_share"]]
             .astype({"o_year": "int64"})
             .sort_values("o_year").reset_index(drop=True))
@@ -1806,7 +1808,7 @@ def bloom_semi_join_revenue(sf_dir: str, priority: str = "1-URGENT",
     if res.empty:
         return _empty_df({"l_returnflag": pa.string(),
                           "revenue": pa.float64(), "n_items": pa.int64()})
-    res["revenue"] = res["revenue"].round(2)
+    res["revenue"] = round_half_away(res["revenue"], 2)
     res["n_items"] = res["n_items"].astype("int64")
     return res.sort_values("l_returnflag").reset_index(drop=True)
 
@@ -1852,7 +1854,7 @@ def salted_type_stats(sf_dir: str, num_salts: int = 32):
     return pd.DataFrame({
         "event_type": staged["event_type"],
         "n_events": staged["n_events"].astype("int64"),
-        "sum_value": staged["sum_value"].round(2),
+        "sum_value": round_half_away(staged["sum_value"], 2),
     }).sort_values("event_type").reset_index(drop=True)
 
 
@@ -1893,7 +1895,7 @@ def orders_rollup(sf_dir: str):
     })
     out = pd.concat([fine, by_year, grand], ignore_index=True)
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["total_price"] = out["total_price"].round(2)
+    out["total_price"] = round_half_away(out["total_price"], 2)
     return (out[["o_year", "o_orderpriority", "n_orders", "total_price"]]
             .sort_values(["o_year", "o_orderpriority"])
             .reset_index(drop=True))
@@ -2015,10 +2017,10 @@ def parts_supplier_counts(sf_dir: str, k: int = 20):
     )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import sorted_lookup
+
         keys, brands, types = ray.get(pk_ref)
-        pos = np.clip(np.searchsorted(keys, df["l_partkey"].to_numpy()),
-                      0, max(len(keys) - 1, 0))
-        keep = (len(keys) > 0) & (keys[pos] == df["l_partkey"].to_numpy())
+        keep, pos = sorted_lookup(keys, df["l_partkey"].to_numpy())
         d = df[keep]
         p = pos[keep]
         return pd.DataFrame({"p_brand": brands[p], "p_type": types[p],
@@ -2132,15 +2134,19 @@ def q9_profit_by_nation_year(sf_dir: str,
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
     def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import sorted_lookup
+
         sk = ray.get(skeys_ref)
         sn = ray.get(snames_ref)
-        pos = np.clip(np.searchsorted(sk, df["l_suppkey"].to_numpy()),
-                      0, max(len(sk) - 1, 0))
+        # inner-join semantics: a suppkey absent from supplier drops the row
+        found, pos = sorted_lookup(sk, df["l_suppkey"].to_numpy())
+        d = df[found]
+        p = pos[found]
         return pd.DataFrame({
-            "l_orderkey": df["l_orderkey"].astype("int64"),
-            "nation": sn[pos],
-            "amount": df["l_extendedprice"].to_numpy()
-            * (1.0 - df["l_discount"].to_numpy())})
+            "l_orderkey": d["l_orderkey"].astype("int64"),
+            "nation": sn[p],
+            "amount": d["l_extendedprice"].to_numpy()
+            * (1.0 - d["l_discount"].to_numpy())})
 
     if broadcast:
         om = ord_years.to_pandas().sort_values("o_orderkey")

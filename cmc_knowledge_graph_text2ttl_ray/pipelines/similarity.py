@@ -488,7 +488,7 @@ def label_centroids(sf_dir: str):
     return pd.DataFrame({
         "label": agg["label"].astype("int64"),
         "dim": agg["dim"].astype("int64"),
-        "value": (agg["s"] / agg["c"]).round(6),
+        "value": round_half_away(agg["s"] / agg["c"], 6),
     }).sort_values(["label", "dim"]).reset_index(drop=True)
 
 

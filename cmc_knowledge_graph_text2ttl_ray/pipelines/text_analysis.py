@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
 __all__ = [
     "token_stats",
     "quality_scores",
@@ -778,10 +780,15 @@ def bm25_topk(sf_dir: str, query: str = "spark merge window", k: int = 10,
 
     def df_pairs(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].str.split(" ")
-        lens = words.str.len().to_numpy(dtype=np.int64)
-        flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        # null texts yield NaN lengths; guard like the sibling explode UDFs
+        lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+        arrays = [np.asarray(w, dtype=object) for w in words
+                  if isinstance(w, list) and len(w)]
+        if not arrays:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype="int64")})
         out = pd.DataFrame({
-            "term": flat,
+            "term": np.concatenate(arrays),
             "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64),
                                 lens),
         })
@@ -830,7 +837,7 @@ def bm25_topk(sf_dir: str, query: str = "spark merge window", k: int = 10,
         .limit(k)
         .to_pandas()
     )
-    res["score"] = res["score"].round(4)
+    res["score"] = round_half_away(res["score"], 4)
     return res
 
 
@@ -893,7 +900,7 @@ def quality_deciles(sf_dir: str, qs=tuple(i / 10 for i in range(1, 10))):
     return pd.DataFrame({
         "decile": parts["decile"].astype("int64"),
         "n_docs": parts["n"].astype("int64"),
-        "avg_chars": (parts["s"] / parts["n"]).round(2),
+        "avg_chars": round_half_away(parts["s"] / parts["n"], 2),
     }).sort_values("decile").reset_index(drop=True)
 
 

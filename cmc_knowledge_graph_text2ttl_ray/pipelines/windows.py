@@ -96,7 +96,10 @@ def user_event_gaps(sf_dir: str):
             gaps = gaps.mask(pd.Series(first, index=g.index))
         agg = gaps.groupby(g["user_id"], sort=False).agg(
             ["count", "mean", "max"])
-        mean = agg["mean"].round(4)
+        from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+        mean = pd.Series(round_half_away(agg["mean"].to_numpy(), 4),
+                         index=agg.index)
         return pd.DataFrame({
             "user_id": agg.index.to_numpy(),
             "n_gaps": agg["count"].to_numpy(dtype=np.int64),

@@ -139,9 +139,14 @@ def write_warc(rows, path: str, compress: bool = True) -> int:
     out = io.BytesIO()
     n = 0
     for r in rows:
-        html = r["html"] if isinstance(r["html"], bytes) else bytes(r["html"])
+        raw = r["html"]
+        html = (raw if isinstance(raw, bytes)
+                else raw.encode("utf-8") if isinstance(raw, str)
+                else bytes(raw))
         http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
         ts = r["warc_ts"]
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts.replace("Z", "+00:00"))
         iso = (ts if isinstance(ts, datetime) else ts.to_pydatetime()) \
             .strftime("%Y-%m-%dT%H:%M:%SZ")
         hdr = (
