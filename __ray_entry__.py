@@ -319,6 +319,33 @@ def _emb_kmeans(sf_dir: str):
     return kmeans_cluster_stats(sf_dir, max_iters=8)
 
 
+def _quality_classifier(sf_dir: str):
+    """Distributed logistic-regression quality filter (standardized hashed
+    count features; gradient exchange bounded by feature space). Rows-only:
+    iterative model fitting is not SQL-expressible."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.selection import (
+        quality_classifier_scores,
+    )
+
+    return quality_classifier_scores(sf_dir).sort("doc_id")
+
+
+def _dsir_weights(sf_dir: str):
+    """DSIR importance weights (hashed-bigram likelihood ratio vs the
+    src0 target sample). Rows-only: the hash-bucketed n-gram models are
+    not SQL-expressible."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.selection import dsir_weights
+
+    return dsir_weights(sf_dir).sort("doc_id")
+
+
+def _dsir_topk(sf_dir: str):
+    """DSIR selection step: top-100 docs by importance weight."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.selection import dsir_topk
+
+    return dsir_topk(sf_dir, k=100)
+
+
 def _emb_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup: IVF-bucketed cosine pairs →
     connected components → one survivor per semantic cluster."""
@@ -606,6 +633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
+        # training-data selection (iterative model fitting — non-SQL)
+        "docs_quality_classifier": _quality_classifier,
+        "docs_dsir_weights": _dsir_weights,
+        "docs_dsir_topk": _dsir_topk,
         # knowledge-graph construction (non-SQL; rows-only checks)
         "kg_triples": _kg_triples,
         "kg_stats": _kg_stats,
