@@ -319,6 +319,18 @@ def _emb_kmeans(sf_dir: str):
     return kmeans_cluster_stats(sf_dir, max_iters=8)
 
 
+def _value_quantiles_tdigest(sf_dir: str):
+    """Single-pass t-digest quantile sketch over events.value — the
+    constant-exchange companion to the exact multi-pass quantiles.
+    Rows-only: the sketch is approximate by construction (rank error
+    bounded by delta; accuracy pinned vs the exact path in tests)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_value_quantiles_tdigest,
+    )
+
+    return events_value_quantiles_tdigest(sf_dir)
+
+
 def _quality_classifier(sf_dir: str):
     """Distributed logistic-regression quality filter (standardized hashed
     count features; gradient exchange bounded by feature space). Rows-only:
@@ -633,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
+        "events_value_quantiles_sketch": _value_quantiles_tdigest,
         # training-data selection (iterative model fitting — non-SQL)
         "docs_quality_classifier": _quality_classifier,
         "docs_dsir_weights": _dsir_weights,

@@ -19,7 +19,8 @@ import pandas as pd
 import ray.data
 
 __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
-           "events_type_distinct_users"]
+           "events_type_distinct_users", "tdigest_build",
+           "tdigest_quantile", "events_value_quantiles_tdigest"]
 
 
 def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
@@ -132,3 +133,92 @@ def events_type_distinct_users(sf_dir: str):
         Count(alias_name="n_users")).to_pandas()
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ----------------------------------------------------------- t-digest
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress sorted (mean, weight) centroids to ≤ ~delta centroids by
+    k1-scale bucketing (Dunning's t-digest, arXiv:1902.04023): points
+    whose quantile midpoints fall in the same k-index merge. Fully
+    vectorized (no per-centroid Python loop) and deterministic for a
+    given sorted input."""
+    total = weights.sum()
+    if total <= 0 or len(means) == 0:
+        return means[:0], weights[:0]
+    cum = np.cumsum(weights)
+    q_mid = (cum - weights / 2.0) / total
+    # k1 scale: k(q) = delta/(2π)·asin(2q−1); equal-k points merge
+    k = np.floor(delta / (2 * np.pi)
+                 * np.arcsin(np.clip(2.0 * q_mid - 1.0, -1.0, 1.0)))
+    # group consecutive equal-k runs
+    boundaries = np.flatnonzero(np.diff(k) != 0) + 1
+    starts = np.concatenate([[0], boundaries])
+    w_out = np.add.reduceat(weights, starts)
+    m_out = np.add.reduceat(means * weights, starts) / w_out
+    return m_out, w_out
+
+
+def tdigest_build(ds, column: str, delta: int = 200):
+    """Distributed t-digest over a numeric column: each block compresses
+    its values to ≤ ~delta centroids (one vectorized sort + reduceat),
+    the driver merges n_blocks × delta centroid rows with one final
+    compress. The exchange is CONSTANT per block — no value shuffles —
+    which is the whole point versus exact quantiles at 100 TB.
+
+    Returns ``(means, weights, total_n)``.
+    """
+    import pandas as pd
+
+    def block_digest(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[column], errors="coerce").to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pd.DataFrame({"mean": pd.Series(dtype="float64"),
+                                 "weight": pd.Series(dtype="float64")})
+        v.sort()
+        m, w = _tdigest_compress(v, np.ones_like(v), delta)
+        return pd.DataFrame({"mean": m, "weight": w})
+
+    cents = ds.map_batches(block_digest,
+                           batch_format="pandas").to_pandas()
+    if cents.empty:
+        return (np.empty(0), np.empty(0), 0)
+    cents = cents.sort_values("mean", kind="stable")
+    m, w = _tdigest_compress(cents["mean"].to_numpy(),
+                             cents["weight"].to_numpy(), delta)
+    return m, w, int(round(w.sum()))
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                     qs) -> np.ndarray:
+    """Quantile estimates by linear interpolation between centroid
+    means at their cumulative-weight midpoints."""
+    qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+    if len(means) == 0:
+        return np.full(len(qs), np.nan)
+    total = weights.sum()
+    cum = np.cumsum(weights) - weights / 2.0
+    return np.interp(qs * total, cum, means,
+                     left=means[0], right=means[-1])
+
+
+def events_value_quantiles_tdigest(sf_dir: str, delta: int = 200,
+                                   qs=(0.01, 0.1, 0.25, 0.5, 0.75,
+                                       0.9, 0.99)):
+    """Approximate event-value quantiles from a single streaming pass —
+    the sketch companion to the exact multi-pass
+    ``events_value_quantiles``. Rows ``(q, value_est)``; accuracy is
+    rank-error bounded by the delta parameter (tested against the exact
+    path)."""
+    import pandas as pd
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    m, w, _n = tdigest_build(ds, "value", delta)
+    est = tdigest_quantile(m, w, qs)
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                         "value_est": round_half_away(est, 6)})

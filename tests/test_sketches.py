@@ -87,3 +87,78 @@ def test_bloom_prefilter_prunes_but_stays_exact(ray_session):
             WHERE o_orderpriority = '1-URGENT')
         GROUP BY l_returnflag ORDER BY l_returnflag""").df()
     assert list(big["n_items"]) == list(want["n_items"])
+
+
+def test_tdigest_merge_invariance_and_accuracy():
+    """Different block splits of the same data give near-identical
+    quantiles, and rank error stays within the delta bound on a
+    heavy-tailed distribution."""
+    import numpy as np
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _tdigest_compress,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    v = np.sort(rng.lognormal(0.0, 2.0, 100_000))
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+
+    def digest_via_blocks(n_blocks, seed):
+        parts = np.array_split(
+            np.random.default_rng(seed).permutation(v), n_blocks)
+        ms, ws = [], []
+        for b in parts:
+            b = np.sort(b)
+            m, w = _tdigest_compress(b, np.ones_like(b), 200)
+            ms.append(m)
+            ws.append(w)
+        m = np.concatenate(ms)
+        w = np.concatenate(ws)
+        o = np.argsort(m, kind="stable")
+        return _tdigest_compress(m[o], w[o], 200)
+
+    for n_blocks, seed in [(1, 0), (13, 1), (64, 2)]:
+        m, w = digest_via_blocks(n_blocks, seed)
+        assert w.sum() == len(v)
+        est = tdigest_quantile(m, w, qs)
+        ranks = np.searchsorted(v, est) / len(v)
+        assert np.abs(ranks - qs).max() < 0.005
+
+
+def test_tdigest_events_vs_exact(ray_session):
+    """The single-pass sketch agrees with the exact multi-pass quantiles
+    on the real events table within rank tolerance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_value_quantiles_tdigest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_value_quantiles_tdigest(sf)
+    vals = np.sort(pq.read_table(f"{sf}/events.parquet",
+                                 columns=["value"])["value"]
+                   .to_numpy(zero_copy_only=False).astype(float))
+    vals = vals[~np.isnan(vals)]
+    ranks = np.searchsorted(vals, got["value_est"].to_numpy()) / len(vals)
+    assert np.abs(ranks - got["q"].to_numpy()).max() < 0.01
+    # determinism
+    again = events_value_quantiles_tdigest(sf)
+    assert (got["value_est"] == again["value_est"]).all()
+
+
+def test_tdigest_empty_and_tiny():
+    import numpy as np
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _tdigest_compress,
+        tdigest_quantile,
+    )
+
+    m, w = _tdigest_compress(np.empty(0), np.empty(0), 100)
+    assert len(m) == 0
+    assert np.isnan(tdigest_quantile(m, w, [0.5])[0])
+    m, w = _tdigest_compress(np.array([3.0]), np.array([1.0]), 100)
+    assert tdigest_quantile(m, w, [0.0, 0.5, 1.0]).tolist() == [3.0, 3.0, 3.0]
