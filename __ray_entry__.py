@@ -331,6 +331,38 @@ def _value_quantiles_tdigest(sf_dir: str):
     return events_value_quantiles_tdigest(sf_dir)
 
 
+def _type_quantiles_tdigest(sf_dir: str):
+    """Grouped t-digest sketch per event type (single pass, exchange
+    bounded by types × blocks × delta). Rows-only: approximate."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_type_quantiles_tdigest,
+    )
+
+    return events_type_quantiles_tdigest(sf_dir)
+
+
+def _export_shards(sf_dir: str):
+    """Training-shard export: cleaned docs → deterministic resumable
+    jsonl.gz shards under /tmp; returns the manifest as rows (shard,
+    n_rows, n_bytes). Rows-only: a sink, not a query."""
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.export import write_training_shards
+
+    out = "/tmp/graft_export_shards"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    man = write_training_shards(ds, out, num_shards=16, resume=False)
+    rows = [{"shard": int(k), "n_rows": v["n_rows"], "n_bytes": v["n_bytes"]}
+            for k, v in man["shards"].items()]
+    return (pd.DataFrame(rows).sort_values("shard")
+            .reset_index(drop=True))
+
+
 def _quality_classifier(sf_dir: str):
     """Distributed logistic-regression quality filter (standardized hashed
     count features; gradient exchange bounded by feature space). Rows-only:
@@ -646,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
         "events_value_quantiles_sketch": _value_quantiles_tdigest,
+        "events_type_quantiles_sketch": _type_quantiles_tdigest,
+        "docs_export_shards": _export_shards,
         # training-data selection (iterative model fitting — non-SQL)
         "docs_quality_classifier": _quality_classifier,
         "docs_dsir_weights": _dsir_weights,

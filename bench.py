@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q20_dominant_suppliers",
     "docs_url_dedup",
     "events_user_running_totals",
+    "events_value_quantiles_sketch",
+    "docs_dsir_weights",
 ]
 
 

@@ -20,7 +20,8 @@ import posixpath
 from pyarrow import fs as pafs
 
 __all__ = ["resolve_fs", "fs_join", "write_text", "read_text", "exists",
-           "makedirs", "replace_text"]
+           "makedirs", "replace_text", "write_bytes", "read_bytes",
+           "replace_bytes"]
 
 
 def resolve_fs(path: str, filesystem: "pafs.FileSystem | None" = None
@@ -65,3 +66,23 @@ def replace_text(fs: "pafs.FileSystem", path: str, text: str) -> None:
         fs.move(tmp, path)
     else:
         write_text(fs, path, text)
+
+
+def write_bytes(fs: "pafs.FileSystem", path: str, data: bytes) -> None:
+    with fs.open_output_stream(path) as f:
+        f.write(data)
+
+
+def read_bytes(fs: "pafs.FileSystem", path: str) -> bytes:
+    with fs.open_input_stream(path) as f:
+        return f.read()
+
+
+def replace_bytes(fs: "pafs.FileSystem", path: str, data: bytes) -> None:
+    """Binary twin of :func:`replace_text` (same commit semantics)."""
+    if isinstance(fs, (pafs.LocalFileSystem, pafs.SubTreeFileSystem)):
+        tmp = path + ".tmp"
+        write_bytes(fs, tmp, data)
+        fs.move(tmp, path)
+    else:
+        write_bytes(fs, path, data)

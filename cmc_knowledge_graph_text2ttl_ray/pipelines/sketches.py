@@ -20,7 +20,8 @@ import ray.data
 
 __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
            "events_type_distinct_users", "tdigest_build",
-           "tdigest_quantile", "events_value_quantiles_tdigest"]
+           "tdigest_quantile", "events_value_quantiles_tdigest",
+           "events_type_quantiles_tdigest"]
 
 
 def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
@@ -222,3 +223,62 @@ def events_value_quantiles_tdigest(sf_dir: str, delta: int = 200,
     est = tdigest_quantile(m, w, qs)
     return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
                          "value_est": round_half_away(est, 6)})
+
+
+def events_type_quantiles_tdigest(sf_dir: str, delta: int = 200,
+                                  qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Grouped t-digest: approximate per-event-type value quantiles in a
+    single streaming pass. Per block, each type's values compress to
+    ≤ ~delta centroid rows; the merge is one exchange of
+    (type, mean, weight) rows — bounded by types × blocks × delta, never
+    by event count — and the final compress + interpolation runs inside
+    the per-type combine. The constant-exchange grouped companion to the
+    exact multi-pass ``events_type_quantiles``."""
+    import pandas as pd
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import round_half_away
+
+    qs_arr = np.asarray(qs, dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def block_digests(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, g in df.groupby("event_type", sort=False):
+            v = pd.to_numeric(g["value"], errors="coerce") \
+                .to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                continue
+            v.sort()
+            m, w = _tdigest_compress(v, np.ones_like(v), delta)
+            out.append(pd.DataFrame({"event_type": etype, "mean": m,
+                                     "weight": w}))
+        if not out:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "mean": pd.Series(dtype="float64"),
+                                 "weight": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in part.groupby("event_type", sort=False):
+            g = g.sort_values("mean", kind="stable")
+            m, w = _tdigest_compress(g["mean"].to_numpy(),
+                                     g["weight"].to_numpy(), delta)
+            est = tdigest_quantile(m, w, qs_arr)
+            rows.append(pd.DataFrame({
+                "event_type": etype, "q": qs_arr,
+                "value_est": round_half_away(est, 6)}))
+        if not rows:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "q": pd.Series(dtype="float64"),
+                                 "value_est": pd.Series(dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = coarse_group_reduce(
+        ds.map_batches(block_digests, batch_format="pandas"),
+        ["event_type"], combine).to_pandas()
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
