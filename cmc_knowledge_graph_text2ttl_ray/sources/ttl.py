@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["TRIPLES_SCHEMA", "ttl_dataset", "parse_ttl_table"]
+__all__ = ["TRIPLES_SCHEMA", "ttl_dataset", "parse_ttl_table", "kg_diff"]
 
 TRIPLES_SCHEMA = pa.schema(
     [
@@ -84,3 +84,63 @@ def ttl_dataset(path: str, include_src_file: bool = False):
             ["subject", "predicate", "object", "object_kind",
              "object_lang", "object_datatype"])
     return out
+
+
+def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
+    """Set difference of two knowledge graphs (TTL shard dirs or files):
+    rows in TRIPLES_SCHEMA minus ``src_file``, plus a ``change`` column —
+    ``"added"`` (in new, not old) or ``"removed"`` (in old, not new).
+
+    The operational companion to the round trip: diff a fresh extraction
+    run against the currently-published graph before uploading. Scale
+    shape: each side pre-dedups in-block, rows co-locate on
+    ``hash(identity) % P`` (ONE all-to-all over pre-deduped rows), and the
+    per-partition combine is a vectorized indicator merge — identical
+    triples never leave their partition, and unchanged triples (the
+    overwhelming majority) are dropped inside the combine, so only the
+    actual diff flows downstream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_coarse_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import (
+        IDENTITY_COLS,
+        add_identity_hash,
+    )
+
+    old = ttl_dataset(old_path)
+    new = ttl_dataset(new_path)
+    if num_partitions is None:
+        num_partitions = default_coarse_partitions(
+            old.count() + new.count())
+
+    def tag(side: int):
+        def pre(batch: pa.Table) -> pd.DataFrame:
+            df = add_identity_hash(batch, keep_cols=IDENTITY_COLS)
+            df["side"] = np.int64(side)
+            df["part"] = (df["h"] % num_partitions).astype("int64")
+            return df
+
+        return pre
+
+    both = old.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow"))
+
+    def diff_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=IDENTITY_COLS + ["side"])
+        sides = g.groupby("h")["side"].agg(["min", "max"])
+        only = sides[sides["min"] == sides["max"]]
+        if only.empty:
+            return g.iloc[:0][IDENTITY_COLS].assign(
+                change=pd.Series(dtype=object))
+        keep = g[g["h"].isin(only.index)]
+        out = keep[IDENTITY_COLS].copy()
+        out["change"] = np.where(keep["side"].to_numpy() == 1,
+                                 "added", "removed")
+        return out
+
+    return (both.groupby("part")
+            .map_groups(diff_group, batch_format="pandas"))

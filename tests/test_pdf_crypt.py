@@ -213,3 +213,40 @@ def test_unencrypted_fast_path_unaffected():
     from tests.test_pdf import TABLE_STREAM, make_pdf
 
     assert "Quarterly" in pdf_to_xhtml(make_pdf([TABLE_STREAM]))
+
+
+# ----------------------------------------------------- property tests
+
+
+def test_rc4_aes_property_roundtrip():
+    """RC4 is its own inverse; AES-CBC decrypt inverts the fixture's
+    forward encryptor for random keys/payloads (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=1, max_size=64), st.binary(min_size=0, max_size=300))
+    def rc4_roundtrip(key, payload):
+        assert pc.rc4(key, pc.rc4(key, payload)) == payload
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.binary(min_size=16, max_size=16), st.binary(min_size=0, max_size=200))
+    def aes_roundtrip(key, payload):
+        assert pc.aes128_cbc_decrypt(key, _aes_cbc_encrypt(key, payload)) == payload
+
+    rc4_roundtrip()
+    aes_roundtrip()
+
+
+def test_encrypted_pdf_unsigned_p_entry():
+    """Producers that store /P as unsigned 32-bit (e.g. 4294963392 ==
+    -3904) must still decrypt (round-3 review: struct.error crash)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import pdf_to_xhtml
+
+    pdf = make_encrypted_pdf(_STREAM)
+    assert b"/P -44 >>" in pdf
+    unsigned = str((-44) & 0xFFFFFFFF)
+    # the encryption key hashes the SIGNED packing either way, so only the
+    # textual representation changes and decryption must still succeed
+    bad = pdf.replace(b"/P -44 >>", b"/P " + unsigned.encode() + b" >>")
+    assert "Classified totals" in pdf_to_xhtml(bad)

@@ -80,3 +80,40 @@ def test_ttl_kg_sink_roundtrip(ray_session, tmp_path):
     write_ttl_partitions(triples, str(out), num_buckets=3)
     back = ttl_dataset(str(out)).to_pandas()
     assert _norm(back) == _norm(triples.to_pandas())
+
+
+def test_kg_diff_added_removed(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import serialize_triples
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import kg_diff
+
+    shared = TRIPLES[:4]
+    removed = TRIPLES[4]          # only in old
+    added = TRIPLES[5]            # only in new
+    old_d, new_d = tmp_path / "old", tmp_path / "new"
+    old_d.mkdir(); new_d.mkdir()
+    (old_d / "a.ttl").write_text(
+        serialize_triples(shared + [removed], PREFIXES), encoding="utf-8")
+    (new_d / "a.ttl").write_text(
+        serialize_triples(shared[:2] + [added], PREFIXES), encoding="utf-8")
+    (new_d / "b.ttl").write_text(
+        serialize_triples(shared[2:4], PREFIXES), encoding="utf-8")
+
+    diff = kg_diff(str(old_d), str(new_d), num_partitions=4).to_pandas()
+    assert len(diff) == 2
+    add_row = diff[diff["change"] == "added"].iloc[0]
+    rem_row = diff[diff["change"] == "removed"].iloc[0]
+    assert (add_row["subject"], add_row["predicate"]) == (added[0], added[1])
+    assert (rem_row["subject"], rem_row["predicate"]) == (removed[0], removed[1])
+
+
+def test_kg_diff_identical_graphs_empty(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import serialize_triples
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import kg_diff
+
+    for name in ("old", "new"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "x.ttl").write_text(serialize_triples(TRIPLES, PREFIXES),
+                                 encoding="utf-8")
+    assert kg_diff(str(tmp_path / "old"), str(tmp_path / "new"),
+                   num_partitions=4).count() == 0
