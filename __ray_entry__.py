@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,
         "knn_lsh": S.knn_lsh,
+        "knn_pq": S.knn_pq,
         "emb_lsh_buckets": S.hyperplane_lsh_buckets,
         "emb_label_centroids": S.label_centroids,
         "emb_centroid_confusion": S.centroid_confusion,
