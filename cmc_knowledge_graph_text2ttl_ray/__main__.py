@@ -147,6 +147,7 @@ def cmd_run(args) -> int:
         num_buckets=args.num_buckets,
         resume=not args.no_resume,
         canonical_mode=args.canonical_mode,
+        ttl_compression=("gzip" if args.ttl_gzip else None),
         # pdf: sources are a lazy map plan (schema unknown without running
         # the executor) — route explicitly instead of the auto sniff
         source=("pdf" if args.pages.startswith("pdf:")
@@ -182,6 +183,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--num-cpus", type=int, default=32)
     p_run.add_argument("--num-buckets", type=int, default=64)
     p_run.add_argument("--no-resume", action="store_true")
+    p_run.add_argument("--ttl-gzip", action="store_true",
+                       help="write gzip'd TTL shards (8-10x smaller; "
+                            "storage-bandwidth-bound sinks)")
     p_run.add_argument("--canonical-mode", choices=["broadcast", "join"],
                        default="broadcast", dest="canonical_mode")
     p_run.set_defaults(fn=cmd_run)

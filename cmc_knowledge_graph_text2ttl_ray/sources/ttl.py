@@ -66,13 +66,19 @@ def ttl_dataset(path: str, include_src_file: bool = False):
     import ray.data
 
     ds = ray.data.read_binary_files(
-        path, include_paths=True, file_extensions=["ttl"]
+        path, include_paths=True, file_extensions=["ttl", "ttl.gz"]
     )
 
     def expand(batch: pa.Table) -> pa.Table:
+        import gzip
+
         tables = []
         for path_val, data in zip(batch["path"].to_pylist(),
                                   batch["bytes"].to_pylist()):
+            # ray's read_binary_files already inflates .gz by extension;
+            # sniff the magic so hand-fed compressed bytes still work
+            if data[:2] == b"\x1f\x8b":
+                data = gzip.decompress(data)
             tables.append(parse_ttl_table(data.decode("utf-8"), path_val))
         if not tables:
             return TRIPLES_SCHEMA.empty_table()

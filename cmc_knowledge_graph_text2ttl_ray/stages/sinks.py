@@ -49,6 +49,7 @@ def write_ttl_partitions(
     num_buckets: int = 64,
     resume: bool = True,
     filesystem=None,
+    compression: str | None = None,
 ) -> dict:
     """Write the triple dataset as bucketed, exactly-deduped TTL shards.
 
@@ -92,8 +93,18 @@ def write_ttl_partitions(
                         group["object"].to_numpy(), group["object_kind"].to_numpy(),
                         lg.to_numpy(), dt.to_numpy()))
         ttl = serialize_triples(rows, prefixes)  # sorts + set-dedups
-        path = fsio.fs_join(base, f"part-{bucket:05d}.ttl")
-        fsio.replace_text(fs, path, ttl)  # atomic per-partition commit
+        if compression == "gzip":
+            # TTL text compresses 8-10×; on disk/network-bound storage the
+            # sink is bandwidth-limited, so shards ship gzip'd (mtime=0:
+            # bytes stay deterministic). ttl_dataset reads .ttl.gz back.
+            import gzip as _gzip
+
+            path = fsio.fs_join(base, f"part-{bucket:05d}.ttl.gz")
+            fsio.replace_bytes(fs, path,
+                               _gzip.compress(ttl.encode("utf-8"), mtime=0))
+        else:
+            path = fsio.fs_join(base, f"part-{bucket:05d}.ttl")
+            fsio.replace_text(fs, path, ttl)  # atomic per-partition commit
         return pd.DataFrame({"bucket": [bucket], "n_triples": [len(rows)], "path": [path]})
 
     written = (

@@ -117,3 +117,32 @@ def test_kg_diff_identical_graphs_empty(ray_session, tmp_path):
                                  encoding="utf-8")
     assert kg_diff(str(tmp_path / "old"), str(tmp_path / "new"),
                    num_partitions=4).count() == 0
+
+
+def test_ttl_gzip_roundtrip(ray_session, tmp_path):
+    """Gzip'd shards (the bandwidth-bound sink mode) read back identically,
+    and shard bytes are deterministic across runs (mtime pinned)."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+    from cmc_knowledge_graph_text2ttl_ray.stages.sinks import (
+        write_ttl_partitions,
+    )
+
+    cols = ["subject", "predicate", "object", "object_kind",
+            "object_lang", "object_datatype"]
+    rows = [dict(zip(cols, t)) for t in TRIPLES]
+    out1, out2 = tmp_path / "g1", tmp_path / "g2"
+    for out in (out1, out2):
+        write_ttl_partitions(ray.data.from_items(rows), str(out),
+                             prefixes=PREFIXES, num_buckets=2,
+                             compression="gzip")
+    import os
+
+    names = sorted(os.listdir(out1))
+    assert any(n.endswith(".ttl.gz") for n in names)
+    for n in names:
+        if n.endswith(".gz"):
+            assert (out1 / n).read_bytes() == (out2 / n).read_bytes()
+    back = ttl_dataset(str(out1)).to_pandas()
+    assert _norm(back) == _norm(pd.DataFrame(TRIPLES, columns=cols))
