@@ -303,7 +303,8 @@ def _hashed_ngram_counts(ds, n_buckets: int, ngram: int) -> np.ndarray:
         n_rows_hint=n_buckets,
     ).to_pandas()
     out = np.zeros(n_buckets, dtype=np.float64)
-    out[red["bucket"].to_numpy(np.int64)] = red["n"].to_numpy(np.float64)
+    if len(red) and "bucket" in red.columns:  # empty target → zero counts
+        out[red["bucket"].to_numpy(np.int64)] = red["n"].to_numpy(np.float64)
     return out
 
 
@@ -332,9 +333,18 @@ def dsir_weights(
     ``(doc_id, n_grams, log_weight)`` where ``log_weight`` is the mean
     per-gram log likelihood ratio (length-normalized, as in the paper's
     practical variant)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     raw = _docs(sf_dir, columns=["doc_id", "text", "source"])
-    target = raw.filter(
-        expr=f"source == '{target_source}'").select_columns(["text"])
+
+    def keep_target(t: pa.Table) -> pa.Table:
+        # vectorized equality, not an interpolated filter expression —
+        # a source value containing quotes must stay data, not syntax
+        return t.filter(pc.equal(t["source"], target_source))
+
+    target = raw.map_batches(
+        keep_target, batch_format="pyarrow").select_columns(["text"])
     model = dsir_logratio_model(target, raw, n_buckets=n_buckets,
                                 ngram=ngram)
     model_ref = ray.put(model)

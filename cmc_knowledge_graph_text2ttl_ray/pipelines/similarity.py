@@ -570,26 +570,25 @@ def _pq_train_codebooks(sample: np.ndarray, m: int, k: int,
         c = x[::stride][:k].copy()
         if len(c) < k:  # tiny corpora: pad by repeating
             c = np.concatenate([c, np.tile(c[-1:], (k - len(c), 1))])
+        x2 = (x * x).sum(1)[:, None]
         for _ in range(iters):
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2) \
-                if n * k * ds_ <= 50_000_000 else None
-            if d2 is None:  # memory guard: blockwise argmin
-                idx = np.empty(n, dtype=np.int64)
-                for lo in range(0, n, 4096):
-                    blk = x[lo:lo + 4096]
-                    idx[lo:lo + len(blk)] = np.argmin(
-                        ((blk[:, None, :] - c[None, :, :]) ** 2).sum(axis=2),
-                        axis=1)
-            else:
-                idx = np.argmin(d2, axis=1)
+            # ||x−c||² = ||x||² − 2x·c + ||c||²: O(n·k) memory, no n×k×d
+            # temporary (same identity _pq_encode_matrix uses)
+            d2 = x2 - 2.0 * (x @ c.T) + (c * c).sum(1)[None]
+            idx = np.argmin(d2, axis=1)
             sums = np.zeros_like(c)
             cnt = np.zeros(k)
             np.add.at(sums, idx, x)
             np.add.at(cnt, idx, 1)
             nz = cnt > 0
             c[nz] = sums[nz] / cnt[nz, None]
-            if (~nz).any():  # re-seed dead centroids deterministically
-                c[~nz] = x[:: max(1, n // max(1, (~nz).sum()))][: (~nz).sum()]
+            if (~nz).any():
+                # re-seed dead centroids deterministically; cyclic indexing
+                # so ANY dead count is coverable from a sample of n rows
+                # (round-3 review: the strided slice under-supplied when
+                # dead > n and crashed on broadcasts)
+                dead = int((~nz).sum())
+                c[~nz] = x[np.arange(dead) % n]
         books[s] = c
     return books
 

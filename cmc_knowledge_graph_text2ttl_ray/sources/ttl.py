@@ -137,12 +137,16 @@ def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
 
     def diff_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=IDENTITY_COLS + ["side"])
-        sides = g.groupby("h")["side"].agg(["min", "max"])
-        only = sides[sides["min"] == sides["max"]]
-        if only.empty:
+        # membership by FULL identity, not the 64-bit hash — at billions
+        # of triples birthday collisions would silently cancel an added
+        # triple against an unrelated removed one (round-3 review);
+        # dropna=False keeps None-lang/datatype literals grouped
+        grp = g.groupby(IDENTITY_COLS, dropna=False, sort=False)["side"]
+        both_sides = grp.transform("min") != grp.transform("max")
+        keep = g[~both_sides]
+        if keep.empty:
             return g.iloc[:0][IDENTITY_COLS].assign(
                 change=pd.Series(dtype=object))
-        keep = g[g["h"].isin(only.index)]
         out = keep[IDENTITY_COLS].copy()
         out["change"] = np.where(keep["side"].to_numpy() == 1,
                                  "added", "removed")

@@ -58,6 +58,22 @@ def write_training_shards(
     fsio.makedirs(fs, base)
     manifest = (read_shard_manifest(out_dir, filesystem)
                 if resume else {"shards": {}})
+    # Resume is only valid for the exact sharding parameters: a changed
+    # num_shards/columns/compress re-maps rows to different shards, so
+    # trusting old manifest entries would keep stale, misplaced rows
+    # (round-3 review). On mismatch, clear the old shard FILES too —
+    # they are no longer part of any consistent layout.
+    params = {"key_col": key_col, "num_shards": num_shards,
+              "columns": sorted(columns) if columns else None,
+              "compress": bool(compress)}
+    if manifest["shards"] and manifest.get("params") != params:
+        for v in manifest["shards"].values():
+            try:
+                fs.delete_file(v["path"])
+            except OSError:
+                pass
+        manifest = {"shards": {}}
+    manifest["params"] = params
     done = set(manifest["shards"]) if resume else set()
     ext = "jsonl.gz" if compress else "jsonl"
 

@@ -66,6 +66,14 @@ def write_ttl_partitions(
     fs, base = fsio.resolve_fs(out_dir, filesystem)
     fsio.makedirs(fs, base)
     manifest = read_manifest(out_dir, filesystem) if resume else {"buckets": {}}
+    # A layout change (plain ↔ gzip) invalidates the whole manifest:
+    # otherwise resume would skip every bucket and silently keep the old
+    # layout, and a partial rewrite would leave BOTH part-N.ttl and
+    # part-N.ttl.gz for ttl_dataset to double-read (round-3 review).
+    comp_tag = compression or "none"
+    if manifest.get("compression", "none") != comp_tag:
+        manifest = {"buckets": {}}
+    manifest["compression"] = comp_tag
     done = set(manifest["buckets"]) if resume else set()
     prefixes = prefixes or {}
 
@@ -93,6 +101,15 @@ def write_ttl_partitions(
                         group["object"].to_numpy(), group["object_kind"].to_numpy(),
                         lg.to_numpy(), dt.to_numpy()))
         ttl = serialize_triples(rows, prefixes)  # sorts + set-dedups
+        # drop the other layout's shard for this bucket, if a previous run
+        # wrote it — ttl_dataset reads both extensions
+        stale = fsio.fs_join(
+            base, f"part-{bucket:05d}.ttl" + ("" if compression == "gzip"
+                                              else ".gz"))
+        try:
+            fs.delete_file(stale)
+        except OSError:
+            pass
         if compression == "gzip":
             # TTL text compresses 8-10×; on disk/network-bound storage the
             # sink is bandwidth-limited, so shards ship gzip'd (mtime=0:

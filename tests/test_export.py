@@ -59,9 +59,11 @@ def test_export_resume_skips_done_shards(docs_ds, tmp_path):
 
     out = str(tmp_path / "r")
     man = write_training_shards(docs_ds, out, num_shards=4)
-    # drop two shards from the manifest to simulate a partial run
+    # drop two shards from the manifest to simulate a partial run (a real
+    # partial run keeps the params stamp — preserve it)
     partial = {"shards": {k: v for k, v in man["shards"].items()
-                          if k in ("0", "1")}}
+                          if k in ("0", "1")},
+               "params": man["params"]}
     with open(os.path.join(out, "manifest.json"), "w") as f:
         json.dump(partial, f)
     mtimes = {k: os.path.getmtime(v["path"])
@@ -107,3 +109,19 @@ def test_grouped_tdigest_vs_exact(ray_session):
     # determinism
     again = events_type_quantiles_tdigest(sf)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_export_param_change_resets_layout(docs_ds, tmp_path):
+    """Changing num_shards on an existing out_dir must not mix layouts:
+    old shard files are cleared and the new layout is complete/exact."""
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.export import write_training_shards
+
+    out = str(tmp_path / "p")
+    write_training_shards(docs_ds, out, num_shards=4)
+    write_training_shards(docs_ds, out, num_shards=8)
+    names = [n for n in os.listdir(out) if n.startswith("shard-")]
+    assert len(names) == 8
+    back = _read_all(out).sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == list(range(200))

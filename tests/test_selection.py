@@ -110,3 +110,13 @@ def test_classifier_empty_input(ray_session, tmp_path):
     ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
     model = train_quality_classifier(ds, iters=2, n_features=1 << 10)
     assert model["bias"] == 0.0 and not model["w"].any()
+
+
+def test_dsir_quoted_target_source_is_data(ray_session, sel_dir):
+    """A target_source containing a quote must be treated as data (no
+    filter-expression interpolation): empty target → finite weights."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.selection import dsir_weights
+
+    w = dsir_weights(sel_dir, target_source="o'reilly").to_pandas()
+    assert len(w) == 120
+    assert w["log_weight"].notna().all()

@@ -221,3 +221,20 @@ def test_pq_codebook_roundtrip_error_shrinks():
 
     e2, e6 = recon_err(2), recon_err(6)
     assert e6 < e2 * 0.6
+
+
+def test_pq_trainer_tiny_corpus_many_centroids():
+    """k >> sample size must train (cyclic dead-centroid reseed), not
+    crash on a broadcast mismatch (round-3 review)."""
+    import numpy as np
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        _pq_encode_matrix,
+        _pq_train_codebooks,
+    )
+
+    x = np.random.default_rng(1).normal(size=(100, 16))
+    books = _pq_train_codebooks(x, m=4, k=256)
+    codes = _pq_encode_matrix(x, books)
+    assert books.shape == (4, 256, 4) and codes.shape == (100, 4)
+    assert np.array_equal(books, _pq_train_codebooks(x, m=4, k=256))

@@ -146,3 +146,32 @@ def test_ttl_gzip_roundtrip(ray_session, tmp_path):
             assert (out1 / n).read_bytes() == (out2 / n).read_bytes()
     back = ttl_dataset(str(out1)).to_pandas()
     assert _norm(back) == _norm(pd.DataFrame(TRIPLES, columns=cols))
+
+
+def test_ttl_sink_compression_toggle_no_double_read(ray_session, tmp_path):
+    """Plain run → gzip rerun on the same dir: manifest invalidates, the
+    stale plain shards are replaced, and the read-back triple set is
+    exactly the input (round-3 review: double-read)."""
+    import os
+
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+    from cmc_knowledge_graph_text2ttl_ray.stages.sinks import (
+        write_ttl_partitions,
+    )
+
+    cols = ["subject", "predicate", "object", "object_kind",
+            "object_lang", "object_datatype"]
+    rows = [dict(zip(cols, t)) for t in TRIPLES]
+    out = tmp_path / "toggle"
+    write_ttl_partitions(ray.data.from_items(rows), str(out),
+                         prefixes=PREFIXES, num_buckets=2)
+    assert any(n.endswith(".ttl") for n in os.listdir(out))
+    write_ttl_partitions(ray.data.from_items(rows), str(out),
+                         prefixes=PREFIXES, num_buckets=2,
+                         compression="gzip", resume=True)
+    names = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert all(n.endswith(".ttl.gz") for n in names), names
+    back = ttl_dataset(str(out)).to_pandas()
+    assert _norm(back) == _norm(pd.DataFrame(TRIPLES, columns=cols))
