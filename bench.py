@@ -221,9 +221,11 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sf": SF_DIR,
         "low": {"num_cpus": lo, "triples_per_sec": results[lo]["triples_per_sec"],
-                "wall_sec": results[lo]["value"]},
+                "wall_sec": results[lo]["value"],
+                "cpu_calib": results[lo].get("cpu_calib")},
         "high": {"num_cpus": hi, "triples_per_sec": results[hi]["triples_per_sec"],
-                 "wall_sec": results[hi]["value"]},
+                 "wall_sec": results[hi]["value"],
+                 "cpu_calib": results[hi].get("cpu_calib")},
         "n_pages": results[hi]["n_pages"],
         "num_cpus": hi,
     }
