@@ -215,9 +215,22 @@ def run_scaling() -> dict:
         )
         results[n] = json.loads(out.stdout.strip().splitlines()[-1])
     eff = (results[hi]["triples_per_sec"] / results[lo]["triples_per_sec"]) / (hi / lo)
+    # The two children run minutes apart on a co-tenant box whose per-core
+    # speed fluctuates (the single-core calib probe, measured immediately
+    # before each run, has varied 0.6-1.2 s the same day). Normalizing by
+    # the calib ratio removes that between-window skew: if the high child's
+    # cores were 20% slower, its throughput is scaled back up 20%.
+    calib_ratio = None
+    try:
+        calib_ratio = (results[hi]["cpu_calib"]["single_sec"]
+                       / results[lo]["cpu_calib"]["single_sec"])
+    except (KeyError, TypeError, ZeroDivisionError):
+        pass
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
+        "value_calib_normalized": (round(eff * calib_ratio, 3)
+                                   if calib_ratio else None),
         "unit": "ratio",
         "sf": SF_DIR,
         "low": {"num_cpus": lo, "triples_per_sec": results[lo]["triples_per_sec"],
