@@ -120,8 +120,19 @@ def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
     old = ttl_dataset(old_path)
     new = ttl_dataset(new_path)
     if num_partitions is None:
-        num_partitions = default_coarse_partitions(
-            old.count() + new.count())
+        # size partitions from file METADATA (bytes on disk ≈ 60-80 B per
+        # serialized triple) — a .count() here would parse every shard a
+        # second time just to pick a partition count
+        import os
+
+        def _bytes(p: str) -> int:
+            if os.path.isdir(p):
+                return sum(e.stat().st_size for e in os.scandir(p)
+                           if e.name.endswith((".ttl", ".ttl.gz")))
+            return os.path.getsize(p) if os.path.exists(p) else 0
+
+        est_rows = (_bytes(old_path) + _bytes(new_path)) // 70
+        num_partitions = default_coarse_partitions(max(est_rows, 1))
 
     def tag(side: int):
         def pre(batch: pa.Table) -> pd.DataFrame:
