@@ -125,13 +125,23 @@ def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
         # second time just to pick a partition count
         import os
 
-        def _bytes(p: str) -> int:
+        def _est_rows(p: str) -> int:
+            # gzip shards are ~8-10x smaller on disk, so their bytes count
+            # ~9x more rows per byte than plain .ttl
             if os.path.isdir(p):
-                return sum(e.stat().st_size for e in os.scandir(p)
-                           if e.name.endswith((".ttl", ".ttl.gz")))
-            return os.path.getsize(p) if os.path.exists(p) else 0
+                total = 0
+                for e in os.scandir(p):
+                    if e.name.endswith(".ttl.gz"):
+                        total += e.stat().st_size * 9 // 70
+                    elif e.name.endswith(".ttl"):
+                        total += e.stat().st_size // 70
+                return total
+            if not os.path.exists(p):
+                return 0
+            mult = 9 if p.endswith(".gz") else 1
+            return os.path.getsize(p) * mult // 70
 
-        est_rows = (_bytes(old_path) + _bytes(new_path)) // 70
+        est_rows = _est_rows(old_path) + _est_rows(new_path)
         num_partitions = default_coarse_partitions(max(est_rows, 1))
 
     def tag(side: int):
@@ -146,7 +156,10 @@ def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
     both = old.map_batches(tag(0), batch_format="pyarrow").union(
         new.map_batches(tag(1), batch_format="pyarrow"))
 
-    def diff_group(g: pd.DataFrame) -> pd.DataFrame:
+    diff_schema = pa.schema([(c, pa.string()) for c in IDENTITY_COLS]
+                            + [("change", pa.string())])
+
+    def diff_group(g: pd.DataFrame) -> pa.Table:
         g = g.drop_duplicates(subset=IDENTITY_COLS + ["side"])
         # membership by FULL identity, not the 64-bit hash — at billions
         # of triples birthday collisions would silently cancel an added
@@ -156,12 +169,14 @@ def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
         both_sides = grp.transform("min") != grp.transform("max")
         keep = g[~both_sides]
         if keep.empty:
-            return g.iloc[:0][IDENTITY_COLS].assign(
-                change=pd.Series(dtype=object))
+            # typed empty Arrow block — pandas object-dtype empties trip
+            # Ray's block size estimator into per-column log noise
+            return diff_schema.empty_table()
         out = keep[IDENTITY_COLS].copy()
         out["change"] = np.where(keep["side"].to_numpy() == 1,
                                  "added", "removed")
-        return out
+        return pa.Table.from_pandas(out, schema=diff_schema,
+                                    preserve_index=False)
 
     return (both.groupby("part")
             .map_groups(diff_group, batch_format="pandas"))
