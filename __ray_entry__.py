@@ -227,6 +227,12 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_epoch_shuffle(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import epoch_shuffle
+
+    return epoch_shuffle(sf_dir, seed=0)
+
+
 def _docs_train_val_split(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import train_val_split
 
@@ -624,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_stats": _corpus_prep_stats,
         "docs_train_val_split": _docs_train_val_split,
         "docs_pack_sequences": _docs_pack_sequences,
+        "docs_epoch_shuffle": _docs_epoch_shuffle,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1113,6 +1120,13 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
             )
             ORDER BY o_year, o_orderpriority
+        """,
+        "docs_epoch_shuffle": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+                                       1, 16), doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
         """,
         "docs_pack_sequences": """
             WITH t AS (

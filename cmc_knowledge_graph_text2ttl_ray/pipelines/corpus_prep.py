@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["clean_corpus", "corpus_prep_stats", "train_val_split",
-           "pack_sequences"]
+           "pack_sequences", "epoch_shuffle"]
 
 
 def _quality_filter(t: pa.Table, min_alpha_ratio: float, min_tokens: int,
@@ -246,3 +246,68 @@ def pack_sequences(sf_dir: str, seq_len: int = 512):
         })
 
     return counted.map_batches(spans, batch_format="pyarrow")
+
+
+def epoch_shuffle(sf_dir: str, seed: int = 0):
+    """Deterministic global epoch shuffle: every document gets a total-order
+    training position for a given ``seed``, reproducible on any cluster
+    size and resumable (position is a pure function of (seed, corpus) —
+    re-running epoch 3 after a crash yields the identical order, unlike
+    ``random_shuffle``). Changing ``seed`` per epoch gives independent
+    permutations.
+
+    Scale shape: rank = md5(seed:doc_id) — one range-partitioning sort on
+    the 16-hex-char key (the single all-to-all; only (key, doc_id) pairs
+    move, never text), then global positions via the same bounded
+    distributed prefix sum as ``pack_sequences``: one (first_key, count)
+    row per block to the driver, exclusive scan, broadcast base offsets,
+    per-block ``arange`` add. A loader then reads the corpus joined
+    against this (doc_id → pos) table, or the positions are written as a
+    partitioned parquet index next to the shards.
+    """
+    import numpy as np
+    import ray
+
+    prefix = f"{seed}:"
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "skey": [hashlib.md5((prefix + str(d)).encode()).hexdigest()[:16]
+                     for d in df["doc_id"]],
+        })
+
+    keyed = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id"])
+             .map_batches(key, batch_format="pandas")
+             .sort(["skey", "doc_id"]).materialize())
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        return pa.table({
+            "first": pa.array([t["skey"][0].as_py()], pa.string()),
+            "count": pa.array([t.num_rows], pa.int64()),
+        })
+
+    summaries = (keyed.map_batches(block_summary, batch_format="pyarrow")
+                 .to_pandas().sort_values("first"))
+    bases = dict(zip(
+        summaries["first"],
+        np.concatenate([[0], summaries["count"].to_numpy(np.int64)
+                        .cumsum()[:-1]]),
+    ))
+    bases_ref = ray.put(bases)
+
+    def positions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        base = ray.get(bases_ref)[t["skey"][0].as_py()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": pa.array(base + np.arange(t.num_rows), pa.int64()),
+        })
+
+    return keyed.map_batches(positions, batch_format="pyarrow")
