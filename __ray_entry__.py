@@ -227,6 +227,20 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_bpe_merges(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import train_bpe
+
+    return train_bpe(sf_dir, num_merges=200, max_words=30_000)
+
+
+def _docs_bpe_encoded(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        bpe_token_counts,
+    )
+
+    return bpe_token_counts(sf_dir, num_merges=200, max_words=30_000)
+
+
 def _docs_epoch_shuffle(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import epoch_shuffle
 
@@ -631,6 +645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_train_val_split": _docs_train_val_split,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_epoch_shuffle": _docs_epoch_shuffle,
+        "docs_bpe_merges": _docs_bpe_merges,
+        "docs_bpe_encoded": _docs_bpe_encoded,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,

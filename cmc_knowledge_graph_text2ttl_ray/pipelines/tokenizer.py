@@ -1,0 +1,216 @@
+"""Distributed BPE tokenizer training and application.
+
+Byte-pair-encoding vocabularies are trained on a (word, count) histogram,
+not on the raw corpus — the histogram is the distributed part, the merge
+loop runs over the bounded histogram. This is the classic subword-nmt /
+GPT-2-style formulation re-expressed Ray-Data-first:
+
+1. ``word_histogram`` — one streaming pass: punctuation-isolating
+   pre-tokenization with Arrow C kernels, per-block ``value_counts``
+   partials so only ``(word, partial_count)`` rows shuffle, a coarse
+   hash-partition sum over distinct words (vocabulary-bounded — distinct
+   words grow ~log corpus), then an exact global top-``max_words``
+   truncation (per-block top-k + final sort over ≤ k × blocks rows).
+2. ``train_bpe`` — the merge loop is inherently sequential (merge r+1
+   depends on merge r) and runs on the driver over ≤ ``max_words`` rows
+   with incremental pair-count maintenance: only words containing the
+   just-merged pair are re-tokenized, so each iteration is sub-linear in
+   the histogram. At 100 TB the histogram top-50k is identical to the
+   one a single-machine trainer would see — nothing here scales with
+   corpus size except the one histogram pass.
+3. ``BpeEncoder`` / ``bpe_token_counts`` — apply learned merges to the
+   corpus as an actor-pool ``map_batches`` stage: merge ranks are built
+   once per actor in ``__init__`` (broadcast via ``ray.put``), encoding
+   memoizes per distinct word so each actor tokenizes a word once no
+   matter how many times it occurs.
+
+The reference engine has no tokenizer trainer; this implements the
+public BPE algorithm (Sennrich et al. 2016) for the training-data
+family the engine adds.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+__all__ = ["word_histogram", "train_bpe", "bpe_token_counts"]
+
+END_OF_WORD = "</w>"
+
+
+def _pretokenize(text: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Split into BPE pre-tokens: words, numbers, single punctuation.
+    Implemented as two C kernels (isolate non-alphanumerics with spaces,
+    whitespace-split) — RE2 has no lookarounds, so the usual
+    findall-per-row loop is replaced by pad-then-split."""
+    padded = pc.replace_substring_regex(text, r"([^A-Za-z0-9\s])", r" \1 ")
+    return pc.split_pattern_regex(pc.utf8_trim_whitespace(padded), r"\s+")
+
+
+def word_histogram(sf_dir: str, max_words: int = 30_000):
+    """Exact corpus-wide (word, cnt) histogram truncated to the
+    ``max_words`` most frequent words (count-desc, word-asc tie-break).
+    Truncation happens AFTER the global sum, so the result is independent
+    of block structure and cluster size."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = _pretokenize(t["text"])
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = flat.value_counts()
+        out = pa.table({"word": vc.field("values"),
+                        "cnt": vc.field("counts").cast(pa.int64())})
+        # trim-then-split yields one "" token for whitespace-only docs
+        return out.filter(pc.not_equal(out["word"], ""))
+
+    counts = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"],
+        lambda g: g.groupby("word", as_index=False)["cnt"].sum(),
+    )
+
+    def block_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cnt", "word"],
+                             ascending=[False, True]).head(max_words)
+
+    cand = counts.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return (cand.sort_values(["cnt", "word"], ascending=[False, True])
+            .head(max_words).reset_index(drop=True))
+
+
+def _merge_loop(hist: pd.DataFrame, num_merges: int) -> pd.DataFrame:
+    """Classic BPE with incremental pair-count maintenance."""
+    words = [tuple(w) + (END_OF_WORD,) for w in hist["word"]]
+    cnts = hist["cnt"].to_numpy(np.int64)
+
+    pair_counts: dict[tuple, int] = defaultdict(int)
+    pair_words: dict[tuple, set] = defaultdict(set)
+    for i, syms in enumerate(words):
+        c = int(cnts[i])
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += c
+            pair_words[(a, b)].add(i)
+
+    merges = []
+    for rank in range(num_merges):
+        if not pair_counts:
+            break
+        # deterministic: highest count, then lexicographically first pair
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        freq = pair_counts[best]
+        if freq < 2:
+            break
+        merges.append((rank, best[0], best[1], freq))
+        merged = best[0] + best[1]
+        for i in list(pair_words[best]):
+            syms = words[i]
+            c = int(cnts[i])
+            # retract this word's old pairs
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= c
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(i)
+            # apply the merge left-to-right
+            out, j = [], 0
+            while j < len(syms):
+                if (j + 1 < len(syms) and syms[j] == best[0]
+                        and syms[j + 1] == best[1]):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = tuple(out)
+            words[i] = syms
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+                pair_words[(a, b)].add(i)
+
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"]) \
+        .astype({"rank": "int64", "freq": "int64"})
+
+
+def train_bpe(sf_dir: str, num_merges: int = 200,
+              max_words: int = 30_000) -> pd.DataFrame:
+    """Learn ``num_merges`` BPE merge rules from the corpus. Returns a
+    small DataFrame ``(rank, left, right, freq)`` — the trained
+    vocabulary artifact a tokenizer ships."""
+    return _merge_loop(word_histogram(sf_dir, max_words), num_merges)
+
+
+def _encode_word(word: str, ranks: dict[tuple, int]) -> int:
+    """Number of BPE tokens for one word under the learned merges."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        pairs = [(ranks.get((a, b), 1 << 60), k)
+                 for k, (a, b) in enumerate(zip(syms, syms[1:]))]
+        r, k = min(pairs)
+        if r >= 1 << 60:
+            break
+        syms[k: k + 2] = [syms[k] + syms[k + 1]]
+    return len(syms)
+
+
+class BpeEncoder:
+    """Actor-pool stage: tokenize with learned merges; per-word memo so
+    each distinct word is encoded once per actor."""
+
+    def __init__(self, merges_ref):
+        merges = ray.get(merges_ref)
+        self.ranks = {(l, r): int(k) for k, l, r in
+                      zip(merges["rank"], merges["left"], merges["right"])}
+        self.memo: dict[str, int] = {"": 0}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = _pretokenize(t["text"])
+        flat = pc.list_flatten(toks).to_pylist()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        memo, ranks = self.memo, self.ranks
+        n_tok = np.empty(len(flat), np.int64)
+        for i, w in enumerate(flat):
+            v = memo.get(w)
+            if v is None:
+                v = memo[w] = _encode_word(w, ranks)
+            n_tok[i] = v
+        ends = np.cumsum(lens)
+        starts = np.concatenate([[0], ends[:-1]])
+        if len(n_tok):
+            # reduceat needs in-bounds indices; empty segments (clipped or
+            # zero-length) are overwritten by the lens==0 mask below
+            per_doc = np.add.reduceat(
+                n_tok, np.minimum(starts, len(n_tok) - 1))
+        else:
+            per_doc = np.zeros(len(t), np.int64)
+        per_doc = np.where(lens == 0, 0, per_doc)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe_tokens": pa.array(per_doc, pa.int64())})
+
+
+def bpe_token_counts(sf_dir: str, num_merges: int = 200,
+                     max_words: int = 30_000, concurrency: int | None = None):
+    """Train BPE on the corpus, then one actor-pool pass counting tokens
+    per document under the learned vocabulary."""
+    import ray as _ray
+
+    merges_ref = _ray.put(train_bpe(sf_dir, num_merges, max_words))
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeEncoder, fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8),
+    )

@@ -1,0 +1,81 @@
+"""Distributed BPE training: histogram exactness, merge-rule semantics,
+encoder consistency, block invariance."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+    bpe_token_counts,
+    train_bpe,
+    word_histogram,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpecorpus")
+    texts = [
+        "aaab aaab aaab",          # 'aa' dominant pair
+        "aaab abab",
+        "xy xy xy xy xy xy",       # 'xy</w>' family
+        "zq",                      # singleton word — never merges alone
+        "   ",                     # whitespace-only doc
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_word_histogram_exact(ray_session, corpus_dir):
+    h = word_histogram(corpus_dir, max_words=100)
+    got = dict(zip(h["word"], h["cnt"]))
+    assert got == {"xy": 6, "aaab": 4, "abab": 1, "zq": 1}
+    # count-desc, word-asc ordering
+    assert h["word"].tolist()[:2] == ["xy", "aaab"]
+
+
+def test_merge_rules_match_hand_computation(ray_session, corpus_dir):
+    m = train_bpe(corpus_dir, num_merges=3, max_words=100)
+    # pair counts over {xy:6, aaab:4, abab:1}:
+    #   ('a','a') = 2 per 'aaab' × 4 = 8 → rank0
+    #   after merging: 'aaab'=[aa,a,b,</w>] so ('a','b') = 4+2 = 6,
+    #   tying ('x','y')=6 and ('y','</w>')=6 → lexicographic min
+    #   ('a','b') → rank1; then ('x','y') < ('y','</w>') → rank2
+    rows = list(zip(m["rank"], m["left"], m["right"], m["freq"]))
+    assert rows[0] == (0, "a", "a", 8)
+    assert rows[1] == (1, "a", "b", 6)
+    assert rows[2] == (2, "x", "y", 6)
+
+
+def test_encoder_counts(ray_session, corpus_dir):
+    tc = bpe_token_counts(corpus_dir, num_merges=3, max_words=100) \
+        .to_pandas().sort_values("doc_id")
+    got = dict(zip(tc["doc_id"], tc["n_bpe_tokens"]))
+    # after merges [aa, ab, xy]: 'aaab' → aa,ab,</w> = 3 tokens;
+    # 'abab' → ab,ab,</w> = 3; 'xy' → xy,</w> = 2; 'zq' → z,q,</w> = 3
+    assert got == {0: 9, 1: 6, 2: 12, 3: 3, 4: 0}
+
+
+def test_deterministic_and_block_invariant(ray_session, corpus_dir,
+                                           tmp_path):
+    a = train_bpe(corpus_dir, num_merges=5, max_words=100)
+    b = train_bpe(corpus_dir, num_merges=5, max_words=100)
+    pd.testing.assert_frame_equal(a, b)
+    # same corpus, one file per doc
+    docs = pq.read_table(f"{corpus_dir}/documents.parquet").to_pandas()
+    ddir = tmp_path / "sf"
+    pdir = ddir / "documents.parquet"
+    pdir.mkdir(parents=True)
+    for i, row in docs.iterrows():
+        pq.write_table(
+            pa.table({"doc_id": pa.array([row["doc_id"]], pa.int64()),
+                      "text": pa.array([row["text"]], pa.string())}),
+            pdir / f"part-{i}.parquet",
+        )
+    c = train_bpe(str(ddir), num_merges=5, max_words=100)
+    pd.testing.assert_frame_equal(a, c)
