@@ -37,6 +37,8 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_verify",
     "span_exact_dedup",
+    "new_shard_exact_dedup",
+    "new_shard_minhash_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -754,3 +756,176 @@ def new_shard_exact_dedup(sf_dir: str, broadcast_threshold: int = 5_000_000):
         "is_dup": dup.astype("int64"),
         "dup_of": joined["dup_first"].fillna(-1).astype("int64")})
         .sort_values("doc_id").reset_index(drop=True))
+
+
+def new_shard_minhash_dedup(
+    sf_dir: str,
+    num_perm: int = 64,
+    shingle: int = 2,
+    bands: int = 16,
+    threshold: float = 0.7,
+    concurrency=None,
+    index_dir: str | None = None,
+    num_join_partitions: int | None = None,
+):
+    """Incremental NEAR-duplicate crawl dedup: probe a NEW shard of
+    documents (``doc_id % 10 == 0``; the rest is the standing corpus)
+    against a PERSISTED LSH index of the corpus. One row per new doc:
+    ``is_near_dup``, the best-matching corpus doc (``-1`` when novel) and
+    its estimated Jaccard.
+
+    Scale shape — the reason this exists next to :func:`minhash_lsh_pairs`:
+    a rolling crawl must NOT re-pay the all-pairs cost per snapshot. The
+    corpus index (band keys + packed signatures, two fingerprinted parquet
+    checkpoints under one directory) is built once and reused across
+    shards; the per-shard cost is sigs(new) + ONE band-key hash join
+    against the index + a vectorized signature verify. Caveat shared with
+    the batch path: a degenerate band key (e.g. thousands of empty docs
+    share the all-MAX signature) concentrates its candidates in one join
+    partition — the verify thresholds them correctly, but the partition is
+    hot; upstream quality filtering (drop empty/near-empty docs) is the
+    real fix at scale.
+    """
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions import (
+        checkpoint as ckpt_mod,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    if num_join_partitions is None:
+        num_join_partitions = default_join_partitions()
+    rows_per_band = num_perm // bands
+    band_a, band_b = _hash_params(rows_per_band, seed=23)
+
+    def side_filter(keep_new: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(np.int64)
+            mask = (ids % 10 == 0) if keep_new else (ids % 10 != 0)
+            return df[mask]
+
+        return f
+
+    def sigs_for(keep_new: bool):
+        ds = _docs(sf_dir, columns=["doc_id", "text"])
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        conc = concurrency or (min(4, max(1, cpus - 2)), max(1, cpus - 2))
+        return ds.map_batches(side_filter(keep_new), batch_format="pandas") \
+            .map_batches(_MinHasher,
+                         fn_constructor_kwargs=dict(num_perm=num_perm,
+                                                    shingle=shingle),
+                         batch_format="pandas", concurrency=conc)
+
+    def bandify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"band_key": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        mat = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+        tensor = mat.reshape(len(mat), bands, rows_per_band)
+        keys = (tensor * band_a + band_b) % np.uint64(_MERSENNE)
+        band_hash = keys.sum(axis=2, dtype=np.uint64)
+        band_ids = np.arange(bands, dtype=np.uint64)[None, :]
+        key = ((band_hash * np.uint64(bands) + band_ids)
+               & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return pd.DataFrame({
+            "band_key": key.ravel(),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), bands),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "sigb": [np.asarray(s, dtype=np.uint64).tobytes()
+                     for s in df["sig"]],
+        })
+
+    # ---- standing-corpus index: build once, reuse every snapshot ----
+    params = {"num_perm": num_perm, "shingle": shingle, "bands": bands,
+              "side": "corpus"}
+    ckpt = index_dir or ckpt_mod.default_cache_dir(
+        "graft_minhash_shard_index",
+        f"{os.path.abspath(sf_dir)}:{num_perm}:{shingle}:{bands}")
+    fp = ckpt_mod.input_fingerprint([f"{sf_dir}/documents.parquet"], params)
+    if not ckpt_mod.is_valid(ckpt, fp):
+        ckpt_mod.reset(ckpt)
+        corpus_sigs = sigs_for(False).materialize()
+        corpus_sigs.map_batches(bandify, batch_format="pandas") \
+            .write_parquet(os.path.join(ckpt, "bands"))
+        corpus_sigs.map_batches(pack, batch_format="pandas") \
+            .write_parquet(os.path.join(ckpt, "sigs"))
+        ckpt_mod.mark_done(ckpt, fp, **params)
+    corpus_bands = ray.data.read_parquet(os.path.join(ckpt, "bands"),
+                                         file_extensions=["parquet"])
+    corpus_sigs = ray.data.read_parquet(os.path.join(ckpt, "sigs"),
+                                        file_extensions=["parquet"])
+
+    # ---- per-shard probe ----
+    new_sigs = sigs_for(True).materialize()
+    new_bands = new_sigs.map_batches(
+        lambda df: bandify(df).rename(columns={"doc_id": "new_doc"}),
+        batch_format="pandas")
+
+    cand = new_bands.join(
+        corpus_bands.map_batches(
+            lambda df: df.rename(columns={"doc_id": "corpus_doc"}),
+            batch_format="pandas"),
+        join_type="inner", num_partitions=num_join_partitions,
+        on=("band_key",),
+    ).map_batches(lambda t: t.select(["new_doc", "corpus_doc"]),
+                  batch_format="pyarrow")
+    # same (new, corpus) pair can surface from several bands — collapse
+    # before fetching signatures
+    cand = coarse_group_reduce(
+        cand, ["new_doc", "corpus_doc"],
+        lambda g: g.drop_duplicates(["new_doc", "corpus_doc"]))
+
+    cand = _attach_column(cand, new_sigs.map_batches(pack,
+                                                     batch_format="pandas"),
+                          "new_doc", "doc_id", "sigb", "sig_new",
+                          num_join_partitions)
+    cand = _attach_column(cand, corpus_sigs, "corpus_doc", "doc_id", "sigb",
+                          "sig_corpus", num_join_partitions)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "dup_of": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        A = np.stack([np.frombuffer(s, dtype=np.uint64)
+                      for s in df["sig_new"]])
+        B = np.stack([np.frombuffer(s, dtype=np.uint64)
+                      for s in df["sig_corpus"]])
+        est = (A == B).mean(axis=1).round(4)
+        out = pd.DataFrame({"doc_id": df["new_doc"].astype("int64"),
+                            "dup_of": df["corpus_doc"].astype("int64"),
+                            "est_jaccard": est})
+        return out[out["est_jaccard"] >= threshold]
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["est_jaccard", "dup_of"],
+                          ascending=[False, True])
+        return g.groupby("doc_id", as_index=False).first()
+
+    matches = coarse_group_reduce(
+        cand.map_batches(verify, batch_format="pandas"), ["doc_id"], best)
+
+    new_ids = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        side_filter(True), batch_format="pandas")
+    joined = new_ids.join(
+        matches, join_type="left_outer",
+        num_partitions=num_join_partitions, on=("doc_id",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df["dup_of"].notna()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "is_near_dup": hit.astype("int64"),
+            "dup_of": df["dup_of"].fillna(-1).astype("int64"),
+            "est_jaccard": df["est_jaccard"].fillna(0.0).astype("float64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
