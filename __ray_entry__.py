@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_heavy_words_sketch(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        docs_heavy_words_sketch,
+    )
+
+    return docs_heavy_words_sketch(sf_dir, k=64)
+
+
 def _docs_new_shard_near_dedup(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
         new_shard_minhash_dedup,
@@ -656,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_bpe_encoded": _docs_bpe_encoded,
         "docs_new_shard_near_dedup": _docs_new_shard_near_dedup,
+        "docs_heavy_words_sketch": _docs_heavy_words_sketch,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,

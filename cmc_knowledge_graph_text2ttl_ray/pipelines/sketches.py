@@ -21,7 +21,8 @@ import ray.data
 __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
            "events_type_distinct_users", "tdigest_build",
            "tdigest_quantile", "events_value_quantiles_tdigest",
-           "events_type_quantiles_tdigest"]
+           "events_type_quantiles_tdigest",
+           "mg_heavy_hitters", "docs_heavy_words_sketch"]
 
 
 def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
@@ -282,3 +283,106 @@ def events_type_quantiles_tdigest(sf_dir: str, delta: int = 200,
         ds.map_batches(block_digests, batch_format="pandas"),
         ["event_type"], combine).to_pandas()
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+def _mg_trim(items: np.ndarray, counts: np.ndarray, k: int):
+    """Trim an exact (item, count) table to ≤ k Misra-Gries counters:
+    subtract the (k+1)-th largest count from everything, drop ≤ 0. The
+    subtracted amount accumulates as the summary's error bound."""
+    if len(items) <= k:
+        return items, counts, 0
+    order = np.argsort(counts)[::-1]
+    dec = int(counts[order[k]])
+    keep = order[:k]
+    new_counts = counts[keep] - dec
+    pos = new_counts > 0
+    return items[keep][pos], new_counts[pos], dec
+
+
+def mg_heavy_hitters(ds, column: str, k: int = 64,
+                     list_column: bool = False):
+    """Misra-Gries heavy hitters over ``column``: a CONSTANT-size (≤ k
+    counters) mergeable summary per block, merged on the driver. Returns a
+    DataFrame ``(item, min_count, max_count)`` sorted by max_count desc —
+    every item with true frequency > n/(k+1) is guaranteed present, and
+    ``min_count ≤ true ≤ max_count`` with ``max_count - min_count ≤
+    n/(k+1)``.
+
+    Scale shape: the exact top-k path (``docs_heavy_words``) shuffles one
+    row per DISTINCT key; this exchanges ≤ k rows per block regardless of
+    cardinality — the sketch of choice for vocabulary-scale keys at 100 TB.
+    With ``list_column`` the column holds lists (e.g. pre-split tokens)
+    and each element counts once.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        col = df[column]
+        if list_column:
+            vals = np.concatenate([np.asarray(v, dtype=object)
+                                   for v in col]) if len(col) else \
+                np.array([], dtype=object)
+        else:
+            vals = col.to_numpy(object)
+        n = len(vals)
+        if n == 0:
+            return pd.DataFrame({"item": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64"),
+                                 "err": pd.Series(dtype="int64")})
+        uniq, counts = np.unique(vals, return_counts=True)
+        items, counts, dec = _mg_trim(uniq, counts.astype(np.int64), k)
+        # one MARKER row (item=None) per block carries that block's
+        # accumulated decrement — summing markers recovers the exact
+        # total error without relying on any per-block grouping key
+        return pd.DataFrame({
+            "item": np.concatenate([items, [None]]),
+            "cnt": np.concatenate([counts, [0]]).astype(np.int64),
+            "err": np.concatenate([np.zeros(len(items), np.int64),
+                                   [dec]]).astype(np.int64),
+        })
+
+    # each block contributes ≤ k rows + its (err, n) scalars — the driver
+    # sees blocks × k rows, never the distinct-key table
+    summ = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if summ.empty:
+        return pd.DataFrame({"item": pd.Series(dtype=object),
+                             "min_count": pd.Series(dtype="int64"),
+                             "max_count": pd.Series(dtype="int64")})
+    base_err = int(summ[summ["item"].isna()]["err"].sum())
+    summ = summ[summ["item"].notna()]
+    if summ.empty:
+        return pd.DataFrame({"item": pd.Series(dtype=object),
+                             "min_count": pd.Series(dtype="int64"),
+                             "max_count": pd.Series(dtype="int64")})
+    merged = summ.groupby("item", sort=False)["cnt"].sum()
+    items = merged.index.to_numpy(object)
+    counts = merged.to_numpy(np.int64)
+    items, counts, dec = _mg_trim(items, counts, k)
+    total_err = base_err + dec
+    out = pd.DataFrame({
+        "item": items,
+        "min_count": counts,
+        "max_count": counts + total_err,
+    }).sort_values(["max_count", "item"],
+                   ascending=[False, True]).reset_index(drop=True)
+    return out
+
+
+def docs_heavy_words_sketch(sf_dir: str, k: int = 64):
+    """Heavy words over the documents table via the Misra-Gries sketch
+    (the constant-exchange companion to the exact ``docs_heavy_words``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def words(t: pa.Table) -> pd.DataFrame:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pd.DataFrame({"word": toks.to_numpy(zero_copy_only=False)})
+
+    return mg_heavy_hitters(ds.map_batches(words, batch_format="pyarrow"),
+                            "word", k=k)

@@ -1,0 +1,68 @@
+"""Misra-Gries heavy hitters: guarantee containment + error bounds."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+    mg_heavy_hitters,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed_ds(ray_session):
+    # Zipf-ish stream: item i appears 2000 // (i + 1) times
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        np.repeat(f"item{i}", 2000 // (i + 1)) for i in range(200)
+    ])
+    rng.shuffle(vals)
+    return ray.data.from_pandas(pd.DataFrame({"v": vals})) \
+        .repartition(16), vals
+
+
+def test_heavy_hitters_guarantee(skewed_ds):
+    ds, vals = skewed_ds
+    k = 32
+    out = mg_heavy_hitters(ds, "v", k=k)
+    n = len(vals)
+    true = pd.Series(vals).value_counts()
+    # every item with true freq > n/(k+1) must be present
+    mandatory = set(true[true > n / (k + 1)].index)
+    assert mandatory <= set(out["item"])
+    # bounds bracket the truth for every reported item
+    got = out.set_index("item")
+    for item in out["item"]:
+        t = int(true.get(item, 0))
+        assert got.loc[item, "min_count"] <= t <= got.loc[item, "max_count"]
+    # error window respects the theoretical n/(k+1) bound (the mergeable
+    # Misra-Gries guarantee: per-block decrements + final-trim decrement
+    # together stay within one stream's worth of error)
+    assert ((got["max_count"] - got["min_count"]) <= n / (k + 1)).all()
+    # top item is exactly the most frequent
+    assert out.iloc[0]["item"] == "item0"
+
+
+def test_block_structure_invariant_guarantee(skewed_ds):
+    """The same mandatory set must be present at any block structure."""
+    ds, vals = skewed_ds
+    n = len(vals)
+    k = 32
+    true = pd.Series(vals).value_counts()
+    mandatory = set(true[true > n / (k + 1)].index)
+    for parts in (1, 4, 64):
+        out = mg_heavy_hitters(
+            ray.data.from_pandas(pd.DataFrame({"v": vals}))
+            .repartition(parts), "v", k=k)
+        assert mandatory <= set(out["item"])
+
+
+def test_exact_when_under_k(ray_session):
+    vals = np.repeat(["a", "b", "c"], [5, 3, 2])
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    out = mg_heavy_hitters(ds, "v", k=16)
+    got = dict(zip(out["item"], out["min_count"]))
+    assert got == {"a": 5, "b": 3, "c": 2}
+    # no trimming happened anywhere → zero error window
+    assert (out["max_count"] == out["min_count"]).all()
