@@ -38,7 +38,8 @@ import pyarrow as pa
 
 __all__ = ["connected_components", "fuzzy_dedup", "cc_demo_clusters",
            "pagerank", "copurchase_edges", "parts_pagerank",
-           "triangle_count", "parts_triangles"]
+           "triangle_count", "parts_triangles",
+           "label_propagation", "parts_communities"]
 
 
 def _cc_numpy(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
@@ -676,3 +677,104 @@ def parts_degree_histogram(sf_dir: str):
     out = parts.groupby("out_deg", as_index=False)["n_nodes"].sum()
     return (out.astype({"out_deg": "int64", "n_nodes": "int64"})
             .sort_values("out_deg").reset_index(drop=True))
+
+
+def label_propagation(edges, a: str = "a", b: str = "b", iters: int = 5,
+                      num_join_partitions: int | None = None):
+    """Community detection by synchronous label propagation over an
+    undirected edge list: each round every node adopts the label with the
+    highest total edge weight among its neighbors (multi-edges count as
+    weight), with the node's own current label cast as one extra vote —
+    the self-vote damps the classic bipartite oscillation — and ties
+    broken toward the SMALLEST label, so the result is deterministic at
+    any cluster size. Labels start as the node id; after ``iters`` rounds
+    the returned ``(node, label)`` Dataset names each node's community by
+    a member node id.
+
+    Scale shape: multi-edges collapse to ``(u, v, w)`` weights once, up
+    front (one coarse exchange). Each round is ONE hash join (edges ⨝
+    labels on ``u``) followed by ONE coarse exchange partitioned by the
+    destination node, whose reducer does the per-(node, label) weight sum
+    AND the argmax at C speed — votes never groupby twice. Labels are two
+    ints per node, materialized per round (the parquet-checkpoint
+    boundary at 100 TB).
+    """
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    if num_join_partitions is None:
+        num_join_partitions = default_join_partitions()
+
+    def symmetrize(t: pa.Table) -> pd.DataFrame:
+        u = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"u": np.concatenate([u, v]),
+                           "v": np.concatenate([v, u])})
+        df = df[df["u"] != df["v"]]
+        out = df.groupby(["u", "v"], as_index=False).size() \
+            .rename(columns={"size": "w"})
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    sym = coarse_group_reduce(
+        edges.map_batches(symmetrize, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda g: g.groupby(["u", "v"], as_index=False)["w"].sum(),
+    ).materialize()
+
+    labels = coarse_group_reduce(
+        sym.map_batches(
+            lambda df: pd.DataFrame({"node": df["u"].astype("int64")}),
+            batch_format="pandas"),
+        ["node"],
+        lambda g: g.drop_duplicates("node"),
+    ).map_batches(
+        lambda df: df.assign(label=df["node"].astype("int64")),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(iters):
+        votes = sym.join(
+            labels, join_type="inner", num_partitions=num_join_partitions,
+            on=("u",), right_on=("node",),
+        ).map_batches(
+            # pre-sum within the block before the exchange
+            lambda df: df.rename(columns={"v": "node"})
+            [["node", "label", "w"]]
+            .groupby(["node", "label"], as_index=False)["w"].sum(),
+            batch_format="pandas",
+        )
+        # the self-vote: each node votes once for its current label
+        votes = votes.union(labels.map_batches(
+            lambda df: df.assign(w=np.int64(1)), batch_format="pandas"))
+
+        def elect(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["node", "label"], as_index=False)["w"].sum()
+            s = s.sort_values(["node", "w", "label"],
+                              ascending=[True, False, True])
+            return s.groupby("node", as_index=False).first() \
+                [["node", "label"]]
+
+        labels = coarse_group_reduce(votes, ["node"], elect,
+                                     num_coarse=num_join_partitions * 4) \
+            .materialize()
+
+    return labels
+
+
+def parts_communities(sf_dir: str, iters: int = 5):
+    """Label-propagation communities over the co-purchase part graph:
+    ``(p_partkey, community)`` — community = the smallest member partkey
+    the propagation settles on."""
+    out = label_propagation(copurchase_edges(sf_dir), a="src", b="dst",
+                            iters=iters)
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "p_partkey": df["node"].astype("int64"),
+            "community": df["label"].astype("int64")}),
+        batch_format="pandas",
+    ).sort("p_partkey")
