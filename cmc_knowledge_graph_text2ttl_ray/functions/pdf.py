@@ -35,11 +35,15 @@ Encrypted PDFs (standard security handler, empty user password — RC4
 time with per-object keys, mirroring how the reference's PyMuPDF opens
 password-less encrypted files.
 
+Text placement maps each word through the FULL ``Tm × CTM`` matrix
+(advance tracked in unscaled text-line units), so scaled, skewed and
+rotated text land at their true device coordinates; a rotated word's box
+is its axis-aligned bounding box (the layout phases consume boxes, not
+oriented rectangles).
+
 NOT supported (raise or are skipped gracefully): password-protected PDFs
 (non-empty user password) and AES-256 (R 5/6), Type0 fonts WITHOUT a
-ToUnicode CMap (their text is decoded byte-wise), rotation in the CTM
-(sheared boxes would need oriented rectangles; such ops keep
-translation+scale only).
+ToUnicode CMap (their text is decoded byte-wise).
 """
 
 from __future__ import annotations
@@ -456,6 +460,7 @@ class _PageState:
         self.stack: list[tuple] = []
         self.tm = None
         self.tlm = None
+        self.u = 0.0  # advance along the text line, unscaled text units
         self.font = _DEFAULT_FONT
         self.size = 12.0
         self.leading = 0.0
@@ -470,54 +475,66 @@ class _PageState:
     # -- text ---------------------------------------------------------------
 
     def show(self, s: str) -> None:
+        # Positions are tracked as an advance ``u`` in UNSCALED text-line
+        # units and mapped through the FULL Tm × CTM at emit time, so
+        # scaled, skewed and ROTATED text matrices place words at their
+        # true device coordinates (the round-2 "rotation in the CTM"
+        # limitation). Tm-changing operators flush the pending word and
+        # reset ``u``, so Tm is constant over a pending word's life.
         if self.tm is None:
             return
         if self.font.cmap is not None:
             s = _decode_cid(s, self.font.cmap)
-        x, y = self.tm[4], self.tm[5]
-        sx = abs(self.tm[0]) or 1.0
+        u = self.u
         for ch in s:
-            w = (_char_width(ch, self.font.base) / 1000.0) * self.size * sx
+            w = (_char_width(ch, self.font.base) / 1000.0) * self.size
             if ch.isspace():
-                self.flush_word(x)
-                x += w + self.char_sp + self.word_sp
+                self.flush_word(u)
+                u += w + self.char_sp + self.word_sp
             else:
                 if self.pend is None:
-                    self.pend = [x, y, []]
-                self.pend[2].append(ch)
-                x += w + self.char_sp
-        self.tm = (self.tm[0], self.tm[1], self.tm[2], self.tm[3], x, self.tm[5])
+                    self.pend = [u, []]
+                self.pend[1].append(ch)
+                u += w + self.char_sp
+        self.u = u
 
     def adjust(self, amount: float) -> None:
-        """TJ kerning number: thousandths of em, subtracted from x. A large
-        jump (> 0.3 em either way) acts as a word boundary."""
+        """TJ kerning number: thousandths of em, subtracted from the
+        advance. A large jump (> 0.3 em either way) acts as a word
+        boundary."""
         if self.tm is None:
             return
-        sx = abs(self.tm[0]) or 1.0
-        dx = -(amount / 1000.0) * self.size * sx
-        if abs(dx) > 0.3 * self.size * sx:
-            self.flush_word(self.tm[4])
-        self.tm = (self.tm[0], self.tm[1], self.tm[2], self.tm[3],
-                   self.tm[4] + dx, self.tm[5])
+        du = -(amount / 1000.0) * self.size
+        if abs(du) > 0.3 * self.size:
+            self.flush_word(self.u)
+        self.u += du
 
-    def flush_word(self, x1: float | None = None) -> None:
+    def flush_word(self, u1: float | None = None) -> None:
         if self.pend is None:
             return
-        x0, y, chars = self.pend
+        u0, chars = self.pend
         self.pend = None
         if not chars:
             return
-        self._emit_word("".join(chars), x0, x1 if x1 is not None else self.tm[4]
-                        if self.tm else x0, y)
+        self._emit_word("".join(chars), u0, self.u if u1 is None else u1)
 
-    def _emit_word(self, text: str, x0: float, x1: float, y_base: float) -> None:
-        dx0, dy = _apply(self.ctm, x0, y_base)
-        dx1, _ = _apply(self.ctm, x1, y_base)
-        sy = abs(self.ctm[3]) or 1.0
-        asc, desc = 0.8 * self.size * sy, 0.2 * self.size * sy
-        top = self.page_h - (dy + asc)
-        bot = self.page_h - (dy - desc)
-        self.words.append((min(dx0, dx1), top, max(dx0, dx1), bot, text))
+    def _emit_word(self, text: str, u0: float, u1: float) -> None:
+        if self.tm is None:
+            return
+        m = _mat_mult(self.tm, self.ctm)
+        bx0, by0 = _apply(m, u0, 0.0)
+        bx1, by1 = _apply(m, u1, 0.0)
+        # ascent/descent run perpendicular to the baseline: map the text-
+        # space vertical unit through the LINEAR part of the matrix
+        ux, uy = m[2] * self.size, m[3] * self.size
+        corners_x, corners_y = [], []
+        for bx, by in ((bx0, by0), (bx1, by1)):
+            corners_x += [bx + 0.8 * ux, bx - 0.2 * ux]
+            corners_y += [by + 0.8 * uy, by - 0.2 * uy]
+        top = self.page_h - max(corners_y)
+        bot = self.page_h - min(corners_y)
+        self.words.append(
+            (min(corners_x), top, max(corners_x), bot, text))
 
     def newline(self) -> None:
         self.flush_word()
@@ -525,6 +542,7 @@ class _PageState:
             return
         self.tlm = _mat_mult((1, 0, 0, 1, 0, -self.leading), self.tlm)
         self.tm = self.tlm
+        self.u = 0.0
 
     # -- graphics -----------------------------------------------------------
 
@@ -609,9 +627,11 @@ def _apply_op(op: str, stack: list, st: _PageState) -> None:
         st.flush_word()
         st.tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
         st.tlm = st.tm
+        st.u = 0.0
     elif op == "ET":
         st.flush_word()
         st.tm = st.tlm = None
+        st.u = 0.0
     elif op == "Tf":
         name, size = stack[-2], float(stack[-1])
         st.font = st.fonts.get(str(name).lstrip("/"), _DEFAULT_FONT)
@@ -627,16 +647,19 @@ def _apply_op(op: str, stack: list, st: _PageState) -> None:
         tx, ty = float(stack[-2]), float(stack[-1])
         st.tlm = _mat_mult((1, 0, 0, 1, tx, ty), st.tlm or (1, 0, 0, 1, 0, 0))
         st.tm = st.tlm
+        st.u = 0.0
     elif op == "TD":
         st.flush_word()
         tx, ty = float(stack[-2]), float(stack[-1])
         st.leading = -ty
         st.tlm = _mat_mult((1, 0, 0, 1, tx, ty), st.tlm or (1, 0, 0, 1, 0, 0))
         st.tm = st.tlm
+        st.u = 0.0
     elif op == "Tm":
         st.flush_word()
         a, b, c, d, e, f = (float(v) for v in stack[-6:])
         st.tm = st.tlm = (a, b, c, d, e, f)
+        st.u = 0.0
     elif op == "T*":
         st.newline()
     elif op == "Tj":

@@ -395,3 +395,34 @@ def test_object_stream_top_level_wins_on_conflict():
     )
     objs = _expand_object_streams(_scan_objects(pdf))
     assert b"/New" in objs[7]
+
+
+def test_rotated_text_matrix_places_words():
+    """90°-rotated Tm: words must land at true device coordinates with a
+    tall (vertical-run) bounding box, and scaled Tm must scale the box."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.pdf import extract_pdf_pages
+
+    stream = b"""
+BT /F1 12 Tf 0 1 -1 0 300 100 Tm (Rotated) Tj ET
+BT /F1 12 Tf 2 0 0 2 100 500 Tm (Big) Tj ET
+BT /F1 12 Tf 100 730 Td (Plain) Tj ET
+"""
+    pages = extract_pdf_pages(make_pdf([stream]))
+    words = {w[4]: w for w in pages[0][0]}
+    assert set(words) == {"Rotated", "Big", "Plain"}
+
+    rx0, rtop, rx1, rbot, _ = words["Rotated"]
+    # baseline runs UP the page from (300, 100): box is tall, not wide
+    assert (rbot - rtop) > (rx1 - rx0)
+    # x extent hugs the baseline x=300 (shifted left by the ascent)
+    assert 285 <= rx0 <= rx1 <= 303
+    # vertical extent starts at device y=100 → top-left y = 792 - y_max
+    assert rbot == pytest.approx(792 - 100, abs=3)
+    assert rtop < rbot - 30  # the word really extends upward
+
+    bx0, btop, bx1, bbot, _ = words["Big"]
+    px0, ptop, px1, pbot, _ = words["Plain"]
+    # both strings render at 12pt, but Big's Tm doubles the glyph size:
+    # its height must be ~2x Plain's
+    assert (bbot - btop) == pytest.approx(2 * (pbot - ptop), rel=0.05)
+    assert bx0 == pytest.approx(100, abs=1)
