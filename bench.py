@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "events_user_running_totals",
     "events_value_quantiles_sketch",
     "docs_dsir_weights",
+    "docs_epoch_shuffle",
+    "docs_heavy_words_sketch",
+    "docs_new_shard_near_dedup",
 ]
 
 

@@ -882,6 +882,33 @@ def new_shard_minhash_dedup(
         cand, ["new_doc", "corpus_doc"],
         lambda g: g.drop_duplicates(["new_doc", "corpus_doc"]))
 
+    def _norm_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # map_groups emits schema-less empty blocks that break downstream
+        # join field resolution (same workaround as _dedup_candidate_pairs)
+        if df.empty:
+            return pd.DataFrame({"new_doc": pd.Series(dtype="int64"),
+                                 "corpus_doc": pd.Series(dtype="int64")})
+        return df[["new_doc", "corpus_doc"]].astype("int64")
+
+    # candidate pairs are dup-rate-proportional — pinning them is bounded;
+    # the count also short-circuits the no-candidates case (an all-empty
+    # join side trips Arrow field resolution regardless of block schemas)
+    cand = cand.map_batches(_norm_pairs, batch_format="pandas").materialize()
+
+    def _all_novel():
+        return _docs(sf_dir, columns=["doc_id"]).map_batches(
+            side_filter(True), batch_format="pandas",
+        ).map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "is_near_dup": np.zeros(len(df), np.int64),
+                "dup_of": np.full(len(df), -1, np.int64),
+                "est_jaccard": np.zeros(len(df), np.float64)}),
+            batch_format="pandas")
+
+    if cand.count() == 0:
+        return _all_novel()
+
     cand = _attach_column(cand, new_sigs.map_batches(pack,
                                                      batch_format="pandas"),
                           "new_doc", "doc_id", "sigb", "sig_new",
@@ -909,8 +936,18 @@ def new_shard_minhash_dedup(
                           ascending=[False, True])
         return g.groupby("doc_id", as_index=False).first()
 
+    def _norm_matches(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "dup_of": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        return df[["doc_id", "dup_of", "est_jaccard"]]
+
     matches = coarse_group_reduce(
-        cand.map_batches(verify, batch_format="pandas"), ["doc_id"], best)
+        cand.map_batches(verify, batch_format="pandas"), ["doc_id"], best) \
+        .map_batches(_norm_matches, batch_format="pandas").materialize()
+    if matches.count() == 0:  # candidates existed, none passed verification
+        return _all_novel()
 
     new_ids = _docs(sf_dir, columns=["doc_id"]).map_batches(
         side_filter(True), batch_format="pandas")

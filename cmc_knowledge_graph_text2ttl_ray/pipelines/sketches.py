@@ -325,6 +325,8 @@ def mg_heavy_hitters(ds, column: str, k: int = 64,
                 np.array([], dtype=object)
         else:
             vals = col.to_numpy(object)
+        if len(vals):
+            vals = vals[pd.notna(vals)]  # np.unique can't sort None vs str
         n = len(vals)
         if n == 0:
             return pd.DataFrame({"item": pd.Series(dtype=object),

@@ -66,3 +66,10 @@ def test_exact_when_under_k(ray_session):
     assert got == {"a": 5, "b": 3, "c": 2}
     # no trimming happened anywhere → zero error window
     assert (out["max_count"] == out["min_count"]).all()
+
+
+def test_null_values_are_ignored(ray_session):
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": ["a", None, "a", "b", None]}))
+    out = mg_heavy_hitters(ds, "v", k=4)
+    assert dict(zip(out["item"], out["min_count"])) == {"a": 2, "b": 1}

@@ -71,3 +71,26 @@ def test_index_is_reused_across_snapshots(ray_session, planted_dir,
     pd.testing.assert_frame_equal(a, b)
     for f, t in mtimes.items():
         assert os.path.getmtime(os.path.join(idx, "bands", f)) == t
+
+
+def test_no_duplicates_all_novel(ray_session, tmp_path):
+    """Zero-candidate and zero-verified paths: every new doc flagged
+    novel, no join crash on all-empty sides."""
+    import random
+
+    random.seed(5)
+    words = [f"w{i}" for i in range(500)]
+    rows = [(i, " ".join(random.choices(words, k=60))) for i in range(60)]
+    d = tmp_path / "nodups"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())}),
+        d / "documents.parquet",
+    )
+    out = new_shard_minhash_dedup(str(d), threshold=0.7,
+                                  index_dir=str(tmp_path / "idx")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == list(range(0, 60, 10))
+    assert (out["is_near_dup"] == 0).all()
+    assert (out["dup_of"] == -1).all()
