@@ -22,7 +22,8 @@ __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
            "events_type_distinct_users", "tdigest_build",
            "tdigest_quantile", "events_value_quantiles_tdigest",
            "events_type_quantiles_tdigest",
-           "mg_heavy_hitters", "docs_heavy_words_sketch"]
+           "mg_heavy_hitters", "docs_heavy_words_sketch",
+           "grouped_hll_distinct", "events_type_users_hll"]
 
 
 def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
@@ -388,3 +389,45 @@ def docs_heavy_words_sketch(sf_dir: str, k: int = 64):
 
     return mg_heavy_hitters(ds.map_batches(words, batch_format="pyarrow"),
                             "word", k=k)
+
+
+def grouped_hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT value) PER GROUP via HyperLogLog: each
+    block contributes one ``2^p``-byte register row per group it saw, the
+    per-group merge is an element-wise max. The exchange is
+    (groups-seen-per-block × 2^p bytes) — independent of value
+    cardinality, the grouped companion to :func:`hll_distinct` and the
+    scale path where the exact pair-distinct shuffle
+    (:func:`events_type_distinct_users`) would move one row per distinct
+    (group, value). Groups are assumed few enough that one group's
+    register rows fit a task (true for enum-like keys; a billion-group
+    keyspace would partition the merge by group hash)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            regs = _hll_partial(sub[value_col].to_numpy(object), p)
+            rows.append((g, regs.tobytes()))
+        return pd.DataFrame({group_col: [r[0] for r in rows],
+                             "regs": [r[1] for r in rows]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.frombuffer(g["regs"].iloc[0], dtype=np.uint8).copy()
+        for b in g["regs"].iloc[1:]:
+            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "n_distinct_est": [round(_hll_estimate(regs), 1)],
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+def events_type_users_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct users per event type (HLL registers grouped
+    by type) — sorted by type for deterministic output."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return grouped_hll_distinct(ds, "event_type", "user_id", p=p) \
+        .sort("event_type")

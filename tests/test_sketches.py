@@ -162,3 +162,46 @@ def test_tdigest_empty_and_tiny():
     assert np.isnan(tdigest_quantile(m, w, [0.5])[0])
     m, w = _tdigest_compress(np.array([3.0]), np.array([1.0]), 100)
     assert tdigest_quantile(m, w, [0.0, 0.5, 1.0]).tolist() == [3.0, 3.0, 3.0]
+
+
+def test_grouped_hll_close_to_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        grouped_hll_distinct,
+    )
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], [4000, 2000, 500]),
+        "v": np.concatenate([rng.integers(0, 1500, 4000),
+                             rng.integers(0, 300, 2000),
+                             rng.integers(0, 50, 500)]),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = grouped_hll_distinct(ds, "g", "v", p=12).to_pandas() \
+        .set_index("g")["n_distinct_est"]
+    exact = df.groupby("g")["v"].nunique()
+    for g in ("a", "b", "c"):
+        assert abs(out[g] - exact[g]) / exact[g] < 0.05, (g, out[g], exact[g])
+
+
+def test_grouped_hll_block_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        grouped_hll_distinct,
+    )
+
+    df = pd.DataFrame({"g": ["x"] * 300 + ["y"] * 100,
+                       "v": list(range(300)) + list(range(50)) * 2})
+    runs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        runs.append(grouped_hll_distinct(ds, "g", "v").to_pandas()
+                    .sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(runs[0], runs[1])
