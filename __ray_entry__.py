@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_fuzzy_dedup_quality(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        fuzzy_dedup_best_quality,
+    )
+
+    return fuzzy_dedup_best_quality(sf_dir, threshold=0.6)
+
+
 def _events_type_users_hll(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
         events_type_users_hll,
@@ -683,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_words_sketch": _docs_heavy_words_sketch,
         "parts_communities": _parts_communities,
         "events_type_users_hll": _events_type_users_hll,
+        "docs_fuzzy_dedup_quality": _docs_fuzzy_dedup_quality,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,

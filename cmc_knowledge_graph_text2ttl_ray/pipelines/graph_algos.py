@@ -39,7 +39,8 @@ import pyarrow as pa
 __all__ = ["connected_components", "fuzzy_dedup", "cc_demo_clusters",
            "pagerank", "copurchase_edges", "parts_pagerank",
            "triangle_count", "parts_triangles",
-           "label_propagation", "parts_communities"]
+           "label_propagation", "parts_communities",
+           "fuzzy_dedup_best_quality"]
 
 
 def _cc_numpy(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
@@ -778,3 +779,136 @@ def parts_communities(sf_dir: str, iters: int = 5):
             "community": df["label"].astype("int64")}),
         batch_format="pandas",
     ).sort("p_partkey")
+
+
+def fuzzy_dedup_best_quality(
+    sf_dir: str,
+    *,
+    threshold: float = 0.7,
+    broadcast_threshold: int = 5_000_000,
+    **minhash_kwargs,
+):
+    """Fuzzy dedup with QUALITY-aware survivor selection: like
+    :func:`fuzzy_dedup`, but each near-dup cluster keeps its
+    highest-quality member (alpha-ratio heuristic; min doc_id breaks
+    ties) instead of the smallest id — what a training-data pipeline
+    actually wants when one duplicate is the clean original and another
+    is a boilerplate-wrapped copy.
+
+    Returns ``(doc_id, cluster_id, quality, keep)`` — one row per doc.
+
+    Scale shape: pairs → components as in :func:`fuzzy_dedup`; the
+    quality signal is ONE streaming scan emitting (doc_id, q) — two
+    narrow columns, text never shuffles; the per-cluster argmax runs as a
+    coarse exchange over CLUSTERED rows only (dup-rate-proportional), and
+    the winner map follows the same broadcast-vs-join threshold as
+    ``label_clusters``.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold, **minhash_kwargs)
+    cc = connected_components(pairs, "doc_a", "doc_b").materialize()
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n = pc.max_element_wise(
+            pc.utf8_length(text).cast(pa.float64()), 1.0)
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^a-zA-Z]", "")
+        ).cast(pa.float64())
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "quality": pc.round(pc.divide(alpha, n), ndigits=4),
+        })
+
+    scored = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow").materialize()
+
+    n_cc = cc.count()
+    if n_cc == 0:
+        return scored.map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "cluster_id": df["doc_id"].astype("int64"),
+                "quality": df["quality"],
+                "keep": np.ones(len(df), bool)}),
+            batch_format="pandas")
+
+    if n_cc <= broadcast_threshold:
+        mapping = {int(r["node"]): int(r["cluster_id"])
+                   for r in cc.take_all()}
+        map_ref = ray.put(mapping)
+
+        def clustered_rows(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(map_ref)
+            ids = df["doc_id"].astype("int64")
+            sub = df[ids.isin(m)].copy()
+            sub["cluster_id"] = sub["doc_id"].map(m).astype("int64")
+            return sub[["doc_id", "cluster_id", "quality"]]
+
+        def best(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["quality", "doc_id"],
+                              ascending=[False, True])
+            return g.groupby("cluster_id", as_index=False).first() \
+                [["cluster_id", "doc_id"]]
+
+        winners = coarse_group_reduce(
+            scored.map_batches(clustered_rows, batch_format="pandas"),
+            ["cluster_id"], best).to_pandas()
+        win_ref = ray.put(dict(zip(winners["cluster_id"],
+                                   winners["doc_id"])))
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(map_ref)
+            w = ray.get(win_ref)
+            ids = df["doc_id"].astype("int64")
+            cl = ids.map(m).fillna(ids).astype("int64")
+            winner = cl.map(w).fillna(ids).astype("int64")
+            return pd.DataFrame({"doc_id": ids, "cluster_id": cl,
+                                 "quality": df["quality"],
+                                 "keep": (ids == winner).to_numpy()})
+
+        return scored.map_batches(finish, batch_format="pandas")
+
+    # distributed path: label via left-outer join, winner via coarse argmax,
+    # winner map joined back on cluster_id
+    nparts = default_join_partitions()
+    labeled = scored.join(
+        cc, join_type="left_outer", num_partitions=nparts,
+        on=("doc_id",), right_on=("node",),
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "cluster_id": df["cluster_id"].fillna(df["doc_id"])
+            .astype("int64"),
+            "quality": df["quality"]}),
+        batch_format="pandas",
+    ).materialize()
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True])
+        return g.groupby("cluster_id", as_index=False).first() \
+            [["cluster_id", "doc_id"]].rename(columns={"doc_id": "winner"})
+
+    winners = coarse_group_reduce(labeled, ["cluster_id"], best)
+    return labeled.join(
+        winners, join_type="inner", num_partitions=nparts,
+        on=("cluster_id",),
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "cluster_id": df["cluster_id"].astype("int64"),
+            "quality": df["quality"],
+            "keep": (df["doc_id"] == df["winner"]).to_numpy()}),
+        batch_format="pandas")
