@@ -79,3 +79,58 @@ def test_deterministic_and_block_invariant(ray_session, corpus_dir,
         )
     c = train_bpe(str(ddir), num_merges=5, max_words=100)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_merge_loop_matches_naive_reference():
+    """Differential test: the incremental pair-count maintenance must give
+    exactly the merges a naive recount-every-iteration BPE produces."""
+    import random
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        END_OF_WORD,
+        _merge_loop,
+    )
+
+    def naive_bpe(hist, num_merges):
+        words = {i: tuple(w) + (END_OF_WORD,)
+                 for i, w in enumerate(hist["word"])}
+        cnts = dict(enumerate(hist["cnt"]))
+        merges = []
+        for rank in range(num_merges):
+            pc_ = {}
+            for i, syms in words.items():
+                for pair in zip(syms, syms[1:]):
+                    pc_[pair] = pc_.get(pair, 0) + cnts[i]
+            if not pc_:
+                break
+            best = min(pc_, key=lambda p: (-pc_[p], p))
+            if pc_[best] < 2:
+                break
+            merges.append((rank, best[0], best[1], pc_[best]))
+            merged = best[0] + best[1]
+            for i, syms in words.items():
+                out, j = [], 0
+                while j < len(syms):
+                    if (j + 1 < len(syms) and syms[j] == best[0]
+                            and syms[j + 1] == best[1]):
+                        out.append(merged)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                words[i] = tuple(out)
+        return merges
+
+    rng = random.Random(17)
+    alphabet = "abcde"
+    for trial in range(8):
+        n_words = rng.randint(3, 25)
+        hist = pd.DataFrame({
+            "word": ["".join(rng.choices(alphabet, k=rng.randint(1, 7)))
+                     for _ in range(n_words)],
+            "cnt": [rng.randint(1, 50) for _ in range(n_words)],
+        }).drop_duplicates("word").reset_index(drop=True)
+        got = _merge_loop(hist, num_merges=12)
+        exp = naive_bpe(hist, num_merges=12)
+        assert list(map(tuple, got.itertuples(index=False))) == exp, \
+            (trial, hist.to_dict("records"))
