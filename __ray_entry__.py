@@ -227,6 +227,36 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _multimodal_phash_dups(sf_dir: str):
+    """Image near-dup pairs over synthesized payloads (real decode path
+    is PNG; the synth payloads exercise the FakeDecoder + banding
+    plumbing — exact copies pair at hamming 0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.multimodal import (
+        media_phash_near_dups,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]).limit(128)
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # plant exact duplicates: every 8th doc shares one payload, the
+        # rest keep their own text slice
+        txt = pc.utf8_slice_codeunits(t["text"], 0, 64).cast(pa.binary())
+        shared = pc.equal(pc.bit_wise_and(
+            t["doc_id"].combine_chunks().cast(pa.int64()), 7), 0)
+        payload = pc.if_else(shared, pa.scalar(b"shared-image-payload"), txt)
+        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+    return media_phash_near_dups(
+        ds.map_batches(to_payload, batch_format="pyarrow"),
+        max_hamming=2, n_rows_hint=128).sort(["doc_a", "doc_b"])
+
+
 def _docs_fuzzy_dedup_quality(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
         fuzzy_dedup_best_quality,
@@ -692,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_communities": _parts_communities,
         "events_type_users_hll": _events_type_users_hll,
         "docs_fuzzy_dedup_quality": _docs_fuzzy_dedup_quality,
+        "multimodal_phash_dups": _multimodal_phash_dups,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,

@@ -39,6 +39,7 @@ __all__ = [
     "span_exact_dedup",
     "new_shard_exact_dedup",
     "new_shard_minhash_dedup",
+    "hamming64_near_dup_pairs",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -430,38 +431,53 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
                            num_coarse: int | None = None):
-    """Hamming-≤k pairs via 4×16-bit band buckets (pigeonhole: ≤3 differing
-    bits ⇒ at least one of 4 bands identical).
+    """Hamming-≤k pairs over text SimHash signatures — see
+    :func:`hamming64_near_dup_pairs` for the banding machinery."""
+    import pyarrow.parquet as pq
 
-    Scale shape: banding is a vectorized numpy shift (4 rows of 16 bytes per
-    doc — the 64-bit signature rides along, unlike MinHash's 512-byte one);
-    pair generation is the coarse-partition self-merge of
-    the same coarse-partition self-merge shape as MinHash's
-    :func:`_raw_candidate_pairs`; the Hamming distance is verified
-    vectorized (SWAR popcount) on the candidate rows, which carry both
-    signatures out of the merge — no joins needed.
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return hamming64_near_dup_pairs(
+        simhash_signatures(sf_dir), "doc_id", "simhash64",
+        max_hamming=max_hamming, num_coarse=num_coarse,
+        n_rows_hint=n_docs)
+
+
+def hamming64_near_dup_pairs(sigs, id_col: str = "doc_id",
+                             sig_col: str = "simhash64",
+                             max_hamming: int = 3,
+                             num_coarse: int | None = None,
+                             n_rows_hint: int | None = None):
+    """Generic Hamming-≤k pairs over ANY (id, uint64 signature) Dataset —
+    text SimHash, image perceptual hashes, rolling fingerprints — via
+    4×16-bit band buckets (pigeonhole: ≤3 differing bits ⇒ at least one
+    of 4 bands identical).
+
+    Scale shape: banding is a vectorized numpy shift (4 rows of 16 bytes
+    per item — the 64-bit signature rides along, unlike MinHash's
+    512-byte one); pair generation is the same coarse-partition
+    self-merge shape as MinHash's :func:`_raw_candidate_pairs`; the
+    Hamming distance is verified vectorized (SWAR popcount) on the
+    candidate rows, which carry both signatures out of the merge — no
+    joins needed. Returns (doc_a, doc_b, hamming).
     """
-    sigs = simhash_signatures(sf_dir)
     if num_coarse is None:
-        import pyarrow.parquet as pq
-
         from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
             default_coarse_partitions,
         )
 
-        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-        num_coarse = default_coarse_partitions(n_docs * 4)  # 4 bands/doc
+        if n_rows_hint is None:
+            n_rows_hint = sigs.count()
+        num_coarse = default_coarse_partitions(n_rows_hint * 4)  # 4 bands
 
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["simhash64"].to_numpy(dtype=np.uint64)
-        n = len(h)
+        h = df[sig_col].to_numpy(dtype=np.uint64)
         bi = np.arange(4, dtype=np.uint64)[None, :]              # (1, 4)
         chunk = (h[:, None] >> (bi * np.uint64(16))) & np.uint64(0xFFFF)
         key = (chunk * np.uint64(4) + bi).astype(np.int64)       # ≤ 2^18: safe
         return pd.DataFrame(
             {
                 "band_key": key.ravel(),
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+                "doc_id": np.repeat(df[id_col].to_numpy(), 4),
                 "simhash64": np.repeat(h, 4),
             }
         )
@@ -906,15 +922,37 @@ def new_shard_minhash_dedup(
                 "est_jaccard": np.zeros(len(df), np.float64)}),
             batch_format="pandas")
 
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return _all_novel()
+
+    # Partition counts for the candidate-side joins must scale with the
+    # CANDIDATE count, not the cluster: Ray's hash shuffle finalizes an
+    # all-empty partition as a schema-less block and the Arrow join then
+    # fails field resolution — with a handful of candidates and
+    # cluster-derived partition counts, empty partitions are guaranteed.
+    nparts_cand = max(1, min(num_join_partitions, -(-n_cand // 50_000)))
 
     cand = _attach_column(cand, new_sigs.map_batches(pack,
                                                      batch_format="pandas"),
                           "new_doc", "doc_id", "sigb", "sig_new",
-                          num_join_partitions)
+                          nparts_cand)
+
+    # the join can finalize empty partitions as schema-less blocks, which
+    # break field resolution in the NEXT join — re-type between attaches
+    mid_schema = pa.schema([("new_doc", pa.int64()),
+                            ("corpus_doc", pa.int64()),
+                            ("sig_new", pa.binary())])
+
+    def _norm_mid(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sig_new" not in t.column_names:
+            return mid_schema.empty_table()
+        return t.select(["new_doc", "corpus_doc", "sig_new"]) \
+            .cast(mid_schema)
+
+    cand = cand.map_batches(_norm_mid, batch_format="pyarrow")
     cand = _attach_column(cand, corpus_sigs, "corpus_doc", "doc_id", "sigb",
-                          "sig_corpus", num_join_partitions)
+                          "sig_corpus", nparts_cand)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -946,14 +984,17 @@ def new_shard_minhash_dedup(
     matches = coarse_group_reduce(
         cand.map_batches(verify, batch_format="pandas"), ["doc_id"], best) \
         .map_batches(_norm_matches, batch_format="pandas").materialize()
-    if matches.count() == 0:  # candidates existed, none passed verification
+    n_matches = matches.count()
+    if n_matches == 0:  # candidates existed, none passed verification
         return _all_novel()
 
+    # same empty-partition consideration: size by the SMALL (matches) side
+    nparts_final = max(1, min(num_join_partitions, -(-n_matches // 50_000)))
     new_ids = _docs(sf_dir, columns=["doc_id"]).map_batches(
         side_filter(True), batch_format="pandas")
     joined = new_ids.join(
         matches, join_type="left_outer",
-        num_partitions=num_join_partitions, on=("doc_id",),
+        num_partitions=nparts_final, on=("doc_id",),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

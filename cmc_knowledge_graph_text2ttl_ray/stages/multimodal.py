@@ -22,7 +22,8 @@ import pyarrow as pa
 
 __all__ = ["FakeDecoder", "PngDecoder", "AutoDecoder", "LibraryDecoder",
            "MediaFeatures", "media_features", "resize_media",
-           "sample_frames", "AudioFeatures", "audio_features"]
+           "sample_frames", "AudioFeatures", "audio_features",
+           "media_phash_near_dups"]
 
 
 class FakeDecoder:
@@ -274,3 +275,31 @@ def audio_features(ds, payload_column: str = "payload", id_column: str = "doc_id
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def media_phash_near_dups(ds, payload_column: str = "payload",
+                          id_column: str = "doc_id", max_hamming: int = 3,
+                          concurrency=(1, 4), batch_size: int = 32,
+                          n_rows_hint: int | None = None):
+    """Image near-duplicate pairs by perceptual hash: decode → 64-bit
+    block-mean pHash (one actor-pool pass, :class:`MediaFeatures`) →
+    Hamming-≤k banding (``dedup.hamming64_near_dup_pairs``). The dedup
+    exchange moves only (band_key, id, phash) rows — payload bytes never
+    shuffle, which is the entire point for image corpora where a row is
+    megabytes but its signature is 8 bytes. Returns (doc_a, doc_b,
+    hamming)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        hamming64_near_dup_pairs,
+    )
+
+    feats = media_features(ds, payload_column=payload_column,
+                           id_column=id_column, concurrency=concurrency,
+                           batch_size=batch_size)
+    sigs = feats.map_batches(
+        lambda df: pd.DataFrame({
+            id_column: df[id_column],
+            "phash": df["phash"].astype("uint64")}),
+        batch_format="pandas")
+    return hamming64_near_dup_pairs(sigs, id_column, "phash",
+                                    max_hamming=max_hamming,
+                                    n_rows_hint=n_rows_hint)
