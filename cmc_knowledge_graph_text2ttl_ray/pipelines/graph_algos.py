@@ -883,7 +883,11 @@ def fuzzy_dedup_best_quality(
 
     # distributed path: label via left-outer join, winner via coarse argmax,
     # winner map joined back on cluster_id
-    nparts = default_join_partitions()
+    # size join partitions by the data, not the cluster: Ray's hash shuffle
+    # finalizes all-empty partitions as schema-less blocks that break Arrow
+    # join field resolution, so tiny inputs must use few partitions
+    n_rows = scored.count()
+    nparts = max(1, min(default_join_partitions(), -(-n_rows // 50_000)))
     labeled = scored.join(
         cc, join_type="left_outer", num_partitions=nparts,
         on=("doc_id",), right_on=("node",),
