@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_chunks(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import (
+        chunk_documents,
+    )
+
+    return chunk_documents(sf_dir, chunk_tokens=64, overlap=16)
+
+
 def _multimodal_phash_dups(sf_dir: str):
     """Image near-dup pairs over synthesized payloads (real decode path
     is PNG; the synth payloads exercise the FakeDecoder + banding
@@ -723,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_users_hll": _events_type_users_hll,
         "docs_fuzzy_dedup_quality": _docs_fuzzy_dedup_quality,
         "multimodal_phash_dups": _multimodal_phash_dups,
+        "docs_chunks": _docs_chunks,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1212,6 +1221,24 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
             )
             ORDER BY o_year, o_orderpriority
+        """,
+        "docs_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       GREATEST(1, CAST(CEIL(
+                           CAST(GREATEST(n_tok - 16, 1) AS DOUBLE) / 48
+                       ) AS BIGINT)) AS n_chunks
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(u.gs AS BIGINT) AS chunk_idx,
+                   CAST(u.gs * 48 AS BIGINT) AS start_tok,
+                   CAST(LEAST(u.gs * 48 + 64, n_tok) AS BIGINT) AS end_tok
+            FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(gs)
         """,
         "docs_epoch_shuffle": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

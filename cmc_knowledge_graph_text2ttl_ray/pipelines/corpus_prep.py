@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 
 __all__ = ["clean_corpus", "corpus_prep_stats", "train_val_split",
-           "pack_sequences", "epoch_shuffle"]
+           "pack_sequences", "epoch_shuffle", "chunk_documents"]
 
 
 def _quality_filter(t: pa.Table, min_alpha_ratio: float, min_tokens: int,
@@ -311,3 +311,51 @@ def epoch_shuffle(sf_dir: str, seed: int = 0):
         })
 
     return keyed.map_batches(positions, batch_format="pyarrow")
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64,
+                    overlap: int = 16):
+    """Overlapping token-window chunking (the RAG / context-window
+    preprocessing step): each document yields chunks of ``chunk_tokens``
+    whitespace tokens starting every ``chunk_tokens - overlap`` tokens.
+    Returns ``(doc_id, chunk_idx, start_tok, end_tok)`` —
+    ``n_chunks = max(1, ceil((n_tok - overlap) / stride))``, with the last
+    chunk clipped to the document end (empty docs yield one [0, 0) chunk,
+    keeping every doc represented).
+
+    Scale shape: a pure vectorized flat_map — token counts via one Arrow
+    kernel, chunk rows via ``repeat``/``arange``; no shuffle, no state,
+    and the text itself never expands (chunks are SPANS; a loader slices
+    lazily)."""
+    import numpy as np
+    import ray
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunks(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]),
+                                   r"\s+")
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_chunks = np.maximum(
+            1, -(-(np.maximum(n_tok - overlap, 1)) // stride))
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rep_doc = np.repeat(doc_ids, n_chunks)
+        # per-doc chunk indexes: global arange minus each doc's base
+        base = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - base
+        start = idx * stride
+        end = np.minimum(start + chunk_tokens, np.repeat(n_tok, n_chunks))
+        return pa.table({
+            "doc_id": pa.array(rep_doc, pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "end_tok": pa.array(end, pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(chunks, batch_format="pyarrow")

@@ -54,3 +54,34 @@ def test_block_structure_invariance(ray_session, corpus_dir, tmp_path):
     b = pack_sequences(str(ddir), seq_len=4).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_documents_spans(ray_session, corpus_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import (
+        chunk_documents,
+    )
+
+    # token counts 3,5,2,7,4; chunk=4, overlap=1 → stride 3
+    out = chunk_documents(corpus_dir, chunk_tokens=4, overlap=1) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    # doc 3 has 7 tokens → chunks [0,4) and [3,7)
+    d3 = out[out["doc_id"] == 3]
+    assert list(zip(d3["start_tok"], d3["end_tok"])) == [(0, 4), (3, 7)]
+    # every doc appears; chunk 0 always starts at 0
+    assert set(out["doc_id"]) == set(range(5))
+    assert (out[out["chunk_idx"] == 0]["start_tok"] == 0).all()
+    # spans never exceed the doc and consecutive chunks overlap by 1
+    d1 = out[out["doc_id"] == 1]
+    assert list(zip(d1["start_tok"], d1["end_tok"])) == [(0, 4), (3, 5)]
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session, corpus_dir):
+    import pytest as _pytest
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import (
+        chunk_documents,
+    )
+
+    with _pytest.raises(ValueError):
+        chunk_documents(corpus_dir, chunk_tokens=4, overlap=4)
