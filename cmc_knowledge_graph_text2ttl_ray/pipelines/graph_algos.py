@@ -327,9 +327,35 @@ def cc_demo_clusters(sf_dir: str, **cc_kwargs):
     return connected_components(edges, "a", "b", **cc_kwargs).sort("node")
 
 
+def _pagerank_numpy(src: np.ndarray, dst: np.ndarray, damping: float,
+                    iters: int) -> pd.DataFrame:
+    """Vectorized power iteration on the driver (same semantics as the
+    distributed path: multi-edges count, dangling mass not redistributed)."""
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    n = len(ids)
+    outdeg = np.bincount(si, minlength=n)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        w = np.zeros(n)
+        contrib = r[si] / outdeg[si]
+        np.add.at(w, di, contrib)
+        r = base + damping * w
+    return pd.DataFrame({"node": ids.astype(np.int64), "rank": r})
+
+
 def pagerank(edges, damping: float = 0.85, iters: int = 4,
-             num_join_partitions: int | None = None):
+             num_join_partitions: int | None = None,
+             driver_threshold: int = 2_000_000,
+             force_distributed: bool = False):
     """Distributed PageRank over an (src, dst) edge-list Dataset.
+
+    Below ``driver_threshold`` edges the graph is pulled once and solved
+    with a vectorized numpy power iteration — per-iteration Ray hash
+    joins cost seconds of actor-pool setup each, which dwarfs the math on
+    small graphs (measured 43 s distributed vs <0.1 s numpy on a
+    29k-edge graph). The distributed path below is the 100-TB shape.
 
     Returns a ``(node, rank)`` Dataset after ``iters`` synchronous
     iterations of the standard power-iteration update
@@ -352,6 +378,17 @@ def pagerank(edges, damping: float = 0.85, iters: int = 4,
     """
     import ray.data
     from ray.data.aggregate import Count, Sum
+
+    edges = edges.materialize()
+    if edges.count() <= driver_threshold and not force_distributed:
+        df = edges.to_pandas()
+        if df.empty:
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.float64())}))
+        return ray.data.from_pandas(_pagerank_numpy(
+            df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64),
+            damping, iters))
 
     if num_join_partitions is None:
         from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (

@@ -210,3 +210,21 @@ def test_triangle_count_join_fallback_parity(ray_session):
     fast = triangle_count(e, a="src", b="dst")
     slow = triangle_count(e, a="src", b="dst", broadcast_threshold=0)
     assert fast["n_triangles"].tolist() == slow["n_triangles"].tolist()
+
+
+def test_pagerank_driver_path_matches_distributed(ray_session):
+    """Small graphs take the numpy driver path; it must equal the
+    distributed iteration bit-for-bit semantics."""
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import pagerank
+
+    edges = pd.DataFrame({"src": [0, 0, 1, 2, 3, 3, 3],
+                          "dst": [1, 2, 2, 0, 0, 1, 4]})
+    ds = ray.data.from_pandas(edges).repartition(3)
+    a = pagerank(ds, iters=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = pagerank(ds, iters=5, force_distributed=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, atol=1e-12)
