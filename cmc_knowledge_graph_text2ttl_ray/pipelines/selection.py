@@ -129,6 +129,56 @@ def _feature_stats(ds, n_features: int, n_total: int
     return mean, std
 
 
+
+def _train_local(di: np.ndarray, feat: np.ndarray, y: np.ndarray,
+                 n_features: int, iters: int, lr: float, l2: float) -> dict:
+    """Same standardized full-batch GD as the distributed loop, run on
+    collected (doc_idx, feature) occurrence pairs — one numpy pass per
+    iteration instead of one Ray execution per iteration."""
+    n_total = len(y)
+    # per-(doc, feat) counts → per-feature moments over ALL docs
+    mean = np.zeros(n_features, dtype=np.float64)
+    var = np.zeros(n_features, dtype=np.float64)
+    if len(feat):
+        packed, cnt = np.unique(di * np.int64(n_features) + feat,
+                                return_counts=True)
+        fu = (packed % np.int64(n_features)).astype(np.int64)
+        c = cnt.astype(np.float64)
+        np.add.at(mean, fu, c)
+        np.add.at(var, fu, c * c)
+    mean /= max(n_total, 1)
+    var = var / max(n_total, 1) - mean ** 2
+    std = np.sqrt(np.maximum(var, 1e-12))
+    std[mean == 0] = 1.0
+
+    w = np.zeros(n_features, dtype=np.float64)
+    bias = 0.0
+    order = np.argsort(feat, kind="stable") if len(feat) else None
+    fs = feat[order] if len(feat) else feat
+    dio = di[order] if len(feat) else di
+    fu2, start = (np.unique(fs, return_index=True) if len(feat)
+                  else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+    yf = y.astype(np.float64)
+    for _ in range(iters):
+        offset = float(bias - (mean / std) @ w)
+        ws = w / std
+        z = np.full(n_total, offset, dtype=np.float64)
+        if len(feat):
+            np.add.at(z, di, ws[feat])
+        err = _sigmoid(z) - yf
+        acc = np.zeros(n_features, dtype=np.float64)
+        if len(feat):
+            acc[fu2] = np.add.reduceat(err[dio], start)
+        err_sum = err.sum()
+        grad = acc / std - (mean / std) * err_sum
+        grad /= n_total
+        grad += l2 * w
+        w = w - lr * grad
+        bias -= lr * err_sum / n_total
+    return {"w": w, "bias": bias, "mean": mean, "std": std,
+            "n_features": n_features}
+
+
 def train_quality_classifier(
     ds,
     *,
@@ -137,6 +187,8 @@ def train_quality_classifier(
     iters: int = 10,
     lr: float = 5.0,
     l2: float = 1e-6,
+    driver_threshold_docs: int = 50_000,
+    force_distributed: bool = False,
 ) -> dict:
     """Distributed full-batch logistic regression on STANDARDIZED hashed
     token-count features ((c − μ_f)/σ_f — raw counts oversaturate the
@@ -159,6 +211,39 @@ def train_quality_classifier(
              "n_features": n_features}
     if n_total == 0:
         return model
+    if n_total <= driver_threshold_docs and not force_distributed:
+        # collect (doc_id, feature) occurrence pairs ONCE and iterate
+        # locally: each distributed iteration costs a full Ray execution
+        # (~2-4 s of scheduling/actor overhead) that dwarfs the math on
+        # small corpora (measured: 22-48 s distributed vs <1 s local at
+        # 500 docs). Keyed by doc_id so the result is independent of
+        # block arrival order.
+        def pairs_and_labels(df: pd.DataFrame) -> pd.DataFrame:
+            di, feat = hashed_token_features(df["text"], n_features)
+            y = label_fn(df["text"]).astype(np.int64)
+            ids = df["doc_id"].to_numpy(np.int64)
+            # label rows use feat = -1; occurrence rows carry y = -1
+            return pd.DataFrame({
+                "doc": np.concatenate([ids[di] if len(feat)
+                                       else np.zeros(0, np.int64), ids]),
+                "feat": np.concatenate([feat, np.full(len(df), -1,
+                                                      np.int64)]),
+                "y": np.concatenate([np.full(len(feat), -1, np.int64), y]),
+            })
+
+        allp = ds.map_batches(pairs_and_labels,
+                              batch_format="pandas").to_pandas()
+        if allp.empty:
+            return model
+        lab = allp[allp["feat"] == -1].sort_values("doc")
+        occ = allp[allp["feat"] != -1].sort_values(
+            ["doc", "feat"], kind="stable")
+        doc_ids = lab["doc"].to_numpy(np.int64)
+        di_local = np.searchsorted(doc_ids, occ["doc"].to_numpy(np.int64))
+        return _train_local(di_local, occ["feat"].to_numpy(np.int64),
+                            lab["y"].to_numpy(np.int64),
+                            n_features, iters, lr, l2)
+
     mean, std = _feature_stats(ds, n_features, n_total)
     model["mean"], model["std"] = mean, std
     w = np.zeros(n_features, dtype=np.float64)

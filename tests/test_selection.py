@@ -120,3 +120,20 @@ def test_dsir_quoted_target_source_is_data(ray_session, sel_dir):
     w = dsir_weights(sel_dir, target_source="o'reilly").to_pandas()
     assert len(w) == 120
     assert w["log_weight"].notna().all()
+
+
+def test_classifier_local_path_matches_distributed(ray_session, sel_dir):
+    import numpy as np
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.selection import (
+        train_quality_classifier,
+    )
+
+    ds = ray.data.read_parquet(f"{sel_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    local = train_quality_classifier(ds, iters=5)
+    dist = train_quality_classifier(ds, iters=5, force_distributed=True)
+    assert np.abs(local["w"] - dist["w"]).max() < 1e-9
+    assert abs(local["bias"] - dist["bias"]) < 1e-9
+    assert np.abs(local["mean"] - dist["mean"]).max() < 1e-12
