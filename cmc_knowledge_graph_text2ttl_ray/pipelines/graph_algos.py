@@ -717,8 +717,44 @@ def parts_degree_histogram(sf_dir: str):
             .sort_values("out_deg").reset_index(drop=True))
 
 
+def _lpa_numpy(u: np.ndarray, v: np.ndarray, iters: int) -> pd.DataFrame:
+    """Vectorized synchronous LPA on the driver — same semantics as the
+    distributed rounds (weighted votes incl. multi-edges, self-vote,
+    min-label ties)."""
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    # symmetrize + collapse multi-edges to weights
+    su = np.concatenate([ui, vi])
+    sv = np.concatenate([vi, ui])
+    keep = su != sv
+    su, sv = su[keep], sv[keep]
+    n = len(ids)
+    ek, w = np.unique(su.astype(np.int64) * n + sv, return_counts=True)
+    su, sv = (ek // n).astype(np.int64), (ek % n).astype(np.int64)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        # votes: neighbor labels weighted + one self-vote per node
+        vn = np.concatenate([sv, np.arange(n, dtype=np.int64)])
+        vl = np.concatenate([lab[su], lab])
+        vw = np.concatenate([w, np.ones(n, np.int64)])
+        key = vn * np.int64(n) + vl
+        uk, idx = np.unique(key, return_inverse=True)
+        tot = np.bincount(idx, weights=vw)
+        node = (uk // n).astype(np.int64)
+        klab = (uk % n).astype(np.int64)
+        # per-node argmax weight, ties -> smallest label: lexsort by
+        # (node, -tot, klab) then first row per node
+        order = np.lexsort((klab, -tot, node))
+        node_o = node[order]
+        first = np.concatenate([[True], node_o[1:] != node_o[:-1]])
+        lab = klab[order][first]
+    return pd.DataFrame({"node": ids, "label": ids[lab]})
+
+
 def label_propagation(edges, a: str = "a", b: str = "b", iters: int = 5,
-                      num_join_partitions: int | None = None):
+                      num_join_partitions: int | None = None,
+                      driver_threshold: int = 2_000_000,
+                      force_distributed: bool = False):
     """Community detection by synchronous label propagation over an
     undirected edge list: each round every node adopts the label with the
     highest total edge weight among its neighbors (multi-edges count as
@@ -746,6 +782,23 @@ def label_propagation(edges, a: str = "a", b: str = "b", iters: int = 5,
 
     if num_join_partitions is None:
         num_join_partitions = default_join_partitions()
+
+    edges = edges.materialize()
+    if edges.count() <= driver_threshold and not force_distributed:
+        # per-round Ray joins cost seconds of setup each; below the
+        # threshold pull the (int, int) edge list once and run the same
+        # rounds vectorized (the pagerank/connected_components precedent)
+        df = edges.select_columns([a, b]).to_pandas()
+        if df.empty:
+            import ray.data as _rd
+
+            return _rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64())}))
+        import ray.data as _rd
+
+        return _rd.from_pandas(_lpa_numpy(
+            df[a].to_numpy(np.int64), df[b].to_numpy(np.int64), iters))
 
     def symmetrize(t: pa.Table) -> pd.DataFrame:
         u = t[a].to_numpy(zero_copy_only=False).astype(np.int64)

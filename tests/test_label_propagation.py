@@ -53,3 +53,13 @@ def test_multi_edge_weight_wins(ray_session):
     comm = dict(zip(out["node"], out["label"]))
     assert comm[2] == comm[3] == comm[4]
     assert comm[0] == comm[1]
+
+
+def test_driver_path_matches_distributed(ray_session):
+    edges = pd.DataFrame(_clique_edges(), columns=["a", "b"])
+    ds = ray.data.from_pandas(edges).repartition(3)
+    a = label_propagation(ds, iters=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = label_propagation(ds, iters=4, force_distributed=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
