@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_temperature_sample(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
+        temperature_sample,
+    )
+
+    return temperature_sample(sf_dir, alpha=0.5, target_frac=0.5)
+
+
 def _docs_chunks(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.corpus_prep import (
         chunk_documents,
@@ -732,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_dedup_quality": _docs_fuzzy_dedup_quality,
         "multimodal_phash_dups": _multimodal_phash_dups,
         "docs_chunks": _docs_chunks,
+        "docs_temperature_sample": _docs_temperature_sample,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1221,6 +1230,24 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
             )
             ORDER BY o_year, o_orderpriority
+        """,
+        "docs_temperature_sample": """
+            WITH c AS (
+                SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM documents GROUP BY source
+            ), t AS (
+                SELECT SUM(POW(n, 0.5)) AS sw, SUM(n) AS tot FROM c
+            ), p AS (
+                SELECT source,
+                       LEAST(1.0, (POW(n, 0.5) / t.sw) * t.tot * 0.5 / n)
+                           AS ps
+                FROM c, t
+            )
+            SELECT d.source, CAST(d.doc_id AS BIGINT) AS doc_id
+            FROM documents d JOIN p ON d.source = p.source
+            WHERE ps >= 1.0
+               OR substr(md5('t:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x', CAST(FLOOR(ps * 4294967296) AS BIGINT))
         """,
         "docs_chunks": """
             WITH t AS (

@@ -32,7 +32,7 @@ __all__ = [
     "top_ngrams",
     "inverted_index",
     "bm25_topk",
-]
+           "temperature_sample"]
 
 
 def _docs(sf_dir: str, columns=None):
@@ -1066,3 +1066,46 @@ def source_quota_sample(sf_dir: str, quota: int = 20):
     out = parts.groupby("source", sort=False).head(quota)
     return (out[["source", "doc_id"]]
             .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+def temperature_sample(sf_dir: str, alpha: float = 0.5,
+                       target_frac: float = 0.5):
+    """Temperature-based source mixing: sample each source with
+    probability ∝ n_s^alpha (alpha < 1 up-weights small sources, the
+    standard multi-source pretraining mix), scaled so the expected total
+    is ``target_frac`` of the corpus; per-doc selection is a
+    deterministic md5 threshold — reproducible at any cluster size, no
+    RNG state. Returns the selected ``(source, doc_id)`` rows.
+
+    Scale shape: one small per-source count groupby (sources ≪ rows) →
+    thresholds broadcast via ``ray.put`` → ONE streaming filter scan.
+    The corpus never shuffles.
+    """
+    import ray
+
+    counts = (_docs(sf_dir, columns=["source"])
+              .groupby("source").count().to_pandas())
+    if counts.empty:
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "doc_id": pd.Series(dtype="int64")})
+    n = counts["count()"].to_numpy(np.float64)
+    wgt = np.power(n, alpha)
+    total = n.sum()
+    p = np.minimum(1.0, (wgt / wgt.sum()) * total * target_frac / n)
+    thresholds = {
+        s: ("g" if ps >= 1.0 else format(int(ps * 16**8), "08x"))
+        for s, ps in zip(counts["source"], p)
+    }
+    thr_ref = ray.put(thresholds)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        h = df["doc_id"].map(
+            lambda d: hashlib.md5(f"t:{d}".encode()).hexdigest()[:8])
+        keep = h < df["source"].map(thr).fillna("00000000")
+        d = df[keep.to_numpy()]
+        return pd.DataFrame({"source": d["source"],
+                             "doc_id": d["doc_id"].astype("int64")})
+
+    return _docs(sf_dir, columns=["doc_id", "source"]) \
+        .map_batches(pick, batch_format="pandas")
