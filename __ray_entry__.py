@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _skew_safe_join(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        skew_safe_join_priority_quantity,
+    )
+
+    return skew_safe_join_priority_quantity(sf_dir)
+
+
 def _docs_temperature_sample(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
         temperature_sample,
@@ -741,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_phash_dups": _multimodal_phash_dups,
         "docs_chunks": _docs_chunks,
         "docs_temperature_sample": _docs_temperature_sample,
+        "skew_safe_join_qty": _skew_safe_join,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1230,6 +1239,13 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
             )
             ORDER BY o_year, o_orderpriority
+        """,
+        "skew_safe_join_qty": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "docs_temperature_sample": """
             WITH c AS (

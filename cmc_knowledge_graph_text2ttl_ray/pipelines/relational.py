@@ -2282,3 +2282,90 @@ def q20_dominant_suppliers(sf_dir: str, factor: float = 2.0, k: int = 100):
             .astype({"dominated_parts": "int64"})
             .reset_index(drop=True)[["s_suppkey", "s_name",
                                      "dominated_parts"]])
+
+
+def skew_safe_join_priority_quantity(sf_dir: str, hot_k: int = 64):
+    """Skew-safe fact-fact join: per-priority lineitem quantity via
+    lineitem ⋈ orders, with the join SPLIT on hot keys — the canonical
+    mitigation when a handful of join keys dominate (one reducer would
+    otherwise receive a whole hot key's rows).
+
+    Scale shape: (1) a Misra-Gries pass finds the top-``hot_k`` heaviest
+    join keys in ONE constant-exchange scan (guaranteed to contain every
+    key above n/(k+1)); (2) the hot keys' right-side rows — ≤ hot_k rows
+    — broadcast via ``ray.put`` and their lineitem rows map-join in-task
+    with NO shuffle; (3) the cold remainder takes the normal distributed
+    hash join, now free of its heaviest keys. Results are identical to a
+    plain join (the DuckDB oracle checks exactly that) — on uniform
+    TPC-H keys the split is a no-op semantically, which is the point:
+    correctness never depends on the skew profile.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        mg_heavy_hitters,
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+
+    hh = mg_heavy_hitters(li, "l_orderkey", k=hot_k)
+    hot_keys = pa.array(sorted(int(v) for v in hh["item"]), pa.int64())
+
+    # right-side rows for the hot keys: ≤ hot_k rows to the driver
+    orders_hot = orders.map_batches(
+        lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=hot_keys)),
+        batch_format="pyarrow").to_pandas()
+    hot_map = dict(zip(orders_hot["o_orderkey"].astype("int64"),
+                       orders_hot["o_orderpriority"]))
+    hot_ref = ray.put(hot_map)
+
+    def hot_side(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        sub = t.filter(pc.is_in(t["l_orderkey"], value_set=hot_keys))
+        if sub.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "qty": pa.array([], pa.float64())})
+        m = ray.get(hot_ref)
+        pr = pd_.Series(sub["l_orderkey"].to_numpy()).map(m)
+        out = pa.table({
+            "o_orderpriority": pa.array(pr, pa.string()),
+            "qty": sub["l_quantity"].cast(pa.float64()),
+        })
+        return out.group_by("o_orderpriority").aggregate(
+            [("qty", "sum")]).rename_columns(["o_orderpriority", "qty"])
+
+    def cold_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(
+            pc.is_in(t["l_orderkey"], value_set=hot_keys)))
+
+    hot_partials = li.map_batches(hot_side, batch_format="pyarrow")
+
+    cold = li.map_batches(cold_side, batch_format="pyarrow").join(
+        orders, join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "qty": t["l_quantity"].cast(pa.float64()),
+        }).group_by("o_orderpriority").aggregate(
+            [("qty", "sum")]).rename_columns(["o_orderpriority", "qty"]),
+        batch_format="pyarrow")
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    out = (hot_partials.union(cold)
+           .groupby("o_orderpriority")
+           .aggregate(Sum("qty", alias_name="total_qty"))
+           .to_pandas())
+    out["total_qty"] = round_half_away(out["total_qty"].to_numpy(), 2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
