@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _events_retention(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        events_retention_cohorts,
+    )
+
+    return events_retention_cohorts(sf_dir)
+
+
 def _skew_safe_join(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         skew_safe_join_priority_quantity,
@@ -750,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": _docs_chunks,
         "docs_temperature_sample": _docs_temperature_sample,
         "skew_safe_join_qty": _skew_safe_join,
+        "events_retention_cohorts": _events_retention,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1239,6 +1248,21 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
             )
             ORDER BY o_year, o_orderpriority
+        """,
+        "events_retention_cohorts": """
+            WITH p AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            ), f AS (
+                SELECT user_id, MIN(day) AS cohort FROM p GROUP BY user_id
+            )
+            SELECT f.cohort AS cohort_day,
+                   CAST(date_diff('day', f.cohort, p.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p JOIN f ON p.user_id = f.user_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "skew_safe_join_qty": """
             SELECT o_orderpriority,

@@ -2369,3 +2369,83 @@ def skew_safe_join_priority_quantity(sf_dir: str, hot_k: int = 64):
            .to_pandas())
     out["total_qty"] = round_half_away(out["total_qty"].to_numpy(), 2)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def events_retention_cohorts(sf_dir: str,
+                             broadcast_threshold: int = 5_000_000):
+    """Retention cohort analysis: users are cohorted by their first active
+    day; for each (cohort_day, day_offset) count the users still active —
+    the classic activation/retention matrix.
+
+    Scale shape: (1) ONE scan reduces the stream to DISTINCT (user, day)
+    pairs (per-block dedup before the coarse exchange — the raw event
+    count never shuffles); (2) first-active-day per user is a min over
+    those pairs; (3) under ``broadcast_threshold`` users the cohort map
+    broadcasts via ``ray.put`` and the pairs stream-map against it, else
+    a distributed hash join keyed on user; (4) the final count is a tiny
+    groupby over (cohort, offset) cells.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        out = pa.table({"user_id": t["user_id"].combine_chunks()
+                        .cast(pa.int64()), "day": day})
+        return out.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = coarse_group_reduce(
+        ds.map_batches(day_pairs, batch_format="pyarrow"),
+        ["user_id", "day"],
+        lambda g: g.drop_duplicates(["user_id", "day"]),
+    ).materialize()
+
+    first = coarse_group_reduce(
+        pairs, ["user_id"],
+        lambda g: g.groupby("user_id", as_index=False)["day"].min()
+        .rename(columns={"day": "cohort"}),
+    ).materialize()
+
+    if first.count() <= broadcast_threshold:
+        fm = first.to_pandas()
+        cohort_of = dict(zip(fm["user_id"].astype("int64"), fm["cohort"]))
+        ref = ray.put(cohort_of)
+
+        def offsets(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            cohort = df["user_id"].astype("int64").map(m)
+            off = ((df["day"] - cohort).dt.total_seconds() // 86400) \
+                .astype("int64")
+            return pd.DataFrame({"cohort_day": cohort,
+                                 "day_offset": off})
+
+        cells = pairs.map_batches(offsets, batch_format="pandas")
+    else:
+        joined = pairs.join(
+            first, join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("user_id",),
+        )
+
+        def offsets(df: pd.DataFrame) -> pd.DataFrame:
+            off = ((df["day"] - df["cohort"]).dt.total_seconds() // 86400) \
+                .astype("int64")
+            return pd.DataFrame({"cohort_day": df["cohort"],
+                                 "day_offset": off})
+
+        cells = joined.map_batches(offsets, batch_format="pandas")
+
+    return (cells.groupby(["cohort_day", "day_offset"])
+            .aggregate(Count(alias_name="n_users"))
+            .map_batches(
+                lambda df: df.assign(n_users=df["n_users"].astype("int64")),
+                batch_format="pandas")
+            .sort(["cohort_day", "day_offset"]))

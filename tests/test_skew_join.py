@@ -50,3 +50,35 @@ def test_matches_plain_join_under_skew(ray_session, skew_dir):
     # present in the output
     hot_pr = orders[orders["o_orderkey"] == 7]["o_orderpriority"].iloc[0]
     assert hot_pr in set(got["o_orderpriority"])
+
+
+def test_retention_cohorts_paths_agree(ray_session, tmp_path):
+    """Broadcast vs distributed-join cohort paths produce identical
+    matrices on a small planted event log."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        events_retention_cohorts,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 400
+    ts = (np.datetime64("2025-01-01") +
+          rng.integers(0, 20, n).astype("timedelta64[D]"))
+    ev = pd.DataFrame({"ts": ts.astype("datetime64[us]"),
+                       "user_id": rng.integers(0, 30, n).astype("int64")})
+    d = tmp_path / "ret"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   d / "events.parquet")
+    a = events_retention_cohorts(str(d)).to_pandas() \
+        .reset_index(drop=True)
+    b = events_retention_cohorts(str(d), broadcast_threshold=0) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # offset 0 row exists for every cohort (a user is active on their
+    # first day by definition)
+    z = a[a["day_offset"] == 0]
+    assert set(z["cohort_day"]) == set(a["cohort_day"])
