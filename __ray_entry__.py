@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _events_rolling_active(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        events_rolling_active_users,
+    )
+
+    return events_rolling_active_users(sf_dir, window=7)
+
+
 def _events_retention(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         events_retention_cohorts,
@@ -759,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_temperature_sample": _docs_temperature_sample,
         "skew_safe_join_qty": _skew_safe_join,
         "events_retention_cohorts": _events_retention,
+        "events_rolling_active_users": _events_rolling_active,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1248,6 +1257,21 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
             )
             ORDER BY o_year, o_orderpriority
+        """,
+        "events_rolling_active_users": """
+            WITH p AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            ), x AS (
+                SELECT DISTINCT user_id,
+                       day + to_days(CAST(t.o AS INTEGER)) AS d
+                FROM p, UNNEST(generate_series(0, 6)) AS t(o)
+            )
+            SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS active_users
+            FROM x
+            WHERE d IN (SELECT day FROM p)
+            GROUP BY d
+            ORDER BY d
         """,
         "events_retention_cohorts": """
             WITH p AS (

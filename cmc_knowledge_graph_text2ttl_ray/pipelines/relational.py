@@ -2449,3 +2449,72 @@ def events_retention_cohorts(sf_dir: str,
                 lambda df: df.assign(n_users=df["n_users"].astype("int64")),
                 batch_format="pandas")
             .sort(["cohort_day", "day_offset"]))
+
+
+def events_rolling_active_users(sf_dir: str, window: int = 7):
+    """Rolling window-active-users (WAU-style): for each observed day,
+    the count of distinct users active in the trailing ``window`` days.
+
+    Scale shape: the stream reduces to DISTINCT (user, day) pairs once
+    (per-block dedup before the coarse exchange); each pair then fans out
+    to the ``window`` days it keeps the user "active" for (a vectorized
+    repeat — the fan-out is ×window on the already-tiny pair table, not
+    on raw events); a second distinct collapses multi-day users; the
+    final count per day is a small groupby. Days with no events are not
+    reported (the window is evaluated at observed days only).
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        out = pa.table({"user_id": t["user_id"].combine_chunks()
+                        .cast(pa.int64()), "day": day})
+        return out.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = coarse_group_reduce(
+        ds.map_batches(day_pairs, batch_format="pyarrow"),
+        ["user_id", "day"],
+        lambda g: g.drop_duplicates(["user_id", "day"]),
+    ).materialize()
+
+    # observed days: tiny (≤ corpus day span) — broadcast for the clip
+    days = sorted({d for r in pairs.groupby("day").count().take_all()
+                   for d in [r["day"]]})
+    days_ref = ray.put(set(pd.Timestamp(d) for d in days))
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        obs = ray.get(days_ref)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "day": pd.Series(dtype="datetime64[us]")})
+        offs = pd.to_timedelta(np.tile(np.arange(window), n), unit="D")
+        out = pd.DataFrame({
+            "user_id": np.repeat(df["user_id"].to_numpy(np.int64), window),
+            "day": np.repeat(df["day"].to_numpy(), window) + offs,
+        })
+        out = out[out["day"].isin(obs)]
+        return out.drop_duplicates(["user_id", "day"])
+
+    active = coarse_group_reduce(
+        pairs.map_batches(fan_out, batch_format="pandas"),
+        ["user_id", "day"],
+        lambda g: g.drop_duplicates(["user_id", "day"]),
+    )
+
+    return (active.groupby("day")
+            .aggregate(Count(alias_name="active_users"))
+            .map_batches(
+                lambda df: df.assign(
+                    active_users=df["active_users"].astype("int64")),
+                batch_format="pandas")
+            .sort("day"))

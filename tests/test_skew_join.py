@@ -82,3 +82,29 @@ def test_retention_cohorts_paths_agree(ray_session, tmp_path):
     # first day by definition)
     z = a[a["day_offset"] == 0]
     assert set(z["cohort_day"]) == set(a["cohort_day"])
+
+
+def test_rolling_active_users_hand_case(ray_session, tmp_path):
+    """3-day window over a tiny planted log matches hand computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        events_rolling_active_users,
+    )
+
+    # user 1 active d0, d2; user 2 active d0; user 3 active d4
+    days = np.array(["2025-01-01", "2025-01-03", "2025-01-01",
+                     "2025-01-05", "2025-01-03"], dtype="datetime64[us]")
+    ev = pd.DataFrame({"ts": days,
+                       "user_id": pd.array([1, 1, 2, 3, 1],
+                                           dtype="int64")})
+    d = tmp_path / "wau"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   d / "events.parquet")
+    out = events_rolling_active_users(str(d), window=3).to_pandas()
+    got = dict(zip(out["day"].astype(str).str[:10], out["active_users"]))
+    # observed days: 01, 03, 05. Window 3 (trailing):
+    #   01: users{1,2}=2 ; 03: users{1 (01,03), 2 (01)}=2 ; 05: {1(03),3}=2
+    assert got == {"2025-01-01": 2, "2025-01-03": 2, "2025-01-05": 2}
