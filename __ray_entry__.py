@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _segment_year_pivot(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        segment_year_pivot,
+    )
+
+    return segment_year_pivot(sf_dir)
+
+
 def _events_rolling_active(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         events_rolling_active_users,
@@ -768,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_safe_join_qty": _skew_safe_join,
         "events_retention_cohorts": _events_retention,
         "events_rolling_active_users": _events_rolling_active,
+        "segment_year_pivot": _segment_year_pivot,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1257,6 +1266,19 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
             )
             ORDER BY o_year, o_orderpriority
+        """,
+        "segment_year_pivot": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995,
+                   CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996,
+                   CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997,
+                   CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS y1998,
+                   CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS y1999,
+                   CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS y2000,
+                   CAST(SUM(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END) AS BIGINT) AS y2001
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "events_rolling_active_users": """
             WITH p AS (

@@ -2518,3 +2518,51 @@ def events_rolling_active_users(sf_dir: str, window: int = 7):
                     active_users=df["active_users"].astype("int64")),
                 batch_format="pandas")
             .sort("day"))
+
+
+def segment_year_pivot(sf_dir: str, years=range(1995, 2002)):
+    """PIVOT shape: order counts as a (market segment × order year)
+    matrix — one column per year. The wide step is a normal distributed
+    (segment, year) count with per-block combiners; the pivot itself runs
+    over the tiny aggregated cell table on the driver (segments × years
+    cells), which is the correct place for a reshape at any scale.
+    Customer segments arrive by dimension broadcast — the orders fact
+    table never joins wide."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import sorted_lookup
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas() \
+        .sort_values("c_custkey")
+    keys_ref = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    seg_ref = ray.put(cust["c_mktsegment"].to_numpy(object))
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        segs = ray.get(seg_ref)
+        found, pos = sorted_lookup(keys, df["o_custkey"].to_numpy(np.int64))
+        d = pd.DataFrame({
+            "segment": np.where(found, segs[pos], None),
+            "year": pd.to_datetime(df["o_orderdate"]).dt.year
+            .astype("int64"),
+        })
+        d = d[d["segment"].notna()]
+        out = d.groupby(["segment", "year"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = (_read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+           .map_batches(cells, batch_format="pandas")
+           .groupby(["segment", "year"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    wide = agg.pivot_table(index="segment", columns="year", values="n",
+                           fill_value=0, aggfunc="sum")
+    out = pd.DataFrame({"c_mktsegment": wide.index})
+    for y in years:
+        out[f"y{y}"] = (wide[y].to_numpy(np.int64) if y in wide.columns
+                        else np.zeros(len(wide), np.int64))
+    return out.sort_values("c_mktsegment").reset_index(drop=True)

@@ -108,3 +108,20 @@ def test_rolling_active_users_hand_case(ray_session, tmp_path):
     # observed days: 01, 03, 05. Window 3 (trailing):
     #   01: users{1,2}=2 ; 03: users{1 (01,03), 2 (01)}=2 ; 05: {1(03),3}=2
     assert got == {"2025-01-01": 2, "2025-01-03": 2, "2025-01-05": 2}
+
+
+def test_segment_year_pivot_shape(ray_session):
+    """Pivot over the sf0.001 tables: one row per segment, year columns
+    sum to the orders row count."""
+    import pyarrow.parquet as pq_
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        segment_year_pivot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = segment_year_pivot(sf)
+    n_orders = pq_.read_metadata(f"{sf}/orders.parquet").num_rows
+    ycols = [c for c in out.columns if c.startswith("y")]
+    assert out[ycols].to_numpy().sum() == n_orders
+    assert out["c_mktsegment"].is_unique
