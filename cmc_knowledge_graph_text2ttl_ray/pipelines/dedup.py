@@ -825,15 +825,18 @@ def new_shard_minhash_dedup(
 
         return f
 
-    def sigs_for(keep_new: bool):
+    def sigs_for(keep_new: bool | None):
+        """Signatures for one side, or for ALL docs when ``keep_new`` is
+        None (the index-build run signs everything in one scan)."""
         ds = _docs(sf_dir, columns=["doc_id", "text"])
         cpus = int(ray.cluster_resources().get("CPU", 8))
         conc = concurrency or (min(4, max(1, cpus - 2)), max(1, cpus - 2))
-        return ds.map_batches(side_filter(keep_new), batch_format="pandas") \
-            .map_batches(_MinHasher,
-                         fn_constructor_kwargs=dict(num_perm=num_perm,
-                                                    shingle=shingle),
-                         batch_format="pandas", concurrency=conc)
+        if keep_new is not None:
+            ds = ds.map_batches(side_filter(keep_new), batch_format="pandas")
+        return ds.map_batches(_MinHasher,
+                              fn_constructor_kwargs=dict(num_perm=num_perm,
+                                                         shingle=shingle),
+                              batch_format="pandas", concurrency=conc)
 
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -865,21 +868,30 @@ def new_shard_minhash_dedup(
         "graft_minhash_shard_index",
         f"{os.path.abspath(sf_dir)}:{num_perm}:{shingle}:{bands}")
     fp = ckpt_mod.input_fingerprint([f"{sf_dir}/documents.parquet"], params)
+    new_sigs = None
     if not ckpt_mod.is_valid(ckpt, fp):
+        # build run: sign ALL docs in ONE scan and split — signing the
+        # corpus for the index and re-scanning the file to sign the new
+        # shard would read + minhash the input twice
         ckpt_mod.reset(ckpt)
-        corpus_sigs = sigs_for(False).materialize()
+        all_sigs = sigs_for(None).materialize()
+        corpus_sigs = all_sigs.map_batches(side_filter(False),
+                                           batch_format="pandas")
         corpus_sigs.map_batches(bandify, batch_format="pandas") \
             .write_parquet(os.path.join(ckpt, "bands"))
         corpus_sigs.map_batches(pack, batch_format="pandas") \
             .write_parquet(os.path.join(ckpt, "sigs"))
         ckpt_mod.mark_done(ckpt, fp, **params)
+        new_sigs = all_sigs.map_batches(side_filter(True),
+                                        batch_format="pandas").materialize()
     corpus_bands = ray.data.read_parquet(os.path.join(ckpt, "bands"),
                                          file_extensions=["parquet"])
     corpus_sigs = ray.data.read_parquet(os.path.join(ckpt, "sigs"),
                                         file_extensions=["parquet"])
 
     # ---- per-shard probe ----
-    new_sigs = sigs_for(True).materialize()
+    if new_sigs is None:  # warm-index run: sign only the new shard
+        new_sigs = sigs_for(True).materialize()
     new_bands = new_sigs.map_batches(
         lambda df: bandify(df).rename(columns={"doc_id": "new_doc"}),
         batch_format="pandas")
