@@ -73,3 +73,31 @@ def test_null_values_are_ignored(ray_session):
         pd.DataFrame({"v": ["a", None, "a", "b", None]}))
     out = mg_heavy_hitters(ds, "v", k=4)
     assert dict(zip(out["item"], out["min_count"])) == {"a": 2, "b": 1}
+
+
+def test_random_streams_property(ray_session):
+    """Randomized: for arbitrary streams and k, the mandatory-containment
+    and bound guarantees always hold."""
+    rng = np.random.default_rng(33)
+    for trial in range(5):
+        n_items = int(rng.integers(5, 120))
+        # zipf-ish random frequencies
+        freqs = np.maximum(1, (2000 / (np.arange(n_items) + 1)
+                               * rng.uniform(0.3, 1.5, n_items))).astype(int)
+        vals = np.repeat([f"i{j}" for j in range(n_items)], freqs)
+        rng.shuffle(vals)
+        k = int(rng.integers(4, 48))
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})) \
+            .repartition(int(rng.integers(1, 12)))
+        out = mg_heavy_hitters(ds, "v", k=k)
+        n = len(vals)
+        true = pd.Series(vals).value_counts()
+        mandatory = set(true[true > n / (k + 1)].index)
+        assert mandatory <= set(out["item"]), (trial, k)
+        got = out.set_index("item")
+        for item in out["item"]:
+            t = int(true.get(item, 0))
+            assert got.loc[item, "min_count"] <= t \
+                <= got.loc[item, "max_count"], (trial, item)
+        assert ((got["max_count"] - got["min_count"])
+                <= n / (k + 1) + 1e-9).all(), (trial, k)
