@@ -227,6 +227,12 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _kg_validation(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import validate_triples
+
+    return validate_triples(_kg_records(sf_dir)["triples"])
+
+
 def _segment_year_pivot(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         segment_year_pivot,
@@ -777,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention_cohorts": _events_retention,
         "events_rolling_active_users": _events_rolling_active,
         "segment_year_pivot": _segment_year_pivot,
+        "kg_validation": _kg_validation,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
