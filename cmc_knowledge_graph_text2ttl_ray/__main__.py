@@ -127,6 +127,10 @@ def cmd_run(args) -> int:
         # array file is NOT supported — convert to .jsonl first
         path = args.pages.split(":", 1)[1] if args.pages.startswith("jsonl:") else args.pages
         pages = ray.data.read_json(path)
+    elif args.pages.startswith("csv:") or args.pages.endswith(".csv"):
+        path = (args.pages.split(":", 1)[1]
+                if args.pages.startswith("csv:") else args.pages)
+        pages = ray.data.read_csv(path)
     else:
         pages = ray.data.read_parquet(args.pages)
 
@@ -176,8 +180,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--pages", required=True,
                        help="parquet path/dir of pages, synth:N for the synthetic corpus, "
                             "pdf:DIR for a directory of PDF files, docs:DIR for "
-                            "docx/odt/rtf/eml files, or jsonl:PATH / *.jsonl "
-                            "for JSON-LINES page records (not JSON arrays)")
+                            "docx/odt/rtf/eml files, jsonl:PATH / *.jsonl "
+                            "for JSON-LINES page records (not JSON arrays), "
+                            "or csv:PATH / *.csv")
     p_run.add_argument("--out", required=True, help="output directory")
     p_run.add_argument("--graph", action="append", help="name=path.ttl lookup graph (repeatable)")
     p_run.add_argument("--num-cpus", type=int, default=32)

@@ -285,3 +285,28 @@ def test_waves_resume_across_layout_migration(ray_session, tmp_path):
     # run over all files (a partitioned-only read would halve this)
     assert stats_rows == n_direct_stats
     assert total > 0 and n_direct > 0
+
+
+def test_cli_csv_pages_route(ray_session, tmp_path):
+    """csv: pages route runs the KG pipeline end-to-end."""
+    import subprocess
+    import sys
+
+    csv = tmp_path / "pages.csv"
+    csv.write_text(
+        'url,html\n'
+        'http://x/1,"<html><body><h1>Acme Corp</h1><p>Founded in 1999.'
+        '</p></body></html>"\n'
+        'http://x/2,"<html><body><h1>Beta GmbH</h1><p>Founded in 2005.'
+        '</p></body></html>"\n')
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray", "run",
+         "--pages", f"csv:{csv}", "--out", str(out), "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (out / "ttl").is_dir()
+    assert any(f.name.endswith((".ttl", ".ttl.gz"))
+               for f in (out / "ttl").iterdir())
