@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _part_size_unpivot(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        part_size_unpivot,
+    )
+
+    return part_size_unpivot(sf_dir)
+
+
 def _kg_validation(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import validate_triples
 
@@ -784,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active_users": _events_rolling_active,
         "segment_year_pivot": _segment_year_pivot,
         "kg_validation": _kg_validation,
+        "part_size_unpivot": _part_size_unpivot,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1286,6 +1295,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "part_size_unpivot": """
+            SELECT p_partkey, measure, value FROM (
+                SELECT p_partkey, 'size' AS measure,
+                       CAST(p_size AS DOUBLE) AS value FROM part
+                UNION ALL
+                SELECT p_partkey, 'retailprice' AS measure,
+                       CAST(p_retailprice AS DOUBLE) AS value FROM part
+            )
+            ORDER BY p_partkey, measure
         """,
         "events_rolling_active_users": """
             WITH p AS (

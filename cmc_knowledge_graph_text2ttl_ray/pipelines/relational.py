@@ -2566,3 +2566,27 @@ def segment_year_pivot(sf_dir: str, years=range(1995, 2002)):
         out[f"y{y}"] = (wide[y].to_numpy(np.int64) if y in wide.columns
                         else np.zeros(len(wide), np.int64))
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def part_size_unpivot(sf_dir: str):
+    """UNPIVOT/melt shape: the part table's per-row numeric measures
+    (size, retailprice) unpivoted to (p_partkey, measure, value) long
+    form — a pure vectorized row-expanding map (each block melts
+    independently; no shuffle, no state)."""
+    p = _read(sf_dir, "part",
+              columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t["p_partkey"].combine_chunks().cast(pa.int64())
+        size = t["p_size"].combine_chunks().cast(pa.float64())
+        price = t["p_retailprice"].combine_chunks().cast(pa.float64())
+        return pa.table({
+            "p_partkey": pa.concat_arrays([keys, keys]),
+            "measure": pa.array(["size"] * n + ["retailprice"] * n,
+                                pa.string()),
+            "value": pa.concat_arrays([size, price]),
+        })
+
+    return p.map_batches(melt, batch_format="pyarrow") \
+        .sort(["p_partkey", "measure"])
