@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _events_daily_anomalies(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        events_daily_anomalies,
+    )
+
+    return events_daily_anomalies(sf_dir)
+
+
 def _part_size_unpivot(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         part_size_unpivot,
@@ -793,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_year_pivot": _segment_year_pivot,
         "kg_validation": _kg_validation,
         "part_size_unpivot": _part_size_unpivot,
+        "events_daily_anomalies": _events_daily_anomalies,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1295,6 +1304,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "events_daily_anomalies": """
+            WITH c AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n,
+                   ROUND(CASE WHEN STDDEV_SAMP(n) OVER w > 0 THEN
+                       (n - AVG(n) OVER w) / STDDEV_SAMP(n) OVER w
+                       ELSE 0 END, 4) AS z,
+                   CAST(CASE WHEN STDDEV_SAMP(n) OVER w > 0 AND ABS(
+                       (n - AVG(n) OVER w) / STDDEV_SAMP(n) OVER w) > 2.0
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+            FROM c
+            WINDOW w AS (PARTITION BY event_type)
+            ORDER BY event_type, day
         """,
         "part_size_unpivot": """
             SELECT p_partkey, measure, value FROM (

@@ -2590,3 +2590,47 @@ def part_size_unpivot(sf_dir: str):
 
     return p.map_batches(melt, batch_format="pyarrow") \
         .sort(["p_partkey", "measure"])
+
+
+def events_daily_anomalies(sf_dir: str, z_threshold: float = 2.0):
+    """Daily-volume anomaly detection per event type: z-score of each
+    day's event count against that type's distribution across days.
+
+    Scale shape: the heavy step is the distributed (type, day) count with
+    per-block combiners; the z-scores then run per type over the TINY
+    cell table (types × days rows) via ``map_groups`` — each type's cells
+    trivially fit one task at any corpus size."""
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        return pa.table({"event_type": t["event_type"], "day": day})
+
+    cells = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n")))
+
+    def zscores(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.float64)
+        mu = n.mean()
+        sd = n.std(ddof=1) if len(n) > 1 else 0.0
+        z = (n - mu) / sd if sd > 0 else np.zeros(len(n))
+        out = pd.DataFrame({
+            "event_type": g["event_type"],
+            "day": g["day"],
+            "n": g["n"].astype("int64"),
+            "z": round_half_away(z, 4),
+        })
+        out["is_anomaly"] = (np.abs(z) > z_threshold).astype("int64")
+        return out
+
+    return (cells.groupby("event_type")
+            .map_groups(zscores, batch_format="pandas")
+            .sort(["event_type", "day"]))
