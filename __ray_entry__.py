@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _lineitem_corr(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        lineitem_qty_price_corr,
+    )
+
+    return lineitem_qty_price_corr(sf_dir)
+
+
 def _events_daily_anomalies(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         events_daily_anomalies,
@@ -802,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validation": _kg_validation,
         "part_size_unpivot": _part_size_unpivot,
         "events_daily_anomalies": _events_daily_anomalies,
+        "lineitem_qty_price_corr": _lineitem_corr,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1304,6 +1313,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "lineitem_qty_price_corr": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(CORR(l_quantity, l_extendedprice), 4)
+                       AS corr_qty_price
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "events_daily_anomalies": """
             WITH c AS (

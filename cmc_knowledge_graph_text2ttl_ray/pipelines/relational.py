@@ -2634,3 +2634,49 @@ def events_daily_anomalies(sf_dir: str, z_threshold: float = 2.0):
     return (cells.groupby("event_type")
             .map_groups(zscores, batch_format="pandas")
             .sort(["event_type", "day"]))
+
+
+def lineitem_qty_price_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs extended price per return
+    flag) as a single-pass DISTRIBUTED MOMENTS aggregate: each block emits
+    (n, Σx, Σy, Σxx, Σyy, Σxy) per group — six numbers, perfectly
+    combinable — and the correlation formula runs over the tiny reduced
+    table. The classic two-column statistic without a second scan or any
+    row shuffle."""
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64)
+        y = df["l_extendedprice"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": np.ones(len(df), np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    red = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("sxy", alias_name="sxy"))
+           .to_pandas())
+    n = red["n"].to_numpy(np.float64)
+    cov = red["sxy"] - red["sx"] * red["sy"] / n
+    vx = red["sxx"] - red["sx"] ** 2 / n
+    vy = red["syy"] - red["sy"] ** 2 / n
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({
+        "l_returnflag": red["l_returnflag"],
+        "n": red["n"].astype("int64"),
+        "corr_qty_price": round_half_away(corr.to_numpy(np.float64), 4),
+    }).sort_values("l_returnflag").reset_index(drop=True)
