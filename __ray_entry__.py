@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _lineitem_regression(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        lineitem_price_regression,
+    )
+
+    return lineitem_price_regression(sf_dir)
+
+
 def _lineitem_corr(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         lineitem_qty_price_corr,
@@ -811,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_unpivot": _part_size_unpivot,
         "events_daily_anomalies": _events_daily_anomalies,
         "lineitem_qty_price_corr": _lineitem_corr,
+        "lineitem_price_regression": _lineitem_regression,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1313,6 +1322,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "lineitem_price_regression": """
+            SELECT l_returnflag,
+                   ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4)
+                       AS slope,
+                   ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2)
+                       AS intercept
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "lineitem_qty_price_corr": """
             SELECT l_returnflag,

@@ -2680,3 +2680,45 @@ def lineitem_qty_price_corr(sf_dir: str):
         "n": red["n"].astype("int64"),
         "corr_qty_price": round_half_away(corr.to_numpy(np.float64), 4),
     }).sort_values("l_returnflag").reset_index(drop=True)
+
+
+def lineitem_price_regression(sf_dir: str):
+    """Grouped OLS regression (extended price ~ quantity per return flag)
+    from the same single-pass distributed moment sums as
+    :func:`lineitem_qty_price_corr` — slope and intercept per group with
+    zero extra scans."""
+    from ray.data.aggregate import Sum
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64)
+        y = df["l_extendedprice"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": np.ones(len(df), np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+        })
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    red = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy"))
+           .to_pandas())
+    n = red["n"].to_numpy(np.float64)
+    slope = ((red["sxy"] - red["sx"] * red["sy"] / n)
+             / (red["sxx"] - red["sx"] ** 2 / n))
+    intercept = red["sy"] / n - slope * red["sx"] / n
+    return pd.DataFrame({
+        "l_returnflag": red["l_returnflag"],
+        "slope": round_half_away(slope.to_numpy(np.float64), 4),
+        "intercept": round_half_away(intercept.to_numpy(np.float64), 2),
+    }).sort_values("l_returnflag").reset_index(drop=True)
