@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _orders_monthly_growth(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        orders_monthly_growth,
+    )
+
+    return orders_monthly_growth(sf_dir)
+
+
 def _lineitem_regression(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         lineitem_price_regression,
@@ -820,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_anomalies": _events_daily_anomalies,
         "lineitem_qty_price_corr": _lineitem_corr,
         "lineitem_price_regression": _lineitem_regression,
+        "orders_monthly_growth": _orders_monthly_growth,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,
@@ -1322,6 +1331,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT month, n_orders,
+                   ROUND(COALESCE(
+                       (n_orders - LAG(n_orders) OVER (ORDER BY month))
+                       * 100.0 / LAG(n_orders) OVER (ORDER BY month),
+                       0.0), 2) AS growth_pct
+            FROM m ORDER BY month
         """,
         "lineitem_price_regression": """
             SELECT l_returnflag,

@@ -2722,3 +2722,35 @@ def lineitem_price_regression(sf_dir: str):
         "slope": round_half_away(slope.to_numpy(np.float64), 4),
         "intercept": round_half_away(intercept.to_numpy(np.float64), 2),
     }).sort_values("l_returnflag").reset_index(drop=True)
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month order-count growth: the distributed part is the
+    monthly count (per-block combiners); the LAG/pct-change window then
+    runs over the tiny months table on the driver."""
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.rounding import (
+        round_half_away,
+    )
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.floor_temporal(
+            t["o_orderdate"].combine_chunks().cast(pa.timestamp("us")),
+            unit="month"), pa.timestamp("us"))
+        return pa.table({"month": m})
+
+    months = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby("month").aggregate(Count(alias_name="n_orders"))
+              .to_pandas().sort_values("month").reset_index(drop=True))
+    prev = months["n_orders"].shift(1)
+    growth = (months["n_orders"] - prev) / prev * 100.0
+    out = pd.DataFrame({
+        "month": months["month"],
+        "n_orders": months["n_orders"].astype("int64"),
+        "growth_pct": round_half_away(
+            growth.fillna(0.0).to_numpy(np.float64), 2),
+    })
+    return out
