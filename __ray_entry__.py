@@ -227,6 +227,14 @@ def _multimodal_audio(sf_dir: str):
     return audio_features(ds.map_batches(to_payload, batch_format="pyarrow"))
 
 
+def _docs_heavy_words_by_lang(sf_dir: str):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        docs_heavy_words_by_lang,
+    )
+
+    return docs_heavy_words_by_lang(sf_dir, k=16)
+
+
 def _orders_monthly_growth(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         orders_monthly_growth,
@@ -829,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_price_corr": _lineitem_corr,
         "lineitem_price_regression": _lineitem_regression,
         "orders_monthly_growth": _orders_monthly_growth,
+        "docs_heavy_words_by_lang": _docs_heavy_words_by_lang,
         "distinct_brands": _distinct_brands,
         "customers_without_orders": _customers_without_orders,
         "region_nation_names": _region_nation_names,

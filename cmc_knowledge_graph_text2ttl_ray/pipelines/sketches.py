@@ -23,7 +23,8 @@ __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
            "tdigest_quantile", "events_value_quantiles_tdigest",
            "events_type_quantiles_tdigest",
            "mg_heavy_hitters", "docs_heavy_words_sketch",
-           "grouped_hll_distinct", "events_type_users_hll"]
+           "grouped_hll_distinct", "events_type_users_hll",
+           "grouped_mg_heavy_hitters", "docs_heavy_words_by_lang"]
 
 
 def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
@@ -431,3 +432,84 @@ def events_type_users_hll(sf_dir: str, p: int = 12):
                                columns=["event_type", "user_id"])
     return grouped_hll_distinct(ds, "event_type", "user_id", p=p) \
         .sort("event_type")
+
+
+def grouped_mg_heavy_hitters(ds, group_col: str, value_col: str,
+                             k: int = 32):
+    """Per-group Misra-Gries heavy hitters: ≤ k counters per (block,
+    group) leave the workers — the grouped companion to
+    :func:`mg_heavy_hitters` with the same guarantees applied per group
+    (every item above n_g/(k+1) of ITS group's stream is present).
+    Returns (group, item, min_count, max_count) sorted by group then
+    max_count desc."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in df.groupby(group_col, sort=False):
+            vals = sub[value_col].to_numpy(object)
+            vals = vals[pd.notna(vals)]
+            if not len(vals):
+                continue
+            uniq, counts = np.unique(vals, return_counts=True)
+            items, counts, dec = _mg_trim(uniq, counts.astype(np.int64), k)
+            outs.append(pd.DataFrame({
+                group_col: [g] * (len(items) + 1),
+                "item": np.concatenate([items, [None]]),
+                "cnt": np.concatenate([counts, [0]]).astype(np.int64),
+                "err": np.concatenate([np.zeros(len(items), np.int64),
+                                       [dec]]).astype(np.int64),
+            }))
+        if not outs:
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 "item": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64"),
+                                 "err": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    summ = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if summ.empty:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "item": pd.Series(dtype=object),
+                             "min_count": pd.Series(dtype="int64"),
+                             "max_count": pd.Series(dtype="int64")})
+    results = []
+    for g, sub in summ.groupby(group_col, sort=True):
+        base_err = int(sub[sub["item"].isna()]["err"].sum())
+        rows = sub[sub["item"].notna()]
+        if rows.empty:
+            continue
+        merged = rows.groupby("item", sort=False)["cnt"].sum()
+        items, counts, dec = _mg_trim(
+            merged.index.to_numpy(object), merged.to_numpy(np.int64), k)
+        total_err = base_err + dec
+        results.append(pd.DataFrame({
+            group_col: [g] * len(items),
+            "item": items,
+            "min_count": counts,
+            "max_count": counts + total_err,
+        }))
+    out = pd.concat(results, ignore_index=True)
+    return out.sort_values([group_col, "max_count", "item"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+def docs_heavy_words_by_lang(sf_dir: str, k: int = 16):
+    """Heavy words per language via the grouped Misra-Gries sketch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def words(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(t["lang"].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"lang": lang, "word": flat})
+        return df[df["word"] != ""]
+
+    return grouped_mg_heavy_hitters(
+        ds.map_batches(words, batch_format="pyarrow"), "lang", "word", k=k)

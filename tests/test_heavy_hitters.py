@@ -101,3 +101,31 @@ def test_random_streams_property(ray_session):
                 <= got.loc[item, "max_count"], (trial, item)
         assert ((got["max_count"] - got["min_count"])
                 <= n / (k + 1) + 1e-9).all(), (trial, k)
+
+
+def test_grouped_guarantee(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        grouped_mg_heavy_hitters,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g, n_items, scale in (("a", 80, 1500), ("b", 30, 400)):
+        for i in range(n_items):
+            rows.extend([(g, f"{g}{i}")] * max(1, scale // (i + 1)))
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(8)
+    k = 16
+    out = grouped_mg_heavy_hitters(ds, "g", "v", k=k)
+    for g, sub in df.groupby("g"):
+        true = sub["v"].value_counts()
+        n = len(sub)
+        mandatory = set(true[true > n / (k + 1)].index)
+        got_items = set(out[out["g"] == g]["item"])
+        assert mandatory <= got_items, g
+        gsub = out[out["g"] == g].set_index("item")
+        for item in got_items:
+            t = int(true.get(item, 0))
+            assert gsub.loc[item, "min_count"] <= t \
+                <= gsub.loc[item, "max_count"], (g, item)
