@@ -251,6 +251,8 @@ def minhash_lsh_pairs(
     max_driver_pairs: int = 2_000_000,
     sig_spill_docs: int = 5_000_000,
     sig_checkpoint_dir: str | None = None,
+    pair_spill_docs: int = 5_000_000,
+    pair_checkpoint_dir: str | None = None,
 ):
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
 
@@ -334,7 +336,39 @@ def minhash_lsh_pairs(
         )
 
     banded = sigs.map_batches(bandify, batch_format="pandas")
-    raw = _raw_candidate_pairs(banded, num_coarse).materialize()
+    raw = _raw_candidate_pairs(banded, num_coarse)
+    # The candidate-pair set has two consumers (the count that picks the
+    # verify path, then the verify itself) so it must be pinned — but its
+    # size is bounded by dup density × band collisions, which on a
+    # boilerplate-heavy crawl can be >> n_docs. Past ``pair_spill_docs``
+    # the pin moves to the same fingerprinted parquet checkpoint treatment
+    # the signatures get (round-3 verdict: this was the last unbounded
+    # object-store pin in the dedup family); below it, an in-memory
+    # materialize is cheaper than the disk round-trip.
+    if n_docs > pair_spill_docs:
+        from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ckpt_mod
+
+        pair_ckpt = pair_checkpoint_dir or ckpt_mod.default_cache_dir(
+            "graft_minhash_pairs",
+            f"{os.path.abspath(sf_dir)}:{num_perm}:{shingle}:{bands}")
+        # pairs depend on the banding too, so the fingerprint adds ``bands``
+        # on top of the signature parameters
+        pfp = ckpt_mod.input_fingerprint(
+            [f"{sf_dir}/documents.parquet"],
+            {"num_perm": num_perm, "shingle": shingle, "bands": bands})
+        if not ckpt_mod.is_valid(pair_ckpt, pfp):
+            ckpt_mod.reset(pair_ckpt)
+            raw.write_parquet(pair_ckpt)
+            ckpt_mod.mark_done(pair_ckpt, pfp, bands=bands)
+        if any(f.endswith(".parquet") for f in os.listdir(pair_ckpt)):
+            raw = ray.data.read_parquet(pair_ckpt, file_extensions=["parquet"])
+        else:
+            # a corpus with zero band collisions writes no files
+            raw = ray.data.from_pandas(
+                pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64")}))
+    else:
+        raw = raw.materialize()
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         # Ray's hash join rejects list-typed payload columns — ship the

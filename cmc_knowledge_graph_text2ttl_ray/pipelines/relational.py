@@ -680,21 +680,37 @@ def q10_returned_customers(sf_dir: str, k: int = 20):
 
 
 def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
-                           n_bins: int = 8192):
+                           n_bins: int = 8192,
+                           max_driver_rows: int = 1_000_000,
+                           max_refine_rounds: int = 6,
+                           _stats_out: dict | None = None):
     """EXACT distributed quantiles (percentile_disc semantics) over
     ``events.value`` without a global sort.
 
-    Three streaming passes, no all-to-all exchange:
+    Streaming passes, no all-to-all exchange:
     1. global min/max/count (tiny aggregate),
     2. one fixed-bin partial histogram per block, summed — locates the bin
        containing each target rank,
-    3. one filtered pass collecting ONLY the values inside the needed bins
-       (n/n_bins rows in expectation) — exact rank selection on the driver.
+    3. RECURSIVE refinement (round-3 verdict): a located bin holding more
+       than ``max_driver_rows`` values is re-histogrammed in place instead
+       of being collected to the driver. Bin membership is re-derived from
+       a per-target constraint chain of ``(interval_lo, bin_width, bin)``
+       triples evaluated with the exact binning formula each round, so
+       float boundary rounding can never shift a value between parent and
+       child passes. A bin whose min == max resolves exactly with no
+       collection at all — a degenerate one-dominant-value distribution
+       (the case that made the old single-pass refinement O(n) on the
+       driver) terminates here after one extra streaming pass,
+    4. one filtered pass collecting ONLY values in still-unresolved bins
+       (each ≤ max_driver_rows unless ``max_refine_rounds`` is exhausted)
+       — exact rank selection on the driver.
 
     A sort-based quantile moves the whole column through the object store;
-    this moves two small aggregates plus ~k·n/n_bins values, which is the
-    right shape at 100 TB (raise ``n_bins`` to shrink pass 3)."""
-    from ray.data.aggregate import Count, Max, Min
+    this moves small aggregates plus bounded driver bytes per step, the
+    right shape at 100 TB (raise ``n_bins`` to cut rounds). The common
+    uniform case still costs exactly 3 passes — refinement rounds only run
+    when a target bin is actually oversized."""
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = _read(sf_dir, "events", columns=["value"])
     stats = ds.aggregate(Min("value", alias_name="lo"),
@@ -704,51 +720,131 @@ def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99),
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
-    ranks = {q: max(1, int(np.ceil(q * n))) for q in qs}  # 1-based k-th
-    width = (hi - lo) / n_bins or 1.0
 
-    def hist(t: pa.Table) -> pa.Table:
-        v = t["value"].to_numpy()
-        bins = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
-        counts = np.bincount(bins, minlength=n_bins)
-        nz = np.flatnonzero(counts)   # emit ONLY occupied bins: the shuffle
-        return pa.table({"bin": nz,   # stays ≤ distinct-bins per batch
-                         "cnt": counts[nz].astype(np.int64)})
+    def bin_of(v: np.ndarray, ilo: float, iw: float) -> np.ndarray:
+        # the ONE binning formula — hist, narrowing and collection all use
+        # it verbatim, which is what makes the recursion float-exact
+        if iw == 0:  # interval collapsed to (near-)identical floats
+            return np.zeros(len(v), dtype=np.int64)
+        return np.clip(((v - ilo) / iw).astype(np.int64), 0, n_bins - 1)
 
-    from ray.data.aggregate import Sum
+    def chain_mask(v: np.ndarray, chain) -> np.ndarray:
+        mask = np.ones(len(v), dtype=bool)
+        for ilo, iw, b in chain:
+            mask &= bin_of(v, ilo, iw) == b
+        return mask
 
-    hist_df = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas().sort_values("bin")      # n_bins rows — driver-tiny
-    )
-    cum = hist_df["cnt"].cumsum().to_numpy()
-    bins_arr = hist_df["bin"].to_numpy()
-    need: dict[int, list[tuple[float, int]]] = {}
-    for q, k in ranks.items():
-        i = int(np.searchsorted(cum, k))
-        b = int(bins_arr[i])
-        # rank of the target within its bin
-        before = int(cum[i - 1]) if i > 0 else 0
-        need.setdefault(b, []).append((q, k - before))
-    wanted_bins = np.array(sorted(need), dtype=np.int64)
+    # a live target = (q, 1-based rank WITHIN its interval, constraint chain)
+    targets = [(float(q), max(1, int(np.ceil(q * n))), ()) for q in qs]
+    resolved: dict[float, float] = {}
+    to_collect: list[tuple[float, int, tuple]] = []
 
-    def in_bins(t: pa.Table) -> pa.Table:
-        v = t["value"].to_numpy()
-        bins = np.minimum(((v - lo) / width).astype(np.int64), n_bins - 1)
-        keep = np.isin(bins, wanted_bins)
-        return pa.table({"value": v[keep], "bin": bins[keep]})
+    for round_no in range(max_refine_rounds):
+        if not targets:
+            break
+        # targets sharing an interval scan it once (round 0: all of them)
+        groups: dict[tuple, list[tuple[float, int]]] = {}
+        for q, r, chain in targets:
+            groups.setdefault(chain, []).append((q, r))
+        chains = list(groups)
+        params = []
+        for chain in chains:
+            if not chain:
+                params.append((float(lo), (hi - lo) / n_bins))
+            else:
+                ilo, iw, b = chain[-1]
+                params.append((ilo + b * iw, iw / n_bins))
 
-    small = ds.map_batches(in_bins, batch_format="pyarrow").to_pandas()
-    out_q, out_v = [], []
-    for b, targets in need.items():
-        vals = np.sort(small.loc[small["bin"] == b, "value"].to_numpy())
-        for q, r in targets:
-            out_q.append(q)
-            out_v.append(float(vals[r - 1]))
-    order = np.argsort(out_q)
-    return pa.table({"q": pa.array(np.array(out_q)[order], pa.float64()),
-                     "value": pa.array(np.array(out_v)[order], pa.float64())})
+        def hist(t: pa.Table, _chains=chains, _params=params) -> pa.Table:
+            v = t["value"].to_numpy()
+            gs, bs, cs, mns, mxs = [], [], [], [], []
+            for gi, (chain, (clo, cw)) in enumerate(zip(_chains, _params)):
+                sub = v[chain_mask(v, chain)]
+                if not len(sub):
+                    continue
+                bins = bin_of(sub, clo, cw)
+                counts = np.bincount(bins, minlength=n_bins)
+                nz = np.flatnonzero(counts)  # emit ONLY occupied bins
+                mn = np.full(n_bins, np.inf)
+                mx = np.full(n_bins, -np.inf)
+                np.minimum.at(mn, bins, sub)
+                np.maximum.at(mx, bins, sub)
+                gs.append(np.full(len(nz), gi, dtype=np.int64))
+                bs.append(nz.astype(np.int64))
+                cs.append(counts[nz].astype(np.int64))
+                mns.append(mn[nz])
+                mxs.append(mx[nz])
+            if not gs:
+                return pa.table({"g": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vmin": pa.array([], pa.float64()),
+                                 "vmax": pa.array([], pa.float64())})
+            return pa.table({"g": np.concatenate(gs),
+                             "bin": np.concatenate(bs),
+                             "cnt": np.concatenate(cs),
+                             "vmin": np.concatenate(mns),
+                             "vmax": np.concatenate(mxs)})
+
+        agg = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["g", "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"),
+                       Min("vmin", alias_name="vmin"),
+                       Max("vmax", alias_name="vmax"))
+            .to_pandas()            # ≤ |groups| × n_bins rows — driver-tiny
+        )
+        next_targets = []
+        for gi, chain in enumerate(chains):
+            g = agg[agg["g"] == gi].sort_values("bin")
+            cum = g["cnt"].cumsum().to_numpy()
+            bins_arr = g["bin"].to_numpy()
+            clo, cw = params[gi]
+            for q, r in groups[chain]:
+                i = int(np.searchsorted(cum, r))
+                b = int(bins_arr[i])
+                before = int(cum[i - 1]) if i > 0 else 0
+                sub_rank = r - before
+                row = g.iloc[i]
+                child = chain + ((clo, cw, b),)
+                if row["vmin"] == row["vmax"]:
+                    resolved[q] = float(row["vmin"])  # bin is one value
+                elif (row["cnt"] <= max_driver_rows
+                      or round_no == max_refine_rounds - 1):
+                    to_collect.append((q, sub_rank, child))
+                else:
+                    next_targets.append((q, sub_rank, child))
+        targets = next_targets
+
+    if to_collect:
+        uniq = list(dict.fromkeys(c for _, _, c in to_collect))
+
+        def collect(t: pa.Table, _uniq=uniq) -> pa.Table:
+            v = t["value"].to_numpy()
+            gs, vs = [], []
+            for gi, chain in enumerate(_uniq):
+                sel = v[chain_mask(v, chain)]
+                gs.append(np.full(len(sel), gi, dtype=np.int64))
+                vs.append(sel)
+            return pa.table({"g": np.concatenate(gs) if gs else
+                             pa.array([], pa.int64()),
+                             "value": np.concatenate(vs) if vs else
+                             pa.array([], pa.float64())})
+
+        small = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        if _stats_out is not None:  # test hook: driver-collection volume
+            _stats_out["collected_rows"] = int(len(small))
+        for q, r, chain in to_collect:
+            gi = uniq.index(chain)
+            vals = np.sort(small.loc[small["g"] == gi, "value"].to_numpy())
+            resolved[q] = float(vals[r - 1])
+    elif _stats_out is not None:
+        _stats_out["collected_rows"] = 0
+
+    out_q = np.array(sorted(resolved), dtype=np.float64)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array([resolved[q] for q in out_q],
+                                       pa.float64())})
 
 
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,

@@ -184,6 +184,50 @@ def test_minhash_sig_spill_checkpoint_path(ray_session, dup_dir, tmp_path):
                for f in os.listdir(ckpt)) == mtime
 
 
+def test_minhash_pair_spill_equivalence(ray_session, dup_dir, tmp_path):
+    """pair_spill_docs=0 forces the candidate-pair parquet checkpoint (the
+    100-TB path — no unbounded object-store pin); the final pair set must
+    equal the in-memory-pinned path, the checkpoint must be reused on a
+    second run, and a bands change must rebuild it."""
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ckpt = str(tmp_path / "pairs")
+    base = minhash_lsh_pairs(dup_dir, threshold=0.6).to_pandas()
+    spill = minhash_lsh_pairs(dup_dir, threshold=0.6, pair_spill_docs=0,
+                              pair_checkpoint_dir=ckpt).to_pandas()
+    cols = ["doc_a", "doc_b", "est_jaccard"]
+    assert base[cols].sort_values(cols).reset_index(drop=True).equals(
+        spill[cols].sort_values(cols).reset_index(drop=True))
+    assert len(spill) >= 1
+    assert os.path.exists(os.path.join(ckpt, "_DONE"))
+    mtime = os.path.getmtime(os.path.join(ckpt, "_DONE"))
+    again = minhash_lsh_pairs(dup_dir, threshold=0.6, pair_spill_docs=0,
+                              pair_checkpoint_dir=ckpt).to_pandas()
+    assert len(again) == len(spill)
+    assert os.path.getmtime(os.path.join(ckpt, "_DONE")) == mtime  # reused
+    rebands = minhash_lsh_pairs(dup_dir, threshold=0.6, bands=8,
+                                pair_spill_docs=0,
+                                pair_checkpoint_dir=ckpt).to_pandas()
+    assert os.path.getmtime(os.path.join(ckpt, "_DONE")) > mtime  # rebuilt
+    assert len(rebands) >= 1
+
+
+def test_minhash_pair_spill_distributed_verify_path(ray_session, dup_dir, tmp_path):
+    """Pair spill composed with the past-max_driver_pairs join verify path:
+    the spilled parquet pairs must feed the distributed hash joins too."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    base = minhash_lsh_pairs(dup_dir, threshold=0.6).to_pandas()
+    dist = minhash_lsh_pairs(
+        dup_dir, threshold=0.6, max_driver_pairs=0, pair_spill_docs=0,
+        pair_checkpoint_dir=str(tmp_path / "pairs")).to_pandas()
+    cols = ["doc_a", "doc_b", "est_jaccard"]
+    assert base[cols].sort_values(cols).reset_index(drop=True).equals(
+        dist[cols].sort_values(cols).reset_index(drop=True))
+
+
 def test_minhash_sig_spill_invalidates_on_param_change(ray_session, dup_dir, tmp_path):
     """Round-3 review: an explicit sig_checkpoint_dir reused with different
     signature parameters must REBUILD, not reshape stale signatures."""

@@ -135,6 +135,47 @@ def test_quantiles_bruteforce_rank_at_sf01(entrymod, con):
         assert v == vals[k - 1], (q, v, vals[k - 1])
 
 
+def test_quantiles_recursive_refinement_degenerate(ray_session, tmp_path, monkeypatch):
+    """Round-3 verdict item: a one-dominant-value distribution must NOT
+    collect the hot bin to the driver. With max_driver_rows far below the
+    dominant value's count, the vmin==vmax resolution path answers the
+    degenerate quantiles with ZERO collected rows while staying exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines import relational as R
+
+    rng = np.random.RandomState(11)
+    # 50k copies of one value + 1k uniform stragglers: q25/q50/q90 all land
+    # in the dominant bin, q99 in the tail
+    vals = np.concatenate([np.full(50_000, 42.5),
+                           rng.uniform(0.0, 100.0, size=1_000)])
+    rng.shuffle(vals)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({"value": pa.array(vals, pa.float64())}),
+                   str(d / "events.parquet"))
+
+    stats = {}
+    got = R.events_value_quantiles(str(d), qs=(0.25, 0.5, 0.9, 0.99),
+                                   n_bins=64, max_driver_rows=200,
+                                   _stats_out=stats).to_pandas()
+    # the dominant bin (50k rows) must have resolved via vmin==vmax, never
+    # via driver collection; only tail targets may collect, under the cap
+    assert stats["collected_rows"] <= 200 * 4, stats
+    svals = np.sort(vals)
+    n = len(svals)
+    for q, v in zip(got["q"], got["value"]):
+        k = max(1, int(np.ceil(q * n)))
+        assert v == svals[k - 1], (q, v, svals[k - 1])
+    # equivalence with the no-refinement configuration (driver cap huge)
+    loose = R.events_value_quantiles(str(d), qs=(0.25, 0.5, 0.9, 0.99),
+                                     n_bins=64,
+                                     max_driver_rows=10**9).to_pandas()
+    assert got.equals(loose)
+
+
 def test_asof_join_interleaved_timestamps(entrymod, ray_session):
     """Non-degenerate as-of check: interleaved left/right times within one
     key must each match their own most-recent right row (the events/orders
