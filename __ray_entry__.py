@@ -17,13 +17,27 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _kg_concurrency(sf_dir: str) -> int:
+    """Cluster- AND input-derived extraction pool size (round-3 verdict:
+    the old pinned ``concurrency=4`` was right for sf0.001 only)."""
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        input_bounded_concurrency,
+    )
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return input_bounded_concurrency(n)
+
+
 def entry() -> Any:
     """Flagship pipeline: pages(sf0.001 documents) → triples (deduped)."""
     from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
     from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
 
-    pages = pages_from_documents("/root/testdata/sf0.001")
-    result = run_kg_pipeline(pages, concurrency=4)
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_from_documents(sf_dir)
+    result = run_kg_pipeline(pages, concurrency=_kg_concurrency(sf_dir))
     return result["triples"]
 
 
@@ -31,7 +45,8 @@ def _kg_records(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
     from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
 
-    return run_kg_pipeline(pages_from_documents(sf_dir), concurrency=4)
+    return run_kg_pipeline(pages_from_documents(sf_dir),
+                           concurrency=_kg_concurrency(sf_dir))
 
 
 def _kg_triples(sf_dir: str):
@@ -58,7 +73,8 @@ def _kg_entity_links(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_from_documents
     from cmc_knowledge_graph_text2ttl_ray.stages.linking import link_entities
 
-    recs = extraction_records(pages_from_documents(sf_dir), concurrency=4)
+    recs = extraction_records(pages_from_documents(sf_dir),
+                              concurrency=_kg_concurrency(sf_dir))
     return link_entities(recs, default_kb_ttl(), "http://example.org/entity/")
 
 

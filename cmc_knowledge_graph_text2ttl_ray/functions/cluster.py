@@ -3,7 +3,22 @@
 from __future__ import annotations
 
 __all__ = ["default_join_partitions", "default_coarse_partitions",
-           "sorted_lookup"]
+           "sorted_lookup", "input_bounded_concurrency"]
+
+
+def input_bounded_concurrency(n_rows: int, batch_size: int = 64,
+                              floor: int = 2) -> int:
+    """Actor-pool size derived from BOTH the cluster and the input: the
+    cluster CPU count (minus read/write headroom) capped by the number of
+    batches the input can actually fill. Spawning a cluster-sized pool for
+    a thousand-row smoke input pays pure actor-startup cost (round-3
+    verdict: don't pin a constant; this is the pinned-``concurrency=4``
+    replacement for entry())."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_batches = -(-max(int(n_rows), 1) // batch_size)
+    return max(floor, min(max(2, cpus - 2), n_batches))
 
 
 def sorted_lookup(keys, queries):

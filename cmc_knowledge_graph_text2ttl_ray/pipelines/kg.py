@@ -122,7 +122,8 @@ def run_kg_pipeline(
     resume: bool = True,
     checkpoint_records: bool = True,
     kb_ttl: str | None = None,
-    canonical_mode: str = "broadcast",
+    canonical_mode: str = "auto",
+    canonical_broadcast_rows: int = 2_000_000,
     source: str = "auto",
     ttl_compression: str | None = None,
 ):
@@ -135,6 +136,12 @@ def run_kg_pipeline(
     when ``out_dir`` is set (benchmark mode: same topology, no disk
     checkpoint — at production scale the checkpoint IS the restart
     boundary and stays on).
+
+    ``canonical_mode="auto"`` (default) counts the entity partial rows and
+    picks the broadcast rewrite while they fit ``canonical_broadcast_rows``
+    (driver-safe by construction — the count IS the collected volume),
+    flipping to the fully-distributed join rewrite beyond it. Explicit
+    ``"broadcast"`` / ``"join"`` still force a path.
     """
     plans = plans or default_plans()
     timings: dict[str, float] = {}
@@ -218,6 +225,26 @@ def run_kg_pipeline(
     timings["extract"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    if canonical_mode == "auto":
+        # The broadcast path collects every rec='entity' partial row to the
+        # driver to build the mapping dict; its row count IS the collected
+        # volume, so it is the exact safety bound (round-3 verdict: callers
+        # shouldn't need to know when distinct surfaces outgrow a dict).
+        # On the checkpointed path the count is parquet-metadata cheap; on
+        # the pinned path it's one scan of the already-materialized records.
+        if out_dir and checkpoint_records:
+            ent_rows = entity_src.count()
+        else:
+            def _ent_count(t):
+                n = (t.filter(pc.equal(t["rec"], "entity")).num_rows
+                     if "rec" in t.column_names else t.num_rows)
+                return pa.table({"n": pa.array([n], pa.int64())})
+
+            ent_rows = int(
+                entity_src.map_batches(_ent_count, batch_format="pyarrow")
+                .sum("n") or 0)
+        canonical_mode = ("join" if ent_rows > canonical_broadcast_rows
+                          else "broadcast")
     if canonical_mode == "join":
         # 100-TB path: mapping stays a Dataset end-to-end; the rewrite is
         # two hash joins. Use when distinct surface forms outgrow a
@@ -304,7 +331,7 @@ def run_kg_pipeline_waves(
     entity_ns: str = ENTITY_NS,
     num_buckets: int = 64,
     concurrency=None,
-    canonical_mode: str = "broadcast",
+    canonical_mode: str = "auto",
 ):
     """Input-fragment-level checkpointed pipeline (north rule: resumable
     per-partition checkpoints with lineage).

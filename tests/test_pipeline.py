@@ -179,6 +179,35 @@ def test_kg_pipeline_canonical_join_mode(ray_session, tmp_path):
     assert len(t1) > 50
 
 
+def test_kg_pipeline_canonical_auto_mode(ray_session, tmp_path):
+    """Round-3 verdict: callers shouldn't need to pick canonical_mode. The
+    default 'auto' uses broadcast while the entity partial rows fit the
+    threshold and flips to the join path beyond it — same triples both
+    ways, on both the pinned and the checkpointed record paths."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import pages_dataset
+
+    cols = ["subject", "predicate", "object", "object_kind"]
+    # small corpus, default threshold → broadcast (mapping_df populated)
+    r_b = run_kg_pipeline(pages_dataset(60, override_num_blocks=3),
+                          concurrency=2)
+    assert r_b["entity_mapping"] is not None
+    # threshold 0 → every corpus is "too big" → join path (mapping_df None)
+    r_j = run_kg_pipeline(pages_dataset(60, override_num_blocks=3),
+                          concurrency=2, canonical_broadcast_rows=0)
+    assert r_j["entity_mapping"] is None
+    t_b = r_b["triples"].to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    t_j = r_j["triples"].to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert t_b.equals(t_j)
+    # checkpointed records exercise the parquet-metadata count branch
+    r_c = run_kg_pipeline(pages_dataset(60, override_num_blocks=3),
+                          concurrency=2, canonical_broadcast_rows=0,
+                          out_dir=str(tmp_path / "o"), num_buckets=4)
+    assert r_c["entity_mapping"] is None
+    t_c = r_c["triples"].to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert t_b.equals(t_c)
+
+
 def test_metrics_written_via_ray(ray_session, tmp_path):
     """Metrics parquet must be written through Ray's writer (multi-node
     correct), not worker-local file handles."""
