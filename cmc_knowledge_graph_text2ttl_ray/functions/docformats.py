@@ -14,7 +14,15 @@ common office formats are parsed directly:
   skippable destination groups (fonttbl, stylesheet, pict, …),
 - ``.eml``   — RFC-822/MIME via the stdlib ``email`` package: subject line
   + all ``text/plain`` parts (``text/html`` parts are tag-stripped as a
-  fallback).
+  fallback),
+- ``.xlsx``  — SpreadsheetML: zip → xl/workbook.xml + sheet rels +
+  xl/sharedStrings.xml; every sheet renders as an XHTML ``<table>`` in the
+  SAME ``<table><tr><td><p>…`` shape the PDF table recognizer emits
+  (page_layout.py ``_render_table``) so ``match-dimensions`` row→cell
+  walks written for PDF tables work unchanged on spreadsheets,
+- ``.pptx``  — PresentationML: zip → ppt/presentation.xml + slide rels;
+  slides render as ``<div class="slide" pageno="…">`` with ``<p>``
+  paragraphs and ``a:tbl`` grids as the same ``<table>`` shape.
 
 Every extractor is ``bytes -> str`` and raises :class:`DocFormatError` on
 malformed input; :func:`extract_document` dispatches on filename extension
@@ -29,7 +37,7 @@ import zipfile
 from xml.etree import ElementTree
 
 __all__ = ["DocFormatError", "docx_to_text", "odt_to_text", "rtf_to_text",
-           "eml_to_text", "extract_document"]
+           "eml_to_text", "xlsx_to_text", "pptx_to_text", "extract_document"]
 
 
 class DocFormatError(Exception):
@@ -226,6 +234,181 @@ def rtf_to_text(data: bytes) -> str:
     return re.sub(r"\n{3,}", "\n\n", text).strip() + "\n"
 
 
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _ooxml_rels(data: bytes, rels_member: str, base: str) -> dict[str, str]:
+    """OPC relationship file → {rId: zip member path} (ECMA-376 part 2).
+    Targets are relative to ``base`` unless they start with '/'."""
+    rels: dict[str, str] = {}
+    for el in _xml_root(_zip_member(data, rels_member)).iter():
+        if _local(el.tag) != "Relationship":
+            continue
+        rid, target = el.get("Id"), el.get("Target")
+        if not rid or not target:
+            continue
+        rels[rid] = target.lstrip("/") if target.startswith("/") else base + target
+    return rels
+
+
+def _cell_col(ref: str) -> int:
+    """'BC23' → 1-based column index 55; '' → 0 (caller falls back to
+    sequential position — some writers omit the r= attribute)."""
+    col = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        col = col * 26 + (ord(ch.upper()) - 64)
+    return col
+
+
+def _xlsx_shared_strings(data: bytes) -> list[str]:
+    try:
+        root = _xml_root(_zip_member(data, "xl/sharedStrings.xml"))
+    except DocFormatError:
+        return []  # workbook without shared strings (all inline/numeric)
+    out: list[str] = []
+    for si in root:
+        if _local(si.tag) != "si":
+            continue
+        parts: list[str] = []
+        for el in si.iter():
+            # plain <t> and rich-run <r><t> both contribute; phonetic
+            # guides (<rPh><t>) must not — tracked by ancestry
+            if _local(el.tag) == "t" and el.text:
+                parts.append(el.text)
+        # subtract phonetic-run text (re-walk the rPh subtrees)
+        for rph in (e for e in si.iter() if _local(e.tag) == "rPh"):
+            for el in rph.iter():
+                if _local(el.tag) == "t" and el.text and el.text in parts:
+                    parts.remove(el.text)
+        out.append("".join(parts))
+    return out
+
+
+def _xlsx_cell_value(c, shared: list[str]) -> str:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        return "".join(el.text or "" for el in c.iter()
+                       if _local(el.tag) == "t")
+    v = next((el.text or "" for el in c if _local(el.tag) == "v"), "")
+    if t == "s":
+        try:
+            return shared[int(v)]
+        except (ValueError, IndexError):
+            return ""
+    if t == "b":
+        return "TRUE" if v.strip() == "1" else "FALSE"
+    return v  # n / str / e: the stored lexical form (dates stay serial
+    #           numbers — style-table date rendering is out of scope)
+
+
+def xlsx_to_text(data: bytes) -> str:
+    """SpreadsheetML workbook → one XHTML ``<table>`` per sheet, wrapped in
+    ``<div class="sheet" name="…">``. Cells keep their column alignment
+    (missing cells pad as empty ``<td>``) and render as ``<td><p>value</p>``
+    — the exact grid shape ``page_layout._render_table`` emits for PDF
+    tables, so the same ``match-dimensions`` workflows walk both."""
+    shared = _xlsx_shared_strings(data)
+    wb = _xml_root(_zip_member(data, "xl/workbook.xml"))
+    rels = _ooxml_rels(data, "xl/_rels/workbook.xml.rels", "xl/")
+    out: list[str] = []
+    for sheet in (el for el in wb.iter() if _local(el.tag) == "sheet"):
+        rid = next((v for k, v in sheet.attrib.items()
+                    if _local(k) == "id" and k != "id"), None)
+        member = rels.get(rid or "", "")
+        if not member:
+            continue
+        name = sheet.get("name", member)
+        ws = _xml_root(_zip_member(data, member))
+        out.append(f'<div class="sheet" name="{_xml_escape(name)}">\n')
+        out.append("\n<table>\n")
+        for row in (el for el in ws.iter() if _local(el.tag) == "row"):
+            cells: list[str] = []
+            pos = 0
+            for c in (el for el in row if _local(el.tag) == "c"):
+                col = _cell_col(c.get("r", "")) or pos + 1
+                while pos < col - 1:       # pad skipped columns
+                    cells.append("")
+                    pos += 1
+                cells.append(_xlsx_cell_value(c, shared))
+                pos = col
+            out.append("<tr>\n")
+            for v in cells:
+                out.append("<td>")
+                if v:
+                    out.append(f"<p>{_xml_escape(v)}</p>\n")
+                out.append("</td>")
+            out.append("</tr>\n")
+        out.append("</table>\n\n")
+        out.append("</div>\n")
+    if not out:
+        raise DocFormatError("Workbook has no readable sheets")
+    return "".join(out)
+
+
+def _pptx_paragraph(p) -> str:
+    """DrawingML ``a:p`` → text: ``a:t`` runs concatenate, ``a:br`` → \\n."""
+    parts: list[str] = []
+    for el in p.iter():
+        t = _local(el.tag)
+        if t == "t" and el.text:
+            parts.append(el.text)
+        elif t == "br":
+            parts.append("\n")
+    return "".join(parts)
+
+
+def _pptx_walk(node, out: list[str]) -> None:
+    for el in node:
+        t = _local(el.tag)
+        if t == "p":
+            txt = _pptx_paragraph(el)
+            if txt.strip():
+                out.append(f"<p>{_xml_escape(txt)}</p>\n")
+        elif t == "tbl":
+            out.append("\n<table>\n")
+            for row in (r for r in el.iter() if _local(r.tag) == "tr"):
+                out.append("<tr>\n")
+                for tc in (c for c in row if _local(c.tag) == "tc"):
+                    out.append("<td>")
+                    for p2 in (x for x in tc.iter() if _local(x.tag) == "p"):
+                        txt = _pptx_paragraph(p2)
+                        if txt.strip():
+                            out.append(f"<p>{_xml_escape(txt)}</p>\n")
+                    out.append("</td>")
+                out.append("</tr>\n")
+            out.append("</table>\n\n")
+        else:
+            _pptx_walk(el, out)
+
+
+def pptx_to_text(data: bytes) -> str:
+    """PresentationML deck → XHTML: one ``<div class="slide" pageno="N">``
+    per slide (deck order via sldIdLst + rels), ``<p>`` per ``a:p``
+    paragraph, ``a:tbl`` grids in the shared ``<table>`` shape. Speaker
+    notes are intentionally excluded (they are presenter metadata, not
+    document content)."""
+    pres = _xml_root(_zip_member(data, "ppt/presentation.xml"))
+    rels = _ooxml_rels(data, "ppt/_rels/presentation.xml.rels", "ppt/")
+    out: list[str] = []
+    pageno = 0
+    for sld in (el for el in pres.iter() if _local(el.tag) == "sldId"):
+        rid = next((v for k, v in sld.attrib.items()
+                    if _local(k) == "id" and k != "id"), None)
+        member = rels.get(rid or "", "")
+        if not member:
+            continue
+        pageno += 1
+        out.append(f'<div class="slide" pageno="{pageno}">\n')
+        _pptx_walk(_xml_root(_zip_member(data, member)), out)
+        out.append("</div>\n")
+    if pageno == 0:
+        raise DocFormatError("Presentation has no readable slides")
+    return "".join(out)
+
+
 _RE_TAGS = re.compile(r"<[^>]+>")
 
 
@@ -261,6 +444,8 @@ _EXTRACTORS = {
     "odt": odt_to_text,
     "rtf": rtf_to_text,
     "eml": eml_to_text,
+    "xlsx": xlsx_to_text,
+    "pptx": pptx_to_text,
 }
 
 
@@ -276,7 +461,14 @@ def extract_document(data: bytes, name: str = "") -> str:
                     names = set(zf.namelist())
             except zipfile.BadZipFile as ex:
                 raise DocFormatError(f"Unreadable zip container: {ex}") from ex
-            fn = docx_to_text if "word/document.xml" in names else odt_to_text
+            if "word/document.xml" in names:
+                fn = docx_to_text
+            elif "xl/workbook.xml" in names:
+                fn = xlsx_to_text
+            elif "ppt/presentation.xml" in names:
+                fn = pptx_to_text
+            else:
+                fn = odt_to_text
         elif data.lstrip().startswith(b"{\\rtf"):
             fn = rtf_to_text
         elif re.match(rb"[!-9;-~]+:", data.lstrip()[:100] or b""):

@@ -42,6 +42,125 @@ def make_odt(paragraphs) -> bytes:
     return buf.getvalue()
 
 
+def make_xlsx(sheets, rich_shared=False) -> bytes:
+    """sheets: list of (name, rows); rows: list of list of cell values —
+    str → shared string, int/float → number, bool → boolean, None → cell
+    skipped entirely (tests column-gap padding via explicit A1-style refs)."""
+    shared: list[str] = []
+
+    def sref(s: str) -> int:
+        if s not in shared:
+            shared.append(s)
+        return shared.index(s)
+
+    def col_letter(i: int) -> str:  # 1-based
+        out = ""
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    ws_xmls = []
+    for _, rows in sheets:
+        body = []
+        for ri, row in enumerate(rows, 1):
+            cells = []
+            for ci, v in enumerate(row, 1):
+                if v is None:
+                    continue
+                ref = f"{col_letter(ci)}{ri}"
+                if isinstance(v, bool):
+                    cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
+                elif isinstance(v, str):
+                    cells.append(f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        ws_xmls.append(
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+            'formats.org/spreadsheetml/2006/main"><sheetData>'
+            f'{"".join(body)}</sheetData></worksheet>')
+
+    ns_main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ns_r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet_els = "".join(
+        f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, (name, _) in enumerate(sheets, 1))
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{ns_main}" '
+          f'xmlns:r="{ns_r}"><sheets>{sheet_els}</sheets></workbook>')
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="{ns_r}/worksheet" '
+        f'Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, len(sheets) + 1))
+    rels_xml = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                'openxmlformats.org/package/2006/relationships">'
+                f'{rels}</Relationships>')
+    if rich_shared and shared:
+        # first shared string becomes a rich-text run pair + phonetic guide
+        first = shared[0]
+        half = len(first) // 2
+        sis = (f'<si><r><t>{first[:half]}</t></r><r><t>{first[half:]}</t>'
+               f'</r><rPh sb="0" eb="1"><t>IGNORED</t></rPh></si>')
+        sis += "".join(f"<si><t>{s}</t></si>" for s in shared[1:])
+    else:
+        sis = "".join(f"<si><t>{s}</t></si>" for s in shared)
+    sst = (f'<?xml version="1.0"?><sst xmlns="{ns_main}" '
+           f'count="{len(shared)}" uniqueCount="{len(shared)}">{sis}</sst>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels_xml)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, x in enumerate(ws_xmls, 1):
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", x)
+    return buf.getvalue()
+
+
+def make_pptx(slides) -> bytes:
+    """slides: list of (paragraph_list, table_rows_or_None)."""
+    ns_a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    ns_p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    ns_r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    slide_xmls = []
+    for paras, table in slides:
+        body = "".join(
+            f"<a:p><a:r><a:t>{t}</a:t></a:r></a:p>" for t in paras)
+        tbl = ""
+        if table:
+            rows = "".join(
+                "<a:tr>" + "".join(
+                    f"<a:tc><a:txBody><a:p><a:r><a:t>{c}</a:t></a:r></a:p>"
+                    "</a:txBody></a:tc>" for c in row) + "</a:tr>"
+                for row in table)
+            tbl = f"<a:tbl>{rows}</a:tbl>"
+        slide_xmls.append(
+            f'<?xml version="1.0"?><p:sld xmlns:p="{ns_p}" '
+            f'xmlns:a="{ns_a}"><p:cSld><p:spTree><p:sp><p:txBody>{body}'
+            f"</p:txBody></p:sp>{tbl}</p:spTree></p:cSld></p:sld>")
+    sld_ids = "".join(
+        f'<p:sldId id="{255 + i}" r:id="rId{i}"/>'
+        for i in range(1, len(slides) + 1))
+    pres = (f'<?xml version="1.0"?><p:presentation xmlns:p="{ns_p}" '
+            f'xmlns:r="{ns_r}"><p:sldIdLst>{sld_ids}</p:sldIdLst>'
+            "</p:presentation>")
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="{ns_r}/slide" '
+        f'Target="slides/slide{i}.xml"/>'
+        for i in range(1, len(slides) + 1))
+    rels_xml = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                'openxmlformats.org/package/2006/relationships">'
+                f'{rels}</Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("ppt/presentation.xml", pres)
+        zf.writestr("ppt/_rels/presentation.xml.rels", rels_xml)
+        for i, x in enumerate(slide_xmls, 1):
+            zf.writestr(f"ppt/slides/slide{i}.xml", x)
+    return buf.getvalue()
+
+
 RTF = (rb"{\rtf1\ansi{\fonttbl{\f0 Helvetica;}}"
        rb"{\*\generator Acme Writer;}"
        rb"\f0\fs24 Acme Corp was founded in \b 2008\b0 .\par "
@@ -89,6 +208,94 @@ def test_eml_subject_and_body():
     assert "Revenue was 42 in Q3." in text
 
 
+def test_xlsx_sheets_tables_and_types():
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import xlsx_to_text
+
+    text = xlsx_to_text(make_xlsx([
+        ("Revenue", [["Region", "Amount"], ["EMEA", 42], ["APAC", 3.5]]),
+        ("Flags", [[True, False]]),
+    ]))
+    assert '<div class="sheet" name="Revenue">' in text
+    assert '<div class="sheet" name="Flags">' in text
+    # the PDF-recognizer grid shape: <table>/<tr>/<td><p>value</p>
+    assert "<td><p>Region</p>\n</td>" in text
+    assert "<td><p>42</p>\n</td>" in text and "<td><p>3.5</p>\n</td>" in text
+    assert "<td><p>TRUE</p>\n</td>" in text and "<td><p>FALSE</p>" in text
+
+
+def test_xlsx_column_gap_padding_and_rich_strings():
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import xlsx_to_text
+
+    # None skips the B1 cell entirely (writer emits A1, C1) → the rendered
+    # row must pad an empty <td> so column walks stay aligned
+    text = xlsx_to_text(make_xlsx([("S", [["left", None, "right"]])]))
+    row = text[text.index("<tr>"):text.index("</tr>")]
+    assert row.count("<td>") == 3
+    assert "<td></td>" in row  # the padded gap
+    assert row.index("left") < row.index("right")
+    # rich-text shared string: runs concatenate, phonetic guide dropped
+    text = xlsx_to_text(make_xlsx([("S", [["Grand Total", "x"]])],
+                                  rich_shared=True))
+    assert "Grand Total" in text and "IGNORED" not in text
+
+
+def test_xlsx_match_dimensions_table_walk():
+    """The whole point of the <table> shape: a match-dimensions workflow
+    written for PDF tables walks a spreadsheet unchanged."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import xlsx_to_text
+    from tests.test_interpreter import run
+
+    text = xlsx_to_text(make_xlsx([
+        ("Q3", [["Name", "Value"], ["Revenue", 42], ["Cost", 7]]),
+    ]))
+    res = run(
+        [
+            {
+                "match-dimensions": [r"<tr>(.*?)</tr>", r"<td>(.*?)</td>"],
+                "flags": "DOTALL",
+                "dimensions": ["row", "col"],
+                "as": "cell",
+                "do": [{"match": r"<p>(.*?)</p>", "as": "v",
+                        "do": [{"set": "cell-@{row}-@{col}", "to": "@{v.1}"}]}],
+            },
+        ],
+        text=text,
+    )
+    assert res.variables["cell-1-1"] == "Name"
+    assert res.variables["cell-2-2"] == "42"
+    assert res.variables["cell-3-1"] == "Cost"
+
+
+def test_pptx_slides_paragraphs_and_table():
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import pptx_to_text
+
+    text = pptx_to_text(make_pptx([
+        (["Agenda", "Founded in 2008"], None),
+        (["Numbers"], [["KPI", "Q3"], ["Revenue", "42"]]),
+    ]))
+    assert '<div class="slide" pageno="1">' in text
+    assert '<div class="slide" pageno="2">' in text
+    assert text.index("Agenda") < text.index("Numbers")  # deck order
+    assert "<p>Founded in 2008</p>" in text
+    assert "<td><p>Revenue</p>\n</td>" in text
+    # table paragraphs must not double-emit outside the grid
+    assert text.count("Revenue") == 1
+
+
+def test_xlsx_pptx_dispatch_sniffing():
+    from cmc_knowledge_graph_text2ttl_ray.functions.docformats import (
+        extract_document,
+    )
+
+    xlsx = make_xlsx([("S", [["hello"]])])
+    pptx = make_pptx([(["world"], None)])
+    assert "hello" in extract_document(xlsx, "book.xlsx")
+    assert "world" in extract_document(pptx, "deck.pptx")
+    # no extension → zip-member sniffing
+    assert "hello" in extract_document(xlsx, "blob1")
+    assert "world" in extract_document(pptx, "blob2")
+
+
 def test_extract_document_dispatch_and_errors():
     from cmc_knowledge_graph_text2ttl_ray.functions.docformats import (
         DocFormatError,
@@ -120,12 +327,16 @@ def test_docs_corpus_pipeline(ray_session, tmp_path):
         ["Acme Corp was founded in 2008."]))
     (d / "b.rtf").write_bytes(RTF)
     (d / "c.eml").write_bytes(EML)
+    (d / "d.xlsx").write_bytes(make_xlsx(
+        [("Q3", [["Name", "Founded"], ["Acme Corp", 2008]])]))
+    (d / "e.pptx").write_bytes(make_pptx(
+        [(["Acme Corp was founded in 2008."], None)]))
     ds = ray.data.read_binary_files(str(d), include_paths=True).map_batches(
         lambda t: pa.table({"url": t["path"], "doc": t["bytes"]}),
         batch_format="pyarrow",
     )
     extracted = add_extracted_text(ds, source="doc").to_pandas()
-    assert len(extracted) == 3
+    assert len(extracted) == 5
     assert extracted["extract_error"].isna().all()
     res = run_kg_pipeline(add_extracted_text(ds, source="doc"), concurrency=2)
     assert res["triples"].count() >= 0  # pipeline runs end-to-end
@@ -182,7 +393,7 @@ def test_docformats_never_crash_on_fuzz():
     @given(st.binary(max_size=400))
     @settings(max_examples=300, deadline=None)
     def run(payload):
-        for name in ("x.docx", "x.odt", "x.eml", "sniff"):
+        for name in ("x.docx", "x.odt", "x.eml", "x.xlsx", "x.pptx", "sniff"):
             try:
                 out = extract_document(payload, name)
                 assert isinstance(out, str)
