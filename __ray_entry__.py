@@ -496,6 +496,16 @@ def _events_users_hll(sf_dir: str):
     return events_users_hll(sf_dir)
 
 
+def _events_users_hll_check(sf_dir: str):
+    """Exact distinct count + HLL-within-3-sigma boolean in one pass —
+    the driver-verified (oracle-backed) row for the HLL plumbing."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_users_hll_check,
+    )
+
+    return events_users_hll_check(sf_dir)
+
+
 def _docs_decontaminated(sf_dir: str):
     """Benchmark decontamination: exact passage containment vs a
     deterministic corpus-derived benchmark set (broadcast scan)."""
@@ -804,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_windows": R.events_hopping_window_counts,
         "events_distinct_users": _events_distinct_users,
         "events_users_hll": _events_users_hll,
+        "events_users_hll_check": _events_users_hll_check,
         "events_type_distinct_users": _events_type_distinct_users,
         "docs_heavy_words": _docs_heavy_words,
         "docs_repetition": _docs_repetition,
@@ -1947,6 +1958,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_distinct_users": """
             SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+        """,
+        # the HLL hash is deterministic, so "estimate within 3 sigma" is a
+        # pure function of the data; the oracle asserts the exact count and
+        # literal TRUE — a drifted sketch hash-mismatches this row
+        "events_users_hll_check": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   TRUE AS hll_within_bound
+            FROM events
         """,
         # top-5 TF-IDF terms per doc; ranking uses the ROUNDED score with a
         # token tie-break on both engines (idf itself rounded to 4 first,

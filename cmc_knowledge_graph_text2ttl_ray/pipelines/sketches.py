@@ -19,6 +19,7 @@ import pandas as pd
 import ray.data
 
 __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
+           "events_users_hll_check",
            "events_type_distinct_users", "tdigest_build",
            "tdigest_quantile", "events_value_quantiles_tdigest",
            "events_type_quantiles_tdigest",
@@ -106,6 +107,47 @@ def events_users_hll(sf_dir: str, p: int = 12):
     return pd.DataFrame({
         "n_users_est": [round(out["estimate"], 1)],
         "n_registers": [out["n_registers"]],
+    })
+
+
+def events_users_hll_check(sf_dir: str, p: int = 12):
+    """Driver-verifiable HLL row: the exact distinct count (distributed,
+    per-block unique → one small groupby) PLUS a boolean asserting the HLL
+    estimate landed inside its 3-sigma error envelope (3 × 1.04/sqrt(2^p)
+    ≈ 4.9% at p=12). The hash is deterministic (fixed SipHash key), so the
+    estimate — and therefore the boolean — is a pure function of the data:
+    the DuckDB oracle emits ``COUNT(DISTINCT …)`` and literal ``TRUE``, and
+    a hash mismatch means the sketch plumbing drifted out of bound."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        regs = _hll_partial(df["user_id"].to_numpy(), p)
+        return pd.DataFrame({
+            "regs": [regs.tobytes()],
+            "user_id": [df["user_id"].unique()],
+        })
+
+    # one pass computes both: constant-size registers AND per-block
+    # distinct keys (the exact path's exchange is distinct-keys-only)
+    both = ds.map_batches(partial, batch_format="pandas")
+
+    def split_exact(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": np.concatenate(list(df["user_id"]))
+             if len(df) else np.array([], dtype=object)})
+
+    mat = both.materialize()
+    n_exact = int(mat.map_batches(split_exact, batch_format="pandas")
+                  .groupby("user_id").count().count())
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in mat.select_columns(["regs"]).take_all():
+        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    est = _hll_estimate(merged)
+    bound = 3.0 * 1.04 / np.sqrt(float(1 << p))
+    return pd.DataFrame({
+        "n_users_exact": pd.Series([n_exact], dtype="int64"),
+        "hll_within_bound": [bool(abs(est - n_exact) <= bound * n_exact)],
     })
 
 

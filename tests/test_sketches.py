@@ -62,6 +62,28 @@ def test_hll_vs_exact_on_events(ray_session, tmp_path):
     assert est == est2
 
 
+def test_hll_check_row_exact_and_bounded(ray_session, tmp_path):
+    """The oracle-backed HLL row: exact count matches numpy, the 3-sigma
+    boolean holds, and both are deterministic across block layouts."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_users_hll_check,
+    )
+
+    rng = np.random.RandomState(11)
+    users = rng.randint(0, 7000, size=30_000)
+    tbl = pa.table({"user_id": pa.array(users, pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = events_users_hll_check(str(tmp_path))
+    assert list(sorted(out.columns)) == ["hll_within_bound", "n_users_exact"]
+    assert int(out["n_users_exact"].iloc[0]) == len(np.unique(users))
+    assert bool(out["hll_within_bound"].iloc[0]) is True
+    # block-layout invariance: many tiny row groups → same row
+    pq.write_table(tbl, str(tmp_path / "events.parquet"),
+                   row_group_size=1_000)
+    out2 = events_users_hll_check(str(tmp_path))
+    assert out2.equals(out)
+
+
 def test_bloom_prefilter_prunes_but_stays_exact(ray_session):
     """The bloom prefilter must never drop a true match (no false
     negatives); the exact join then equals the plain semi-join result
