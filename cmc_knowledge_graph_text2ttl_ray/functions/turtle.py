@@ -269,6 +269,49 @@ def serialize_longturtle(
     byte-stable across partitionings and engine versions, but not
     byte-identical to a given rdflib release's output for multi-predicate
     subjects. ``parse_turtle`` round-trips it.
+
+    KNOWN-DEVIATIONS LEDGER vs rdflib ``longturtle`` (rdflib is absent from
+    this environment, so byte parity is unverifiable in-sandbox; this is
+    the checklist for an out-of-sandbox ``diff`` against reference-produced
+    ``.ttl``). Each item names the policy HERE and what to check THERE:
+
+    1. Prefix ordering — here: lexicographic by prefix name. rdflib emits
+       prefixes in namespace-manager binding order (insertion order of
+       ``graph.bind`` calls), which for the reference is its workflow's
+       prefix-declaration order. Same set, likely different order.
+    2. ``rdf:type`` shorthand — here: rendered as a shortened IRI
+       (``rdf:type`` or ``<...#type>``), never the ``a`` keyword. rdflib
+       longturtle writes ``a`` in predicate position. Semantically equal,
+       byte-different on every typed subject.
+    3. Subject ordering — here: lexicographic over the full IRI string.
+       rdflib's TurtleSerializer orders subjects by class-membership
+       buckets (``topClasses``) then discovery order. Same statements,
+       different sequence.
+    4. Blank nodes — here: none are ever minted (canonicalization assigns
+       IRIs; ``parse_turtle`` also rejects ``[]``). rdflib inlines
+       once-referenced bnodes as ``[ ... ]`` blocks. If a reference corpus
+       produces bnodes, those statements have no byte-comparable twin.
+    5. Literal quoting — here: always single ``"`` with ``\\n``/``\\r``/
+       ``\\t``/``\\"``/``\\\\`` escapes (``_ESCAPE_TABLE``). rdflib switches
+       to ``\"\"\"`` triple-quoting for literals containing newlines.
+       Normalize (parse both sides) before diffing multiline literals.
+    6. Numeric/boolean shorthand — here: bare tokens only for
+       ``xsd:integer`` matching ``_RE_INT`` and ``xsd:boolean``
+       true/false; everything else stays quoted+datatyped. rdflib also
+       abbreviates ``xsd:decimal``/``xsd:double`` when the lexical form
+       allows. Check decimals.
+    7. Statement close — here: every predicate line ends `` ;`` and the
+       statement closes with a lone ``.`` line plus one blank separator
+       line. Verify rdflib's trailing-``;``-before-``.`` behavior for the
+       installed release; cosmetic whitespace may differ.
+    8. PN_LOCAL escaping — here: an IRI only shortens when the local part
+       matches ``_RE_PN_LOCAL`` (no percent/backslash local escapes);
+       otherwise full ``<IRI>``. rdflib may emit PN_LOCAL ``\\~``-style
+       escapes, shortening names this engine leaves long.
+
+    A semantic (triple-set) diff — parse both files, compare sorted triple
+    sets — is the right first check; the golden fixture
+    ``tests/golden_longturtle.ttl`` pins THIS engine's bytes.
     """
     prefixes = dict(prefixes or {})
     uniq = sorted(
