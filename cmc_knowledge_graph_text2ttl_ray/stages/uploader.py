@@ -3,7 +3,7 @@ Stardog connectors (``StartdogGraphUploader`` basic-auth,
 kg_text_to_ttl/text_to_turtle_processor.py:330-432, and the Azure-OAuth2
 variant with 401/407 token-refresh retry ×3, :436-577).
 
-Three concrete uploaders ship:
+Four concrete uploaders ship:
 
 - :class:`LocalDirUploader` — filesystem store with the same verb semantics
   (PUT replaces a named graph, POST appends); the default for the
@@ -13,6 +13,10 @@ Three concrete uploaders ship:
   ``user:$VAR@`` credentials, graph/verb defaults).
 - :class:`OAuth2GraphUploader` — client-credentials bearer-token variant
   with 401/407 token-refresh retry.
+- :class:`DeviceCodeGraphUploader` — RFC 8628 device-authorization-grant
+  variant: the headless equivalent of the reference runner's MSAL
+  interactive login (text_to_turtle_runner.py:434-477), with silent
+  token-cache reuse and refresh-token renewal.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ __all__ = [
     "LocalDirUploader",
     "HttpGraphUploader",
     "OAuth2GraphUploader",
+    "DeviceCodeGraphUploader",
     "UploadError",
     "resolve_db_url",
 ]
@@ -287,3 +292,171 @@ class OAuth2GraphUploader(HttpGraphUploader):
             if status not in (200, 201):
                 raise UploadError(f"Upload request failed [{status}]: {body[:500]}")
             return post_url
+
+class DeviceCodeGraphUploader(OAuth2GraphUploader):
+    """OAuth2 device-authorization-grant (RFC 8628) uploader — the headless
+    equivalent of the reference runner's MSAL interactive login
+    (``login_via_msal``, text_to_turtle_runner.py:434-477). The reference's
+    three MSAL behaviors map to public-standard OAuth2:
+
+    - ``app.get_accounts()`` + ``acquire_token_silent`` → a JSON token
+      cache at ``cache_path`` (reused while unexpired, renewed via the
+      ``refresh_token`` grant when the server issued one);
+    - ``acquire_token_interactive`` (browser pop-up) → the device flow:
+      POST ``device_endpoint``, show the user code / verification URI via
+      ``prompt`` (mirroring the reference's "You are now authenticated at
+      Stardog via Azure AD" NOTE block), poll ``token_endpoint`` honoring
+      ``authorization_pending`` / ``slow_down`` / ``expires_in``;
+    - the "Authenticated as <user>" confirmation → ``prompt`` of the
+      token response's ``id_token_claims``-equivalent fields when present.
+
+    Upload inherits the 401/407 token-reset retry loop from
+    :class:`OAuth2GraphUploader`. ``prompt`` and ``sleep`` are injectable
+    for tests and for embedding in non-TTY frontends.
+    """
+
+    def __init__(
+        self,
+        *,
+        client_id: str,
+        scope: str,
+        device_endpoint: str,
+        token_endpoint: str,
+        cache_path: str | None = None,
+        prompt=print,
+        sleep=None,
+        max_poll_seconds: float = 900.0,
+        stardog_url_var: str = "STARDOG_SERVER",
+        password_var: str = "STARDOG_PASSWORD",
+        timeout: float = 30.0,
+        max_retries: int = 3,
+    ) -> None:
+        import time as _time
+
+        super().__init__(
+            client_id=client_id, client_secret="", scope=scope,
+            token_endpoint=token_endpoint, stardog_url_var=stardog_url_var,
+            password_var=password_var, timeout=timeout,
+            max_retries=max_retries,
+        )
+        self._device_endpoint = device_endpoint
+        self._cache_path = cache_path
+        self._prompt = prompt
+        self._sleep = sleep if sleep is not None else _time.sleep
+        self._max_poll_seconds = max_poll_seconds
+        self._refresh_token: str | None = None
+
+    # -- token cache (acquire_token_silent analogue) ---------------------
+    def _cache_load(self) -> dict:
+        import json
+
+        if not self._cache_path or not os.path.exists(self._cache_path):
+            return {}
+        try:
+            with open(self._cache_path, "r", encoding="utf-8") as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _cache_store(self, tok: dict) -> None:
+        import json
+        import time as _time
+
+        self._access_token = tok.get("access_token")
+        self._refresh_token = tok.get("refresh_token", self._refresh_token)
+        if not self._cache_path:
+            return
+        rec = {
+            "access_token": self._access_token,
+            "refresh_token": self._refresh_token,
+            # expire 60 s early so an in-flight upload never carries a
+            # token that dies mid-request
+            "expires_at": _time.time() + float(tok.get("expires_in", 0)) - 60,
+        }
+        tmp = f"{self._cache_path}.tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, self._cache_path)
+
+    def _form_post(self, url: str, form: dict) -> tuple[int, dict]:
+        import json
+        import urllib.parse
+
+        status, body = self._request(
+            "POST", url,
+            urllib.parse.urlencode(form).encode("ascii"),
+            {"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        try:
+            return status, json.loads(body)
+        except ValueError:
+            return status, {"error": "invalid_json",
+                            "error_description": body[:300]}
+
+    def _token_post(self, form: dict) -> tuple[int, dict]:
+        return self._form_post(self._token_endpoint, form)
+
+    def obtain_access_token(self) -> str:
+        import json
+        import time as _time
+
+        # 1. silent: unexpired cached token
+        cached = self._cache_load()
+        if cached.get("access_token") and \
+                float(cached.get("expires_at", 0)) > _time.time():
+            self._access_token = cached["access_token"]
+            self._refresh_token = cached.get("refresh_token")
+            return self._access_token
+        # 2. silent: refresh grant when a refresh token exists
+        refresh = self._refresh_token or cached.get("refresh_token")
+        if refresh:
+            status, tok = self._token_post({
+                "client_id": self._client_id, "scope": self._scope,
+                "grant_type": "refresh_token", "refresh_token": refresh,
+            })
+            if status == 200 and tok.get("access_token"):
+                self._cache_store(tok)
+                return self._access_token
+            self._refresh_token = None  # stale → fall through to device flow
+        # 3. interactive: device flow
+        status, dev = self._device_post()
+        if status != 200 or "device_code" not in dev:
+            raise UploadError(
+                f"Device authorization failed [{status}]: "
+                f"{json.dumps(dev)[:300]}")
+        self._prompt(
+            "NOTE: To authenticate at the graph store, visit "
+            f"{dev.get('verification_uri') or dev.get('verification_url')} "
+            f"and enter the code {dev.get('user_code')}.")
+        interval = float(dev.get("interval", 5))
+        deadline = _time.time() + min(self._max_poll_seconds,
+                                      float(dev.get("expires_in", 900)))
+        while True:
+            if _time.time() >= deadline:
+                raise UploadError("Device-code login timed out")
+            self._sleep(interval)
+            status, tok = self._token_post({
+                "client_id": self._client_id, "scope": self._scope,
+                "grant_type": "urn:ietf:params:oauth:grant-type:device_code",
+                "device_code": dev["device_code"],
+            })
+            if status == 200 and tok.get("access_token"):
+                self._cache_store(tok)
+                who = tok.get("preferred_username") or tok.get("name")
+                self._prompt(f"Authenticated as {who}" if who
+                             else "Authenticated")
+                return self._access_token
+            err = tok.get("error", "")
+            if err == "authorization_pending":
+                continue
+            if err == "slow_down":
+                interval += 5.0
+                continue
+            raise UploadError(
+                f"Failed to obtain access token [{status}]: "
+                f"{err or json.dumps(tok)[:300]}")
+
+    def _device_post(self) -> tuple[int, dict]:
+        return self._form_post(self._device_endpoint, {
+            "client_id": self._client_id, "scope": self._scope,
+        })

@@ -34,6 +34,20 @@ class _FakeStardog(BaseHTTPRequestHandler):
             self._reply(200, json.dumps({"access_token": f"tok{srv.token_calls}"}).encode(),
                         "application/json")
             return
+        if self.path == "/devicecode":
+            srv.device_calls += 1
+            self._reply(200, json.dumps({
+                "device_code": "dev123", "user_code": "ABCD-1234",
+                "verification_uri": "http://verify.local",
+                "interval": 0, "expires_in": 900,
+            }).encode(), "application/json")
+            return
+        if self.path == "/dtoken":
+            srv.dtoken_calls += 1
+            code, payload = srv.dtoken_script.pop(0) if srv.dtoken_script \
+                else (400, {"error": "expired_token"})
+            self._reply(code, json.dumps(payload).encode(), "application/json")
+            return
         if self.path.startswith("/db/query"):
             auth = self.headers.get("Authorization", "")
             if srv.require_auth and not auth:
@@ -79,6 +93,9 @@ def fake_server():
     srv = HTTPServer(("127.0.0.1", 0), _FakeStardog)
     srv.requests = []
     srv.token_calls = 0
+    srv.device_calls = 0
+    srv.dtoken_calls = 0
+    srv.dtoken_script = []
     srv.last_query = None
     srv.require_auth = False
     srv.expect_basic = None
@@ -270,3 +287,91 @@ def test_remote_select_authenticates(fake_server, monkeypatch):
         RemoteSparqlEndpoint(f"http://127.0.0.1:{port}/db",
                              username="alice", password="bad").query(
             "SELECT ?s WHERE { ?s ?p ?o }")
+
+def _device_uploader(fake_server, tmp_path=None, **kw):
+    from cmc_knowledge_graph_text2ttl_ray.stages.uploader import (
+        DeviceCodeGraphUploader,
+    )
+
+    port = fake_server.server_port
+    return DeviceCodeGraphUploader(
+        client_id="cid", scope="api",
+        device_endpoint=f"http://127.0.0.1:{port}/devicecode",
+        token_endpoint=f"http://127.0.0.1:{port}/dtoken",
+        cache_path=str(tmp_path / "tok.json") if tmp_path else None,
+        sleep=lambda s: None,
+        **kw,
+    )
+
+
+def test_device_code_flow_pending_then_success(fake_server, tmp_path):
+    prompts = []
+    fake_server.expect_bearer = "devtok"
+    fake_server.dtoken_script = [
+        (400, {"error": "authorization_pending"}),
+        (400, {"error": "slow_down"}),
+        (200, {"access_token": "devtok", "refresh_token": "ref1",
+               "expires_in": 3600, "preferred_username": "alice@example"}),
+    ]
+    up = _device_uploader(fake_server, tmp_path, prompt=prompts.append)
+    port = fake_server.server_port
+    up.upload("a b c .\n", f"http://127.0.0.1:{port}/db", graph_ns="doc1")
+    assert fake_server.device_calls == 1
+    assert fake_server.dtoken_calls == 3
+    # the user saw the verification URI + code, then the MSAL-style confirm
+    assert "http://verify.local" in prompts[0] and "ABCD-1234" in prompts[0]
+    assert prompts[1] == "Authenticated as alice@example"
+    # poll form used the RFC 8628 grant
+    form = urllib.parse.parse_qs(
+        [r for r in fake_server.requests if r[1] == "/dtoken"][0][3].decode())
+    assert form["grant_type"] == [
+        "urn:ietf:params:oauth:grant-type:device_code"]
+    assert form["device_code"] == ["dev123"]
+    # token cached for silent reuse
+    cache = json.loads((tmp_path / "tok.json").read_text())
+    assert cache["access_token"] == "devtok"
+    assert cache["refresh_token"] == "ref1"
+
+
+def test_device_code_silent_cache_reuse_and_refresh(fake_server, tmp_path):
+    import time
+
+    prompts = []
+    fake_server.expect_bearer = "devtok"
+    port = fake_server.server_port
+    # 1. unexpired cache → zero network auth calls (acquire_token_silent)
+    (tmp_path / "tok.json").write_text(json.dumps({
+        "access_token": "devtok", "refresh_token": "ref1",
+        "expires_at": time.time() + 600,
+    }))
+    up = _device_uploader(fake_server, tmp_path, prompt=prompts.append)
+    up.upload("a b c .\n", f"http://127.0.0.1:{port}/db", graph_ns="d")
+    assert fake_server.device_calls == 0 and fake_server.dtoken_calls == 0
+    assert prompts == []
+    # 2. expired cache + valid refresh token → refresh grant, no device flow
+    (tmp_path / "tok.json").write_text(json.dumps({
+        "access_token": "stale", "refresh_token": "ref1",
+        "expires_at": time.time() - 10,
+    }))
+    fake_server.expect_bearer = "devtok2"
+    fake_server.dtoken_script = [
+        (200, {"access_token": "devtok2", "refresh_token": "ref2",
+               "expires_in": 3600}),
+    ]
+    up2 = _device_uploader(fake_server, tmp_path, prompt=prompts.append)
+    up2.upload("a b c .\n", f"http://127.0.0.1:{port}/db", graph_ns="d")
+    assert fake_server.device_calls == 0 and fake_server.dtoken_calls == 1
+    form = urllib.parse.parse_qs(
+        [r for r in fake_server.requests if r[1] == "/dtoken"][0][3].decode())
+    assert form["grant_type"] == ["refresh_token"]
+    assert form["refresh_token"] == ["ref1"]
+
+
+def test_device_code_denied_raises(fake_server, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.stages.uploader import UploadError
+
+    fake_server.dtoken_script = [(400, {"error": "access_denied"})]
+    up = _device_uploader(fake_server, tmp_path, prompt=lambda *_: None)
+    port = fake_server.server_port
+    with pytest.raises(UploadError, match="access_denied"):
+        up.upload("a b c .\n", f"http://127.0.0.1:{port}/db", graph_ns="d")
