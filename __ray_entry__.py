@@ -893,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": D.exact_dedup,
         "docs_new_shard_dedup": D.new_shard_exact_dedup,
         "docs_span_dedup": D.span_exact_dedup,
+        "docs_boilerplate_removal": D.boilerplate_span_removal,
         "docs_minhash_pairs": D.minhash_lsh_pairs,
         "docs_simhash": D.simhash_signatures,
         "docs_simhash_pairs": D.simhash_near_dup_pairs,
@@ -1848,6 +1849,26 @@ def oracle_sql() -> dict[str, str]:
               FROM chunks)
             SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text
             FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        # boilerplate policy: a span in >1 DISTINCT docs is dropped from
+        # ALL of them (vs span_dedup's keep-first); empty docs drop
+        "docs_boilerplate_removal": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, (ord-1) // 15 AS chunk_no,
+                     string_agg(w, ' ' ORDER BY ord) AS chunk
+              FROM words GROUP BY doc_id, (ord-1) // 15),
+            freq AS (
+              SELECT chunk, COUNT(DISTINCT doc_id) AS df
+              FROM chunks GROUP BY chunk),
+            good AS (
+              SELECT c.doc_id, c.chunk_no, c.chunk
+              FROM chunks c JOIN freq USING (chunk) WHERE freq.df <= 1)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text
+            FROM good GROUP BY doc_id
         """,
         "emb_centroid_confusion": """
             WITH dims AS (

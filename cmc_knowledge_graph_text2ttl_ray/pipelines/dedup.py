@@ -725,6 +725,143 @@ def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
     return joined.map_batches(reassemble, batch_format="pandas")
 
 
+def boilerplate_span_removal(sf_dir: str, chunk_words: int = 15,
+                             max_doc_freq: int = 1,
+                             broadcast_threshold: int = 2_000_000,
+                             num_join_partitions: int | None = None):
+    """Corpus-frequency boilerplate removal (RefinedWeb/CCNet line-dedup
+    policy, Penedo et al. 2023 §4.2, applied to fixed word windows because
+    the synthetic corpus has no line boundaries): every ``chunk_words``-word
+    span that occurs in MORE THAN ``max_doc_freq`` DISTINCT documents is
+    boilerplate (nav menus, cookie banners, template footers at web scale)
+    and is dropped from ALL of them — the complementary policy to
+    :func:`span_exact_dedup`'s keep-first-occurrence. Documents whose every
+    span is boilerplate drop entirely.
+
+    Scale shape:
+    - stage 1 ships ``(chunk_h, doc_id)`` pairs only (per-block distinct
+      first), and the doc-frequency count runs as a coarse reduce — span
+      text never shuffles;
+    - the BAD-span set (df > ``max_doc_freq``) is small by construction
+      (boilerplate is few distinct strings, however many occurrences);
+      below ``broadcast_threshold`` it broadcasts via ``ray.put`` and the
+      filter+reassembly is ONE local pass over the docs (zero joins);
+    - past the threshold it falls back to a distributed keep-list path:
+      explode → left_outer join against the bad set → surviving chunk_nos
+      pack to bytes per doc → one hash join back to the raw text (the
+      :func:`span_exact_dedup` reassembly pattern).
+    """
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ch = _explode_chunks(df, chunk_words)
+        h = pd.util.hash_array(
+            ch["chunk"].to_numpy(dtype=object)).astype(np.uint64)
+        out = pd.DataFrame({"chunk_h": h.astype("int64"),
+                            "doc_id": ch["doc_id"]})
+        return out.drop_duplicates()
+
+    doc_freq = coarse_group_reduce(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["chunk_h"],
+        lambda g: g.drop_duplicates()
+                   .groupby("chunk_h", as_index=False)["doc_id"]
+                   .nunique().rename(columns={"doc_id": "df"}),
+    )
+    bad = doc_freq.filter(expr=f"df > {int(max_doc_freq)}") \
+                  .select_columns(["chunk_h"])
+    bad_n = bad.count()
+
+    if bad_n <= broadcast_threshold:
+        bad_sorted = np.sort(np.array(
+            [r["chunk_h"] for r in bad.take_all()], dtype=np.int64))
+        bad_ref = ray.put(bad_sorted)
+
+        def strip(df: pd.DataFrame) -> pd.DataFrame:
+            bad_arr = ray.get(bad_ref)
+            doc_ids, texts = [], []
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                w = text.split(" ")
+                n_chunks = (len(w) + chunk_words - 1) // chunk_words
+                chunks = [" ".join(w[i * chunk_words:(i + 1) * chunk_words])
+                          for i in range(n_chunks)]
+                h = pd.util.hash_array(
+                    np.array(chunks, dtype=object)).astype(np.uint64) \
+                    .astype(np.int64)
+                pos = np.searchsorted(bad_arr, h)
+                pos[pos >= len(bad_arr)] = max(len(bad_arr) - 1, 0)
+                is_bad = (len(bad_arr) > 0) & (bad_arr[pos] == h)
+                kept = [c for c, b in zip(chunks, is_bad) if not b]
+                if kept:
+                    doc_ids.append(int(doc_id))
+                    texts.append(" ".join(kept))
+            return pd.DataFrame({
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "text": pd.Series(texts, dtype="object"),
+            })
+
+        return ds.map_batches(strip, batch_format="pandas")
+
+    # distributed path: anti-join the exploded chunk hashes against the
+    # bad set, then reassemble via the packed keep-list join
+    if num_join_partitions is None:
+        num_join_partitions = default_join_partitions()
+
+    def explode_h(df: pd.DataFrame) -> pd.DataFrame:
+        ch = _explode_chunks(df, chunk_words)
+        h = pd.util.hash_array(
+            ch["chunk"].to_numpy(dtype=object)).astype(np.uint64)
+        return pd.DataFrame({"chunk_h": h.astype("int64"),
+                             "doc_id": ch["doc_id"],
+                             "chunk_no": ch["chunk_no"]})
+
+    exploded = ds.map_batches(explode_h, batch_format="pandas")
+    # partitions sized by the SMALL (bad) side: an all-empty hash
+    # partition is a schema-less block that breaks pyarrow's join
+    bad_parts = max(1, min(num_join_partitions, (bad_n + 49_999) // 50_000))
+    marked = exploded.join(
+        bad.add_column("_bad", lambda t: pa.array([1] * t.num_rows,
+                                                  pa.int64()),
+                       batch_format="pyarrow"),
+        join_type="left_outer", num_partitions=bad_parts,
+        on=("chunk_h",),
+    )
+
+    def agg_keeps(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[g["_bad"].isna()]
+        if not len(keep):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "keep": pd.Series(dtype=object)})
+        ks = np.sort(keep["chunk_no"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])],
+                             "keep": [ks.tobytes()]})
+
+    keeps_per_doc = marked.groupby("doc_id").map_groups(
+        agg_keeps, batch_format="pandas")
+    joined = ds.join(keeps_per_doc, join_type="inner",
+                     num_partitions=num_join_partitions, on=("doc_id",))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for text, keep in zip(df["text"], df["keep"]):
+            w = text.split(" ")
+            ks = np.frombuffer(keep, dtype=np.int64)
+            texts.append(" ".join(
+                " ".join(w[k * chunk_words:(k + 1) * chunk_words])
+                for k in ks))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "text": texts})
+
+    return joined.map_batches(reassemble, batch_format="pandas")
+
+
 def new_shard_exact_dedup(sf_dir: str, broadcast_threshold: int = 5_000_000):
     """Incremental crawl dedup: check a NEW shard of documents against the
     EXISTING corpus by exact content hash — the per-snapshot dedup step of

@@ -312,6 +312,38 @@ def test_span_dedup_partial_tail_span(ray_session, tmp_path_factory):
     assert got == {0: "x0 x1 x2 x3 t0 t1", 2: "x0 x1"}
 
 
+def test_boilerplate_removal_drops_all_occurrences(ray_session,
+                                                   tmp_path_factory):
+    """A span shared across >max_doc_freq docs is removed from EVERY doc
+    (unlike span_dedup's keep-first); within-doc repeats of a non-shared
+    span survive; all-boilerplate docs drop entirely."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        boilerplate_span_removal,
+    )
+
+    w = lambda pfx: " ".join(f"{pfx}{i}" for i in range(4))
+    banner = w("nav")
+    texts = {
+        0: " ".join([banner, w("a"), w("a")]),  # banner + repeated unique
+        1: " ".join([w("b"), banner]),
+        2: banner,                               # all boilerplate → drops
+        3: w("c"),
+    }
+    d = tmp_path_factory.mktemp("boilerdocs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(d / "documents.parquet"))
+
+    expected = {0: " ".join([w("a"), w("a")]), 1: w("b"), 3: w("c")}
+    out = boilerplate_span_removal(str(d), chunk_words=4).to_pandas()
+    assert dict(zip(out["doc_id"], out["text"])) == expected
+    # forced distributed keep-list path ≡ broadcast path
+    out2 = boilerplate_span_removal(str(d), chunk_words=4,
+                                    broadcast_threshold=0).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["text"])) == expected
+
+
 def test_top_ngrams_doc_boundaries_and_trigram(ray_session, tmp_path_factory):
     """N-grams never cross document boundaries; n=3 counts are exact."""
     import pandas as pd
