@@ -496,6 +496,16 @@ def _events_users_hll(sf_dir: str):
     return events_users_hll(sf_dir)
 
 
+def _docs_gopher_filter(sf_dir: str):
+    """Gopher-rule quality filter: named rule booleans + combined keep,
+    zero shuffle (embarrassingly parallel vectorized regex counts)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
+        gopher_quality_filter,
+    )
+
+    return gopher_quality_filter(sf_dir)
+
+
 def _events_users_hll_check(sf_dir: str):
     """Exact distinct count + HLL-within-3-sigma boolean in one pass —
     the driver-verified (oracle-backed) row for the HLL plumbing."""
@@ -894,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_new_shard_dedup": D.new_shard_exact_dedup,
         "docs_span_dedup": D.span_exact_dedup,
         "docs_boilerplate_removal": D.boilerplate_span_removal,
+        "docs_gopher_filter": _docs_gopher_filter,
         "docs_minhash_pairs": D.minhash_lsh_pairs,
         "docs_simhash": D.simhash_signatures,
         "docs_simhash_pairs": D.simhash_near_dup_pairs,
@@ -1869,6 +1880,41 @@ def oracle_sql() -> dict[str, str]:
               FROM chunks c JOIN freq USING (chunk) WHERE freq.df <= 1)
             SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text
             FROM good GROUP BY doc_id
+        """,
+        # mean_word_len/alpha_ratio rounded to 4 BEFORE the threshold
+        # compare on both engines so the rule booleans agree bit-for-bit
+        "docs_gopher_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                     length(text) AS n_chars_c,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> NOT regexp_matches(w, '[A-Za-z]')))
+                          AS BIGINT) AS non_alpha,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ('the','be','to','of','and','that',
+                                     'have','with')))
+                          AS BIGINT) AS stopword_hits
+              FROM documents),
+            m AS (
+              SELECT doc_id, n_words,
+                     ROUND((n_chars_c - n_words + 1.0) / n_words, 4)
+                         AS mean_word_len,
+                     ROUND((n_words - non_alpha) / CAST(n_words AS DOUBLE), 4)
+                         AS alpha_ratio,
+                     stopword_hits
+              FROM t)
+            SELECT doc_id, n_words, mean_word_len, alpha_ratio,
+                   stopword_hits,
+                   (n_words BETWEEN 30 AND 100000) AS rule_n_words,
+                   (mean_word_len BETWEEN 3.0 AND 10.0) AS rule_word_len,
+                   (alpha_ratio >= 0.8) AS rule_alpha,
+                   (stopword_hits >= 1) AS rule_stopwords,
+                   ((n_words BETWEEN 30 AND 100000)
+                    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                    AND alpha_ratio >= 0.8
+                    AND stopword_hits >= 1) AS keep
+            FROM m
         """,
         "emb_centroid_confusion": """
             WITH dims AS (

@@ -84,6 +84,71 @@ def quality_scores(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(sf_dir: str, min_words: int = 30,
+                          max_words: int = 100_000,
+                          min_mean_word_len: float = 3.0,
+                          max_mean_word_len: float = 10.0,
+                          min_alpha_ratio: float = 0.8,
+                          min_stopword_hits: int = 1):
+    """Gopher-style rule-based quality filter (Rae et al. 2021, Appendix A):
+    per-document named rule booleans + the combined ``keep`` verdict, so a
+    pipeline can both FILTER and AUDIT which rule fired. Rules adapted to
+    this corpus's single-space tokenization (no line boundaries → the
+    bullet/ellipsis line rules don't apply):
+
+    - ``rule_n_words``: word count in [min_words, max_words];
+    - ``rule_word_len``: mean word length in
+      [min_mean_word_len, max_mean_word_len] (computed on the ROUNDED
+      value so engine and SQL oracle agree bit-for-bit);
+    - ``rule_alpha``: ≥ ``min_alpha_ratio`` of words contain a letter;
+    - ``rule_stopwords``: ≥ ``min_stopword_hits`` occurrences of the
+      Gopher stop-word set.
+
+    Fully vectorized: token counts and per-rule hits are C-level regex
+    counts over the text column — the corpus never explodes to words and
+    nothing shuffles (embarrassingly parallel map_batches).
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    # token-boundary-exact patterns (space-delimited, matching SQL
+    # string_split semantics — \b would also match inside hyphenations)
+    non_alpha_pat = r"(?:^|(?<= ))[^A-Za-z ]+(?:(?= )|$)"
+    sw_pats = [rf"(?:^|(?<= )){w}(?:(?= )|$)" for w in _GOPHER_STOPWORDS]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_words = (text.str.count(" ") + 1).to_numpy(np.int64)
+        n_chars = text.str.len().to_numpy(np.int64)
+        mean_word_len = round_half_away(
+            (n_chars - n_words + 1) / n_words, 4)
+        non_alpha = text.str.count(non_alpha_pat).to_numpy(np.int64)
+        alpha_ratio = round_half_away((n_words - non_alpha) / n_words, 4)
+        sw = np.zeros(len(df), dtype=np.int64)
+        for pat in sw_pats:
+            sw += text.str.count(pat).to_numpy(np.int64)
+        r_words = (n_words >= min_words) & (n_words <= max_words)
+        r_wlen = (mean_word_len >= min_mean_word_len) & \
+                 (mean_word_len <= max_mean_word_len)
+        r_alpha = alpha_ratio >= min_alpha_ratio
+        r_sw = sw >= min_stopword_hits
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "alpha_ratio": alpha_ratio,
+            "stopword_hits": sw,
+            "rule_n_words": r_words,
+            "rule_word_len": r_wlen,
+            "rule_alpha": r_alpha,
+            "rule_stopwords": r_sw,
+            "keep": r_words & r_wlen & r_alpha & r_sw,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def fingerprints(sf_dir: str):
     """Document fingerprints: md5 (exact identity) + a 64-bit rolling hash
     over 8-byte windows (shift-resistant content signature)."""

@@ -385,3 +385,31 @@ def test_new_shard_dedup_broadcast_and_join_paths_agree(ray_session):
     dups = fast[fast["is_dup"] == 1]
     assert (dups["dup_of"] % 10 != 0).all() or dups.empty
     assert (fast.loc[fast["is_dup"] == 0, "dup_of"] == -1).all()
+
+def test_gopher_filter_rule_semantics(ray_session, tmp_path_factory):
+    """Each named rule fires on its planted violation; keep is their AND."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.text_analysis import (
+        gopher_quality_filter,
+    )
+
+    texts = {
+        0: "the " + " ".join(f"word{i}" for i in range(40)),   # keeps
+        1: "the quick fox",                                    # too few words
+        2: " ".join(["123 456 789 000"] * 12) + " the",        # non-alpha words
+        3: " ".join(f"w{i}" for i in range(40)),               # no stopwords
+    }
+    d = tmp_path_factory.mktemp("gopherdocs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), str(d / "documents.parquet"))
+
+    out = gopher_quality_filter(str(d)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "rule_n_words"]) and not bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "rule_alpha"]) and not bool(out.loc[2, "keep"])
+    assert int(out.loc[2, "stopword_hits"]) == 1
+    assert not bool(out.loc[3, "rule_stopwords"]) and not bool(out.loc[3, "keep"])
+    # word-count arithmetic matches split semantics exactly
+    assert int(out.loc[0, "n_words"]) == 41
