@@ -846,7 +846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q9_profit_by_nation_year": R.q9_profit_by_nation_year,
         "q11_important_parts": R.q11_important_parts,
+        "q16_supplier_part_counts": R.q16_supplier_part_counts,
         "q20_dominant_suppliers": R.q20_dominant_suppliers,
+        "q21_waiting_suppliers": R.q21_waiting_suppliers,
         "events_type_quantiles": R.events_type_quantiles,
         "bloom_semi_join_revenue": R.bloom_semi_join_revenue,
         "corpus_clean_winners": _corpus_clean_winners,
@@ -1289,6 +1291,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE sum_qty > 1.1 * (SELECT SUM(sum_qty) / COUNT(*)
                                    FROM totals)
             ORDER BY p_partkey
+        """,
+        # Q16 adapted: lineitem pairs = the supplier/part relation (no
+        # partsupp), negative-balance suppliers = the complaints exclusion
+        "q16_supplier_part_counts": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM ps JOIN part ON p_partkey = ps.l_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+              AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                       WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # Q21 adapted: unique latest shipper of a finished multi-supplier
+        # order; EXISTS/NOT EXISTS pair → nsupp >= 2 AND n_at_max = 1
+        "q21_waiting_suppliers": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            m AS (
+              SELECT l_orderkey, MAX(last_ship) AS order_last,
+                     COUNT(*) AS nsupp
+              FROM l GROUP BY l_orderkey),
+            am AS (
+              SELECT l.l_orderkey, COUNT(*) AS n_at_max
+              FROM l JOIN m USING (l_orderkey)
+              WHERE l.last_ship = m.order_last GROUP BY l.l_orderkey),
+            waiting AS (
+              SELECT l.l_suppkey
+              FROM l
+              JOIN m USING (l_orderkey)
+              JOIN am ON am.l_orderkey = l.l_orderkey
+              JOIN orders ON o_orderkey = l.l_orderkey
+              WHERE o_orderstatus = 'F' AND m.nsupp >= 2
+                AND am.n_at_max = 1 AND l.last_ship = m.order_last)
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100
         """,
         "q20_dominant_suppliers": """
             WITH ps AS (

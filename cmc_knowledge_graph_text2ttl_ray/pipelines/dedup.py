@@ -795,9 +795,12 @@ def boilerplate_span_removal(sf_dir: str, chunk_words: int = 15,
                 h = pd.util.hash_array(
                     np.array(chunks, dtype=object)).astype(np.uint64) \
                     .astype(np.int64)
-                pos = np.searchsorted(bad_arr, h)
-                pos[pos >= len(bad_arr)] = max(len(bad_arr) - 1, 0)
-                is_bad = (len(bad_arr) > 0) & (bad_arr[pos] == h)
+                if len(bad_arr):
+                    pos = np.clip(np.searchsorted(bad_arr, h),
+                                  0, len(bad_arr) - 1)
+                    is_bad = bad_arr[pos] == h
+                else:
+                    is_bad = np.zeros(len(h), dtype=bool)
                 kept = [c for c, b in zip(chunks, is_bad) if not b]
                 if kept:
                     doc_ids.append(int(doc_id))

@@ -2380,6 +2380,160 @@ def q20_dominant_suppliers(sf_dir: str, factor: float = 2.0, k: int = 100):
                                      "dominated_parts"]])
 
 
+_Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 25)
+
+
+def q16_supplier_part_counts(sf_dir: str, excluded_brand: str = "Brand#5",
+                             sizes: tuple = _Q16_SIZES):
+    """TPC-H Q16 shape adapted to this star schema (no partsupp table —
+    lineitem's (partkey, suppkey) pairs are the supplier/part relation, the
+    same adaptation as Q20; no s_comment — suppliers with negative account
+    balance stand in for the customer-complaints exclusion): distinct
+    supplier count per (brand, type, size) over non-excluded-brand parts
+    of the listed sizes.
+
+    Scale shape: part is a dimension → the (partkey → brand/type/size)
+    map for the ~⅓ of parts passing the filter broadcasts once via
+    ``ray.put``; the bad-supplier set is tiny and rides the same ref. The
+    lineitem scan dedups (group, suppkey) per block, and ONE coarse
+    exchange keyed by the 3 group columns finishes the global distinct +
+    count. Group cardinality (brands × types × sizes) is small, so the
+    final table collapses to the driver bounded."""
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != excluded_brand)
+                & part["p_size"].isin(sizes)]
+    bad = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad_keys = np.sort(bad.loc[bad["s_acctbal"] < 0,
+                               "s_suppkey"].to_numpy(np.int64))
+    ref = ray.put((dict(zip(part["p_partkey"], part["p_brand"])),
+                   dict(zip(part["p_partkey"], part["p_type"])),
+                   dict(zip(part["p_partkey"],
+                            part["p_size"].astype("int64"))),
+                   bad_keys))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        brand_map, type_map, size_map, bad_arr = ray.get(ref)
+        df = df.drop_duplicates()
+        supp = df["l_suppkey"].to_numpy(np.int64)
+        if len(bad_arr):
+            pos = np.clip(np.searchsorted(bad_arr, supp),
+                          0, len(bad_arr) - 1)
+            ok = bad_arr[pos] != supp
+        else:
+            ok = np.ones(len(supp), dtype=bool)
+        brand = df["l_partkey"].map(brand_map)
+        keep = ok & brand.notna().to_numpy()
+        d = df[keep]
+        return pd.DataFrame({
+            "p_brand": brand[keep].to_numpy(dtype=object),
+            "p_type": d["l_partkey"].map(type_map).to_numpy(dtype=object),
+            "p_size": d["l_partkey"].map(size_map).to_numpy(np.int64),
+            "s": d["l_suppkey"].to_numpy(np.int64),
+        }).drop_duplicates()
+
+    keys = ["p_brand", "p_type", "p_size"]
+    counts = coarse_group_reduce(
+        li.map_batches(pairs, batch_format="pandas"),
+        keys,
+        lambda g: (g.drop_duplicates()
+                   .groupby(keys, as_index=False)["s"].nunique()
+                   .rename(columns={"s": "supplier_cnt"})),
+    ).to_pandas()
+    if counts.empty:
+        return _empty_df({"p_brand": pa.string(), "p_type": pa.string(),
+                          "p_size": pa.int64(), "supplier_cnt": pa.int64()})
+    return (counts.astype({"supplier_cnt": "int64", "p_size": "int64"})
+            .sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                         ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+def q21_waiting_suppliers(sf_dir: str, k: int = 100):
+    """TPC-H Q21 shape adapted (no commit/receipt dates — a supplier "kept
+    the order waiting" when it is the UNIQUE latest shipper of a finished
+    multi-supplier order): per supplier, the number of 'F' orders with ≥2
+    suppliers where this supplier's last ship date is strictly the
+    order's latest. Q21's EXISTS (another supplier) / NOT EXISTS (another
+    equally-late supplier) pair becomes nsupp ≥ 2 ∧ n_at_max = 1.
+
+    Scale shape: NO fact⋈fact join — lineitem partials (orderkey, suppkey,
+    max shipdate per block) and orders' status rows (suppkey = -1
+    sentinel) UNION into ONE coarse exchange keyed by orderkey; the
+    combiner finishes the per-pair max, evaluates the waiting predicate
+    and emits only winner pairs. The supplier rollup is bounded by the
+    supplier count and merges names on the driver like Q20."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "v": df["l_shipdate"].astype("datetime64[ns]")
+                 .astype("int64")})
+            .groupby(["l_orderkey", "l_suppkey"], as_index=False).max())
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def status_rows(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["o_orderstatus"] == "F"]
+        return pd.DataFrame({
+            "l_orderkey": f["o_orderkey"].astype("int64"),
+            "l_suppkey": np.full(len(f), -1, dtype=np.int64),
+            "v": np.zeros(len(f), dtype=np.int64),
+        })
+
+    merged = li.map_batches(li_partial, batch_format="pandas").union(
+        orders.map_batches(status_rows, batch_format="pandas"))
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        is_status = g["l_suppkey"].to_numpy() == -1
+        f_orders = set(g.loc[is_status, "l_orderkey"].tolist())
+        sup = (g[~is_status]
+               .groupby(["l_orderkey", "l_suppkey"], as_index=False)["v"]
+               .max())
+        sup = sup[sup["l_orderkey"].isin(f_orders)]
+        if sup.empty:
+            return pd.DataFrame({"l_suppkey": pd.Series(dtype="int64")})
+        grp = sup.groupby("l_orderkey")["v"]
+        order_last = grp.transform("max")
+        nsupp = grp.transform("size")
+        at_max = sup["v"].to_numpy() == order_last.to_numpy()
+        n_at_max = (sup.assign(_am=at_max).groupby("l_orderkey")["_am"]
+                    .transform("sum"))
+        win = sup[(nsupp.to_numpy() >= 2) & at_max
+                  & (n_at_max.to_numpy() == 1)]
+        return pd.DataFrame({"l_suppkey":
+                             win["l_suppkey"].to_numpy(np.int64)})
+
+    waiting = coarse_group_reduce(merged, ["l_orderkey"],
+                                  winners).to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    if waiting.empty:
+        return _empty_df({"s_name": pa.string(), "numwait": pa.int64()})
+    counts = (waiting.groupby("l_suppkey", as_index=False).size()
+              .rename(columns={"l_suppkey": "s_suppkey",
+                               "size": "numwait"}))
+    out = counts.merge(sup, on="s_suppkey")
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True]).head(k)
+            .astype({"numwait": "int64"})
+            .reset_index(drop=True)[["s_name", "numwait"]])
+
+
 def skew_safe_join_priority_quantity(sf_dir: str, hot_k: int = 64):
     """Skew-safe fact-fact join: per-priority lineitem quantity via
     lineitem ⋈ orders, with the join SPLIT on hot keys — the canonical
