@@ -496,6 +496,16 @@ def _events_users_hll(sf_dir: str):
     return events_users_hll(sf_dir)
 
 
+def _events_type_count_cm_check(sf_dir: str):
+    """Count-Min point estimates vs the exact per-type counts — the
+    driver-verified (oracle-backed) row for the CM sketch plumbing."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_type_count_cm_check,
+    )
+
+    return events_type_count_cm_check(sf_dir)
+
+
 def _docs_gopher_filter(sf_dir: str):
     """Gopher-rule quality filter: named rule booleans + combined keep,
     zero shuffle (embarrassingly parallel vectorized regex counts)."""
@@ -825,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _events_distinct_users,
         "events_users_hll": _events_users_hll,
         "events_users_hll_check": _events_users_hll_check,
+        "events_type_count_cm_check": _events_type_count_cm_check,
         "events_type_distinct_users": _events_type_distinct_users,
         "docs_heavy_words": _docs_heavy_words,
         "docs_repetition": _docs_repetition,
@@ -2077,6 +2088,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                    TRUE AS hll_within_bound
             FROM events
+        """,
+        # deterministic CM hash → the two-sided bound boolean is a pure
+        # function of the data; a drifted sketch hash-mismatches this row
+        "events_type_count_cm_check": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   TRUE AS cm_within_bound
+            FROM events GROUP BY event_type
         """,
         # top-5 TF-IDF terms per doc; ranking uses the ROUNDED score with a
         # token tie-break on both engines (idf itself rounded to 4 first,

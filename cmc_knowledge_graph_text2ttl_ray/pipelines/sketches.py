@@ -19,7 +19,8 @@ import pandas as pd
 import ray.data
 
 __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
-           "events_users_hll_check",
+           "events_users_hll_check", "cm_sketch",
+           "events_type_count_cm_check",
            "events_type_distinct_users", "tdigest_build",
            "tdigest_quantile", "events_value_quantiles_tdigest",
            "events_type_quantiles_tdigest",
@@ -343,6 +344,108 @@ def _mg_trim(items: np.ndarray, counts: np.ndarray, k: int):
     new_counts = counts[keep] - dec
     pos = new_counts > 0
     return items[keep][pos], new_counts[pos], dec
+
+
+_CM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                     0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                     0x85EBCA6B2545F491, 0xCB9E8D57A4B1D3F7],
+                    dtype=np.uint64)
+
+
+def _cm_rows(h: np.ndarray, width: int, depth: int):
+    """Yield (row, column-index array) per hash row — one multiply-SHIFT
+    per depth over the base SipHash, all vectorized. High bits, not
+    ``mod width``: with a power-of-two width an odd multiplier is a
+    bijection mod width, so low bits would make every row collide
+    identically and depth would buy no independence."""
+    k = int(width).bit_length() - 1
+    if (1 << k) != width:
+        raise ValueError("Count-Min width must be a power of two")
+    shift = np.uint64(64 - k)
+    for d in range(depth):
+        hd = (h + np.uint64(d)) * _CM_MULT[d % len(_CM_MULT)]
+        yield d, (hd >> shift).astype(np.int64)
+
+
+def _cm_partial(values: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """Count-Min table (depth × width int64) for one batch."""
+    tbl = np.zeros((depth, width), dtype=np.int64)
+    if len(values) == 0:
+        return tbl
+    h = pd.util.hash_array(values).astype(np.uint64)
+    for d, idx in _cm_rows(h, width, depth):
+        tbl[d] = np.bincount(idx, minlength=width)
+    return tbl
+
+
+def _cm_estimate(tbl: np.ndarray, queries: np.ndarray, width: int,
+                 depth: int) -> np.ndarray:
+    """Point-frequency estimates (min over rows): always ≥ the true count,
+    and ≤ true + (e/width)·N with probability 1 − e^−depth."""
+    if len(queries) == 0:
+        return np.zeros(0, dtype=np.int64)
+    h = pd.util.hash_array(queries).astype(np.uint64)
+    est = None
+    for d, idx in _cm_rows(h, width, depth):
+        e = tbl[d, idx]
+        est = e if est is None else np.minimum(est, e)
+    return est
+
+
+def cm_sketch(ds, column: str, width: int = 2048, depth: int = 4):
+    """Distributed Count-Min sketch of ``ds[column]`` (Cormode &
+    Muthukrishnan 2005): each block contributes ONE constant-size
+    (depth × width) counter table; the merge is element-wise sum — like
+    :func:`hll_distinct`, no key ever shuffles and the driver sees
+    n_blocks × (depth·width·8) bytes regardless of cardinality.
+
+    Returns ``(table, n_total)``; query with :func:`_cm_estimate`."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[column].to_numpy(object)
+        vals = vals[pd.notna(vals)]
+        tbl = _cm_partial(vals, width, depth)
+        return pd.DataFrame({"tbl": [tbl.tobytes()],
+                             "n": [np.int64(len(vals))]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").take_all()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    n_total = 0
+    for r in rows:
+        merged += np.frombuffer(r["tbl"], dtype=np.int64) \
+            .reshape(depth, width)
+        n_total += int(r["n"])
+    return merged, n_total
+
+
+def events_type_count_cm_check(sf_dir: str, width: int = 2048,
+                               depth: int = 4):
+    """Driver-verifiable Count-Min row: exact per-type counts (tiny group
+    cardinality → ordinary distributed aggregate) PLUS a boolean asserting
+    the CM point estimate respects both sketch guarantees — est ≥ exact
+    (structural) and est ≤ exact + ceil((e/width)·N) (the ε-bound). The
+    hash is deterministic, so the boolean is a pure function of the data
+    and the DuckDB oracle emits ``COUNT(*)`` + literal ``TRUE``."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    exact = ds.groupby("event_type") \
+        .aggregate(Count(alias_name="n_events")).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    tbl, n_total = cm_sketch(ds, "event_type", width=width, depth=depth)
+    est = _cm_estimate(tbl, exact["event_type"].to_numpy(object),
+                       width, depth)
+    bound = math.ceil(math.e / width * n_total)
+    true = exact["n_events"].to_numpy(np.int64)
+    ok = (est >= true) & (est <= true + bound)
+    return pd.DataFrame({
+        "event_type": exact["event_type"],
+        "n_events": pd.Series(true, dtype="int64"),
+        "cm_within_bound": ok,
+    })
 
 
 def mg_heavy_hitters(ds, column: str, k: int = 64,

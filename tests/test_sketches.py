@@ -227,3 +227,60 @@ def test_grouped_hll_block_invariant(ray_session):
         runs.append(grouped_hll_distinct(ds, "g", "v").to_pandas()
                     .sort_values("g").reset_index(drop=True))
     pd.testing.assert_frame_equal(runs[0], runs[1])
+
+def test_cm_sketch_guarantees_and_merge_invariance(ray_session, tmp_path):
+    """est ≥ true always; est ≤ true + ceil(e/width·N) for planted heavy
+    and light keys on a skewed stream; block layout doesn't change the
+    merged table."""
+    import math
+
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _cm_estimate,
+        cm_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    # Zipf-ish: key_i appears ~ 50_000 / (i+1) times
+    vals = np.concatenate([
+        np.repeat(f"k{i}", 50_000 // (i + 1)) for i in range(200)
+    ])
+    rng.shuffle(vals)
+    width, depth = 512, 4
+    for blocks in (2, 16):
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"v": vals})).repartition(blocks)
+        tbl, n = cm_sketch(ds, "v", width=width, depth=depth)
+        assert n == len(vals)
+        uniq, true = np.unique(vals, return_counts=True)
+        est = _cm_estimate(tbl, uniq.astype(object), width, depth)
+        bound = math.ceil(math.e / width * n)
+        assert (est >= true).all()          # structural: never undercounts
+        # the ε-bound holds per key with prob ≥ 1 − e^−depth ≈ 0.982;
+        # over 200 keys assert coverage, not all (a few misses expected)
+        within = (est <= true + bound).mean()
+        assert within >= 0.95, within
+        # the 20 heaviest keys dominate their rows — they must all hold
+        top = np.argsort(true)[-20:]
+        assert (est[top] <= true[top] + bound).all()
+        if blocks == 2:
+            tbl_first = tbl
+    assert (tbl_first == tbl).all()  # merge is layout-invariant
+
+
+def test_cm_check_row_on_events(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_type_count_cm_check,
+    )
+
+    rng = np.random.RandomState(5)
+    types = rng.choice(["a", "b", "c"], size=9_000)
+    pq.write_table(pa.table({"event_type": pa.array(types, pa.string())}),
+                   str(tmp_path / "events.parquet"),
+                   row_group_size=1_000)
+    out = events_type_count_cm_check(str(tmp_path))
+    assert out["cm_within_bound"].all()
+    counts = dict(zip(out["event_type"], out["n_events"]))
+    u, c = np.unique(types, return_counts=True)
+    assert counts == dict(zip(u.tolist(), (int(x) for x in c)))
