@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "docs_epoch_shuffle",
     "docs_heavy_words_sketch",
     "docs_new_shard_near_dedup",
+    "docs_boilerplate_removal",
+    "docs_gopher_filter",
 ]
 
 

@@ -631,6 +631,22 @@ def _explode_chunks(df: pd.DataFrame, chunk_words: int) -> pd.DataFrame:
     })
 
 
+def _pack_keep_lists(g: pd.DataFrame) -> pd.DataFrame:
+    """Collapse (doc_id, chunk_no) rows to one packed sorted-int64-bytes
+    keep-list row per doc — vectorized over a whole coarse partition
+    (lexsort + unique-boundary split; the only per-doc work is .tobytes)."""
+    a = g[["doc_id", "chunk_no"]].to_numpy(dtype=np.int64)
+    if not len(a):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "keep": pd.Series(dtype=object)})
+    a = a[np.lexsort((a[:, 1], a[:, 0]))]
+    ids, starts = np.unique(a[:, 0], return_index=True)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "keep": [c.tobytes() for c in np.split(a[:, 1], starts[1:])],
+    })
+
+
 def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
                      num_join_partitions: int | None = None):
     """C4-style corpus-wide span dedup: every ``chunk_words``-word span that
@@ -694,17 +710,12 @@ def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
 
         num_join_partitions = default_join_partitions()
 
-    def agg_keeps(g: pd.DataFrame) -> pd.DataFrame:
-        # keep-list packed to bytes: pyarrow's hash join cannot carry list /
-        # tensor payload columns (same workaround as the packed MinHash sigs)
-        ks = np.sort(g["chunk_no"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].iloc[0])],
-            "keep": [ks.tobytes()],
-        })
-
-    keeps_per_doc = kept.groupby("doc_id").map_groups(agg_keeps,
-                                                      batch_format="pandas")
+    # keep-lists packed to bytes: pyarrow's hash join cannot carry list /
+    # tensor payload columns (same workaround as the packed MinHash sigs).
+    # Packing runs as a coarse reduce — per-doc groups through Ray's
+    # sort-based map_groups pay the ~1 ms/group overhead at corpus-doc
+    # cardinality (the highest in the engine after chunk hashes).
+    keeps_per_doc = coarse_group_reduce(kept, ["doc_id"], _pack_keep_lists)
 
     joined = ds.join(
         keeps_per_doc, join_type="inner", num_partitions=num_join_partitions,
@@ -837,17 +848,14 @@ def boilerplate_span_removal(sf_dir: str, chunk_words: int = 15,
         on=("chunk_h",),
     )
 
-    def agg_keeps(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g[g["_bad"].isna()]
-        if not len(keep):
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "keep": pd.Series(dtype=object)})
-        ks = np.sort(keep["chunk_no"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])],
-                             "keep": [ks.tobytes()]})
+    def pack_surviving(g: pd.DataFrame) -> pd.DataFrame:
+        # docs whose every span is boilerplate vanish here (empty keep-list
+        # rows are never emitted), so the inner join below drops them
+        return _pack_keep_lists(g[g["_bad"].isna()])
 
-    keeps_per_doc = marked.groupby("doc_id").map_groups(
-        agg_keeps, batch_format="pandas")
+    # coarse reduce, not per-doc map_groups: corpus-doc group cardinality
+    # through Ray's sort aggregate pays ~1 ms/group (see _pack_keep_lists)
+    keeps_per_doc = coarse_group_reduce(marked, ["doc_id"], pack_surviving)
     joined = ds.join(keeps_per_doc, join_type="inner",
                      num_partitions=num_join_partitions, on=("doc_id",))
 
