@@ -856,17 +856,21 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
 
     Composition: both sides project to a shared schema (missing columns
     null) tagged with a side marker, union WITHOUT a shuffle, then ONE
-    ``groupby(key).map_groups`` where each group sorts its right rows once
-    and answers all left rows with a single vectorized ``searchsorted``.
+    exchange on ``hash(key) % num_coarse`` (coarse partitions, not
+    per-key groups — Ray's sort-based map_groups pays ~1 ms per distinct
+    group, linear in key cardinality) where each partition answers ALL its
+    keys' left rows with a single C-speed ``pd.merge_asof(by=key)``; a
+    per-key searchsorted loop remains only as the fallback for ``ts``
+    dtypes merge_asof cannot order.
 
     Ties on ``right_ts`` resolve DETERMINISTICALLY to the greatest right
-    payload tuple (right rows are sorted by [ts, *right_cols] and the last
-    match wins) — required for run-to-run stable output under Ray's
-    nondeterministic block order.
+    payload tuple (right rows are sorted by [ts, *right_cols] and
+    merge_asof backward takes the last eligible row) — required for
+    run-to-run stable output under Ray's nondeterministic block order.
 
     Partitioning assumption (documented per the custom-operator contract):
-    one key's rows fit one task — salt hot keys upstream if a single key's
-    history outgrows worker memory."""
+    one coarse partition's rows fit one task — salt hot keys upstream if a
+    single key's history outgrows worker memory."""
     import pandas as pd_
 
     all_cols = list(dict.fromkeys(left_cols + right_cols))
@@ -898,7 +902,24 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     l2 = left.map_batches(project(left_cols, 0), batch_format="pyarrow")
     r2 = right.map_batches(project(right_cols, 1), batch_format="pyarrow")
 
-    def per_key(g: pd_.DataFrame) -> pd_.DataFrame:
+    keep_left = [c for c in left_cols if c != key and c not in right_cols]
+
+    def match_one_key(lrows: pd_.DataFrame,
+                      rrows: pd_.DataFrame) -> pd_.DataFrame | None:
+        # fallback kernel for one key (rrows pre-sorted by [ts, *right_cols])
+        idx = np.searchsorted(rrows["ts"].to_numpy(),
+                              lrows["ts"].to_numpy(), side="right") - 1
+        keep = idx >= 0
+        lrows = lrows[keep]
+        if lrows.empty:
+            return None
+        matched = rrows.iloc[idx[keep]]
+        out = lrows[[key, "ts"] + keep_left].copy()
+        for c in right_cols:
+            out[c] = matched[c].to_numpy()
+        return out
+
+    def per_part(g: pd_.DataFrame) -> pd_.DataFrame:
         lmask = g["_side"] == 0
         lrows = g[lmask]
         rrows = g[~lmask].sort_values(["ts"] + right_cols, kind="stable")
@@ -906,19 +927,35 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
                                for c in g.columns if c != "_side"})
         if lrows.empty or rrows.empty:
             return empty
-        idx = np.searchsorted(rrows["ts"].to_numpy(), lrows["ts"].to_numpy(),
-                              side="right") - 1
-        keep = idx >= 0
-        lrows = lrows[keep]
-        if lrows.empty:
-            return empty
-        matched = rrows.iloc[idx[keep]]
-        out = lrows[[key, "ts"] + [c for c in left_cols if c != key]].copy()
-        for c in right_cols:
-            out[c] = matched[c].to_numpy()
-        return out.reset_index(drop=True)
+        try:
+            # one vectorized pass for EVERY key in the partition; backward +
+            # exact matches ≡ searchsorted(side="right") - 1, and the last
+            # eligible row per (key, ts) is the greatest payload tuple
+            merged = pd_.merge_asof(
+                lrows.sort_values("ts", kind="stable")[[key, "ts"] + keep_left],
+                rrows[[key, "ts"] + right_cols].assign(_m=1),
+                on="ts", by=key, direction="backward")
+            merged = merged[merged["_m"].notna()].drop(columns=["_m"])
+            return merged.reset_index(drop=True)
+        except (ValueError, TypeError, pd_.errors.MergeError):
+            # ts dtype merge_asof cannot order — per-key searchsorted loop
+            outs = []
+            for _, lkg in lrows.groupby(key, sort=False):
+                rkg = rrows[rrows[key] == lkg[key].iloc[0]]
+                if rkg.empty:
+                    continue
+                m = match_one_key(lkg, rkg)
+                if m is not None:
+                    outs.append(m)
+            if not outs:
+                return empty
+            return pd_.concat(outs, ignore_index=True)
 
-    return l2.union(r2).groupby(key).map_groups(per_key, batch_format="pandas")
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    return coarse_group_reduce(l2.union(r2), [key], per_part)
 
 
 def events_asof_orders(sf_dir: str):

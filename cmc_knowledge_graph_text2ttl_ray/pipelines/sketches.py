@@ -545,9 +545,9 @@ def grouped_hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
     cardinality, the grouped companion to :func:`hll_distinct` and the
     scale path where the exact pair-distinct shuffle
     (:func:`events_type_distinct_users`) would move one row per distinct
-    (group, value). Groups are assumed few enough that one group's
-    register rows fit a task (true for enum-like keys; a billion-group
-    keyspace would partition the merge by group hash)."""
+    (group, value). The merge exchanges on ``hash(group) % num_coarse``
+    (not per-group map_groups), so a billion-group keyspace costs the
+    same per-row work as an enum-like one."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -557,17 +557,26 @@ def grouped_hll_distinct(ds, group_col: str, value_col: str, p: int = 12):
         return pd.DataFrame({group_col: [r[0] for r in rows],
                              "regs": [r[1] for r in rows]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        regs = np.frombuffer(g["regs"].iloc[0], dtype=np.uint8).copy()
-        for b in g["regs"].iloc[1:]:
-            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
-        return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            "n_distinct_est": [round(_hll_estimate(regs), 1)],
-        })
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all register rows of a group land in the same coarse partition;
+        # per-group work here is a C-speed element-wise max over ≤#blocks
+        # rows of 2^p bytes each
+        out_g, out_est = [], []
+        for gval, sub in g.groupby(group_col, sort=False):
+            mat = np.stack([np.frombuffer(b, dtype=np.uint8)
+                            for b in sub["regs"]])
+            regs = mat.max(axis=0)
+            out_g.append(gval)
+            out_est.append(round(_hll_estimate(regs), 1))
+        return pd.DataFrame({group_col: out_g, "n_distinct_est": out_est})
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby(group_col).map_groups(merge, batch_format="pandas"))
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    return coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col], merge_part)
 
 
 def events_type_users_hll(sf_dir: str, p: int = 12):
@@ -611,29 +620,46 @@ def grouped_mg_heavy_hitters(ds, group_col: str, value_col: str,
                                  "err": pd.Series(dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    summ = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    if summ.empty:
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        # every (block, group) partial of a group lands in the same coarse
+        # partition; merge runs in parallel across partitions so the driver
+        # only ever sees the ≤ groups × k merged rows, never the
+        # blocks × groups × (k+1) partial table
+        results = []
+        for g, sub in part.groupby(group_col, sort=False):
+            base_err = int(sub[sub["item"].isna()]["err"].sum())
+            rows = sub[sub["item"].notna()]
+            if rows.empty:
+                continue
+            merged = rows.groupby("item", sort=False)["cnt"].sum()
+            items, counts, dec = _mg_trim(
+                merged.index.to_numpy(object), merged.to_numpy(np.int64), k)
+            total_err = base_err + dec
+            results.append(pd.DataFrame({
+                group_col: [g] * len(items),
+                "item": items,
+                "min_count": counts,
+                "max_count": counts + total_err,
+            }))
+        if not results:
+            return pd.DataFrame({group_col: pd.Series(dtype=object),
+                                 "item": pd.Series(dtype=object),
+                                 "min_count": pd.Series(dtype="int64"),
+                                 "max_count": pd.Series(dtype="int64")})
+        return pd.concat(results, ignore_index=True)
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    out = coarse_group_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col], merge_part).to_pandas()
+    if out.empty:
         return pd.DataFrame({group_col: pd.Series(dtype=object),
                              "item": pd.Series(dtype=object),
                              "min_count": pd.Series(dtype="int64"),
                              "max_count": pd.Series(dtype="int64")})
-    results = []
-    for g, sub in summ.groupby(group_col, sort=True):
-        base_err = int(sub[sub["item"].isna()]["err"].sum())
-        rows = sub[sub["item"].notna()]
-        if rows.empty:
-            continue
-        merged = rows.groupby("item", sort=False)["cnt"].sum()
-        items, counts, dec = _mg_trim(
-            merged.index.to_numpy(object), merged.to_numpy(np.int64), k)
-        total_err = base_err + dec
-        results.append(pd.DataFrame({
-            group_col: [g] * len(items),
-            "item": items,
-            "min_count": counts,
-            "max_count": counts + total_err,
-        }))
-    out = pd.concat(results, ignore_index=True)
     return out.sort_values([group_col, "max_count", "item"],
                            ascending=[True, False, True]) \
         .reset_index(drop=True)
