@@ -161,25 +161,36 @@ def write_ttl_per_doc(records_ds, out_dir: str, prefixes: dict[str, str] | None 
     fsio.makedirs(fs, base)
     prefixes = prefixes or {}
 
-    def write_doc(group: pd.DataFrame) -> pd.DataFrame:
-        group = group[group["rec"] == "triple"]
-        if group.empty:
-            return pd.DataFrame({"doc_url": [], "path": [], "n_triples": []})
-        url = group["doc_url"].iloc[0]
-        # astype(object) FIRST: on a float64 all-missing column, .where(...,
-        # None) keeps NaN (float64 can't hold None) and would leak '@nan'
-        # lang tags into the TTL
-        lg = group["object_lang"].astype(object).where(
-            group["object_lang"].notna(), None)
-        dt = group["object_datatype"].astype(object).where(
-            group["object_datatype"].notna(), None)
-        rows = list(zip(group["subject"].to_numpy(), group["predicate"].to_numpy(),
-                        group["object"].to_numpy(), group["object_kind"].to_numpy(),
-                        lg.to_numpy(), dt.to_numpy()))
-        name = clean_doc_name(url.rsplit("/", 1)[-1] or url)
-        path = fsio.fs_join(base, f"{name}.ttl")
-        ttl = serializer(rows, prefixes)
-        fsio.write_text(fs, path, ttl)
-        return pd.DataFrame({"doc_url": [url], "path": [path], "n_triples": [len(set(rows))]})
+    def write_docs(part: pd.DataFrame) -> pd.DataFrame:
+        # one task per COARSE PARTITION of documents (hash(doc_url)), not
+        # per doc — Ray's sort-based map_groups pays ~1 ms per distinct
+        # group; the per-doc work here is only the inherent file write
+        part = part[part["rec"] == "triple"]
+        urls, paths, counts = [], [], []
+        for url, group in part.groupby("doc_url", sort=False):
+            # astype(object) FIRST: on a float64 all-missing column,
+            # .where(..., None) keeps NaN (float64 can't hold None) and
+            # would leak '@nan' lang tags into the TTL
+            lg = group["object_lang"].astype(object).where(
+                group["object_lang"].notna(), None)
+            dt = group["object_datatype"].astype(object).where(
+                group["object_datatype"].notna(), None)
+            rows = list(zip(group["subject"].to_numpy(),
+                            group["predicate"].to_numpy(),
+                            group["object"].to_numpy(),
+                            group["object_kind"].to_numpy(),
+                            lg.to_numpy(), dt.to_numpy()))
+            name = clean_doc_name(url.rsplit("/", 1)[-1] or url)
+            path = fsio.fs_join(base, f"{name}.ttl")
+            fsio.write_text(fs, path, serializer(rows, prefixes))
+            urls.append(url)
+            paths.append(path)
+            counts.append(len(set(rows)))
+        return pd.DataFrame({"doc_url": urls, "path": paths,
+                             "n_triples": counts})
 
-    return records_ds.groupby("doc_url").map_groups(write_doc, batch_format="pandas")
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    return coarse_group_reduce(records_ds, ["doc_url"], write_docs)
