@@ -204,6 +204,51 @@ def test_asof_join_interleaved_timestamps(entrymod, ray_session):
     assert got == {10: "a", 11: "b", 20: "c"}
 
 
+def test_asof_join_block_invariance_and_fallback(entrymod, ray_session):
+    """The coarse-partitioned merge_asof kernel must give identical rows at
+    any block structure, and the per-key searchsorted fallback (ts dtypes
+    merge_asof cannot order, e.g. strings) must agree with the vectorized
+    path on the same data."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 150
+    ldf = pd.DataFrame({
+        "k": rng.integers(0, 25, n_l),
+        "lt": rng.integers(0, 1000, n_l).astype("int64"),
+        "lid": np.arange(n_l, dtype="int64"),
+    })
+    rdf = pd.DataFrame({
+        "k": rng.integers(0, 25, n_r),
+        "rt": rng.integers(0, 1000, n_r).astype("int64"),
+        "rv": np.arange(n_r, dtype="int64"),
+    })
+
+    def run(lf, rf):
+        out = asof_join(lf, rf, key="k", left_ts="lt", right_ts="rt",
+                        left_cols=["lid"], right_cols=["rv"]).to_pandas()
+        return out.astype({"lid": "int64", "rv": "int64"}) \
+                  .sort_values("lid").reset_index(drop=True)[["lid", "rv"]]
+
+    base = run(ray.data.from_pandas(ldf), ray.data.from_pandas(rdf))
+    assert len(base)  # non-degenerate
+    for parts in (4, 16):
+        got = run(ray.data.from_pandas(ldf).repartition(parts),
+                  ray.data.from_pandas(rdf).repartition(parts))
+        pd.testing.assert_frame_equal(got, base)
+
+    # string ts → merge_asof raises inside the kernel → per-key fallback;
+    # zero-pad so lexicographic order == numeric order
+    lstr = ldf.assign(lt=ldf["lt"].map("{:06d}".format))
+    rstr = rdf.assign(rt=rdf["rt"].map("{:06d}".format))
+    got = run(ray.data.from_pandas(lstr), ray.data.from_pandas(rstr))
+    pd.testing.assert_frame_equal(got, base)
+
+
 def test_asof_and_range_join_input_validation(entrymod, ray_session):
     """Review-3 contracts: asof_join raises on a missing key column instead
     of guessing; range_join rejects empty interval tables on the driver."""
