@@ -526,6 +526,18 @@ def _events_users_hll_check(sf_dir: str):
     return events_users_hll_check(sf_dir)
 
 
+def _docs_heavy_words_mg_check(sf_dir: str):
+    """Misra-Gries guarantees as exact integers (mandatory heavy words all
+    present, every sketch count contains the true count) + the exact corpus
+    token count — the driver-verified (oracle-backed) row for the MG
+    plumbing."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        docs_heavy_words_mg_check,
+    )
+
+    return docs_heavy_words_mg_check(sf_dir)
+
+
 def _docs_decontaminated(sf_dir: str):
     """Benchmark decontamination: exact passage containment vs a
     deterministic corpus-derived benchmark set (broadcast scan)."""
@@ -835,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _events_distinct_users,
         "events_users_hll": _events_users_hll,
         "events_users_hll_check": _events_users_hll_check,
+        "docs_heavy_words_mg_check": _docs_heavy_words_mg_check,
         "events_type_count_cm_check": _events_type_count_cm_check,
         "events_type_distinct_users": _events_type_distinct_users,
         "docs_heavy_words": _docs_heavy_words,
@@ -2088,6 +2101,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                    TRUE AS hll_within_bound
             FROM events
+        """,
+        # the MG guarantees are deterministic properties of the data (any
+        # block structure): mandatory words always present, containment
+        # always holds — so 0/0 plus the exact token count is SQL-assertable
+        "docs_heavy_words_mg_check": """
+            SELECT CAST(64 AS BIGINT) AS k,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM (SELECT unnest(regexp_split_to_array(trim(text),
+                                                              '\\s+')) AS w
+                          FROM documents) t
+                    WHERE w <> '') AS n_words,
+                   CAST(0 AS BIGINT) AS mandatory_missing,
+                   CAST(0 AS BIGINT) AS containment_violations
         """,
         # deterministic CM hash → the two-sided bound boolean is a pure
         # function of the data; a drifted sketch hash-mismatches this row

@@ -25,6 +25,7 @@ __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
            "tdigest_quantile", "events_value_quantiles_tdigest",
            "events_type_quantiles_tdigest",
            "mg_heavy_hitters", "docs_heavy_words_sketch",
+           "docs_heavy_words_mg_check",
            "grouped_hll_distinct", "events_type_users_hll",
            "grouped_mg_heavy_hitters", "docs_heavy_words_by_lang"]
 
@@ -535,6 +536,82 @@ def docs_heavy_words_sketch(sf_dir: str, k: int = 64):
 
     return mg_heavy_hitters(ds.map_batches(words, batch_format="pyarrow"),
                             "word", k=k)
+
+
+def docs_heavy_words_mg_check(sf_dir: str, k: int = 64):
+    """Driver-verifiable check row for the Misra-Gries path (the sketch
+    analogue of :func:`events_users_hll_check`): runs the sketch AND the
+    exact distributed word count, then emits the MG guarantees as exact
+    integers a SQL oracle can assert —
+
+    - ``mandatory_missing``: words with true frequency > n/(k+1) absent
+      from the sketch (MG guarantee: always 0);
+    - ``containment_violations``: sketch items whose true count falls
+      outside [min_count, max_count] (always 0);
+    - ``n_words``: the exact corpus token count (hash-compared to SQL).
+
+    The exact side is a vocabulary-bounded coarse reduce (this is a
+    VERIFICATION op — the point of the sketch in production is to skip
+    exactly this pass); only the ≤ 2k+1 flagged rows reach the driver.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        sorted_lookup,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def words(t: pa.Table) -> pd.DataFrame:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pd.DataFrame({"word": toks.to_numpy(zero_copy_only=False)})
+
+    words_ds = ds.map_batches(words, batch_format="pyarrow")
+    sk = mg_heavy_hitters(words_ds, "word", k=k)
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["word"].value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    exact = coarse_group_reduce(
+        words_ds.map_batches(block_counts, batch_format="pandas"),
+        ["word"],
+        lambda g: g.groupby("word", as_index=False)["cnt"].sum(),
+    ).materialize()  # two consumers (total + flag scan); vocab-bounded
+    n_words = int(exact.sum("cnt"))
+    thresh = n_words / (k + 1)
+    items_ref = ray.put(np.sort(sk["item"].to_numpy(dtype=object)))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        in_sk, _ = sorted_lookup(ray.get(items_ref),
+                                 df["word"].to_numpy(object))
+        mandatory = df["cnt"].to_numpy(np.int64) > thresh
+        keep = in_sk | mandatory
+        out = df[keep].copy()
+        out["in_sketch"] = in_sk[keep]
+        return out
+
+    flagged = exact.map_batches(flag, batch_format="pandas").to_pandas()
+    missing = int(((flagged["cnt"] > thresh)
+                   & ~flagged["in_sketch"]).sum())
+    exact_of = dict(zip(flagged["word"], flagged["cnt"]))
+    viol = int(sum(
+        not (lo <= exact_of.get(item, 0) <= hi)
+        for item, lo, hi in zip(sk["item"], sk["min_count"],
+                                sk["max_count"])))
+    return pd.DataFrame({"k": pd.Series([k], dtype="int64"),
+                         "n_words": pd.Series([n_words], dtype="int64"),
+                         "mandatory_missing": pd.Series([missing],
+                                                        dtype="int64"),
+                         "containment_violations": pd.Series([viol],
+                                                             dtype="int64")})
 
 
 def grouped_hll_distinct(ds, group_col: str, value_col: str, p: int = 12):

@@ -129,3 +129,31 @@ def test_grouped_guarantee(ray_session):
             t = int(true.get(item, 0))
             assert gsub.loc[item, "min_count"] <= t \
                 <= gsub.loc[item, "max_count"], (g, item)
+
+
+def test_mg_check_row_planted(ray_session, tmp_path):
+    """The oracle-backed MG check row on a planted skewed corpus: exact
+    token count, zero mandatory misses, zero containment violations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        docs_heavy_words_mg_check,
+    )
+
+    rng = np.random.default_rng(17)
+    texts, total = [], 0
+    for d in range(40):
+        words = ["hot"] * 50 + [f"w{rng.integers(0, 500)}" for _ in range(60)]
+        total += len(words)
+        texts.append(" ".join(words))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = docs_heavy_words_mg_check(str(tmp_path), k=8)
+    assert out.to_dict("records") == [{
+        "k": 8, "n_words": total,
+        "mandatory_missing": 0, "containment_violations": 0,
+    }]
