@@ -526,6 +526,17 @@ def _events_users_hll_check(sf_dir: str):
     return events_users_hll_check(sf_dir)
 
 
+def _events_value_tdigest_check(sf_dir: str):
+    """t-digest rank-error bound measured against the exact rank (one
+    counting pass) + exact row count — the driver-verified (oracle-backed)
+    row for the t-digest plumbing."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_value_tdigest_check,
+    )
+
+    return events_value_tdigest_check(sf_dir)
+
+
 def _docs_heavy_words_mg_check(sf_dir: str):
     """Misra-Gries guarantees as exact integers (mandatory heavy words all
     present, every sketch count contains the true count) + the exact corpus
@@ -848,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_hll": _events_users_hll,
         "events_users_hll_check": _events_users_hll_check,
         "docs_heavy_words_mg_check": _docs_heavy_words_mg_check,
+        "events_value_tdigest_check": _events_value_tdigest_check,
         "events_type_count_cm_check": _events_type_count_cm_check,
         "events_type_distinct_users": _events_type_distinct_users,
         "docs_heavy_words": _docs_heavy_words,
@@ -2101,6 +2113,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                    TRUE AS hll_within_bound
             FROM events
+        """,
+        # t-digest rank error measured exactly by the engine; the bound
+        # boolean + exact count are SQL-assertable
+        "events_value_tdigest_check": """
+            SELECT CAST(t.q AS DOUBLE) AS q,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events,
+                   TRUE AS rank_within_bound
+            FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS t(q)
+            ORDER BY q
         """,
         # the MG guarantees are deterministic properties of the data (any
         # block structure): mandatory words always present, containment

@@ -20,7 +20,7 @@ import ray.data
 
 __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
            "events_users_hll_check", "cm_sketch",
-           "events_type_count_cm_check",
+           "events_type_count_cm_check", "events_value_tdigest_check",
            "events_type_distinct_users", "tdigest_build",
            "tdigest_quantile", "events_value_quantiles_tdigest",
            "events_type_quantiles_tdigest",
@@ -270,6 +270,41 @@ def events_value_quantiles_tdigest(sf_dir: str, delta: int = 200,
     est = tdigest_quantile(m, w, qs)
     return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
                          "value_est": round_half_away(est, 6)})
+
+
+def events_value_tdigest_check(sf_dir: str, delta: int = 200,
+                               qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                               max_rank_err: float = 0.01):
+    """Driver-verifiable check row for the t-digest path (the quantile
+    analogue of :func:`events_users_hll_check`): estimates each quantile
+    with the sketch, then measures the estimate's EXACT rank with one
+    vectorized counting pass — ``|rank(est) - q| ≤ max_rank_err`` is the
+    t-digest guarantee a SQL oracle can assert as TRUE, and ``n_events``
+    anchors the row to the exact data."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    m, w, n = tdigest_build(ds, "value", delta)
+    est = np.asarray(tdigest_quantile(m, w, qs), dtype=np.float64)
+    est_ref = ray.put(est)
+
+    def rank_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy(np.float64))
+        le = np.searchsorted(v, ray.get(est_ref), side="right")
+        return pd.DataFrame({"qi": np.arange(len(le), dtype=np.int64),
+                             "n_le": le.astype(np.int64)})
+
+    totals = (ds.map_batches(rank_counts, batch_format="pandas")
+              .groupby("qi").sum("n_le").to_pandas()
+              .sort_values("qi"))
+    ranks = totals["sum(n_le)"].to_numpy(np.float64) / max(n, 1)
+    ok = np.abs(ranks - np.asarray(qs, dtype=np.float64)) <= max_rank_err
+    return pd.DataFrame({
+        "q": np.asarray(qs, dtype=np.float64),
+        "n_events": pd.Series([int(n)] * len(qs), dtype="int64"),
+        "rank_within_bound": ok,
+    })
 
 
 def events_type_quantiles_tdigest(sf_dir: str, delta: int = 200,

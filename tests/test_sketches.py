@@ -284,3 +284,26 @@ def test_cm_check_row_on_events(ray_session, tmp_path):
     counts = dict(zip(out["event_type"], out["n_events"]))
     u, c = np.unique(types, return_counts=True)
     assert counts == dict(zip(u.tolist(), (int(x) for x in c)))
+
+
+def test_tdigest_check_row_planted(ray_session, tmp_path):
+    """The oracle-backed t-digest check row on a planted skewed value
+    distribution: exact count, every quantile's measured rank within the
+    bound."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_value_tdigest_check,
+    )
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate([rng.exponential(5.0, 30_000),
+                           rng.normal(100.0, 1.0, 5_000)])
+    pq.write_table(pa.table({"value": pa.array(vals, pa.float64())}),
+                   str(tmp_path / "events.parquet"))
+    out = events_value_tdigest_check(str(tmp_path))
+    assert (out["n_events"] == len(vals)).all()
+    assert out["rank_within_bound"].all(), out.to_dict("records")
