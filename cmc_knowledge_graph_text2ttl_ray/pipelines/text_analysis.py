@@ -115,7 +115,10 @@ def gopher_quality_filter(sf_dir: str, min_words: int = 30,
     # token-boundary-exact patterns (space-delimited, matching SQL
     # string_split semantics — \b would also match inside hyphenations)
     non_alpha_pat = r"(?:^|(?<= ))[^A-Za-z ]+(?:(?= )|$)"
-    sw_pats = [rf"(?:^|(?<= )){w}(?:(?= )|$)" for w in _GOPHER_STOPWORDS]
+    # one alternation = one scan; whole-token matches are disjoint, so the
+    # alternation count equals the per-word sum
+    sw_pat = (r"(?:^|(?<= ))(?:" + "|".join(_GOPHER_STOPWORDS)
+              + r")(?:(?= )|$)")
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"]
@@ -125,9 +128,7 @@ def gopher_quality_filter(sf_dir: str, min_words: int = 30,
             (n_chars - n_words + 1) / n_words, 4)
         non_alpha = text.str.count(non_alpha_pat).to_numpy(np.int64)
         alpha_ratio = round_half_away((n_words - non_alpha) / n_words, 4)
-        sw = np.zeros(len(df), dtype=np.int64)
-        for pat in sw_pats:
-            sw += text.str.count(pat).to_numpy(np.int64)
+        sw = text.str.count(sw_pat).to_numpy(np.int64)
         r_words = (n_words >= min_words) & (n_words <= max_words)
         r_wlen = (mean_word_len >= min_mean_word_len) & \
                  (mean_word_len <= max_mean_word_len)
