@@ -34,6 +34,7 @@ __all__ = [
     "mapping_from_entity_records",
     "apply_canonical_mapping",
     "apply_canonical_mapping_join",
+    "detect_entity_salt",
     "canonicalize_entities",
 ]
 
@@ -203,20 +204,73 @@ def canonicalization_mapping_ds(records_ds, entity_ns: str,
     )
 
 
+def detect_entity_salt(triples_ds, hot_k: int = 64,
+                       hot_min_rows: int = 1_000_000,
+                       rows_per_salted_part: int = 200_000,
+                       max_salt: int = 64) -> int:
+    """Skew detection for the join-mode rewrite: a Misra-Gries sketch over
+    every join key (subjects + IRI objects — constant exchange at any
+    cardinality) finds entities whose GUARANTEED mention count
+    (``min_count``, a lower bound, so no false positives) exceeds
+    ``hot_min_rows``. Returns the salt factor: 1 = no hot entity, else
+    enough ways to spread the hottest key at ~``rows_per_salted_part``
+    rows per partition."""
+    import numpy as np
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        mg_heavy_hitters,
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        subj = t["subject"].combine_chunks().cast(pa.string())
+        obj = t["object"].combine_chunks().cast(pa.string())
+        obj = obj.filter(pc.equal(t["object_kind"].combine_chunks(), "iri"))
+        return pa.table({"k": pa.concat_arrays(
+            [subj.combine_chunks() if isinstance(subj, pa.ChunkedArray)
+             else subj, obj])})
+
+    sk = mg_heavy_hitters(
+        triples_ds.map_batches(keys, batch_format="pyarrow"), "k", k=hot_k)
+    hot = sk[sk["min_count"] >= hot_min_rows]
+    if hot.empty:
+        return 1
+    import math
+
+    return int(min(max_salt,
+                   max(2, math.ceil(int(hot["min_count"].max())
+                                    / rows_per_salted_part))))
+
+
 def apply_canonical_mapping_join(triples_ds, mapping_ds,
-                                 num_partitions: int | None = None):
+                                 num_partitions: int | None = None,
+                                 salt: int | str = "auto",
+                                 hot_min_rows: int = 1_000_000):
     """Join-based rewrite for when the mapping itself is too large to
     broadcast: two left-outer hash joins (subject, then IRI objects) with a
     coalesce. Costs two shuffles of the triple table — use
     :func:`apply_canonical_mapping` (broadcast) whenever the mapping fits
-    comfortably in a worker heap."""
+    comfortably in a worker heap.
+
+    Skew-aware salting (the north rule's hot-entity case — one entity on
+    20% of pages would put 20% of the triple table in ONE join partition):
+    ``salt="auto"`` runs :func:`detect_entity_salt` (one constant-exchange
+    sketch pass); with salt factor S > 1 the triple side gets a round-robin
+    ``_salt`` column, the mapping side is replicated ×S, and both joins key
+    on ``(entity, _salt)`` — the hot key's rows spread across S partitions
+    while output rows are byte-identical to the unsalted join (salt only
+    moves WHERE a row is matched, never what it matches)."""
     if num_partitions is None:
         from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
 
         num_partitions = default_join_partitions()
+    if salt == "auto":
+        salt = detect_entity_salt(triples_ds, hot_min_rows=hot_min_rows)
+    salt = max(1, int(salt))
 
     def coalesce(col: str):
         def f(t: pa.Table) -> pa.Table:
+            if "_salt" in t.column_names:
+                t = t.drop_columns(["_salt"])
             if "canonical" not in t.column_names:
                 return t  # empty-schema block passthrough
             fixed = pc.coalesce(t["canonical"], t[col])
@@ -228,6 +282,33 @@ def apply_canonical_mapping_join(triples_ds, mapping_ds,
             return t.set_column(t.column_names.index(col), col, fixed)
 
         return f
+
+    if salt > 1:
+        import numpy as np
+
+        def replicate(t: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [t.append_column("_salt", pa.array([s] * t.num_rows,
+                                                   pa.int64()))
+                 for s in range(salt)])
+
+        msalted = mapping_ds.map_batches(replicate, batch_format="pyarrow")
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            if "_salt" in t.column_names:
+                t = t.drop_columns(["_salt"])
+            return t.append_column(
+                "_salt", pa.array(np.arange(t.num_rows, dtype=np.int64)
+                                  % salt))
+
+        def joined(ds, col):
+            return ds.map_batches(add_salt, batch_format="pyarrow").join(
+                msalted, join_type="left_outer",
+                num_partitions=num_partitions,
+                on=(col, "_salt"), right_on=("iri", "_salt"),
+            ).map_batches(coalesce(col), batch_format="pyarrow")
+
+        return joined(joined(triples_ds, "subject"), "object")
 
     out = triples_ds.join(
         mapping_ds, join_type="left_outer", num_partitions=num_partitions,
