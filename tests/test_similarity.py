@@ -238,3 +238,15 @@ def test_pq_trainer_tiny_corpus_many_centroids():
     codes = _pq_encode_matrix(x, books)
     assert books.shape == (4, 256, 4) and codes.shape == (100, 4)
     assert np.array_equal(books, _pq_train_codebooks(x, m=4, k=256))
+
+
+def test_knn_recall_check_row(ray_session):
+    """The oracle-backed ANN check row: every method's mean recall@10 over
+    the probe queries clears its floor on the synthetic embeddings."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        knn_recall_check,
+    )
+
+    out = knn_recall_check("/root/testdata/sf0.001")
+    assert list(out["method"]) == ["ivf", "lsh", "pq"]
+    assert out["recall_above_floor"].all(), out.to_dict("records")
