@@ -3,7 +3,43 @@
 from __future__ import annotations
 
 __all__ = ["default_join_partitions", "default_coarse_partitions",
-           "sorted_lookup", "input_bounded_concurrency"]
+           "sorted_lookup", "input_bounded_concurrency",
+           "parquet_rows_hint"]
+
+
+def parquet_rows_hint(path: str, column: str | None = None,
+                      per_row_bytes: int | None = None) -> int:
+    """Cheap (metadata-only) row-count hint for sizing coarse partitions.
+
+    Plain: the parquet row count. With ``column`` + ``per_row_bytes``:
+    an estimate for TOKEN-MULTIPLIED derived tables (exploded spans,
+    word rows) — the column's total uncompressed byte size divided by the
+    expected bytes per derived row, floored at the row count. This is what
+    lets span/word coarse reduces scale their partition count with the
+    DERIVED cardinality (corpus tokens), not the document count."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
+             if os.path.isdir(path) else [path])
+    n_rows, total = 0, 0
+    for f in files:
+        md = pq.read_metadata(f)
+        n_rows += md.num_rows
+        if column is None or per_row_bytes is None:
+            continue
+        try:
+            ci = md.schema.names.index(column)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            total += md.row_group(rg).column(ci).total_uncompressed_size
+    if column is None or per_row_bytes is None or total == 0:
+        return n_rows
+    return max(n_rows, total // max(1, per_row_bytes))
 
 
 def input_bounded_concurrency(n_rows: int, batch_size: int = 64,
@@ -79,8 +115,13 @@ def coarse_group_reduce(ds, keys, combine, num_coarse: int | None = None,
 
     ``combine`` receives each partition's rows WITHOUT the internal
     ``_cpart`` column. Each coarse partition is one task: size
-    ``num_coarse`` with the data (pass ``n_rows_hint`` when the input row
-    count is known; default = cluster CPUs × 4).
+    ``num_coarse`` with the data — pass ``n_rows_hint`` when the input row
+    count is known or estimable (:func:`parquet_rows_hint` gives a
+    metadata-only estimate, incl. token-multiplied derived tables). The
+    default, cluster CPUs × 4, is CLUSTER-proportional, not constant: on a
+    fleet sized to the data (the 100-TB deployment premise) per-task rows
+    stay ≈ data / (4 × total cores); the hint matters most when the input
+    multiplies the base table (spans, words) beyond that ratio.
     """
     import numpy as np
     import pandas as pd

@@ -685,15 +685,21 @@ def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
 
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         coarse_group_reduce,
+        parquet_rows_hint,
     )
 
     # distinct chunk hashes ≈ corpus tokens / chunk_words — the largest
     # group cardinality in the engine; the coarse reduce avoids the
-    # per-distinct-group aggregate overhead entirely
+    # per-distinct-group aggregate overhead entirely. Partition count is
+    # sized from the DERIVED span cardinality (metadata-only byte
+    # estimate), not the doc count, so per-task rows stay bounded.
+    span_hint = parquet_rows_hint(f"{sf_dir}/documents.parquet", "text",
+                                  per_row_bytes=6 * chunk_words)
     winners = coarse_group_reduce(
         ds.map_batches(hash_spans, batch_format="pandas"),
         ["chunk_h"],
         lambda g: g.groupby("chunk_h", as_index=False)["order_key"].min(),
+        n_rows_hint=span_hint,
     )
 
     def keep_list(df: pd.DataFrame) -> pd.DataFrame:
@@ -715,7 +721,8 @@ def span_exact_dedup(sf_dir: str, chunk_words: int = 15,
     # Packing runs as a coarse reduce — per-doc groups through Ray's
     # sort-based map_groups pay the ~1 ms/group overhead at corpus-doc
     # cardinality (the highest in the engine after chunk hashes).
-    keeps_per_doc = coarse_group_reduce(kept, ["doc_id"], _pack_keep_lists)
+    keeps_per_doc = coarse_group_reduce(kept, ["doc_id"], _pack_keep_lists,
+                                        n_rows_hint=span_hint)
 
     joined = ds.join(
         keeps_per_doc, join_type="inner", num_partitions=num_join_partitions,
@@ -767,9 +774,14 @@ def boilerplate_span_removal(sf_dir: str, chunk_words: int = 15,
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         coarse_group_reduce,
         default_join_partitions,
+        parquet_rows_hint,
     )
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
+    # derived span-row cardinality estimate (metadata-only) for sizing
+    # every coarse exchange in this op
+    span_hint = parquet_rows_hint(f"{sf_dir}/documents.parquet", "text",
+                                  per_row_bytes=6 * chunk_words)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ch = _explode_chunks(df, chunk_words)
@@ -785,6 +797,7 @@ def boilerplate_span_removal(sf_dir: str, chunk_words: int = 15,
         lambda g: g.drop_duplicates()
                    .groupby("chunk_h", as_index=False)["doc_id"]
                    .nunique().rename(columns={"doc_id": "df"}),
+        n_rows_hint=span_hint,
     )
     bad = doc_freq.filter(expr=f"df > {int(max_doc_freq)}") \
                   .select_columns(["chunk_h"])
@@ -855,7 +868,8 @@ def boilerplate_span_removal(sf_dir: str, chunk_words: int = 15,
 
     # coarse reduce, not per-doc map_groups: corpus-doc group cardinality
     # through Ray's sort aggregate pays ~1 ms/group (see _pack_keep_lists)
-    keeps_per_doc = coarse_group_reduce(marked, ["doc_id"], pack_surviving)
+    keeps_per_doc = coarse_group_reduce(marked, ["doc_id"], pack_surviving,
+                                        n_rows_hint=span_hint)
     joined = ds.join(keeps_per_doc, join_type="inner",
                      num_partitions=num_join_partitions, on=("doc_id",))
 

@@ -595,6 +595,7 @@ def docs_heavy_words_mg_check(sf_dir: str, k: int = 64):
 
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         coarse_group_reduce,
+        parquet_rows_hint,
         sorted_lookup,
     )
 
@@ -619,6 +620,8 @@ def docs_heavy_words_mg_check(sf_dir: str, k: int = 64):
         words_ds.map_batches(block_counts, batch_format="pandas"),
         ["word"],
         lambda g: g.groupby("word", as_index=False)["cnt"].sum(),
+        n_rows_hint=parquet_rows_hint(f"{sf_dir}/documents.parquet",
+                                      "text", per_row_bytes=24),
     ).materialize()  # two consumers (total + flag scan); vocab-bounded
     n_words = int(exact.sum("cnt"))
     thresh = n_words / (k + 1)

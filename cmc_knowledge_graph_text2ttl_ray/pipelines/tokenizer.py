@@ -77,10 +77,18 @@ def word_histogram(sf_dir: str, max_words: int = 30_000):
         # trim-then-split yields one "" token for whitespace-only docs
         return out.filter(pc.not_equal(out["word"], ""))
 
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        parquet_rows_hint,
+    )
+
     counts = coarse_group_reduce(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["word"],
         lambda g: g.groupby("word", as_index=False)["cnt"].sum(),
+        # per-block distinct-word rows; the byte estimate over-counts
+        # (safe direction: more, smaller partitions)
+        n_rows_hint=parquet_rows_hint(f"{sf_dir}/documents.parquet",
+                                      "text", per_row_bytes=24),
     )
 
     def block_topk(g: pd.DataFrame) -> pd.DataFrame:
