@@ -516,6 +516,18 @@ def _docs_gopher_filter(sf_dir: str):
     return gopher_quality_filter(sf_dir)
 
 
+def _events_user_bloom_check(sf_dir: str):
+    """Distributed Bloom filter (mergeable OR'd block bitmaps) built over
+    even user_ids, probed on every distinct id: zero false negatives +
+    measured-FPR-within-bound boolean — the driver-verified row for the
+    Bloom membership-sketch plumbing."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_user_bloom_check,
+    )
+
+    return events_user_bloom_check(sf_dir)
+
+
 def _events_users_hll_check(sf_dir: str):
     """Exact distinct count + HLL-within-3-sigma boolean in one pass —
     the driver-verified (oracle-backed) row for the HLL plumbing."""
@@ -869,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _events_distinct_users,
         "events_users_hll": _events_users_hll,
         "events_users_hll_check": _events_users_hll_check,
+        "events_user_bloom_check": _events_user_bloom_check,
         "docs_heavy_words_mg_check": _docs_heavy_words_mg_check,
         "events_value_tdigest_check": _events_value_tdigest_check,
         "knn_recall_check": _knn_recall_check,
@@ -2125,6 +2138,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                    TRUE AS hll_within_bound
             FROM events
+        """,
+        # deterministic double-hashed Bloom filter → zero false negatives
+        # is structural and the measured FPR is a pure function of the
+        # data, so the bound boolean is SQL-assertable; the exact distinct
+        # member/non-member counts pin the distinct plumbing
+        "events_user_bloom_check": """
+            SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                         WHERE user_id % 2 = 0) AS BIGINT) AS n_members,
+                   CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                         WHERE user_id % 2 <> 0) AS BIGINT) AS n_nonmembers,
+                   CAST(0 AS BIGINT) AS false_negatives,
+                   TRUE AS fpr_within_bound
         """,
         # seeded/deterministic ANN indexes → measured recall is a pure
         # function of the data; floors sit far below measured means and far

@@ -27,7 +27,8 @@ __all__ = ["hll_distinct", "events_distinct_users", "events_users_hll",
            "mg_heavy_hitters", "docs_heavy_words_sketch",
            "docs_heavy_words_mg_check",
            "grouped_hll_distinct", "events_type_users_hll",
-           "grouped_mg_heavy_hitters", "docs_heavy_words_by_lang"]
+           "grouped_mg_heavy_hitters", "docs_heavy_words_by_lang",
+           "bloom_build", "bloom_contains", "events_user_bloom_check"]
 
 
 def _hll_partial(values: np.ndarray, p: int) -> np.ndarray:
@@ -799,3 +800,166 @@ def docs_heavy_words_by_lang(sf_dir: str, k: int = 16):
 
     return grouped_mg_heavy_hitters(
         ds.map_batches(words, batch_format="pyarrow"), "lang", "word", k=k)
+
+
+def _bloom_hash_indexes(values: np.ndarray, k: int, n_bits: int):
+    """Yields k vectorized bit-index arrays per value via double hashing
+    (Kirsch & Mitzenmacher 2006): ``g_i = h1 + i*h2 mod m``. ``h1`` is
+    pandas' fixed-key SipHash (deterministic across processes, batches and
+    cluster sizes — same property the HLL/CM sketches rely on); ``h2`` is
+    a murmur-style finalizer remix of ``h1``, forced odd so the probe
+    sequence never collapses for power-of-two ``n_bits``."""
+    h1 = pd.util.hash_array(values).astype(np.uint64)
+    h2 = (h1 ^ (h1 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h2 = (h2 ^ (h2 >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)
+    mask = np.uint64(n_bits - 1)
+    for i in range(k):
+        yield (h1 + np.uint64(i) * h2) & mask
+
+
+def _bloom_partial(values: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """One block's bitmap partial: ``n_bits/64`` uint64 words."""
+    words = np.zeros(n_bits >> 6, dtype=np.uint64)
+    if len(values) == 0:
+        return words
+    for idx in _bloom_hash_indexes(values, k, n_bits):
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return words
+
+
+def bloom_contains(values: np.ndarray, words: np.ndarray,
+                   k: int) -> np.ndarray:
+    """Vectorized membership probe against a built filter: True iff every
+    one of the k bits is set. No false negatives, ever; false-positive
+    probability ~ (1 - e^(-k·n/m))^k."""
+    n_bits = len(words) << 6
+    out = np.ones(len(values), dtype=bool)
+    if len(values) == 0:
+        return out
+    for idx in _bloom_hash_indexes(values, k, n_bits):
+        bits = (words[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))) & np.uint64(1)
+        out &= bits.astype(bool)
+    return out
+
+
+def bloom_build(ds, column: str, n_bits: int, k: int = 7,
+                fanin: int = 32) -> np.ndarray:
+    """Distributed Bloom filter over ``ds[column]`` — the mergeable
+    membership sketch completing the family (HLL distinct, CM counts, MG
+    heavy hitters, t-digest quantiles). Each block contributes ONE
+    constant-size (``n_bits/8`` byte) bitmap; the merge is element-wise OR,
+    so no key ever shuffles. An intermediate ``map_batches`` OR stage with
+    fan-in ``fanin`` bounds driver bytes at n_blocks/fanin × n_bits/8 —
+    for GB-scale filters raise ``fanin`` or stack a second reduce level.
+
+    The built filter is the scale tool for membership pushdown: ``ray.put``
+    it once and probe inside ``map_batches`` (see
+    :func:`events_user_bloom_check`) instead of shuffling the corpus
+    against the member set — the same broadcast-small-side discipline the
+    decontamination pipeline uses, but constant-size even when the member
+    set itself is too big to broadcast exactly.
+
+    ``n_bits`` must be a power of two (index masking); duplicates in the
+    build column are harmless (idempotent OR). The join-plan consumer of
+    this idea lives in ``relational.py::bloom_semi_join_revenue`` (a
+    2-probe int-key prefilter fused into a semi-join); this is the
+    general-purpose family member: k probes, any hashable dtype,
+    word-packed bitmap, tree merge.
+    """
+    if n_bits & (n_bits - 1) or n_bits < 64:
+        raise ValueError("n_bits must be a power of two >= 64")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[column].to_numpy()
+        vals = vals[pd.notna(vals)]
+        return pd.DataFrame(
+            {"bm": [_bloom_partial(vals, n_bits, k).tobytes()]})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bits >> 6, dtype=np.uint64)
+        for b in df["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"bm": [acc.tobytes()]})
+
+    rows = (ds.map_batches(partial, batch_format="pandas")
+            .map_batches(combine, batch_format="pandas", batch_size=fanin)
+            .take_all())
+    merged = np.zeros(n_bits >> 6, dtype=np.uint64)
+    for r in rows:
+        merged |= np.frombuffer(r["bm"], dtype=np.uint64)
+    return merged
+
+
+def events_user_bloom_check(sf_dir: str, k: int = 7,
+                            bits_per_member: int = 16):
+    """Driver-verifiable Bloom row: build the filter over DISTINCT EVEN
+    user_ids, probe every distinct user_id. Two guarantees become exact
+    integers/booleans: ``false_negatives`` is structurally 0 (a Bloom
+    filter never misses a member), and — because the hash is deterministic
+    — the measured false-positive rate on the odd ids is a pure function
+    of the data, so ``fpr_within_bound`` (measured ≤ 3× theoretical +
+    additive slack for small probe sets) is SQL-assertable as literal
+    TRUE. The exact member/non-member counts pin the distinct plumbing.
+
+    Scale shape: the distinct-id table (same bound as the exact-distinct
+    op) is materialized once and reused for sizing, build and probe; the
+    filter itself is broadcast via ``ray.put`` and probed per batch —
+    per-batch count rows, not ids, return to the driver."""
+    import math
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].unique()})
+
+    distinct = (ds.map_batches(uniq, batch_format="pandas")
+                .groupby("user_id").count()
+                .map_batches(lambda df: df[["user_id"]],
+                             batch_format="pandas")
+                .materialize())
+
+    def count_members(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["user_id"].to_numpy()
+        even = ids % 2 == 0
+        return pd.DataFrame({"members": [np.int64(even.sum())],
+                             "total": [np.int64(len(ids))]})
+
+    counts = distinct.map_batches(count_members,
+                                  batch_format="pandas").take_all()
+    n_members = int(sum(r["members"] for r in counts))
+    n_nonmembers = int(sum(r["total"] for r in counts)) - n_members
+
+    n_bits = 1 << max(12, math.ceil(math.log2(
+        bits_per_member * max(n_members, 1))))
+    members = distinct.map_batches(
+        lambda df: df[df["user_id"] % 2 == 0], batch_format="pandas")
+    bm = bloom_build(members, "user_id", n_bits=n_bits, k=k)
+    bm_ref = ray.put(bm)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        words = ray.get(bm_ref)
+        ids = df["user_id"].to_numpy()
+        hit = bloom_contains(ids, words, k)
+        member = ids % 2 == 0
+        return pd.DataFrame({
+            "fn": [np.int64((member & ~hit).sum())],
+            "fp": [np.int64((~member & hit).sum())],
+        })
+
+    probed = distinct.map_batches(probe, batch_format="pandas").take_all()
+    false_negatives = int(sum(r["fn"] for r in probed))
+    false_positives = int(sum(r["fp"] for r in probed))
+
+    theory = (1.0 - math.exp(-k * n_members / n_bits)) ** k
+    bound = 3.0 * theory + 8.0 / max(n_nonmembers, 1)
+    measured = false_positives / max(n_nonmembers, 1)
+    return pd.DataFrame({
+        "n_members": pd.Series([n_members], dtype="int64"),
+        "n_nonmembers": pd.Series([n_nonmembers], dtype="int64"),
+        "false_negatives": pd.Series([false_negatives], dtype="int64"),
+        "fpr_within_bound": [bool(measured <= bound)],
+    })

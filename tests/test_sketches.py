@@ -307,3 +307,69 @@ def test_tdigest_check_row_planted(ray_session, tmp_path):
     out = events_value_tdigest_check(str(tmp_path))
     assert (out["n_events"] == len(vals)).all()
     assert out["rank_within_bound"].all(), out.to_dict("records")
+
+
+def test_bloom_filter_no_false_negatives_and_fpr():
+    """Structural no-false-negative guarantee + FPR near theory on a
+    random member/non-member split (driver-side kernels)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _bloom_partial, bloom_contains,
+    )
+
+    rng = np.random.default_rng(11)
+    members = rng.choice(10_000_000, size=4000, replace=False)
+    others = np.setdiff1d(rng.choice(10_000_000, size=6000, replace=False),
+                          members)
+    n_bits, k = 1 << 16, 7
+    words = _bloom_partial(members, n_bits, k)
+    assert bloom_contains(members, words, k).all()
+    fpr = bloom_contains(others, words, k).mean()
+    theory = (1 - np.exp(-k * len(members) / n_bits)) ** k
+    assert fpr <= 3 * theory + 8 / len(others)
+
+
+def test_bloom_build_block_invariant(ray_session):
+    """The merged bitmap is an OR over set bits — identical under any
+    block structure; string keys exercise the object-dtype hash path."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        bloom_build, bloom_contains,
+    )
+
+    vals = [f"key-{i}" for i in range(3000)]
+    df = pd.DataFrame({"v": vals})
+    bitmaps = []
+    for parts in (1, 4, 64):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        bitmaps.append(bloom_build(ds, "v", n_bits=1 << 15, k=7, fanin=8))
+    assert np.array_equal(bitmaps[0], bitmaps[1])
+    assert np.array_equal(bitmaps[0], bitmaps[2])
+    probe = np.array(vals[:100] + ["absent-x", "absent-y"], dtype=object)
+    hits = bloom_contains(probe, bitmaps[0], 7)
+    assert hits[:100].all()
+
+
+def test_bloom_check_row_on_events(ray_session):
+    """The oracle-compared row: exact counts, zero false negatives,
+    bound boolean TRUE at sf0.001."""
+    import duckdb
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        events_user_bloom_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_user_bloom_check(sf)
+    want = duckdb.connect().execute(f"""
+        SELECT CAST((SELECT COUNT(DISTINCT user_id)
+                     FROM read_parquet('{sf}/events.parquet')
+                     WHERE user_id % 2 = 0) AS BIGINT) AS n_members,
+               CAST((SELECT COUNT(DISTINCT user_id)
+                     FROM read_parquet('{sf}/events.parquet')
+                     WHERE user_id % 2 <> 0) AS BIGINT) AS n_nonmembers
+    """).df()
+    assert int(got["n_members"][0]) == int(want["n_members"][0])
+    assert int(got["n_nonmembers"][0]) == int(want["n_nonmembers"][0])
+    assert int(got["false_negatives"][0]) == 0
+    assert bool(got["fpr_within_bound"][0])
