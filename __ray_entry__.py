@@ -560,6 +560,29 @@ def _knn_recall_check(sf_dir: str):
     return knn_recall_check(sf_dir)
 
 
+def _emb_pca_project(sf_dir: str):
+    """Distributed PCA (constant-size d×d moment partials per block →
+    driver eigendecomposition → broadcast matmul projection): top-2
+    coordinates per vector, sign-convention + rounding pinned (rows-only;
+    the moment plumbing is oracle-checked by emb_covariance_check)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        emb_pca_project,
+    )
+
+    return emb_pca_project(sf_dir)
+
+
+def _emb_covariance_check(sf_dir: str):
+    """Upper-triangle covariance block from the SAME distributed moment
+    partials the PCA fit consumes — the driver-verified (oracle-backed)
+    row for the PCA plumbing."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        emb_covariance_check,
+    )
+
+    return emb_covariance_check(sf_dir)
+
+
 def _docs_heavy_words_mg_check(sf_dir: str):
     """Misra-Gries guarantees as exact integers (mandatory heavy words all
     present, every sketch count contains the true count) + the exact corpus
@@ -885,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_words_mg_check": _docs_heavy_words_mg_check,
         "events_value_tdigest_check": _events_value_tdigest_check,
         "knn_recall_check": _knn_recall_check,
+        "emb_pca_project": _emb_pca_project,
+        "emb_covariance_check": _emb_covariance_check,
         "events_type_count_cm_check": _events_type_count_cm_check,
         "events_type_distinct_users": _events_type_distinct_users,
         "docs_heavy_words": _docs_heavy_words,
@@ -2150,6 +2175,29 @@ def oracle_sql() -> dict[str, str]:
                          WHERE user_id % 2 <> 0) AS BIGINT) AS n_nonmembers,
                    CAST(0 AS BIGINT) AS false_negatives,
                    TRUE AS fpr_within_bound
+        """,
+        # the PCA fit's distributed moment partials, pinned exactly:
+        # COVAR_SAMP (n-1 denominator) over list elements, half-away ROUND
+        "emb_covariance_check": """
+            SELECT CAST(1 AS BIGINT) AS dim_i, CAST(1 AS BIGINT) AS dim_j,
+                   ROUND(COVAR_SAMP(embedding[1], embedding[1]), 4) AS cov
+            FROM embeddings
+            UNION ALL SELECT 1, 2,
+                   ROUND(COVAR_SAMP(embedding[1], embedding[2]), 4)
+            FROM embeddings
+            UNION ALL SELECT 1, 3,
+                   ROUND(COVAR_SAMP(embedding[1], embedding[3]), 4)
+            FROM embeddings
+            UNION ALL SELECT 2, 2,
+                   ROUND(COVAR_SAMP(embedding[2], embedding[2]), 4)
+            FROM embeddings
+            UNION ALL SELECT 2, 3,
+                   ROUND(COVAR_SAMP(embedding[2], embedding[3]), 4)
+            FROM embeddings
+            UNION ALL SELECT 3, 3,
+                   ROUND(COVAR_SAMP(embedding[3], embedding[3]), 4)
+            FROM embeddings
+            ORDER BY dim_i, dim_j
         """,
         # seeded/deterministic ANN indexes → measured recall is a pure
         # function of the data; floors sit far below measured means and far

@@ -30,7 +30,9 @@ __all__ = ["knn_bruteforce", "knn_ivf", "knn_lsh", "knn_pq",
            "build_pq_index", "embedding_near_dup_pairs",
            "build_ivf_centroids", "build_ivf_index", "build_lsh_index",
            "hyperplane_lsh_buckets", "label_centroids",
-           "centroid_confusion"]
+           "centroid_confusion",
+           "pca_fit", "pca_transform", "emb_pca_project",
+           "emb_covariance_check"]
 
 
 def _emb(sf_dir: str):
@@ -748,3 +750,113 @@ def knn_recall_check(sf_dir: str, k: int = 10, query_ids=(0, 1, 2),
                                       "recall_above_floor"])
     out["n_queries"] = out["n_queries"].astype("int64")
     return out.sort_values("method").reset_index(drop=True)
+
+
+def pca_fit(ds, column: str = "embedding", k: int = 2):
+    """Distributed PCA fit: each block contributes ONE constant-size
+    moment partial — (sum vector d, outer-product sum d×d, n) — so the
+    exchange is blocks × d² floats regardless of corpus size; the driver
+    assembles the d×d covariance ((Σxxᵀ − n·μμᵀ)/(n−1)), runs the tiny
+    eigendecomposition, and returns the top-k components. Deterministic
+    sign convention: each component is flipped so its largest-|entry|
+    coordinate is positive — block-structure- and LAPACK-order-invariant.
+
+    Returns ``(components [k×d], mean [d], explained_variance [k])``.
+    The scale tool for dimensionality reduction ahead of the ANN family
+    (a 64→8 projection cuts IVF/LSH probe bytes 8×); the projection
+    itself is :func:`pca_transform` (broadcast matmul, zero shuffle)."""
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df[column])
+        return pd.DataFrame({
+            "s": [m.sum(axis=0).tobytes()],
+            "ss": [(m.T @ m).tobytes()],
+            "n": [np.int64(len(m))],
+        })
+
+    rows = ds.map_batches(moments, batch_format="pandas").take_all()
+    first = np.frombuffer(rows[0]["s"], dtype=np.float64)
+    d = len(first)
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    n = 0
+    for r in rows:
+        s += np.frombuffer(r["s"], dtype=np.float64)
+        ss += np.frombuffer(r["ss"], dtype=np.float64).reshape(d, d)
+        n += int(r["n"])
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean, vals[order]
+
+
+def pca_transform(ds, components: np.ndarray, mean: np.ndarray,
+                  column: str = "embedding", out_prefix: str = "pc"):
+    """Project onto fitted components: the (k×d) matrix and mean are
+    ``ray.put`` once and every batch is one centered matmul — zero
+    shuffle, embarrassingly parallel."""
+    ref = ray.put((np.asarray(components, dtype=np.float64),
+                   np.asarray(mean, dtype=np.float64)))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        comps, mu = ray.get(ref)
+        m = _to_matrix(df[column]) - mu
+        proj = m @ comps.T
+        out = df.drop(columns=[column])
+        for i in range(comps.shape[0]):
+            out[f"{out_prefix}{i + 1}"] = proj[:, i]
+        return out
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def emb_pca_project(sf_dir: str, k: int = 2):
+    """Top-k PCA projection of every embedding (rows-only: eigenvectors
+    aren't SQL-expressible; determinism is pinned by the sign convention
+    + rounding, and the covariance feeding the fit is oracle-checked by
+    ``emb_covariance_check``)."""
+    comps, mean, _ = pca_fit(_emb(sf_dir), "embedding", k=k)
+    out = pca_transform(_emb(sf_dir), comps, mean).to_pandas()
+    for c in out.columns:
+        if c.startswith("pc"):
+            out[c] = round_half_away(out[c], 4)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def emb_covariance_check(sf_dir: str, dims: int = 3):
+    """Driver-verifiable row for the PCA moment plumbing: the upper
+    triangle of the first ``dims×dims`` covariance block, computed from
+    the SAME distributed moment partials :func:`pca_fit` consumes,
+    rounded to 4 — DuckDB asserts it with COVAR_SAMP over list elements."""
+    ds = _emb(sf_dir)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df["embedding"])[:, :dims]
+        return pd.DataFrame({
+            "s": [m.sum(axis=0).tobytes()],
+            "ss": [(m.T @ m).tobytes()],
+            "n": [np.int64(len(m))],
+        })
+
+    rows = ds.map_batches(moments, batch_format="pandas").take_all()
+    s = np.zeros(dims)
+    ss = np.zeros((dims, dims))
+    n = 0
+    for r in rows:
+        s += np.frombuffer(r["s"], dtype=np.float64)
+        ss += np.frombuffer(r["ss"], dtype=np.float64).reshape(dims, dims)
+        n += int(r["n"])
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    recs = [(i + 1, j + 1, float(round_half_away(cov[i, j], 4)))
+            for i in range(dims) for j in range(i, dims)]
+    out = pd.DataFrame(recs, columns=["dim_i", "dim_j", "cov"])
+    out["dim_i"] = out["dim_i"].astype("int64")
+    out["dim_j"] = out["dim_j"].astype("int64")
+    return out

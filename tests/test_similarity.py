@@ -1,6 +1,7 @@
 """IVF index layout, pruned-probe kNN, and bucketed near-dup pairs."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -250,3 +251,90 @@ def test_knn_recall_check_row(ray_session):
     out = knn_recall_check("/root/testdata/sf0.001")
     assert list(out["method"]) == ["ivf", "lsh", "pq"]
     assert out["recall_above_floor"].all(), out.to_dict("records")
+
+
+def test_pca_fit_block_invariant_and_ordered(ray_session):
+    """Components identical under any block structure (moment sums are
+    exact); explained variance is descending; projection matches the
+    driver-side numpy PCA on the same data."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        pca_fit, pca_transform,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(400, 3)) @ np.diag([5.0, 1.0, 0.2])
+    df = pd.DataFrame({"vec_id": np.arange(400),
+                       "embedding": list(base.astype(np.float32))})
+    fits = []
+    for parts in (1, 4, 32):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        fits.append(pca_fit(ds, "embedding", k=2))
+    for comps, _, var in fits[1:]:
+        np.testing.assert_allclose(comps, fits[0][0], atol=1e-9)
+    comps, mean, var = fits[0]
+    assert var[0] > var[1] > 0
+    # sign convention: largest-|entry| coordinate positive
+    for c in comps:
+        assert c[np.argmax(np.abs(c))] > 0
+    # equals driver-side numpy PCA (same convention)
+    x = base.astype(np.float32).astype(np.float64)
+    cov = np.cov(x, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    ref = vecs[:, np.argsort(vals)[::-1][:2]].T
+    for i in range(2):
+        j = np.argmax(np.abs(ref[i]))
+        if ref[i][j] < 0:
+            ref[i] = -ref[i]
+    np.testing.assert_allclose(comps, ref, atol=1e-8)
+    proj = (pca_transform(ray.data.from_pandas(df), comps, mean)
+            .to_pandas().sort_values("vec_id"))
+    want = (x - x.mean(axis=0)) @ comps.T
+    np.testing.assert_allclose(proj[["pc1", "pc2"]].to_numpy(), want,
+                               atol=1e-8)
+
+
+def test_pca_reconstruction_error_shrinks_with_k(ray_session):
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        pca_fit,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(300, 6)) @ np.diag([4, 3, 2, 1, 0.5, 0.1])
+    df = pd.DataFrame({"vec_id": np.arange(300),
+                       "embedding": list(base.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    x = base.astype(np.float32).astype(np.float64)
+    xc = x - x.mean(axis=0)
+    errs = []
+    for k in (1, 3, 5):
+        comps, mean, _ = pca_fit(ds, "embedding", k=k)
+        recon = (xc @ comps.T) @ comps
+        errs.append(np.linalg.norm(xc - recon))
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_emb_covariance_check_vs_duckdb(ray_session):
+    import duckdb
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.similarity import (
+        emb_covariance_check,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = emb_covariance_check(sf)
+    want = duckdb.connect().execute(f"""
+        SELECT CAST(1 AS BIGINT) AS dim_i, CAST(1 AS BIGINT) AS dim_j,
+               ROUND(COVAR_SAMP(embedding[1], embedding[1]), 4) AS cov
+        FROM read_parquet('{sf}/embeddings.parquet')
+        UNION ALL SELECT 1, 2, ROUND(COVAR_SAMP(embedding[1], embedding[2]), 4)
+        FROM read_parquet('{sf}/embeddings.parquet')
+        UNION ALL SELECT 2, 2, ROUND(COVAR_SAMP(embedding[2], embedding[2]), 4)
+        FROM read_parquet('{sf}/embeddings.parquet')
+        ORDER BY dim_i, dim_j
+    """).df()
+    sub = got[(got["dim_j"] <= 2) & (got["dim_i"] <= 2)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(sub, want, check_dtype=False)
