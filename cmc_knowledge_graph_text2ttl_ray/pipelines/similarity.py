@@ -767,6 +767,8 @@ def pca_fit(ds, column: str = "embedding", k: int = 2):
     itself is :func:`pca_transform` (broadcast matmul, zero shuffle)."""
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"s": [], "ss": [], "n": []})
         m = _to_matrix(df[column])
         return pd.DataFrame({
             "s": [m.sum(axis=0).tobytes()],
@@ -775,6 +777,8 @@ def pca_fit(ds, column: str = "embedding", k: int = 2):
         })
 
     rows = ds.map_batches(moments, batch_format="pandas").take_all()
+    if not rows:
+        raise ValueError("pca_fit requires a non-empty dataset")
     first = np.frombuffer(rows[0]["s"], dtype=np.float64)
     d = len(first)
     s = np.zeros(d)
@@ -837,6 +841,8 @@ def emb_covariance_check(sf_dir: str, dims: int = 3):
     ds = _emb(sf_dir)
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"s": [], "ss": [], "n": []})
         m = _to_matrix(df["embedding"])[:, :dims]
         return pd.DataFrame({
             "s": [m.sum(axis=0).tobytes()],
