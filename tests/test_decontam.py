@@ -107,3 +107,22 @@ def test_gram_hashes_never_cross_doc_boundary():
     # empty / short docs contribute nothing
     g2, i2 = _gram_hashes(["", "one two", "a b c"], 3)
     assert len(g2) == 1 and i2.tolist() == [2]
+
+
+def test_ngram_overlap_bloom_equivalence(ray_session, contam_dir):
+    """The Bloom-gated plan returns EXACTLY the exact plan's counts — at a
+    well-sized filter and at a deliberately saturated 2^10-bit one where
+    false positives are guaranteed (FPs change work, never results)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.decontam import (
+        ngram_overlap,
+        ngram_overlap_bloom,
+    )
+
+    sf, _ = contam_dir
+    want = (ngram_overlap(sf, n=8).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    for n_bits in (None, 1 << 10):
+        got = (ngram_overlap_bloom(sf, n=8, n_bits=n_bits).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want), f"mismatch at n_bits={n_bits}"
+    assert want["n_hits"].sum() > 0
