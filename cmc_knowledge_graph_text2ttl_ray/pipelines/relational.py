@@ -2421,7 +2421,8 @@ _Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 25)
 
 
 def q16_supplier_part_counts(sf_dir: str, excluded_brand: str = "Brand#5",
-                             sizes: tuple = _Q16_SIZES):
+                             sizes: tuple = _Q16_SIZES,
+                             broadcast_threshold: int = 2_000_000):
     """TPC-H Q16 shape adapted to this star schema (no partsupp table —
     lineitem's (partkey, suppkey) pairs are the supplier/part relation, the
     same adaptation as Q20; no s_comment — suppliers with negative account
@@ -2429,62 +2430,108 @@ def q16_supplier_part_counts(sf_dir: str, excluded_brand: str = "Brand#5",
     supplier count per (brand, type, size) over non-excluded-brand parts
     of the listed sizes.
 
-    Scale shape: part is a dimension → the (partkey → brand/type/size)
-    map for the ~⅓ of parts passing the filter broadcasts once via
-    ``ray.put``; the bad-supplier set is tiny and rides the same ref. The
-    lineitem scan dedups (group, suppkey) per block, and ONE coarse
-    exchange keyed by the 3 group columns finishes the global distinct +
-    count. Group cardinality (brands × types × sizes) is small, so the
-    final table collapses to the driver bounded."""
+    Scale shape, adaptive like q13/customers_without_orders: while the
+    filtered part rows fit ``broadcast_threshold``, the (partkey →
+    brand/type/size) map broadcasts once via ``ray.put`` and the
+    bad-supplier key array rides the same ref — zero joins. Past it (part
+    scales with SF in TPC-H) the lineitem pair stream instead anti-joins
+    the bad suppliers and inner-joins the filtered part table distributed
+    — no driver materialization of either side. Both paths end in the
+    same ONE coarse exchange keyed by the 3 group columns (group
+    cardinality = brands × types × sizes, driver-small), and are
+    parity-tested against each other."""
+    import math
+
     import ray
 
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         coarse_group_reduce,
+        default_join_partitions,
     )
 
-    part = _read(sf_dir, "part",
-                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
-    part = part[(part["p_brand"] != excluded_brand)
-                & part["p_size"].isin(sizes)]
-    bad = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
-    bad_keys = np.sort(bad.loc[bad["s_acctbal"] < 0,
-                               "s_suppkey"].to_numpy(np.int64))
-    ref = ray.put((dict(zip(part["p_partkey"], part["p_brand"])),
-                   dict(zip(part["p_partkey"], part["p_type"])),
-                   dict(zip(part["p_partkey"],
-                            part["p_size"].astype("int64"))),
-                   bad_keys))
-
+    part_f = _read(sf_dir, "part",
+                   ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(
+            lambda df: df[(df["p_brand"] != excluded_brand)
+                          & df["p_size"].isin(sizes)],
+            batch_format="pandas")
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        brand_map, type_map, size_map, bad_arr = ray.get(ref)
-        df = df.drop_duplicates()
-        supp = df["l_suppkey"].to_numpy(np.int64)
-        if len(bad_arr):
-            pos = np.clip(np.searchsorted(bad_arr, supp),
-                          0, len(bad_arr) - 1)
-            ok = bad_arr[pos] != supp
-        else:
-            ok = np.ones(len(supp), dtype=bool)
-        brand = df["l_partkey"].map(brand_map)
-        keep = ok & brand.notna().to_numpy()
-        d = df[keep]
-        return pd.DataFrame({
-            "p_brand": brand[keep].to_numpy(dtype=object),
-            "p_type": d["l_partkey"].map(type_map).to_numpy(dtype=object),
-            "p_size": d["l_partkey"].map(size_map).to_numpy(np.int64),
-            "s": d["l_suppkey"].to_numpy(np.int64),
-        }).drop_duplicates()
-
     keys = ["p_brand", "p_type", "p_size"]
-    counts = coarse_group_reduce(
-        li.map_batches(pairs, batch_format="pandas"),
-        keys,
-        lambda g: (g.drop_duplicates()
-                   .groupby(keys, as_index=False)["s"].nunique()
-                   .rename(columns={"s": "supplier_cnt"})),
-    ).to_pandas()
+
+    def distinct_count(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates()
+                .groupby(keys, as_index=False)["s"].nunique()
+                .rename(columns={"s": "supplier_cnt"}))
+
+    n_part = part_f.count()
+    if n_part <= broadcast_threshold:
+        part = part_f.to_pandas()
+        bad = _read(sf_dir, "supplier",
+                    ["s_suppkey", "s_acctbal"]).to_pandas()
+        bad_keys = np.sort(bad.loc[bad["s_acctbal"] < 0,
+                                   "s_suppkey"].to_numpy(np.int64))
+        ref = ray.put((dict(zip(part["p_partkey"], part["p_brand"])),
+                       dict(zip(part["p_partkey"], part["p_type"])),
+                       dict(zip(part["p_partkey"],
+                                part["p_size"].astype("int64"))),
+                       bad_keys))
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            brand_map, type_map, size_map, bad_arr = ray.get(ref)
+            df = df.drop_duplicates()
+            supp = df["l_suppkey"].to_numpy(np.int64)
+            if len(bad_arr):
+                pos = np.clip(np.searchsorted(bad_arr, supp),
+                              0, len(bad_arr) - 1)
+                ok = bad_arr[pos] != supp
+            else:
+                ok = np.ones(len(supp), dtype=bool)
+            brand = df["l_partkey"].map(brand_map)
+            keep = ok & brand.notna().to_numpy()
+            d = df[keep]
+            return pd.DataFrame({
+                "p_brand": brand[keep].to_numpy(dtype=object),
+                "p_type": d["l_partkey"].map(type_map)
+                          .to_numpy(dtype=object),
+                "p_size": d["l_partkey"].map(size_map).to_numpy(np.int64),
+                "s": d["l_suppkey"].to_numpy(np.int64),
+            }).drop_duplicates()
+
+        grouped = li.map_batches(pairs, batch_format="pandas")
+    else:
+        bad_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]) \
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"s_suppkey": df.loc[df["s_acctbal"] < 0, "s_suppkey"]
+                     .astype("int64")}),
+                batch_format="pandas").materialize()
+        n_bad = bad_ds.count()
+        # partition counts sized by the SMALL side (empty-block join guard)
+        np_part = max(1, min(default_join_partitions(),
+                             math.ceil(n_part / 50_000)))
+        np_bad = max(1, min(default_join_partitions(),
+                            math.ceil(max(n_bad, 1) / 50_000)))
+        pair_stream = li.map_batches(
+            lambda df: df.drop_duplicates()
+            .astype({"l_partkey": "int64", "l_suppkey": "int64"}),
+            batch_format="pandas")
+        if n_bad:
+            pair_stream = pair_stream.join(
+                bad_ds, join_type="left_anti", num_partitions=np_bad,
+                on=("l_suppkey",), right_on=("s_suppkey",))
+        joined = pair_stream.join(
+            part_f, join_type="inner", num_partitions=np_part,
+            on=("l_partkey",), right_on=("p_partkey",))
+        grouped = joined.map_batches(
+            lambda df: pd.DataFrame({
+                "p_brand": df["p_brand"].to_numpy(dtype=object),
+                "p_type": df["p_type"].to_numpy(dtype=object),
+                "p_size": df["p_size"].to_numpy(np.int64),
+                "s": df["l_suppkey"].to_numpy(np.int64),
+            }).drop_duplicates(),
+            batch_format="pandas")
+
+    counts = coarse_group_reduce(grouped, keys, distinct_count).to_pandas()
     if counts.empty:
         return _empty_df({"p_brand": pa.string(), "p_type": pa.string(),
                           "p_size": pa.int64(), "supplier_cnt": pa.int64()})
@@ -2556,14 +2603,34 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 100):
         return pd.DataFrame({"l_suppkey":
                              win["l_suppkey"].to_numpy(np.int64)})
 
-    waiting = coarse_group_reduce(merged, ["l_orderkey"],
-                                  winners).to_pandas()
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
-    if waiting.empty:
+    waiting_ds = coarse_group_reduce(merged, ["l_orderkey"], winners)
+    # second distributed reduce: winner pairs (one per waiting order)
+    # collapse to per-supplier counts BEFORE anything reaches the driver —
+    # the collected table is bounded by the waiting-supplier count, never
+    # by the order count
+    counts = coarse_group_reduce(
+        waiting_ds, ["l_suppkey"],
+        lambda g: (g.groupby("l_suppkey", as_index=False).size()
+                   .rename(columns={"size": "numwait"})),
+    ).to_pandas()
+    if counts.empty:
         return _empty_df({"s_name": pa.string(), "numwait": pa.int64()})
-    counts = (waiting.groupby("l_suppkey", as_index=False).size()
-              .rename(columns={"l_suppkey": "s_suppkey",
-                               "size": "numwait"}))
+    counts = counts.rename(columns={"l_suppkey": "s_suppkey"})
+    # name lookup: broadcast the (sorted) waiting-supplier keys and filter
+    # the supplier scan to just those rows — no supplier-table collection,
+    # no shuffle; the merge input is ≤ len(counts) rows
+    import ray as _ray
+
+    keys_ref = _ray.put(np.sort(counts["s_suppkey"].to_numpy(np.int64)))
+
+    def name_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keys_arr = _ray.get(keys_ref)
+        sk = df["s_suppkey"].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(keys_arr, sk), 0, len(keys_arr) - 1)
+        return df[keys_arr[pos] == sk][["s_suppkey", "s_name"]]
+
+    sup = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+           .map_batches(name_rows, batch_format="pandas").to_pandas())
     out = counts.merge(sup, on="s_suppkey")
     return (out.sort_values(["numwait", "s_name"],
                             ascending=[False, True]).head(k)

@@ -125,3 +125,17 @@ def test_segment_year_pivot_shape(ray_session):
     ycols = [c for c in out.columns if c.startswith("y")]
     assert out[ycols].to_numpy().sum() == n_orders
     assert out["c_mktsegment"].is_unique
+
+
+def test_q16_join_path_parity(ray_session):
+    """The distributed (anti-join + inner-join) q16 path returns exactly
+    the broadcast path's table — forced via broadcast_threshold=0."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
+        q16_supplier_part_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bcast = q16_supplier_part_counts(sf)
+    joined = q16_supplier_part_counts(sf, broadcast_threshold=0)
+    assert bcast.equals(joined)
+    assert len(bcast) > 0
