@@ -764,7 +764,13 @@ def pca_fit(ds, column: str = "embedding", k: int = 2):
     Returns ``(components [k×d], mean [d], explained_variance [k])``.
     The scale tool for dimensionality reduction ahead of the ANN family
     (a 64→8 projection cuts IVF/LSH probe bytes 8×); the projection
-    itself is :func:`pca_transform` (broadcast matmul, zero shuffle)."""
+    itself is :func:`pca_transform` (broadcast matmul, zero shuffle).
+
+    Partials scale d² (128 KB at d=128, 128 MB at d=4096): fine for
+    typical embedding widths; past ~d=2048 either tree-combine the
+    partials inside a fan-in ``map_batches`` stage (the
+    ``bloom_build``-style reduce) or switch to a randomized range-finder
+    sketch — the moment-partial plan here is exact by design."""
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
