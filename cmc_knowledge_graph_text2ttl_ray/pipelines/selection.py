@@ -393,16 +393,61 @@ def _hashed_ngram_counts(ds, n_buckets: int, ngram: int) -> np.ndarray:
     return out
 
 
+def _logratio(t: np.ndarray, r: np.ndarray, n_buckets: int) -> np.ndarray:
+    logp_t = np.log(t + 1.0) - np.log(t.sum() + n_buckets)
+    logp_r = np.log(r + 1.0) - np.log(r.sum() + n_buckets)
+    return logp_t - logp_r
+
+
 def dsir_logratio_model(target_ds, raw_ds, *, n_buckets: int = 1 << 16,
                         ngram: int = 2) -> np.ndarray:
     """log p_target(bucket) − log p_raw(bucket) with add-one smoothing —
     the broadcastable DSIR scoring table (a float64 vector, ~0.5 MB at
-    the default 2^16 buckets)."""
+    the default 2^16 buckets). Two-dataset form for when the target is a
+    SEPARATE corpus; when the target is a flagged subset of the raw
+    corpus, :func:`dsir_weights` computes both histograms in ONE scan."""
     t = _hashed_ngram_counts(target_ds, n_buckets, ngram)
     r = _hashed_ngram_counts(raw_ds, n_buckets, ngram)
-    logp_t = np.log(t + 1.0) - np.log(t.sum() + n_buckets)
-    logp_r = np.log(r + 1.0) - np.log(r.sum() + n_buckets)
-    return logp_t - logp_r
+    return _logratio(t, r, n_buckets)
+
+
+def _dsir_fused_counts(raw_ds, target_source: str, n_buckets: int,
+                       ngram: int) -> tuple[np.ndarray, np.ndarray]:
+    """(target_counts, raw_counts) from ONE pass over the corpus: each
+    batch hashes its n-grams once and emits per-bucket (n_raw, n_target)
+    partials — halving both the corpus reads and the hashing work of the
+    separate-histogram plan (target docs were hashed twice). The reduce
+    is the same bounded coarse exchange (≤ n_buckets rows)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        di, b = _ngram_buckets(df["text"], n_buckets, ngram)
+        if not len(b):
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "n_raw": pd.Series(dtype="int64"),
+                                 "n_target": pd.Series(dtype="int64")})
+        is_t = (df["source"] == target_source).to_numpy()
+        v, inv = np.unique(b, return_inverse=True)
+        return pd.DataFrame({
+            "bucket": v,
+            "n_raw": np.bincount(inv).astype(np.int64),
+            "n_target": np.bincount(
+                inv, weights=is_t[di].astype(np.float64)).astype(np.int64),
+        })
+
+    red = coarse_group_reduce(
+        raw_ds.map_batches(partial, batch_format="pandas"),
+        ["bucket"],
+        lambda p: p.groupby("bucket", as_index=False)[
+            ["n_raw", "n_target"]].sum(),
+        n_rows_hint=n_buckets,
+    ).to_pandas()
+    t = np.zeros(n_buckets, dtype=np.float64)
+    r = np.zeros(n_buckets, dtype=np.float64)
+    if len(red) and "bucket" in red.columns:
+        idx = red["bucket"].to_numpy(np.int64)
+        r[idx] = red["n_raw"].to_numpy(np.float64)
+        t[idx] = red["n_target"].to_numpy(np.float64)
+    return t, r
 
 
 def dsir_weights(
@@ -417,21 +462,15 @@ def dsir_weights(
     "a sample of the domain you want more of"). Rows:
     ``(doc_id, n_grams, log_weight)`` where ``log_weight`` is the mean
     per-gram log likelihood ratio (length-normalized, as in the paper's
-    practical variant)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    practical variant).
 
+    Scale shape: the target here is a flagged subset of the corpus, so
+    BOTH histograms come from :func:`_dsir_fused_counts`' single scan
+    (was: separate target + raw passes — two corpus reads and double
+    hashing of the target docs); scoring is the only other read."""
     raw = _docs(sf_dir, columns=["doc_id", "text", "source"])
-
-    def keep_target(t: pa.Table) -> pa.Table:
-        # vectorized equality, not an interpolated filter expression —
-        # a source value containing quotes must stay data, not syntax
-        return t.filter(pc.equal(t["source"], target_source))
-
-    target = raw.map_batches(
-        keep_target, batch_format="pyarrow").select_columns(["text"])
-    model = dsir_logratio_model(target, raw, n_buckets=n_buckets,
-                                ngram=ngram)
+    t, r = _dsir_fused_counts(raw, target_source, n_buckets, ngram)
+    model = _logratio(t, r, n_buckets)
     model_ref = ray.put(model)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

@@ -137,3 +137,27 @@ def test_classifier_local_path_matches_distributed(ray_session, sel_dir):
     assert np.abs(local["w"] - dist["w"]).max() < 1e-9
     assert abs(local["bias"] - dist["bias"]) < 1e-9
     assert np.abs(local["mean"] - dist["mean"]).max() < 1e-12
+
+
+def test_dsir_fused_counts_equal_two_pass(ray_session):
+    """The single-scan fused histogram pair equals the separate
+    target-pass + raw-pass histograms exactly."""
+    import pyarrow.compute as pc
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.selection import (
+        _dsir_fused_counts,
+        _hashed_ngram_counts,
+        _docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = _docs(sf, columns=["doc_id", "text", "source"])
+    t_fused, r_fused = _dsir_fused_counts(raw, "src0", 1 << 12, 2)
+    target = raw.map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src0")),
+        batch_format="pyarrow").select_columns(["text"])
+    t_sep = _hashed_ngram_counts(target, 1 << 12, 2)
+    r_sep = _hashed_ngram_counts(raw, 1 << 12, 2)
+    assert np.array_equal(t_fused, t_sep)
+    assert np.array_equal(r_fused, r_sep)
+    assert r_fused.sum() > t_fused.sum() > 0
