@@ -135,19 +135,29 @@ def _quiet_ray_data_logs():
         from ray.data._internal.logging import DEFAULT_CONFIG
 
         cfg = copy.deepcopy(DEFAULT_CONFIG)
-        cfg["loggers"]["ray.data._internal.arrow_ops.transform_pyarrow"] = {
-            "level": "ERROR", "handlers": ["file", "console"],
-            "propagate": False,
-        }
+        # second nuisance: 'Operator produced a RefBundle with a different
+        # schema ... new schema: []' (streaming_executor_state.py) — fired
+        # when a reduce partition is legitimately empty (schema-less
+        # block); results are unaffected
+        for noisy in (
+            "ray.data._internal.arrow_ops.transform_pyarrow",
+            "ray.data._internal.execution.streaming_executor_state",
+        ):
+            cfg["loggers"][noisy] = {
+                "level": "ERROR", "handlers": ["file", "console"],
+                "propagate": False,
+            }
         path = "/tmp/graft_ray_data_logging.yaml"
         with open(path, "w") as f:
             yaml.safe_dump(cfg, f)
         os.environ["RAY_DATA_LOGGING_CONFIG"] = path
     except Exception:
         pass  # fall through to driver-only silencing
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).setLevel(logging.ERROR)
+    for noisy in (
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        logging.getLogger(noisy).setLevel(logging.ERROR)
 
 
 def run_workload(num_cpus: int) -> dict:
