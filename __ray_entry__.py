@@ -297,6 +297,57 @@ def _kg_validation(sf_dir: str):
     return validate_triples(_kg_records(sf_dir)["triples"])
 
 
+def _kg_bgp_same_day(sf_dir: str):
+    """Distributed BGP over a deterministic events→triples encoding:
+    users with a click and a purchase on the same day (2-pattern join on
+    two shared variables)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        bgp_query,
+        event_triples,
+    )
+
+    return bgp_query(
+        event_triples(sf_dir),
+        [("?u", "click", "?d"), ("?u", "purchase", "?d")],
+        project=["?u", "?d"], distinct=True,
+    )
+
+
+def _kg_bgp_orders_by_nation(sf_dir: str):
+    """Distributed BGP over the orders→customer→nation triple encoding
+    (3-pattern chain), aggregated to order counts per nation name."""
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        bgp_query,
+        order_triples,
+    )
+
+    bindings = bgp_query(
+        order_triples(sf_dir),
+        [("?o", "placed_by", "?c"), ("?c", "in_nation", "?n"),
+         ("?n", "has_name", "?name")],
+        project=["?name", "?o"],
+    )
+    return bindings.groupby("name").aggregate(Count(alias_name="n_orders"))
+
+
+def _kg_bgp_mentions_chain(sf_dir: str):
+    """BGP over the flagship pipeline's OWN emitted triples: documents
+    that mention an entity headquartered in a place in some country —
+    the post-materialize KG query story (rows-only: KG semantics)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import bgp_query
+
+    kg = "http://example.org/kg/"
+    return bgp_query(
+        _kg_records(sf_dir)["triples"],
+        [("?d", kg + "mentions", "?e"),
+         ("?e", kg + "headquarteredIn", "?pl"),
+         ("?pl", kg + "inCountry", "?c")],
+        project=["?d", "?e", "?c"], distinct=True,
+    )
+
+
 def _segment_year_pivot(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.relational import (
         segment_year_pivot,
@@ -969,6 +1020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active_users": _events_rolling_active,
         "segment_year_pivot": _segment_year_pivot,
         "kg_validation": _kg_validation,
+        "kg_bgp_same_day": _kg_bgp_same_day,
+        "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
+        "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "part_size_unpivot": _part_size_unpivot,
         "events_daily_anomalies": _events_daily_anomalies,
         "lineitem_qty_price_corr": _lineitem_corr,
@@ -2376,5 +2430,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(r) AS cluster_id
             FROM reach GROUP BY node ORDER BY node
+        """,
+        # distributed BGP over the deterministic events→triples encoding
+        # (user:<id>, <event_type>, <YYYY-MM-DD>): 2-pattern join on the
+        # (user, day) variable pair ≡ an events self-join
+        "kg_bgp_same_day": """
+            SELECT DISTINCT 'user:' || CAST(a.user_id AS VARCHAR) AS u,
+                            strftime(a.ts, '%Y-%m-%d')            AS d
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d')
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # 3-pattern BGP chain over the orders→customer→nation triple
+        # encoding ≡ the relational 3-way join, counted per nation name
+        "kg_bgp_orders_by_nation": """
+            SELECT n_name AS name, COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
     }

@@ -1,0 +1,310 @@
+"""Distributed BGP (basic-graph-pattern) querying over a triples Dataset.
+
+The reference evaluates ``select:`` SPARQL only against small per-actor
+reference graphs (kg_text_to_ttl mapping lookups; reimplemented in
+``state/graph_index.py``).  This module is the *scale* path for the same
+conjunctive-pattern semantics: a SPARQL-style BGP evaluated over the
+MATERIALIZED triple table (the engine's own KG output, a ``ttl_dataset``
+read-back, or any Dataset in the pipeline's triple schema) with
+distributed hash joins — the post-construction query story of a
+kg_construct engine.
+
+Semantics
+---------
+A pattern is a ``(subject, predicate, object)`` tuple; a term starting
+with ``"?"`` is a variable, anything else is a constant matched against
+the column's lexical value (IRIs and literals share the ``object``
+column; ``object_kind`` disambiguates when it matters — pass
+``object_kind_filter`` per query if needed).  The result is one row per
+solution mapping, one column per projected variable.
+
+Scale shape
+-----------
+- Each pattern becomes ONE filtered projection of the triple table:
+  constants are pushed into a vectorized ``pyarrow.compute`` mask inside
+  ``map_batches`` and only the variable columns survive, so what enters
+  the joins is the few-column binding table, never full triple rows.
+- Patterns are joined with Ray-native distributed hash joins
+  (``Dataset.join``) on ALL shared variables, partition count derived
+  from the cluster (``default_join_partitions``).  Join order is chosen
+  by a selectivity heuristic (most-constant patterns first — a bound
+  predicate+object is the classic most-selective SPARQL access path),
+  then greedily by connectivity so no cross product is ever formed;
+  disconnected pattern groups are rejected.
+- ``distinct`` dedups via ``coarse_group_reduce`` (in-block combiner +
+  one hash exchange), never a driver-side collect.
+
+Empty-block convention: every per-pattern scan emits a TYPED (all
+``string``) Arrow schema even for zero matches, so downstream joins
+never see schema-less empty partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["bgp_query", "event_triples", "order_triples"]
+
+_POS_COLS = ("subject", "predicate", "object")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_vars(pattern: Sequence[str]) -> list[str]:
+    seen: list[str] = []
+    for term in pattern:
+        if _is_var(term) and term not in seen:
+            seen.append(term)
+    return seen
+
+
+def _selectivity_key(pattern: Sequence[str]) -> tuple:
+    """Heuristic access-path cost (lower = more selective = join earlier):
+    count of unbound positions, with a bound object worth slightly more
+    than a bound subject than a bound predicate (predicates are the
+    lowest-cardinality column in a KG, so a predicate-only pattern is the
+    least selective single-constant scan)."""
+    n_vars = sum(1 for t in pattern if _is_var(t))
+    bonus = 0
+    if not _is_var(pattern[2]):
+        bonus -= 3
+    if not _is_var(pattern[0]):
+        bonus -= 2
+    if not _is_var(pattern[1]):
+        bonus -= 1
+    return (n_vars, bonus)
+
+
+def _pattern_scan(triples, pattern: Sequence[str],
+                  rename: dict[str, str] | None = None):
+    """ONE filtered projection: constants → pyarrow mask, variables →
+    renamed binding columns.  Repeated variables inside the pattern
+    (e.g. ``(?x, p, ?x)``) become in-scan column-equality filters.
+
+    ``rename`` maps output column names (var without ``?``) to final
+    names — applied INSIDE the scan so every block, including empty
+    ones, carries the full typed schema (a separate ``rename_columns``
+    Project leaves post-filter empty blocks schema-inconsistent, which
+    Ray's hash join rejects with "No match ... for key field")."""
+    s, p, o = pattern
+    rename = rename or {}
+    var_cols = _pattern_vars(pattern)
+    out_names = [rename.get(v[1:], v[1:]) for v in var_cols]
+    out_schema = pa.schema([(n, pa.string()) for n in out_names])
+
+    def scan(t: pa.Table) -> pa.Table:
+        mask = None
+        first_col: dict[str, str] = {}
+        for col, term in zip(_POS_COLS, (s, p, o)):
+            if _is_var(term):
+                if term in first_col:
+                    m = pc.equal(t[first_col[term]], t[col])
+                else:
+                    first_col[term] = col
+                    continue
+            else:
+                m = pc.equal(t[col], term)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            t = t.filter(pc.fill_null(mask, False))
+        return pa.table(
+            {n: pc.cast(t[first_col[v]], pa.string())
+             for v, n in zip(var_cols, out_names)},
+            schema=out_schema,
+        )
+
+    return triples.map_batches(scan, batch_format="pyarrow")
+
+
+def _plan_order(patterns: list[Sequence[str]]) -> list[Sequence[str]]:
+    """Most-selective pattern first, then greedy by shared-variable
+    connectivity (never introduces a cross product)."""
+    remaining = sorted(patterns, key=_selectivity_key)
+    order = [remaining.pop(0)]
+    bound = set(_pattern_vars(order[0]))
+    while remaining:
+        for i, pat in enumerate(remaining):
+            if bound & set(_pattern_vars(pat)):
+                order.append(remaining.pop(i))
+                bound |= set(_pattern_vars(order[-1]))
+                break
+        else:
+            raise ValueError(
+                "Disconnected BGP: no remaining pattern shares a variable "
+                f"with the bound set {sorted(bound)} — a cross product "
+                "does not scale and is rejected; bridge the groups with a "
+                "shared variable."
+            )
+    return order
+
+
+def bgp_query(
+    triples,
+    patterns: list[Sequence[str]],
+    project: list[str] | None = None,
+    distinct: bool = False,
+    num_partitions: int | None = None,
+):
+    """Evaluate a conjunctive triple-pattern query over a triples Dataset.
+
+    ``triples`` needs ``subject`` / ``predicate`` / ``object`` columns
+    (the pipeline's triple schema; extra columns are ignored).  Returns a
+    Dataset with one ``string`` column per variable (names without the
+    ``?``), restricted to ``project`` if given.
+    """
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    if not patterns:
+        raise ValueError("bgp_query needs at least one pattern")
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be (s, p, o), got {pat!r}")
+        if not _pattern_vars(pat):
+            raise ValueError(
+                f"pattern {pat!r} has no variables; constant-only "
+                "assertions belong in a filter, not a BGP join"
+            )
+    order = _plan_order(list(patterns))
+    all_vars = sorted({v for pat in order for v in _pattern_vars(pat)})
+    cols = [v.lstrip("?") for v in project] if project else [
+        v[1:] for v in all_vars]
+
+    def _empty_result():
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.schema([(c, pa.string()) for c in cols]).empty_table())
+
+    def _compact(ds):
+        """Materialize a binding table and re-block it so no block is
+        empty.  Two reasons: (a) Ray's hash-shuffle broadcasts each
+        side's schema from its FIRST shuffled block only, and an empty
+        first block silently skips the broadcast — data-less partitions
+        then crash pyarrow's join with "No match for key field"
+        (hash_shuffle.py::_shuffle_block's num_rows==0 early return);
+        (b) the count sizes the next join's partition count by the
+        small side (repo convention).  Binding tables are projected
+        few-column rows and the hash join materializes both sides in
+        its aggregators regardless, so this adds no new scale cost
+        class — it relocates the same bytes to the spillable store."""
+        m = ds.materialize()
+        n = m.count()
+        if n == 0:
+            return None, 0
+        return m.repartition(max(1, min(200, -(-n // 50_000)))), n
+
+    acc, n_acc = _compact(_pattern_scan(triples, order[0]))
+    if acc is None:
+        return _empty_result()
+    bound = set(_pattern_vars(order[0]))
+    for pat in order[1:]:
+        pat_vars = set(_pattern_vars(pat))
+        shared = sorted(bound & pat_vars)
+        # suffix the right side's join keys in-scan: Ray's hash join keeps
+        # both sides' columns, so identical names must not collide
+        rhs, n_rhs = _compact(_pattern_scan(
+            triples, pat, rename={v[1:]: v[1:] + "__r" for v in shared}))
+        if rhs is None:
+            return _empty_result()
+        np_join = num_partitions or max(1, min(
+            default_join_partitions(), -(-min(n_acc, n_rhs) // 50_000)))
+        acc = acc.join(
+            rhs,
+            join_type="inner",
+            num_partitions=np_join,
+            on=tuple(v[1:] for v in shared),
+            right_on=tuple(v[1:] + "__r" for v in shared),
+        )
+        keep = [v[1:] for v in sorted(bound | pat_vars)]
+        acc, n_acc = _compact(acc.select_columns(keep))
+        if acc is None:
+            return _empty_result()
+        bound |= pat_vars
+
+    acc = acc.select_columns(cols)
+    if distinct:
+        acc = coarse_group_reduce(
+            acc, cols, lambda g: g.drop_duplicates(subset=cols))
+    return acc
+
+
+def event_triples(sf_dir: str):
+    """Deterministic triple encoding of the events table —
+    ``(user:<id>, <event_type>, <YYYY-MM-DD>)`` — the small-scale stand-in
+    for a real KG when exercising :func:`bgp_query` against a DuckDB
+    oracle (the SQL side encodes the same strings from the same rows)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        subj = pc.binary_join_element_wise(
+            "user:", pc.cast(t["user_id"], pa.string()), "")
+        return pa.table({
+            "subject": subj,
+            "predicate": t["event_type"],
+            "object": day,
+            "object_kind": pa.array(["literal"] * len(t), pa.string()),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def order_triples(sf_dir: str):
+    """Deterministic triple encoding of the orders→customer→nation chain:
+    ``(order:<o>, placed_by, cust:<c>)`` ∪ ``(cust:<c>, in_nation,
+    nation:<n>)`` ∪ ``(nation:<n>, has_name, <n_name>)`` — a three-hop
+    KG shape over relational testdata for oracle-checked BGP joins."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            prefix, pc.cast(col, pa.string()), "")
+
+    def enc_orders(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": _iri("order:", t["o_orderkey"]),
+            "predicate": pa.array(["placed_by"] * n, pa.string()),
+            "object": _iri("cust:", t["o_custkey"]),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    def enc_cust(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": _iri("cust:", t["c_custkey"]),
+            "predicate": pa.array(["in_nation"] * n, pa.string()),
+            "object": _iri("nation:", t["c_nationkey"]),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    def enc_nation(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": _iri("nation:", t["n_nationkey"]),
+            "predicate": pa.array(["has_name"] * n, pa.string()),
+            "object": pc.cast(t["n_name"], pa.string()),
+            "object_kind": pa.array(["literal"] * n, pa.string()),
+        })
+
+    return (orders.map_batches(enc_orders, batch_format="pyarrow")
+            .union(cust.map_batches(enc_cust, batch_format="pyarrow"))
+            .union(nation.map_batches(enc_nation, batch_format="pyarrow")))

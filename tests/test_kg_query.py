@@ -1,0 +1,146 @@
+"""Distributed BGP querying (pipelines/kg_query.py).
+
+Differential strategy: every BGP result is checked against a brute-force
+in-memory evaluator over the same triple rows, so join order / partition
+count / block layout can never change semantics.
+"""
+
+import itertools
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+    _is_var,
+    bgp_query,
+    event_triples,
+)
+
+TRIPLES = [
+    # (subject, predicate, object)
+    ("d1", "mentions", "acme"),
+    ("d1", "mentions", "octan"),
+    ("d2", "mentions", "octan"),
+    ("d3", "mentions", "initech"),
+    ("acme", "hq_in", "berlin"),
+    ("octan", "hq_in", "vienna"),
+    ("vienna", "in_country", "austria"),
+    ("berlin", "in_country", "germany"),
+    ("d1", "title", "Page 1"),
+    ("octan", "same_as", "octan"),  # reflexive: repeated-var pattern target
+    ("acme", "same_as", "octan"),
+]
+
+
+def _triples_ds(num_blocks=1):
+    import ray.data
+
+    tbl = pa.table({
+        "subject": [t[0] for t in TRIPLES],
+        "predicate": [t[1] for t in TRIPLES],
+        "object": [t[2] for t in TRIPLES],
+        "object_kind": ["iri"] * len(TRIPLES),
+    })
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+
+def _brute(patterns, project):
+    """Reference evaluator: enumerate all row combinations, keep
+    consistent variable assignments."""
+    rows = []
+    for combo in itertools.product(TRIPLES, repeat=len(patterns)):
+        env = {}
+        ok = True
+        for (s, p, o), pat in zip(combo, patterns):
+            for term, val in zip(pat, (s, p, o)):
+                if _is_var(term):
+                    if env.setdefault(term, val) != val:
+                        ok = False
+                        break
+                elif term != val:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            rows.append(tuple(env[v] for v in project))
+    cols = [v[1:] for v in project]
+    return (pd.DataFrame(sorted(set(rows)), columns=cols)
+            if rows else pd.DataFrame(columns=cols))
+
+
+def _run(patterns, project, num_blocks=1):
+    out = bgp_query(_triples_ds(num_blocks), patterns,
+                    project=project, distinct=True).to_pandas()
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_blocks", [1, 4])
+def test_two_hop_chain_matches_bruteforce(ray_session, num_blocks):
+    patterns = [("?d", "mentions", "?e"), ("?e", "hq_in", "?pl")]
+    got = _run(patterns, ["?d", "?e", "?pl"], num_blocks)
+    want = _brute(patterns, ["?d", "?e", "?pl"])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_three_hop_chain_matches_bruteforce(ray_session):
+    patterns = [("?d", "mentions", "?e"), ("?e", "hq_in", "?pl"),
+                ("?pl", "in_country", "?c")]
+    got = _run(patterns, ["?d", "?c"])
+    want = _brute(patterns, ["?d", "?c"])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_constant_object_and_subject(ray_session):
+    patterns = [("?d", "mentions", "octan"), ("?d", "title", "?t")]
+    got = _run(patterns, ["?d", "?t"])
+    want = _brute(patterns, ["?d", "?t"])
+    pd.testing.assert_frame_equal(got, want)
+    assert got["d"].tolist() == ["d1"]
+
+
+def test_repeated_variable_within_pattern(ray_session):
+    # (?x, same_as, ?x) matches only the reflexive row
+    got = _run([("?x", "same_as", "?x")], ["?x"])
+    assert got["x"].tolist() == ["octan"]
+
+
+def test_empty_result_keeps_schema(ray_session):
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "nosuch"), ("?d", "title", "?t")],
+        project=["?d", "?t"],
+    )
+    # Dataset keeps the typed schema (Ray's to_pandas drops columns on
+    # 0-row datasets, so assert on the schema, not the frame)
+    assert got.schema().names == ["d", "t"]
+    assert got.count() == 0
+
+
+def test_disconnected_bgp_rejected(ray_session):
+    with pytest.raises(ValueError, match="Disconnected"):
+        bgp_query(_triples_ds(),
+                  [("?a", "mentions", "?b"), ("?x", "hq_in", "?y")])
+
+
+def test_constant_only_pattern_rejected(ray_session):
+    with pytest.raises(ValueError, match="no variables"):
+        bgp_query(_triples_ds(), [("d1", "mentions", "acme")])
+
+
+def test_join_order_heuristic_is_semantics_free(ray_session):
+    # same query, patterns listed most-selective-last: result identical
+    fwd = [("?d", "mentions", "?e"), ("?e", "hq_in", "vienna")]
+    rev = list(reversed(fwd))
+    pd.testing.assert_frame_equal(_run(fwd, ["?d", "?e"]),
+                                  _run(rev, ["?d", "?e"]))
+
+
+def test_event_triples_encoding(ray_session):
+    ds = event_triples("/root/testdata/sf0.001")
+    row = ds.take(1)[0]
+    assert row["subject"].startswith("user:")
+    assert len(row["object"]) == 10  # YYYY-MM-DD
+    assert row["object_kind"] == "literal"
