@@ -297,6 +297,53 @@ def _kg_validation(sf_dir: str):
     return validate_triples(_kg_records(sf_dir)["triples"])
 
 
+def _kg_incremental_delta(sf_dir: str):
+    """Incremental KG crawl step (rows-only): the standing corpus
+    (``doc_id % 10 != 0``) is extracted ONCE and published as a
+    fingerprinted generation root under /tmp; the query then extracts
+    the new shard (``doc_id % 10 == 0``) and returns only its
+    not-yet-published triples — deterministic across reruns because the
+    probe never appends."""
+    import os
+    import shutil
+
+    from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ck
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg import run_kg_pipeline
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_incremental import (
+        kg_incremental_update,
+        kg_new_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import (
+        pages_from_documents,
+    )
+
+    def _mod_pred(keep_new: bool):
+        def pred(t):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 10 == 0) if keep_new else (ids % 10 != 0)
+            return pa.array(mask)
+
+        return pred
+
+    root = ck.default_cache_dir(
+        "graft_kg_generations", os.path.abspath(sf_dir))
+    fp = ck.input_fingerprint([f"{sf_dir}/documents.parquet"],
+                              {"split": "mod10", "side": "corpus"})
+    if not ck.is_valid(root, fp):
+        shutil.rmtree(root, ignore_errors=True)
+        kg_incremental_update(
+            pages_from_documents(sf_dir, doc_pred=_mod_pred(False)),
+            root, concurrency=_kg_concurrency(sf_dir))
+        ck.mark_done(root, fp)
+    shard = run_kg_pipeline(
+        pages_from_documents(sf_dir, doc_pred=_mod_pred(True)),
+        concurrency=_kg_concurrency(sf_dir))
+    return kg_new_triples(shard["triples"], root)
+
+
 def _kg_bgp_same_day(sf_dir: str):
     """Distributed BGP over a deterministic events→triples encoding:
     users with a click and a purchase on the same day (2-pattern join on
@@ -1020,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active_users": _events_rolling_active,
         "segment_year_pivot": _segment_year_pivot,
         "kg_validation": _kg_validation,
+        "kg_incremental_delta": _kg_incremental_delta,
         "kg_bgp_same_day": _kg_bgp_same_day,
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,

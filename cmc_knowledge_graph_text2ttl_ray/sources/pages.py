@@ -245,15 +245,23 @@ def pages_dataset(n_rows: int, override_num_blocks: int | None = None):
     return ds.map_batches(synth, batch_format="pyarrow", batch_size=512)
 
 
-def pages_from_documents(sf_dir: str):
+def pages_from_documents(sf_dir: str, doc_pred=None):
     """Derive a deterministic pages table from the driver-provided
     ``documents`` table (so correctness queries are tied to sf_dir): the
     document text becomes a filler paragraph and the synthetic facts are a
     pure function of doc_id — same template mix as :func:`synthesize_page`.
+
+    ``doc_pred``: optional vectorized row filter applied at the read —
+    ``fn(pa.Table) -> boolean mask`` over the documents batch (used to
+    carve crawl shards, e.g. ``doc_id % 10`` splits, without a second
+    source implementation).
     """
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    if doc_pred is not None:
+        ds = ds.map_batches(lambda t: t.filter(doc_pred(t)),
+                            batch_format="pyarrow")
 
     def to_pages(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

@@ -92,6 +92,31 @@ def ttl_dataset(path: str, include_src_file: bool = False):
     return out
 
 
+def _est_ttl_rows(p: str) -> int:
+    """Metadata-only triple-count estimate for partition sizing (bytes on
+    disk ≈ 60-80 B per serialized triple; a .count() would parse every
+    shard a second time just to pick a partition count).  Recurses so
+    generation roots (``gen-NNNNN`` subdirs) estimate like flat dirs;
+    gzip shards are ~8-10x smaller on disk, so their bytes count ~9x
+    more rows per byte than plain .ttl."""
+    import os
+
+    if os.path.isdir(p):
+        total = 0
+        for e in os.scandir(p):
+            if e.is_dir():
+                total += _est_ttl_rows(e.path)
+            elif e.name.endswith(".ttl.gz"):
+                total += e.stat().st_size * 9 // 70
+            elif e.name.endswith(".ttl"):
+                total += e.stat().st_size // 70
+        return total
+    if not os.path.exists(p):
+        return 0
+    mult = 9 if p.endswith(".gz") else 1
+    return os.path.getsize(p) * mult // 70
+
+
 def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
     """Set difference of two knowledge graphs (TTL shard dirs or files):
     rows in TRIPLES_SCHEMA minus ``src_file``, plus a ``change`` column —
@@ -120,28 +145,7 @@ def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
     old = ttl_dataset(old_path)
     new = ttl_dataset(new_path)
     if num_partitions is None:
-        # size partitions from file METADATA (bytes on disk ≈ 60-80 B per
-        # serialized triple) — a .count() here would parse every shard a
-        # second time just to pick a partition count
-        import os
-
-        def _est_rows(p: str) -> int:
-            # gzip shards are ~8-10x smaller on disk, so their bytes count
-            # ~9x more rows per byte than plain .ttl
-            if os.path.isdir(p):
-                total = 0
-                for e in os.scandir(p):
-                    if e.name.endswith(".ttl.gz"):
-                        total += e.stat().st_size * 9 // 70
-                    elif e.name.endswith(".ttl"):
-                        total += e.stat().st_size // 70
-                return total
-            if not os.path.exists(p):
-                return 0
-            mult = 9 if p.endswith(".gz") else 1
-            return os.path.getsize(p) * mult // 70
-
-        est_rows = _est_rows(old_path) + _est_rows(new_path)
+        est_rows = _est_ttl_rows(old_path) + _est_ttl_rows(new_path)
         num_partitions = default_coarse_partitions(max(est_rows, 1))
 
     def tag(side: int):
