@@ -379,6 +379,22 @@ def _kg_bgp_orders_by_nation(sf_dir: str):
     return bindings.groupby("name").aggregate(Count(alias_name="n_orders"))
 
 
+def _kg_bgp_click_no_purchase(sf_dir: str):
+    """SPARQL MINUS (distributed left_anti join) over the events triple
+    encoding: (user, day) pairs with a click but NO purchase that day."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        bgp_query,
+        event_triples,
+    )
+
+    return bgp_query(
+        event_triples(sf_dir),
+        [("?u", "click", "?d")],
+        minus_patterns=[("?u", "purchase", "?d")],
+        project=["?u", "?d"], distinct=True,
+    )
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1070,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_delta": _kg_incremental_delta,
         "kg_bgp_same_day": _kg_bgp_same_day,
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
+        "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "part_size_unpivot": _part_size_unpivot,
         "events_daily_anomalies": _events_daily_anomalies,
@@ -2499,5 +2516,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        # SPARQL MINUS ≡ anti self-join on (user, day): click days with
+        # no purchase by the same user that day
+        "kg_bgp_click_no_purchase": """
+            SELECT DISTINCT 'user:' || CAST(c.user_id AS VARCHAR) AS u,
+                            strftime(c.ts, '%Y-%m-%d')            AS d
+            FROM events c
+            WHERE c.event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id
+                  AND strftime(p.ts, '%Y-%m-%d') = strftime(c.ts, '%Y-%m-%d')
+              )
         """,
     }

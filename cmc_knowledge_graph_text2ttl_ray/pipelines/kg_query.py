@@ -143,25 +143,26 @@ def _plan_order(patterns: list[Sequence[str]]) -> list[Sequence[str]]:
     return order
 
 
-def bgp_query(
-    triples,
-    patterns: list[Sequence[str]],
-    project: list[str] | None = None,
-    distinct: bool = False,
-    num_partitions: int | None = None,
-):
-    """Evaluate a conjunctive triple-pattern query over a triples Dataset.
+def _compact(ds):
+    """Materialize a binding table and re-block it so no block is
+    empty.  Two reasons: (a) Ray's hash-shuffle broadcasts each
+    side's schema from its FIRST shuffled block only, and an empty
+    first block silently skips the broadcast — data-less partitions
+    then crash pyarrow's join with "No match for key field"
+    (hash_shuffle.py::_shuffle_block's num_rows==0 early return);
+    (b) the count sizes the next join's partition count by the
+    small side (repo convention).  Binding tables are projected
+    few-column rows and the hash join materializes both sides in
+    its aggregators regardless, so this adds no new scale cost
+    class — it relocates the same bytes to the spillable store."""
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return None, 0
+    return m.repartition(max(1, min(200, -(-n // 50_000)))), n
 
-    ``triples`` needs ``subject`` / ``predicate`` / ``object`` columns
-    (the pipeline's triple schema; extra columns are ignored).  Returns a
-    Dataset with one ``string`` column per variable (names without the
-    ``?``), restricted to ``project`` if given.
-    """
-    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
-        coarse_group_reduce,
-        default_join_partitions,
-    )
 
+def _validate_patterns(patterns):
     if not patterns:
         raise ValueError("bgp_query needs at least one pattern")
     for pat in patterns:
@@ -172,39 +173,20 @@ def bgp_query(
                 f"pattern {pat!r} has no variables; constant-only "
                 "assertions belong in a filter, not a BGP join"
             )
+
+
+def _join_group(triples, patterns, num_partitions):
+    """Inner-join one connected pattern group; returns
+    ``(dataset_or_None, n_rows, bound_var_set)``."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
     order = _plan_order(list(patterns))
-    all_vars = sorted({v for pat in order for v in _pattern_vars(pat)})
-    cols = [v.lstrip("?") for v in project] if project else [
-        v[1:] for v in all_vars]
-
-    def _empty_result():
-        import ray.data
-
-        return ray.data.from_arrow(
-            pa.schema([(c, pa.string()) for c in cols]).empty_table())
-
-    def _compact(ds):
-        """Materialize a binding table and re-block it so no block is
-        empty.  Two reasons: (a) Ray's hash-shuffle broadcasts each
-        side's schema from its FIRST shuffled block only, and an empty
-        first block silently skips the broadcast — data-less partitions
-        then crash pyarrow's join with "No match for key field"
-        (hash_shuffle.py::_shuffle_block's num_rows==0 early return);
-        (b) the count sizes the next join's partition count by the
-        small side (repo convention).  Binding tables are projected
-        few-column rows and the hash join materializes both sides in
-        its aggregators regardless, so this adds no new scale cost
-        class — it relocates the same bytes to the spillable store."""
-        m = ds.materialize()
-        n = m.count()
-        if n == 0:
-            return None, 0
-        return m.repartition(max(1, min(200, -(-n // 50_000)))), n
-
+    bound = set(_pattern_vars(order[0]))
     acc, n_acc = _compact(_pattern_scan(triples, order[0]))
     if acc is None:
-        return _empty_result()
-    bound = set(_pattern_vars(order[0]))
+        return None, 0, bound | {v for p in order for v in _pattern_vars(p)}
     for pat in order[1:]:
         pat_vars = set(_pattern_vars(pat))
         shared = sorted(bound & pat_vars)
@@ -213,7 +195,7 @@ def bgp_query(
         rhs, n_rhs = _compact(_pattern_scan(
             triples, pat, rename={v[1:]: v[1:] + "__r" for v in shared}))
         if rhs is None:
-            return _empty_result()
+            return None, 0, bound | pat_vars
         np_join = num_partitions or max(1, min(
             default_join_partitions(), -(-min(n_acc, n_rhs) // 50_000)))
         acc = acc.join(
@@ -225,9 +207,173 @@ def bgp_query(
         )
         keep = [v[1:] for v in sorted(bound | pat_vars)]
         acc, n_acc = _compact(acc.select_columns(keep))
-        if acc is None:
-            return _empty_result()
         bound |= pat_vars
+        if acc is None:
+            return None, 0, bound
+    return acc, n_acc, bound
+
+
+_FILTER_OPS = {
+    "=": pc.equal, "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
+    ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _apply_filters(ds, filters):
+    """Vectorized solution filters.  Each filter is ``(?var, op, value)``
+    with op in ``= != < <= > >= is_null not_null`` (string comparison —
+    bindings are lexical values), or a callable
+    ``fn(pa.Table) -> BooleanArray``.  SPARQL semantics: a comparison on
+    an unbound (null) variable does not match; ``is_null`` selects the
+    unbound rows an OPTIONAL group left behind."""
+    def mask_batch(t: pa.Table) -> pa.Table:
+        mask = None
+        for f in filters:
+            if callable(f):
+                m = f(t)
+            else:
+                var, op, value = f
+                col = t[var.lstrip("?")]
+                if op == "is_null":
+                    m = pc.is_null(col)
+                elif op == "not_null":
+                    m = pc.is_valid(col)
+                elif op in _FILTER_OPS:
+                    m = pc.fill_null(_FILTER_OPS[op](col, value), False)
+                else:
+                    raise ValueError(f"unknown filter op {op!r}")
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask) if mask is not None else t
+
+    return ds.map_batches(mask_batch, batch_format="pyarrow")
+
+
+def bgp_query(
+    triples,
+    patterns: list[Sequence[str]],
+    project: list[str] | None = None,
+    distinct: bool = False,
+    num_partitions: int | None = None,
+    optional_patterns: list[Sequence[str]] | None = None,
+    minus_patterns: list[Sequence[str]] | None = None,
+    filters: list | None = None,
+):
+    """Evaluate a conjunctive triple-pattern query over a triples Dataset.
+
+    ``triples`` needs ``subject`` / ``predicate`` / ``object`` columns
+    (the pipeline's triple schema; extra columns are ignored).  Returns a
+    Dataset with one ``string`` column per variable (names without the
+    ``?``), restricted to ``project`` if given.
+
+    ``optional_patterns``: ONE internally-connected OPTIONAL group,
+    left-outer-joined to the required solutions on their shared
+    variables (SPARQL ``OPTIONAL { }``) — unmatched rows carry nulls.
+    ``minus_patterns``: ONE internally-connected group subtracted from
+    the solutions on shared variables (SPARQL ``MINUS`` / ``FILTER NOT
+    EXISTS`` over shared vars) — a distributed ``left_anti`` hash join.
+    ``filters``: solution filters applied after all joins (see
+    :func:`_apply_filters`); combine with ``("?v", "is_null", None)``
+    for the classic OPTIONAL-based negation.
+    """
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+
+    _validate_patterns(patterns)
+    if optional_patterns:
+        _validate_patterns(optional_patterns)
+    all_vars = sorted(
+        {v for pat in patterns for v in _pattern_vars(pat)}
+        | {v for pat in (optional_patterns or [])
+           for v in _pattern_vars(pat)})
+    cols = [v.lstrip("?") for v in project] if project else [
+        v[1:] for v in all_vars]
+
+    def _empty_result():
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.schema([(c, pa.string()) for c in cols]).empty_table())
+
+    acc, n_acc, bound = _join_group(triples, patterns, num_partitions)
+    if acc is None:
+        return _empty_result()
+
+    if optional_patterns:
+        opt_vars = {v for pat in optional_patterns
+                    for v in _pattern_vars(pat)}
+        shared = sorted(bound & opt_vars)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                "patterns — an unconstrained cross product is rejected")
+        opt, n_opt, opt_vars = _join_group(
+            triples, optional_patterns, num_partitions)
+        extra = [v[1:] for v in sorted(opt_vars - bound)]
+        if opt is None:
+            # empty optional side: every solution keeps nulls — extend
+            # in-place instead of joining (Ray's left_outer would never
+            # see the right schema)
+            def add_nulls(t: pa.Table) -> pa.Table:
+                for name in extra:
+                    t = t.append_column(
+                        name, pa.nulls(len(t), pa.string()))
+                return t
+
+            acc = acc.map_batches(add_nulls, batch_format="pyarrow")
+        else:
+            # post-compact blocks are non-empty, so a rename Project is
+            # safe here (unlike pre-join pattern scans)
+            opt = opt.rename_columns(
+                {v[1:]: v[1:] + "__r" for v in shared})
+            np_join = num_partitions or max(1, min(
+                default_join_partitions(),
+                -(-min(n_acc, n_opt) // 50_000)))
+            acc = acc.join(
+                opt,
+                join_type="left_outer",
+                num_partitions=np_join,
+                on=tuple(v[1:] for v in shared),
+                right_on=tuple(v[1:] + "__r" for v in shared),
+            )
+            acc = acc.select_columns(
+                [v[1:] for v in sorted(bound)] + extra)
+        bound |= opt_vars
+
+    if minus_patterns:
+        _validate_patterns(minus_patterns)
+        mvars = {v for pat in minus_patterns for v in _pattern_vars(pat)}
+        shared = sorted(bound & mvars)
+        if not shared:
+            raise ValueError(
+                "MINUS group shares no variable with the solutions — "
+                "the subtraction would be a no-op or a cross product")
+        mins, n_min, _ = _join_group(triples, minus_patterns,
+                                     num_partitions)
+        if mins is not None:
+            # project the subtrahend to its join keys (dedup in-block —
+            # anti join needs key presence only) and left_anti join
+            key_cols = [v[1:] for v in shared]
+
+            def keys_only(t: pa.Table) -> pa.Table:
+                sub = pa.table({c + "__r": t[c] for c in key_cols})
+                return sub.group_by(list(sub.column_names)).aggregate([])
+
+            mins = mins.map_batches(keys_only, batch_format="pyarrow")
+            np_join = num_partitions or max(1, min(
+                default_join_partitions(),
+                -(-min(n_acc, n_min) // 50_000)))
+            acc = acc.join(
+                mins,
+                join_type="left_anti",
+                num_partitions=np_join,
+                on=tuple(key_cols),
+                right_on=tuple(c + "__r" for c in key_cols),
+            )
+
+    if filters:
+        acc = _apply_filters(acc, filters)
 
     acc = acc.select_columns(cols)
     if distinct:

@@ -138,6 +138,102 @@ def test_join_order_heuristic_is_semantics_free(ray_session):
                                   _run(rev, ["?d", "?e"]))
 
 
+def test_optional_keeps_unmatched_with_nulls(ray_session):
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "?e")],
+        optional_patterns=[("?e", "hq_in", "?pl")],
+        project=["?d", "?e", "?pl"], distinct=True,
+    ).to_pandas().sort_values(["d", "e"]).reset_index(drop=True)
+    # d3 mentions initech, which has no hq_in triple → null pl
+    assert got.loc[(got.d == "d3") & (got.e == "initech"), "pl"].isna().all()
+    assert got.loc[(got.d == "d1") & (got.e == "acme"), "pl"].tolist() == ["berlin"]
+    assert len(got) == 4  # (d1,acme) (d1,octan) (d2,octan) (d3,initech)
+
+
+def test_optional_with_empty_group_extends_nulls(ray_session):
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "?e")],
+        optional_patterns=[("?e", "no_such_pred", "?z")],
+        project=["?d", "?e", "?z"], distinct=True,
+    ).to_pandas()
+    assert len(got) == 4
+    assert got["z"].isna().all()
+
+
+def test_optional_is_null_filter_negation(ray_session):
+    # the classic OPTIONAL + FILTER(!bound) negation: entities mentioned
+    # but with no known headquarters
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "?e")],
+        optional_patterns=[("?e", "hq_in", "?pl")],
+        filters=[("?pl", "is_null", None)],
+        project=["?e"], distinct=True,
+    ).to_pandas()
+    assert got["e"].tolist() == ["initech"]
+
+
+def test_comparison_filter(ray_session):
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "?e")],
+        filters=[("?d", "!=", "d1")],
+        project=["?d", "?e"], distinct=True,
+    ).to_pandas().sort_values(["d", "e"]).reset_index(drop=True)
+    assert got["d"].tolist() == ["d2", "d3"]
+
+
+def test_callable_filter(ray_session):
+    import pyarrow.compute as pc
+
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "?e")],
+        filters=[lambda t: pc.match_substring(t["e"], "tan")],
+        project=["?e"], distinct=True,
+    ).to_pandas()
+    assert got["e"].tolist() == ["octan"]
+
+
+def test_disconnected_optional_rejected(ray_session):
+    with pytest.raises(ValueError, match="OPTIONAL group shares no"):
+        bgp_query(_triples_ds(), [("?d", "mentions", "?e")],
+                  optional_patterns=[("?x", "hq_in", "?y")],
+                  project=["?d"])
+
+
+def test_minus_subtracts_on_shared_vars(ray_session):
+    # docs that mention an entity MINUS entities with a known hq:
+    # initech is the only mentioned entity without hq_in
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "?e")],
+        minus_patterns=[("?e", "hq_in", "?pl")],
+        project=["?d", "?e"], distinct=True,
+    ).to_pandas()
+    assert got.values.tolist() == [["d3", "initech"]]
+
+
+def test_minus_with_empty_group_is_noop(ray_session):
+    base = _run([("?d", "mentions", "?e")], ["?d", "?e"])
+    got = bgp_query(
+        _triples_ds(),
+        [("?d", "mentions", "?e")],
+        minus_patterns=[("?e", "no_such_pred", "?z")],
+        project=["?d", "?e"], distinct=True,
+    ).to_pandas().sort_values(["d", "e"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, base)
+
+
+def test_disconnected_minus_rejected(ray_session):
+    with pytest.raises(ValueError, match="MINUS group shares no"):
+        bgp_query(_triples_ds(), [("?d", "mentions", "?e")],
+                  minus_patterns=[("?x", "hq_in", "?y")],
+                  project=["?d"])
+
+
 def test_event_triples_encoding(ray_session):
     ds = event_triples("/root/testdata/sf0.001")
     row = ds.take(1)[0]
