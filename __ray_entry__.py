@@ -395,6 +395,44 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_construct_order_nation(sf_dir: str):
+    """SPARQL-CONSTRUCT over the order-chain triple encoding: derive
+    (order, from_nation, nation) triples from the 2-pattern body."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import construct
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+
+    derived = construct(
+        order_triples(sf_dir),
+        [("?o", "placed_by", "?c"), ("?c", "in_nation", "?n")],
+        [("?o", "from_nation", "?n")],
+    )
+    return derived.select_columns(["subject", "predicate", "object"])
+
+
+def _kg_forward_chain_locations(sf_dir: str):
+    """Semi-naive forward chaining over the flagship KG: lift
+    headquarteredIn/inCountry into a transitive locatedIn, closing
+    entity→place→country in two rounds (rows-only: KG semantics)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        Rule,
+        forward_chain,
+    )
+
+    kg = "http://example.org/kg/"
+    rules = [
+        Rule([("?e", kg + "headquarteredIn", "?p")],
+             [("?e", kg + "locatedIn", "?p")], name="hq"),
+        Rule([("?p", kg + "inCountry", "?c")],
+             [("?p", kg + "locatedIn", "?c")], name="country"),
+        Rule([("?x", kg + "locatedIn", "?y"), ("?y", kg + "locatedIn", "?z")],
+             [("?x", kg + "locatedIn", "?z")], name="trans"),
+    ]
+    res = forward_chain(_kg_records(sf_dir)["triples"], rules)
+    return res["derived"].select_columns(["subject", "predicate", "object"])
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1087,6 +1125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_same_day": _kg_bgp_same_day,
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
+        "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_forward_chain_locations": _kg_forward_chain_locations,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "part_size_unpivot": _part_size_unpivot,
         "events_daily_anomalies": _events_daily_anomalies,
@@ -2530,5 +2570,15 @@ def oracle_sql() -> dict[str, str]:
                   AND p.user_id = c.user_id
                   AND strftime(p.ts, '%Y-%m-%d') = strftime(c.ts, '%Y-%m-%d')
               )
+        """,
+        # SPARQL CONSTRUCT ≡ join + string templating: one derived
+        # (order, from_nation, nation) triple per order
+        "kg_construct_order_nation": """
+            SELECT DISTINCT
+                   'order:' || CAST(o_orderkey AS VARCHAR)   AS subject,
+                   'from_nation'                             AS predicate,
+                   'nation:' || CAST(c_nationkey AS VARCHAR) AS object
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
         """,
     }

@@ -121,17 +121,20 @@ def _pattern_scan(triples, pattern: Sequence[str],
     return triples.map_batches(scan, batch_format="pyarrow")
 
 
-def _plan_order(patterns: list[Sequence[str]]) -> list[Sequence[str]]:
+def _plan_order_indices(patterns: list[Sequence[str]]) -> list[int]:
     """Most-selective pattern first, then greedy by shared-variable
-    connectivity (never introduces a cross product)."""
-    remaining = sorted(patterns, key=_selectivity_key)
+    connectivity (never introduces a cross product).  Returns indices
+    into ``patterns`` so per-pattern metadata (e.g. semi-naive source
+    overrides) survives the reorder."""
+    remaining = sorted(range(len(patterns)),
+                       key=lambda i: _selectivity_key(patterns[i]))
     order = [remaining.pop(0)]
-    bound = set(_pattern_vars(order[0]))
+    bound = set(_pattern_vars(patterns[order[0]]))
     while remaining:
-        for i, pat in enumerate(remaining):
-            if bound & set(_pattern_vars(pat)):
-                order.append(remaining.pop(i))
-                bound |= set(_pattern_vars(order[-1]))
+        for pos, i in enumerate(remaining):
+            if bound & set(_pattern_vars(patterns[i])):
+                order.append(remaining.pop(pos))
+                bound |= set(_pattern_vars(patterns[i]))
                 break
         else:
             raise ValueError(
@@ -175,25 +178,38 @@ def _validate_patterns(patterns):
             )
 
 
-def _join_group(triples, patterns, num_partitions):
+def _join_group(triples, patterns, num_partitions, pattern_sources=None):
     """Inner-join one connected pattern group; returns
-    ``(dataset_or_None, n_rows, bound_var_set)``."""
+    ``(dataset_or_None, n_rows, bound_var_set)``.
+
+    ``pattern_sources``: optional per-pattern source Datasets (aligned
+    with ``patterns``; ``None`` entries fall back to ``triples``) — the
+    semi-naive evaluation hook: a rule body re-evaluated with one
+    pattern bound to the round's DELTA scans only the delta there."""
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         default_join_partitions,
     )
 
-    order = _plan_order(list(patterns))
+    patterns = list(patterns)
+
+    def _src(i):
+        if pattern_sources is not None and pattern_sources[i] is not None:
+            return pattern_sources[i]
+        return triples
+
+    order_idx = _plan_order_indices(patterns)
+    order = [patterns[i] for i in order_idx]
     bound = set(_pattern_vars(order[0]))
-    acc, n_acc = _compact(_pattern_scan(triples, order[0]))
+    acc, n_acc = _compact(_pattern_scan(_src(order_idx[0]), order[0]))
     if acc is None:
         return None, 0, bound | {v for p in order for v in _pattern_vars(p)}
-    for pat in order[1:]:
+    for oi, pat in zip(order_idx[1:], order[1:]):
         pat_vars = set(_pattern_vars(pat))
         shared = sorted(bound & pat_vars)
         # suffix the right side's join keys in-scan: Ray's hash join keeps
         # both sides' columns, so identical names must not collide
         rhs, n_rhs = _compact(_pattern_scan(
-            triples, pat, rename={v[1:]: v[1:] + "__r" for v in shared}))
+            _src(oi), pat, rename={v[1:]: v[1:] + "__r" for v in shared}))
         if rhs is None:
             return None, 0, bound | pat_vars
         np_join = num_partitions or max(1, min(
@@ -257,6 +273,7 @@ def bgp_query(
     optional_patterns: list[Sequence[str]] | None = None,
     minus_patterns: list[Sequence[str]] | None = None,
     filters: list | None = None,
+    pattern_sources: list | None = None,
 ):
     """Evaluate a conjunctive triple-pattern query over a triples Dataset.
 
@@ -296,7 +313,8 @@ def bgp_query(
         return ray.data.from_arrow(
             pa.schema([(c, pa.string()) for c in cols]).empty_table())
 
-    acc, n_acc, bound = _join_group(triples, patterns, num_partitions)
+    acc, n_acc, bound = _join_group(triples, patterns, num_partitions,
+                                    pattern_sources=pattern_sources)
     if acc is None:
         return _empty_result()
 

@@ -1,0 +1,135 @@
+"""Rule-based KG inference (pipelines/kg_infer.py)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+    Rule,
+    construct,
+    forward_chain,
+)
+
+
+def _ds(triples, num_blocks=1):
+    import ray.data
+
+    tbl = pa.table({
+        "subject": [t[0] for t in triples],
+        "predicate": [t[1] for t in triples],
+        "object": [t[2] for t in triples],
+        "object_kind": ["iri"] * len(triples),
+        "object_lang": pa.array([None] * len(triples), pa.string()),
+        "object_datatype": pa.array([None] * len(triples), pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+
+def _spo(ds):
+    df = ds.to_pandas()
+    if df.empty:
+        return set()
+    return set(map(tuple, df[["subject", "predicate", "object"]].values))
+
+
+MENTIONS = [
+    ("d1", "mentions", "acme"), ("d2", "mentions", "octan"),
+    ("acme", "hq_in", "berlin"), ("octan", "hq_in", "vienna"),
+    ("berlin", "in_country", "germany"), ("vienna", "in_country", "austria"),
+]
+
+
+def test_construct_emits_templated_triples(ray_session):
+    derived = construct(
+        _ds(MENTIONS),
+        [("?e", "hq_in", "?pl"), ("?pl", "in_country", "?c")],
+        [("?e", "based_in", "?c")],
+    )
+    assert _spo(derived) == {("acme", "based_in", "germany"),
+                             ("octan", "based_in", "austria")}
+    kinds = set(derived.to_pandas()["object_kind"])
+    assert kinds == {"iri"}
+
+
+def test_construct_literal_template_meta(ray_session):
+    derived = construct(
+        _ds(MENTIONS),
+        [("?e", "hq_in", "?pl")],
+        [("?e", "hq_label", "?pl",
+          {"object_kind": "literal", "object_lang": "en"})],
+    )
+    df = derived.to_pandas()
+    assert set(df["object_kind"]) == {"literal"}
+    assert set(df["object_lang"]) == {"en"}
+
+
+def test_construct_multi_head(ray_session):
+    derived = construct(
+        _ds(MENTIONS),
+        [("?d", "mentions", "?e")],
+        [("?d", "cites", "?e"), ("?e", "cited_by", "?d")],
+    )
+    assert _spo(derived) == {
+        ("d1", "cites", "acme"), ("acme", "cited_by", "d1"),
+        ("d2", "cites", "octan"), ("octan", "cited_by", "d2"),
+    }
+
+
+def test_head_variable_must_be_bound():
+    with pytest.raises(ValueError, match="not bound"):
+        Rule([("?a", "p", "?b")], [("?a", "q", "?zzz")])
+
+
+CHAIN = [("a", "locatedIn", "b"), ("b", "locatedIn", "c"),
+         ("c", "locatedIn", "d")]
+
+TRANS = Rule([("?x", "locatedIn", "?y"), ("?y", "locatedIn", "?z")],
+             [("?x", "locatedIn", "?z")], name="trans")
+
+
+@pytest.mark.parametrize("num_blocks", [1, 4])
+def test_forward_chain_transitive_closure(ray_session, num_blocks):
+    res = forward_chain(_ds(CHAIN, num_blocks), [TRANS])
+    want_closure = {("a", "locatedIn", x) for x in "bcd"} \
+        | {("b", "locatedIn", x) for x in "cd"} \
+        | {("c", "locatedIn", "d")}
+    assert _spo(res["closure"]) == want_closure
+    assert res["n_derived"] == 3  # (a,c) (b,d) (a,d)
+    # chain of 4 closes in 2 rounds (doubling via semi-naive deltas)
+    assert res["rounds"] == 2
+
+
+def test_forward_chain_fixpoint_idempotent(ray_session):
+    res1 = forward_chain(_ds(CHAIN), [TRANS])
+    res2 = forward_chain(res1["closure"], [TRANS])
+    assert res2["n_derived"] == 0
+    assert res2["rounds"] == 0
+    assert _spo(res2["closure"]) == _spo(res1["closure"])
+
+
+def test_forward_chain_type_inheritance(ray_session):
+    triples = [
+        ("cat", "subClassOf", "mammal"), ("mammal", "subClassOf", "animal"),
+        ("felix", "type", "cat"),
+    ]
+    rules = [
+        Rule([("?c", "subClassOf", "?d"), ("?d", "subClassOf", "?e")],
+             [("?c", "subClassOf", "?e")]),
+        Rule([("?x", "type", "?c"), ("?c", "subClassOf", "?d")],
+             [("?x", "type", "?d")]),
+    ]
+    res = forward_chain(_ds(triples), rules)
+    got = _spo(res["closure"])
+    assert ("felix", "type", "mammal") in got
+    assert ("felix", "type", "animal") in got
+    assert ("cat", "subClassOf", "animal") in got
+    assert res["n_derived"] == 3
+
+
+def test_forward_chain_max_rounds_bound(ray_session):
+    long_chain = [(f"n{i}", "locatedIn", f"n{i+1}") for i in range(12)]
+    res = forward_chain(_ds(long_chain), [TRANS], max_rounds=1)
+    # one round only: exactly the distance-2 pairs
+    assert res["rounds"] == 1
+    assert res["n_derived"] == 11
