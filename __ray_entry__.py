@@ -354,7 +354,7 @@ def _kg_bgp_same_day(sf_dir: str):
     )
 
     return bgp_query(
-        event_triples(sf_dir),
+        event_triples(sf_dir).materialize(),
         [("?u", "click", "?d"), ("?u", "purchase", "?d")],
         project=["?u", "?d"], distinct=True,
     )
@@ -371,7 +371,7 @@ def _kg_bgp_orders_by_nation(sf_dir: str):
     )
 
     bindings = bgp_query(
-        order_triples(sf_dir),
+        order_triples(sf_dir).materialize(),
         [("?o", "placed_by", "?c"), ("?c", "in_nation", "?n"),
          ("?n", "has_name", "?name")],
         project=["?name", "?o"],
@@ -388,7 +388,7 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
     return bgp_query(
-        event_triples(sf_dir),
+        event_triples(sf_dir).materialize(),
         [("?u", "click", "?d")],
         minus_patterns=[("?u", "purchase", "?d")],
         project=["?u", "?d"], distinct=True,
@@ -404,7 +404,7 @@ def _kg_construct_order_nation(sf_dir: str):
     )
 
     derived = construct(
-        order_triples(sf_dir),
+        order_triples(sf_dir).materialize(),
         [("?o", "placed_by", "?c"), ("?c", "in_nation", "?n")],
         [("?o", "from_nation", "?n")],
     )

@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "docs_new_shard_near_dedup",
     "docs_boilerplate_removal",
     "docs_gopher_filter",
+    "kg_bgp_same_day",
+    "kg_bgp_orders_by_nation",
+    "kg_bgp_click_no_purchase",
+    "kg_construct_order_nation",
 ]
 
 

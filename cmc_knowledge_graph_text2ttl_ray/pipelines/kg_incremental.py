@@ -33,7 +33,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["kg_new_triples", "publish_generation", "kg_incremental_update"]
+__all__ = ["kg_new_triples", "publish_generation", "kg_incremental_update",
+           "compact_generations"]
 
 _GEN_PREFIX = "gen-"
 
@@ -130,6 +131,29 @@ def publish_generation(triples_ds, kg_root: str,
         compression=compression, filesystem=fs,
     )
     return {"generation": gen, "path": gen_dir, "manifest": manifest}
+
+
+def compact_generations(kg_root: str, out_root: str | None = None,
+                        prefixes: dict[str, str] | None = None,
+                        num_buckets: int = 64,
+                        compression: str | None = None) -> dict:
+    """Rewrite the union of all generations under ``kg_root`` as a single
+    ``gen-00000`` under ``out_root`` (default ``<kg_root>.compacted``) —
+    the LSM compaction step once read amplification (many small
+    generations) outweighs rewrite cost.  Non-destructive: the caller
+    swaps the roots after validating (an in-place directory swap is not
+    atomic across filesystems, so the engine never deletes the old root
+    itself).  The sink's fused dedup shuffle collapses any triple
+    republished across generations.  Returns the ``publish_generation``
+    dict plus ``out_root``."""
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+
+    out_root = out_root or kg_root.rstrip("/") + ".compacted"
+    pub = publish_generation(ttl_dataset(kg_root), out_root,
+                             prefixes=prefixes, num_buckets=num_buckets,
+                             compression=compression)
+    pub["out_root"] = out_root
+    return pub
 
 
 def kg_incremental_update(pages_ds, kg_root: str,

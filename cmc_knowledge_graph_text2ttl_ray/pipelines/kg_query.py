@@ -282,6 +282,11 @@ def bgp_query(
     Dataset with one ``string`` column per variable (names without the
     ``?``), restricted to ``project`` if given.
 
+    Each pattern scan re-executes the input's lineage (Ray datasets are
+    lazy): parquet-backed inputs re-read pruned (cheap); COMPUTED triple
+    encodings should be ``materialize()``d by the caller before a
+    multi-pattern query, or every pattern re-runs the encoding.
+
     ``optional_patterns``: ONE internally-connected OPTIONAL group,
     left-outer-joined to the required solutions on their shared
     variables (SPARQL ``OPTIONAL { }``) — unmatched rows carry nulls.

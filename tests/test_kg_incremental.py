@@ -68,3 +68,19 @@ def test_overlapping_shard_publishes_only_the_delta(incremental_root):
     assert third["n_new"] == 0
     assert third["generation"] is None
     assert _triple_set(ttl_dataset(root)) == set_a | set_b
+
+    # LSM compaction: union of generations rewritten as one generation,
+    # set-identical, non-destructive
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_incremental import (
+        compact_generations,
+    )
+
+    pub = compact_generations(root)
+    assert pub["generation"] == "gen-00000"
+    gens = [n for n in os.listdir(pub["out_root"]) if n.startswith("gen-")]
+    assert gens == ["gen-00000"]
+    assert _triple_set(ttl_dataset(pub["out_root"])) == set_a | set_b
+    # original root untouched
+    assert _triple_set(ttl_dataset(root)) == set_a | set_b
