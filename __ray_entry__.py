@@ -395,6 +395,52 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_sparql_purchases_per_user(sf_dir: str):
+    """SPARQL string front end compiled onto the distributed BGP engine:
+    aggregate query over the events triple encoding."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        event_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        event_triples(sf_dir).materialize(),
+        'SELECT ?u (COUNT(*) AS ?n) WHERE { ?u "purchase" ?d . } '
+        "GROUP BY ?u")
+
+
+def _kg_sparql_click_or_error_days(sf_dir: str):
+    """Distributed SPARQL UNION: (user, day) pairs with a click OR an
+    error event."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        event_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        event_triples(sf_dir).materialize(),
+        "SELECT DISTINCT ?u ?d WHERE { "
+        '{ ?u "click" ?d . } UNION { ?u "error" ?d . } }')
+
+
+def _kg_sparql_top_mentioned(sf_dir: str):
+    """SPARQL aggregate over the flagship KG's OWN triples: mention
+    counts per entity (rows-only: KG semantics)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        _kg_records(sf_dir)["triples"],
+        "PREFIX kg: <http://example.org/kg/>\n"
+        "SELECT ?e (COUNT(*) AS ?n) WHERE { ?d kg:mentions ?e . } "
+        "GROUP BY ?e")
+
+
 def _kg_construct_order_nation(sf_dir: str):
     """SPARQL-CONSTRUCT over the order-chain triple encoding: derive
     (order, from_nation, nation) triples from the 2-pattern body."""
@@ -1126,6 +1172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_sparql_purchases_per_user": _kg_sparql_purchases_per_user,
+        "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
+        "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "part_size_unpivot": _part_size_unpivot,
@@ -2580,5 +2629,20 @@ def oracle_sql() -> dict[str, str]:
                    'nation:' || CAST(c_nationkey AS VARCHAR) AS object
             FROM orders
             JOIN customer ON o_custkey = c_custkey
+        """,
+        # SPARQL front end: aggregate over the events triple encoding
+        "kg_sparql_purchases_per_user": """
+            SELECT 'user:' || CAST(user_id AS VARCHAR) AS u,
+                   COUNT(*) AS n
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        """,
+        # SPARQL UNION ≡ disjunctive predicate
+        "kg_sparql_click_or_error_days": """
+            SELECT DISTINCT 'user:' || CAST(user_id AS VARCHAR) AS u,
+                            strftime(ts, '%Y-%m-%d')            AS d
+            FROM events
+            WHERE event_type IN ('click', 'error')
         """,
     }

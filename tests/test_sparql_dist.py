@@ -1,0 +1,169 @@
+"""Distributed SPARQL front end (pipelines/sparql_dist.py).
+
+Differential strategy: every supported query runs through BOTH the
+in-memory evaluator (state/graph_index.GraphIndex.query — itself
+property-tested against brute force) and the distributed compiler
+(sparql_select over a Ray Dataset of the same triples); results must
+agree as multisets of solution mappings.
+"""
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+    sparql_select,
+)
+from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+EX = "http://example.org/"
+
+TRIPLES = [
+    (EX + "d1", EX + "mentions", EX + "acme", "iri", None, None),
+    (EX + "d1", EX + "mentions", EX + "octan", "iri", None, None),
+    (EX + "d2", EX + "mentions", EX + "octan", "iri", None, None),
+    (EX + "d3", EX + "mentions", EX + "initech", "iri", None, None),
+    (EX + "acme", EX + "hq_in", EX + "berlin", "iri", None, None),
+    (EX + "octan", EX + "hq_in", EX + "vienna", "iri", None, None),
+    (EX + "berlin", EX + "in_country", EX + "germany", "iri", None, None),
+    (EX + "vienna", EX + "in_country", EX + "austria", "iri", None, None),
+    (EX + "acme", EX + "employees", "250", "literal", None, None),
+    (EX + "octan", EX + "employees", "1200", "literal", None, None),
+    (EX + "initech", EX + "employees", "40", "literal", None, None),
+]
+
+PFX = f"PREFIX ex: <{EX}>\n"
+
+
+def _ds():
+    import ray.data
+
+    cols = list(zip(*TRIPLES))
+    return ray.data.from_arrow(pa.table({
+        "subject": list(cols[0]), "predicate": list(cols[1]),
+        "object": list(cols[2]), "object_kind": list(cols[3]),
+    }))
+
+
+def _local(query):
+    gi = GraphIndex(TRIPLES)
+    return gi.query(query)
+
+
+def _dist(query, **kw):
+    df = sparql_select(_ds(), query, **kw).to_pandas()
+    rows = []
+    for r in df.to_dict(orient="records"):
+        rows.append({k: v for k, v in r.items()
+                     if v is not None and v == v})  # drop null/NaN
+    return rows
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        items = []
+        for k, v in sorted(r.items()):
+            try:
+                items.append((k, float(v)))
+            except (TypeError, ValueError):
+                items.append((k, str(v)))
+        out.append(tuple(items))
+    return Counter(out)
+
+
+def _assert_same(query, **kw):
+    local, dist = _local(query), _dist(query, **kw)
+    assert _norm(local) == _norm(dist), (
+        f"query {query!r}: local={local} dist={dist}")
+    return dist
+
+
+def test_plain_bgp(ray_session):
+    _assert_same(PFX + """
+        SELECT ?d ?e WHERE { ?d ex:mentions ?e . ?e ex:hq_in ?p . }""")
+
+
+def test_constant_object(ray_session):
+    rows = _assert_same(PFX + """
+        SELECT ?d WHERE { ?d ex:mentions ex:octan . }""")
+    assert len(rows) == 2
+
+
+def test_optional_and_filter_numeric(ray_session):
+    _assert_same(PFX + """
+        SELECT ?e ?n WHERE {
+            ?d ex:mentions ?e .
+            OPTIONAL { ?e ex:employees ?n . }
+            FILTER(?n > 100)
+        }""")
+
+
+def test_optional_unmatched_rows_survive(ray_session):
+    _assert_same(PFX + """
+        SELECT DISTINCT ?e ?p WHERE {
+            ?d ex:mentions ?e .
+            OPTIONAL { ?e ex:hq_in ?p . }
+        }""")
+
+
+def test_minus(ray_session):
+    rows = _assert_same(PFX + """
+        SELECT DISTINCT ?e WHERE {
+            ?d ex:mentions ?e .
+            MINUS { ?e ex:hq_in ?p . }
+        }""")
+    assert rows == [{"e": EX + "initech"}]
+
+
+def test_union_same_vars(ray_session):
+    _assert_same(PFX + """
+        SELECT DISTINCT ?x WHERE {
+            { ?x ex:hq_in ?p . } UNION { ?d ex:mentions ?x . }
+        }""")
+
+
+def test_union_correlated_with_bgp(ray_session):
+    _assert_same(PFX + """
+        SELECT DISTINCT ?e ?v WHERE {
+            ?d ex:mentions ?e .
+            { ?e ex:hq_in ?v . } UNION { ?e ex:employees ?v . }
+        }""")
+
+
+def test_distinct(ray_session):
+    rows = _assert_same(PFX + """
+        SELECT DISTINCT ?e WHERE { ?d ex:mentions ?e . }""")
+    assert len(rows) == 3
+
+
+def test_count_group_by(ray_session):
+    _assert_same(PFX + """
+        SELECT ?e (COUNT(*) AS ?n) WHERE { ?d ex:mentions ?e . }
+        GROUP BY ?e""")
+
+
+def test_sum_avg_global(ray_session):
+    _assert_same(PFX + """
+        SELECT (SUM(?n) AS ?total) (AVG(?n) AS ?mean)
+        WHERE { ?e ex:employees ?n . }""")
+
+
+def test_order_by_limit(ray_session):
+    rows = _dist(PFX + """
+        SELECT ?e ?n WHERE { ?e ex:employees ?n . }
+        ORDER BY DESC(?n) LIMIT 2""")
+    # lexical DESC over "250" "1200" "40": "40" > "250" > "1200"
+    assert [r["n"] for r in rows] == ["40", "250"]
+
+
+@pytest.mark.parametrize("query,needle", [
+    (PFX + "SELECT ?x WHERE { ?x ex:p/ex:q ?y . }", "path"),
+    (PFX + "SELECT ?x WHERE { ?x ex:p ?y . BIND(?y AS ?z) }", "BIND"),
+    (PFX + 'SELECT ?x WHERE { ?x ex:p ?y . VALUES ?y { "1" } }', "VALUES"),
+    (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } OFFSET 2", "OFFSET"),
+])
+def test_unsupported_constructs_raise(ray_session, query, needle):
+    with pytest.raises(NotImplementedError, match=needle):
+        sparql_select(_ds(), query).to_pandas()
