@@ -427,6 +427,22 @@ def _kg_sparql_click_or_error_days(sf_dir: str):
         '{ ?u "click" ?d . } UNION { ?u "error" ?d . } }')
 
 
+def _kg_sparql_path_order_nations(sf_dir: str):
+    """Fixed-length property path (SPARQL-1.1 fresh-var BGP rewrite)
+    through the 3-hop order chain, aggregated per nation name."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        order_triples(sf_dir).materialize(),
+        'SELECT ?name (COUNT(*) AS ?n_orders) WHERE { '
+        '?o "placed_by"/"in_nation"/"has_name" ?name . } GROUP BY ?name')
+
+
 def _kg_sparql_top_mentioned(sf_dir: str):
     """SPARQL aggregate over the flagship KG's OWN triples: mention
     counts per entity (rows-only: KG semantics)."""
@@ -1173,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
         "kg_sparql_purchases_per_user": _kg_sparql_purchases_per_user,
+        "kg_sparql_path_order_nations": _kg_sparql_path_order_nations,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
@@ -2637,6 +2654,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase'
             GROUP BY user_id
+        """,
+        # property path placed_by/in_nation/has_name ≡ the 3-way join
+        "kg_sparql_path_order_nations": """
+            SELECT n_name AS name, COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         # SPARQL UNION ≡ disjunctive predicate
         "kg_sparql_click_or_error_days": """

@@ -21,14 +21,21 @@ answers):
 - ``{ } UNION { }`` groups (arms evaluated independently, columns
   aligned with nulls, correlated with the rest by a hash join on the
   shared variables)
+- fixed-length property paths ``p1/p2`` ``^p`` ``p1|p2`` (grouped) —
+  lowered to the SPARQL-1.1 fresh-variable BGP rewrite (DNF:
+  alternatives become UNION arms).  Deviation, documented: the rewrite
+  has the spec's BAG multiplicity (one row per route); the in-memory
+  evaluator dedups path endpoint pairs — use DISTINCT when comparing.
 - SELECT projection, ``DISTINCT``, aggregates COUNT(*) / COUNT(?v) /
   SUM / MIN / MAX / AVG with ``GROUP BY``
 - ``ORDER BY`` / ``LIMIT``.  Deviation, documented: the distributed
   sort orders LEXICALLY (Arrow string sort); the in-memory evaluator
   sorts numerically when both values parse as numbers.
 
-NOT supported distributed: property paths, BIND, VALUES, subqueries,
-FILTER EXISTS, nested OPTIONAL groups, HAVING, OFFSET.
+NOT supported distributed: unbounded path closures (``+ * ?`` — use
+``pipelines.kg_infer.forward_chain``), negated property sets, BIND,
+VALUES, subqueries, FILTER EXISTS, nested OPTIONAL groups, HAVING,
+OFFSET.
 """
 
 from __future__ import annotations
@@ -50,7 +57,52 @@ def _conv_term(term):
     if kind == "const":
         return val
     raise NotImplementedError(
-        f"distributed SPARQL: property paths are not supported ({term!r})")
+        f"distributed SPARQL: unsupported term {term!r}")
+
+
+class _Fresh:
+    """Fresh internal variables for path lowering (``__pN`` — dropped
+    from results before projection/union alignment)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def __call__(self):
+        self.n += 1
+        return ("var", f"__p{self.n}")
+
+
+def _lower_path(s_term, ast, o_term, fresh) -> list[list[tuple]]:
+    """Lower a fixed-length property-path AST to DNF: a list of
+    ALTERNATIVE conjunctive pattern lists (SPARQL 1.1 §9.1 defines
+    ``p1/p2`` / ``^p`` / ``p1|p2`` as exactly this fresh-variable BGP
+    rewrite, bag semantics).  Unbounded closures (``+ * ?``) and negated
+    property sets need recursive evaluation — they raise by name
+    (``forward_chain`` covers transitive closure as a pipeline op)."""
+    kind = ast[0]
+    if kind == "atom":
+        return [[(s_term, ("const", ast[1]), o_term)]]
+    if kind == "inv":
+        return _lower_path(o_term, ast[1], s_term, fresh)
+    if kind == "seq":
+        alts = [[]]
+        left = s_term
+        parts = ast[1]
+        for i, part in enumerate(parts):
+            right = o_term if i == len(parts) - 1 else fresh()
+            part_alts = _lower_path(left, part, right, fresh)
+            alts = [c + a for c in alts for a in part_alts]
+            left = right
+        return alts
+    if kind == "alt":
+        out = []
+        for part in ast[1]:
+            out.extend(_lower_path(s_term, part, o_term, fresh))
+        return out
+    raise NotImplementedError(
+        f"distributed SPARQL: property-path operator {kind!r} is not "
+        "supported (use pipelines.kg_infer.forward_chain for transitive "
+        "closure)")
 
 
 def _conv_patterns(patterns):
@@ -83,9 +135,22 @@ def _row_filters(ds, filter_fns):
 
 def _translate_group(elements):
     patterns, optional, minus, filters, unions = [], None, None, [], []
+    fresh = _Fresh()
     for kind, payload in elements:
         if kind == "bgp":
-            patterns.extend(_conv_patterns(payload))
+            # DNF-expand any property paths: a single conjunction extends
+            # the BGP in place; real alternatives become a UNION element
+            conj_alts = [[]]
+            for pat in payload:
+                s, p, o = pat
+                alts = (_lower_path(s, p[1], o, fresh)
+                        if isinstance(p, tuple) and p[0] == "path"
+                        else [[pat]])
+                conj_alts = [c + a for c in conj_alts for a in alts]
+            if len(conj_alts) == 1:
+                patterns.extend(_conv_patterns(conj_alts[0]))
+            else:
+                unions.append([[("bgp", alt)] for alt in conj_alts])
         elif kind == "optional":
             if optional is not None:
                 raise NotImplementedError(
@@ -181,6 +246,10 @@ def _group_dataset(triples, elements, num_partitions):
 
     if acc is None:
         raise NotImplementedError("distributed SPARQL: empty WHERE body")
+    internal = [c for c in acc.schema().names if c.startswith("__p")]
+    if internal:
+        acc = acc.select_columns(
+            [c for c in acc.schema().names if not c.startswith("__p")])
     if filters:
         acc = _row_filters(acc, filters)
     return acc

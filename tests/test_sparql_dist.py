@@ -158,8 +158,33 @@ def test_order_by_limit(ray_session):
     assert [r["n"] for r in rows] == ["40", "250"]
 
 
+def test_path_sequence(ray_session):
+    # d mentions e / e hq_in p — fixed-length path == the 2-pattern BGP;
+    # DISTINCT because the rewrite keeps the spec's bag multiplicity
+    # while the in-memory evaluator dedups endpoint pairs
+    _assert_same(PFX + """
+        SELECT DISTINCT ?d ?p WHERE { ?d ex:mentions/ex:hq_in ?p . }""")
+
+
+def test_path_inverse(ray_session):
+    _assert_same(PFX + """
+        SELECT DISTINCT ?e ?d WHERE { ?e ^ex:mentions ?d . }""")
+
+
+def test_path_alternative_becomes_union(ray_session):
+    _assert_same(PFX + """
+        SELECT DISTINCT ?x ?y WHERE {
+            ?x ex:hq_in|ex:employees ?y . }""")
+
+
+def test_path_sequence_with_inverse_and_alt(ray_session):
+    # companies sharing a mentioning doc: ^mentions then mentions
+    _assert_same(PFX + """
+        SELECT DISTINCT ?a ?b WHERE { ?a ^ex:mentions/ex:mentions ?b . }""")
+
+
 @pytest.mark.parametrize("query,needle", [
-    (PFX + "SELECT ?x WHERE { ?x ex:p/ex:q ?y . }", "path"),
+    (PFX + "SELECT ?x WHERE { ?x ex:p+ ?y . }", "plus"),
     (PFX + "SELECT ?x WHERE { ?x ex:p ?y . BIND(?y AS ?z) }", "BIND"),
     (PFX + 'SELECT ?x WHERE { ?x ex:p ?y . VALUES ?y { "1" } }', "VALUES"),
     (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } OFFSET 2", "OFFSET"),
