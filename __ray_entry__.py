@@ -395,6 +395,19 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_khop_nation(sf_dir: str):
+    """DESCRIBE-style 2-hop neighborhood of one nation node over the
+    order-chain triple encoding (broadcast frontier, one scan per hop)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        khop_subgraph,
+        order_triples,
+    )
+
+    sub = khop_subgraph(order_triples(sf_dir).materialize(),
+                        ["nation:1"], k=2)
+    return sub.select_columns(["subject", "predicate", "object"])
+
+
 def _kg_sparql_purchases_per_user(sf_dir: str):
     """SPARQL string front end compiled onto the distributed BGP engine:
     aggregate query over the events triple encoding."""
@@ -1190,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct_order_nation": _kg_construct_order_nation,
         "kg_sparql_purchases_per_user": _kg_sparql_purchases_per_user,
         "kg_sparql_path_order_nations": _kg_sparql_path_order_nations,
+        "kg_khop_nation": _kg_khop_nation,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
@@ -2654,6 +2668,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase'
             GROUP BY user_id
+        """,
+        # 2-hop ball around nation:1 — every edge incident to the seed
+        # or to a node of the seed's 1-hop edge set
+        "kg_khop_nation": """
+            WITH tri AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subject,
+                     'placed_by' AS predicate,
+                     'cust:' || CAST(o_custkey AS VARCHAR) AS object
+              FROM orders
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                     'in_nation',
+                     'nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+                     'has_name', n_name
+              FROM nation
+            ),
+            e1 AS (SELECT * FROM tri
+                   WHERE subject = 'nation:1' OR object = 'nation:1'),
+            f1 AS (SELECT subject AS n FROM e1
+                   UNION SELECT object FROM e1),
+            e2 AS (SELECT * FROM tri
+                   WHERE subject IN (SELECT n FROM f1)
+                      OR object IN (SELECT n FROM f1))
+            SELECT DISTINCT subject, predicate, object FROM e2
         """,
         # property path placed_by/in_nation/has_name ≡ the 3-way join
         "kg_sparql_path_order_nations": """

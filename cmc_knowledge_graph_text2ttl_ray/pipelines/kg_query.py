@@ -46,7 +46,7 @@ from collections.abc import Sequence
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bgp_query", "event_triples", "order_triples"]
+__all__ = ["bgp_query", "khop_subgraph", "event_triples", "order_triples"]
 
 _POS_COLS = ("subject", "predicate", "object")
 
@@ -403,6 +403,76 @@ def bgp_query(
         acc = coarse_group_reduce(
             acc, cols, lambda g: g.drop_duplicates(subset=cols))
     return acc
+
+
+def khop_subgraph(triples, seeds, k: int = 2, direction: str = "both",
+                  max_frontier: int = 1_000_000):
+    """DESCRIBE-style neighborhood: every triple within ``k`` hops of the
+    ``seeds`` (IRIs), following edges forward (``"out"``), backward
+    (``"in"``) or ``"both"``.  Returns the deduped subgraph Dataset.
+
+    Scale shape: the frontier is the BROADCAST side (``ray.put`` once per
+    hop, vectorized ``pc.is_in`` inside ``map_batches`` — the triple
+    table is scanned once per hop, never shuffled).  The frontier itself
+    is driver-held, correct for the DESCRIBE use case (entity pages,
+    debugging, sampling); it grows with the k-hop ball, so a
+    ``max_frontier`` guard fails fast with guidance instead of silently
+    collecting a connected component into the driver."""
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    frontier = sorted(set(seeds))
+    visited = set(frontier)
+    hop_datasets = []
+    for _hop in range(k):
+        ref = ray.put(frontier)
+
+        def edge_scan(t: pa.Table, ref=ref) -> pa.Table:
+            front = pa.array(ray.get(ref), pa.string())
+            mask = None
+            if direction in ("out", "both"):
+                mask = pc.is_in(t["subject"], value_set=front)
+            if direction in ("in", "both"):
+                m2 = pc.is_in(t["object"], value_set=front)
+                mask = m2 if mask is None else pc.or_(mask, m2)
+            return t.filter(pc.fill_null(mask, False))
+
+        hop = triples.map_batches(edge_scan, batch_format="pyarrow") \
+                     .materialize()
+        hop_datasets.append(hop)
+        # next frontier: endpoint nodes not yet visited (distinct is
+        # pushed into the scan result, which is hop-ball-sized)
+        ends = set()
+        for batch in hop.iter_batches(batch_format="pyarrow"):
+            if direction in ("out", "both"):
+                ends.update(batch["object"].to_pylist())
+            if direction in ("in", "both"):
+                ends.update(batch["subject"].to_pylist())
+        frontier = sorted(ends - visited)
+        visited |= ends
+        if len(visited) > max_frontier:
+            raise ValueError(
+                f"k-hop ball exceeded max_frontier={max_frontier} nodes "
+                f"at hop {_hop + 1}; this neighborhood is a large "
+                "connected component — use graph_algos.connected_"
+                "components / bgp_query instead of DESCRIBE")
+        if not frontier:
+            break
+
+    sub = hop_datasets[0]
+    for extra in hop_datasets[1:]:
+        sub = sub.union(extra)
+    cols = [c for c in ("subject", "predicate", "object", "object_kind",
+                        "object_lang", "object_datatype")
+            if c in sub.schema().names]
+    sub = sub.select_columns(cols) if cols != sub.schema().names else sub
+    return coarse_group_reduce(
+        sub, cols, lambda g: g.drop_duplicates(subset=cols))
 
 
 def event_triples(sf_dir: str):

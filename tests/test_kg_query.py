@@ -234,6 +234,54 @@ def test_disconnected_minus_rejected(ray_session):
                   project=["?d"])
 
 
+def _spo_set(ds):
+    df = ds.to_pandas()
+    if df.empty:
+        return set()
+    return set(map(tuple, df[["subject", "predicate", "object"]].values))
+
+
+def test_khop_subgraph_both_directions(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        khop_subgraph,
+    )
+
+    # 1 hop around octan: its outgoing + incoming edges
+    got = _spo_set(khop_subgraph(_triples_ds(), ["octan"], k=1))
+    assert got == {("d1", "mentions", "octan"), ("d2", "mentions", "octan"),
+                   ("octan", "hq_in", "vienna"),
+                   ("octan", "same_as", "octan"),
+                   ("acme", "same_as", "octan")}
+
+    # 2 hops reach vienna->austria and d1's other edges
+    got2 = _spo_set(khop_subgraph(_triples_ds(), ["octan"], k=2))
+    assert ("vienna", "in_country", "austria") in got2
+    assert ("d1", "mentions", "acme") in got2
+    assert got2 > got
+
+
+def test_khop_subgraph_directed(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        khop_subgraph,
+    )
+
+    out = _spo_set(khop_subgraph(_triples_ds(), ["octan"], k=2,
+                                 direction="out"))
+    # forward only: octan->vienna->austria, never the mentioning docs
+    assert out == {("octan", "hq_in", "vienna"),
+                   ("octan", "same_as", "octan"),
+                   ("vienna", "in_country", "austria")}
+
+
+def test_khop_frontier_guard(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        khop_subgraph,
+    )
+
+    with pytest.raises(ValueError, match="max_frontier"):
+        khop_subgraph(_triples_ds(), ["octan"], k=3, max_frontier=2)
+
+
 def test_event_triples_encoding(ray_session):
     ds = event_triples("/root/testdata/sf0.001")
     row = ds.take(1)[0]
