@@ -395,6 +395,45 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_store_bgp_orders(sf_dir: str):
+    """The 3-hop BGP evaluated over the predicate-partitioned Parquet
+    TripleStore: every constant-predicate pattern scan reads ONLY its
+    predicate bucket (store built once per sf_dir, fingerprinted)."""
+    import os
+
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ck
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        bgp_query,
+        order_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.triple_store import (
+        TripleStore,
+        write_triple_store,
+    )
+
+    root = ck.default_cache_dir("graft_triple_store",
+                                os.path.abspath(sf_dir))
+    fp = ck.input_fingerprint(
+        [f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet",
+         f"{sf_dir}/nation.parquet"], {"enc": "order_chain_v1"})
+    if not ck.is_valid(root, fp):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        write_triple_store(order_triples(sf_dir), root, num_buckets=16)
+        ck.mark_done(root, fp)
+    bindings = bgp_query(
+        TripleStore(root),
+        [("?o", "placed_by", "?c"), ("?c", "in_nation", "?n"),
+         ("?n", "has_name", "?name")],
+        project=["?name", "?o"],
+    )
+    return bindings.groupby("name").aggregate(Count(alias_name="n_orders"))
+
+
 def _kg_khop_nation(sf_dir: str):
     """DESCRIBE-style 2-hop neighborhood of one nation node over the
     order-chain triple encoding (broadcast frontier, one scan per hop)."""
@@ -1204,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_purchases_per_user": _kg_sparql_purchases_per_user,
         "kg_sparql_path_order_nations": _kg_sparql_path_order_nations,
         "kg_khop_nation": _kg_khop_nation,
+        "kg_store_bgp_orders": _kg_store_bgp_orders,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
@@ -2668,6 +2708,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase'
             GROUP BY user_id
+        """,
+        # same join as kg_bgp_orders_by_nation, evaluated over the
+        # predicate-bucketed Parquet store with per-pattern pruning
+        "kg_store_bgp_orders": """
+            SELECT n_name AS name, COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         # 2-hop ball around nation:1 — every edge incident to the seed
         # or to a node of the seed's 1-hop edge set

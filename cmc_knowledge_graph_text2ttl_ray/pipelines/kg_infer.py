@@ -174,6 +174,9 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     )
     from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import bgp_query
 
+    if hasattr(triples, "scan_for_predicate"):
+        triples = triples.scan_for_predicate(None)
+
     def norm(ds):
         def pick(t: pa.Table) -> pa.Table:
             cols = {}

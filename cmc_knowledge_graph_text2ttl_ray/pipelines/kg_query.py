@@ -97,6 +97,12 @@ def _pattern_scan(triples, pattern: Sequence[str],
     out_names = [rename.get(v[1:], v[1:]) for v in var_cols]
     out_schema = pa.schema([(n, pa.string()) for n in out_names])
 
+    if hasattr(triples, "scan_for_predicate"):
+        # predicate-bucketed TripleStore: a constant predicate prunes
+        # the read to its bucket before the scan filter runs
+        triples = triples.scan_for_predicate(
+            None if _is_var(p) else p)
+
     def scan(t: pa.Table) -> pa.Table:
         mask = None
         first_col: dict[str, str] = {}
@@ -426,6 +432,8 @@ def khop_subgraph(triples, seeds, k: int = 2, direction: str = "both",
 
     if direction not in ("out", "in", "both"):
         raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    if hasattr(triples, "scan_for_predicate"):
+        triples = triples.scan_for_predicate(None)
     frontier = sorted(set(seeds))
     visited = set(frontier)
     hop_datasets = []
