@@ -395,6 +395,63 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_sameas_merge_orders(sf_dir: str):
+    """owl:sameAs smushing driver check: alias edges group customers in
+    threes (cust i ~ cust i - i%3, zero-padded IRIs so the lexicographic
+    canonical equals the numeric base); after the merge, order counts per
+    CANONICAL customer must equal the closed-form SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        merge_equivalent_entities,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import bgp_query
+
+    def _pad_iri(col):
+        return pc.binary_join_element_wise(
+            "cust:", pc.utf8_lpad(pc.cast(col, pa.string()), 8, "0"), "")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def enc_orders(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": pc.binary_join_element_wise(
+                "order:", pc.cast(t["o_orderkey"], pa.string()), ""),
+            "predicate": pa.array(["placed_by"] * n, pa.string()),
+            "object": _pad_iri(t["o_custkey"]),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    def enc_alias(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        base = keys - keys % 3
+        n = len(t)
+        return pa.table({
+            "subject": _pad_iri(pa.array(keys, pa.int64())),
+            "predicate": pa.array(["same_as"] * n, pa.string()),
+            "object": _pad_iri(pa.array(base, pa.int64())),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    triples = (orders.map_batches(enc_orders, batch_format="pyarrow")
+               .union(cust.map_batches(enc_alias, batch_format="pyarrow"))
+               .materialize())
+    merged = merge_equivalent_entities(triples, "same_as")["triples"]
+    bindings = bgp_query(merged.materialize(),
+                         [("?o", "placed_by", "?cust")],
+                         project=["?cust", "?o"])
+    return bindings.groupby("cust").aggregate(Count(alias_name="n_orders"))
+
+
 def _kg_store_bgp_orders(sf_dir: str):
     """The 3-hop BGP evaluated over the predicate-partitioned Parquet
     TripleStore: every constant-predicate pattern scan reads ONLY its
@@ -1244,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_path_order_nations": _kg_sparql_path_order_nations,
         "kg_khop_nation": _kg_khop_nation,
         "kg_store_bgp_orders": _kg_store_bgp_orders,
+        "kg_sameas_merge_orders": _kg_sameas_merge_orders,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
@@ -2708,6 +2766,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase'
             GROUP BY user_id
+        """,
+        # sameAs smushing: customers aliased in threes; canonical is the
+        # zero-padded numeric base, so order counts per canonical
+        # customer have a closed form
+        "kg_sameas_merge_orders": """
+            SELECT 'cust:' || lpad(CAST(o_custkey - o_custkey % 3
+                                        AS VARCHAR), 8, '0') AS cust,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY 1
         """,
         # same join as kg_bgp_orders_by_nation, evaluated over the
         # predicate-bucketed Parquet store with per-pattern pruning

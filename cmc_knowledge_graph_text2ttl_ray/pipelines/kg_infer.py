@@ -35,8 +35,10 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["Rule", "construct", "forward_chain"]
+__all__ = ["Rule", "construct", "forward_chain",
+           "merge_equivalent_entities"]
 
 _TRIPLE_COLS = ("subject", "predicate", "object",
                 "object_kind", "object_lang", "object_datatype")
@@ -156,6 +158,155 @@ def _new_vs_known(candidates, known, num_partitions: int):
 
     return (both.groupby("part")
             .map_groups(keep_new, batch_format="pandas"))
+
+
+def merge_equivalent_entities(triples, sameas_pred: str,
+                              broadcast_threshold: int = 500_000,
+                              drop_merged_selfloops: bool = True) -> dict:
+    """``owl:sameAs`` smushing: treat ``sameas_pred`` edges as an
+    equivalence relation, pick one canonical IRI per equivalence class
+    (the lexicographic minimum — deterministic across runs and
+    partitionings), and rewrite every subject / IRI object through the
+    mapping.  Returns ``{"triples": Dataset, "mapping": Dataset
+    (iri → canonical, identity rows excluded), "n_mapped": int}``.
+
+    Scale shape: equivalence edges are a tiny fraction of the KG — the
+    component labeling runs on the edge set only
+    (``graph_algos.connected_components``: numpy driver path below its
+    edge threshold, pointer-doubling rounds above).  IRIs enter CC as
+    64-bit md5 ids; an EXACT collision check (distinct hashes vs
+    distinct IRIs, one aggregate each) fails fast rather than silently
+    merging unrelated entities.  The rewrite broadcasts the mapping
+    below ``broadcast_threshold`` (``ray.put`` once, dictionary-encoded
+    per block) and falls back to the salted two-join rewrite above it —
+    the same adaptive pair the canonicalization stage uses."""
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        connected_components,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        _compact,
+        _pattern_scan,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.stages.canonicalize import (
+        apply_canonical_mapping,
+        apply_canonical_mapping_join,
+    )
+
+    if hasattr(triples, "scan_for_predicate"):
+        full = triples.scan_for_predicate(None)
+        pair_src = triples.scan_for_predicate(sameas_pred)
+    else:
+        full = pair_src = triples
+
+    def hash_ids(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        def h64(vals):
+            return pa.array(
+                [int.from_bytes(
+                    hashlib.md5(v.encode("utf-8")).digest()[:8],
+                    "big", signed=False) - (1 << 63) for v in vals],
+                pa.int64())
+
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "ha": h64(a), "hb": h64(b)})
+
+    pairs, n_pairs = _compact(
+        _pattern_scan(pair_src, ("?a", sameas_pred, "?b"))
+        .map_batches(hash_ids, batch_format="pyarrow"))
+    if pairs is None:
+        import ray.data
+
+        empty_map = ray.data.from_arrow(pa.table(
+            {"iri": pa.array([], pa.string()),
+             "canonical": pa.array([], pa.string())}))
+        return {"triples": full, "mapping": empty_map, "n_mapped": 0}
+
+    # node table (hash, iri) + EXACT collision check
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.concat_arrays([t["ha"].combine_chunks(),
+                                   t["hb"].combine_chunks()]),
+            "iri": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+        })
+
+    def dedup_nodes(g):
+        return g.drop_duplicates(subset=["h", "iri"])
+
+    nodes = coarse_group_reduce(
+        pairs.map_batches(node_rows, batch_format="pyarrow"),
+        ["h"], dedup_nodes).materialize()
+
+    def collision_guard(g):
+        bad = g.groupby("h")["iri"].nunique()
+        if (bad > 1).any():
+            raise ValueError(
+                "64-bit IRI hash collision inside a sameAs component "
+                "set — merge aborted (rehash with a different salt or "
+                "use dense ids)")
+        return g.drop_duplicates(subset=["h"])[["h"]].assign(ok=1)
+
+    coarse_group_reduce(nodes, ["h"], collision_guard).count()
+
+    cc = connected_components(
+        pairs.select_columns(["ha", "hb"]), a="ha", b="hb")
+
+    # canonical per cluster = min IRI; mapping = iri -> canonical
+    n_nodes = nodes.count()
+    np_join = max(1, min(default_join_partitions(),
+                         -(-n_nodes // 50_000)))
+    labeled = nodes.join(
+        cc, join_type="inner", num_partitions=np_join,
+        on=("h",), right_on=("node",)).select_columns(
+            ["iri", "cluster_id"])
+
+    def min_iri(g):
+        out = (g.groupby("cluster_id", as_index=False)["iri"].min()
+               .rename(columns={"iri": "canonical",
+                                "cluster_id": "cluster_id__r"}))
+        return out
+
+    canon = coarse_group_reduce(labeled, ["cluster_id"], min_iri)
+    canon, _n_canon = _compact(canon)
+    labeled, _n = _compact(labeled)
+    mapping_ds = labeled.join(
+        canon, join_type="inner", num_partitions=np_join,
+        on=("cluster_id",), right_on=("cluster_id__r",),
+    )
+    mapping_ds = mapping_ds.select_columns(["iri", "canonical"]) \
+        .map_batches(
+            lambda t: t.filter(pc.invert(
+                pc.equal(t["iri"], t["canonical"]))),
+            batch_format="pyarrow").materialize()
+    n_mapped = mapping_ds.count()
+
+    if n_mapped <= broadcast_threshold:
+        mdict = {}
+        for batch in mapping_ds.iter_batches(batch_format="pyarrow"):
+            mdict.update(zip(batch["iri"].to_pylist(),
+                             batch["canonical"].to_pylist()))
+        out = apply_canonical_mapping(full, mdict)
+    else:
+        out = apply_canonical_mapping_join(full, mapping_ds)
+
+    if drop_merged_selfloops:
+        def drop_loops(t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.and_(
+                pc.equal(t["predicate"], sameas_pred),
+                pc.equal(t["subject"], t["object"])))
+            return t.filter(pc.fill_null(keep, True))
+
+        out = out.map_batches(drop_loops, batch_format="pyarrow")
+    return {"triples": out, "mapping": mapping_ds, "n_mapped": n_mapped}
 
 
 def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,

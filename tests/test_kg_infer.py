@@ -127,6 +127,62 @@ def test_forward_chain_type_inheritance(ray_session):
     assert res["n_derived"] == 3
 
 
+SAMEAS = [
+    ("a1", "same_as", "a2"), ("a2", "same_as", "a3"),   # chain {a1,a2,a3}
+    ("b2", "same_as", "b1"),                            # pair {b1,b2}
+    ("a2", "hq_in", "berlin"), ("a3", "hq_in", "berlin"),
+    ("d1", "mentions", "a3"), ("d1", "mentions", "b2"),
+    ("c1", "hq_in", "vienna"),                          # untouched
+]
+
+
+def test_merge_equivalent_entities(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        merge_equivalent_entities,
+    )
+
+    res = merge_equivalent_entities(_ds(SAMEAS), "same_as")
+    got = _spo(res["triples"])
+    # every a* collapses to a1, every b* to b1; merged self-loop
+    # sameAs triples are dropped, cross-class ones keep canon endpoints
+    assert got == {
+        ("a1", "hq_in", "berlin"), ("d1", "mentions", "a1"),
+        ("d1", "mentions", "b1"), ("c1", "hq_in", "vienna"),
+    }
+    mapping = res["mapping"].to_pandas().sort_values("iri")
+    assert list(map(tuple, mapping.values)) == [
+        ("a2", "a1"), ("a3", "a1"), ("b2", "b1")]
+    assert res["n_mapped"] == 3
+
+
+def test_merge_no_sameas_edges_is_noop(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        merge_equivalent_entities,
+    )
+
+    res = merge_equivalent_entities(_ds(MENTIONS), "same_as")
+    assert res["n_mapped"] == 0
+    assert _spo(res["triples"]) == {t[:3] for t in MENTIONS}
+
+
+def test_merge_over_triple_store(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        merge_equivalent_entities,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.triple_store import (
+        TripleStore,
+        write_triple_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_triple_store(_ds(SAMEAS), path, num_buckets=4)
+    res = merge_equivalent_entities(TripleStore(path), "same_as")
+    assert _spo(res["triples"]) == {
+        ("a1", "hq_in", "berlin"), ("d1", "mentions", "a1"),
+        ("d1", "mentions", "b1"), ("c1", "hq_in", "vienna"),
+    }
+
+
 def test_forward_chain_max_rounds_bound(ray_session):
     long_chain = [(f"n{i}", "locatedIn", f"n{i+1}") for i in range(12)]
     res = forward_chain(_ds(long_chain), [TRANS], max_rounds=1)
