@@ -395,6 +395,79 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_shacl_violations(sf_dir: str):
+    """SHACL-lite publish gate driver check: customers encoded as typed
+    nodes with balance literals (every 7th missing its datatype) and
+    has_order edges; the shape flags datatype violations and customers
+    holding more than 12 orders."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.shacl import (
+        RDF_TYPE,
+        NodeShape,
+        PropertyShape,
+        validate_shapes,
+    )
+
+    xsd_dec = "http://www.w3.org/2001/XMLSchema#decimal"
+
+    def _iri(prefix, col):
+        return pc.binary_join_element_wise(
+            prefix, pc.cast(col, pa.string()), "")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def enc_cust(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = len(t)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        subj = _iri("cust:", t["c_custkey"])
+        type_rows = pa.table({
+            "subject": subj,
+            "predicate": pa.array([RDF_TYPE] * n, pa.string()),
+            "object": pa.array(["Customer"] * n, pa.string()),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+            "object_datatype": pa.nulls(n, pa.string()),
+        })
+        dtype = pa.array([None if k % 7 == 0 else xsd_dec for k in keys],
+                         pa.string())
+        bal_rows = pa.table({
+            "subject": subj,
+            "predicate": pa.array(["balance"] * n, pa.string()),
+            "object": pc.cast(t["c_acctbal"], pa.string()),
+            "object_kind": pa.array(["literal"] * n, pa.string()),
+            "object_datatype": dtype,
+        })
+        return pa.concat_tables([type_rows, bal_rows])
+
+    def enc_orders(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": _iri("cust:", t["o_custkey"]),
+            "predicate": pa.array(["has_order"] * n, pa.string()),
+            "object": _iri("order:", t["o_orderkey"]),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+            "object_datatype": pa.nulls(n, pa.string()),
+        })
+
+    triples = (cust.map_batches(enc_cust, batch_format="pyarrow")
+               .union(orders.map_batches(enc_orders,
+                                         batch_format="pyarrow"))
+               .materialize())
+    shapes = [NodeShape("CustomerShape", "Customer", [
+        PropertyShape("balance", datatype=xsd_dec),
+        PropertyShape("has_order", max_count=12),
+    ])]
+    out = validate_shapes(triples, shapes)
+    return out.select_columns(["focus", "path", "constraint"])
+
+
 def _kg_sameas_merge_orders(sf_dir: str):
     """owl:sameAs smushing driver check: alias edges group customers in
     threes (cust i ~ cust i - i%3, zero-padded IRIs so the lexicographic
@@ -1302,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop_nation": _kg_khop_nation,
         "kg_store_bgp_orders": _kg_store_bgp_orders,
         "kg_sameas_merge_orders": _kg_sameas_merge_orders,
+        "kg_shacl_violations": _kg_shacl_violations,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
@@ -2766,6 +2840,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase'
             GROUP BY user_id
+        """,
+        # SHACL-lite gate: datatype violations (every 7th customer) +
+        # maxCount-12 violations (customers with >12 orders)
+        "kg_shacl_violations": """
+            SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focus,
+                   'balance' AS path, 'datatype' AS constraint
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT 'cust:' || CAST(o_custkey AS VARCHAR),
+                   'has_order', 'maxCount'
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
         """,
         # sameAs smushing: customers aliased in threes; canonical is the
         # zero-padded numeric base, so order counts per canonical
