@@ -395,6 +395,17 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_profile_events(sf_dir: str):
+    """Per-predicate KG profile (exact distincts) over the events triple
+    encoding — one hash(predicate) exchange."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        event_triples,
+        kg_profile,
+    )
+
+    return kg_profile(event_triples(sf_dir))
+
+
 def _kg_shacl_violations(sf_dir: str):
     """SHACL-lite publish gate driver check: customers encoded as typed
     nodes with balance literals (every 7th missing its datatype) and
@@ -1376,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_store_bgp_orders": _kg_store_bgp_orders,
         "kg_sameas_merge_orders": _kg_sameas_merge_orders,
         "kg_shacl_violations": _kg_shacl_violations,
+        "kg_profile_events": _kg_profile_events,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
@@ -2840,6 +2852,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'purchase'
             GROUP BY user_id
+        """,
+        # per-predicate profile: exact counts and distincts over the
+        # events triple encoding
+        "kg_profile_events": """
+            SELECT event_type AS predicate,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT user_id) AS n_subjects,
+                   COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_objects,
+                   COUNT(*) AS n_literal,
+                   0 AS n_iri
+            FROM events
+            GROUP BY event_type
         """,
         # SHACL-lite gate: datatype violations (every 7th customer) +
         # maxCount-12 violations (customers with >12 orders)

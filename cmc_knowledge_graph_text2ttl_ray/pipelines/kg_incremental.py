@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["kg_new_triples", "publish_generation", "kg_incremental_update",
-           "compact_generations"]
+           "compact_generations", "kg_as_of", "list_generations"]
 
 _GEN_PREFIX = "gen-"
 
@@ -131,6 +131,43 @@ def publish_generation(triples_ds, kg_root: str,
         compression=compression, filesystem=fs,
     )
     return {"generation": gen, "path": gen_dir, "manifest": manifest}
+
+
+def list_generations(kg_root: str) -> list[str]:
+    """Generation names under a KG root, oldest first."""
+    import os
+
+    if not os.path.isdir(kg_root):
+        return []
+    return sorted(n for n in os.listdir(kg_root)
+                  if n.startswith(_GEN_PREFIX)
+                  and n[len(_GEN_PREFIX):].isdigit())
+
+
+def kg_as_of(kg_root: str, generation: str | int):
+    """Time-travel read: the KG as of ``generation`` (inclusive) — the
+    union of all generations up to it, i.e. exactly what
+    ``ttl_dataset(kg_root)`` returned right after that generation was
+    published.  ``generation`` is a name (``"gen-00002"``) or an int.
+    Because generations are append-only and immutable, this is pure
+    read-side filtering — no snapshot copies, the lineage story of the
+    incremental pipeline."""
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+
+    if isinstance(generation, int):
+        generation = f"{_GEN_PREFIX}{generation:05d}"
+    gens = list_generations(kg_root)
+    if generation not in gens:
+        raise ValueError(
+            f"unknown generation {generation!r}; root has {gens}")
+    keep = [g for g in gens if g <= generation]
+    import os
+
+    parts = [ttl_dataset(os.path.join(kg_root, g)) for g in keep]
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.union(extra)
+    return out
 
 
 def compact_generations(kg_root: str, out_root: str | None = None,

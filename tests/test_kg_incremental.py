@@ -69,6 +69,18 @@ def test_overlapping_shard_publishes_only_the_delta(incremental_root):
     assert third["generation"] is None
     assert _triple_set(ttl_dataset(root)) == set_a | set_b
 
+    # time travel: as-of gen-00000 is exactly the first shard's KG
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_incremental import (
+        kg_as_of,
+        list_generations,
+    )
+
+    assert list_generations(root) == ["gen-00000", "gen-00001"]
+    assert _triple_set(kg_as_of(root, 0)) == set_a
+    assert _triple_set(kg_as_of(root, "gen-00001")) == set_a | set_b
+    with pytest.raises(ValueError, match="unknown generation"):
+        kg_as_of(root, 7)
+
     # LSM compaction: union of generations rewritten as one generation,
     # set-identical, non-destructive
     import os
