@@ -171,6 +171,49 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """SPARQL SELECT against a published KG: a TTL shard dir /
+    generations root (``ttl_dataset``) or a predicate-bucketed Parquet
+    triple store (auto-detected by its ``_predicates.json``)."""
+    import os
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    if os.path.isfile(os.path.join(args.kg, "_predicates.json")):
+        from cmc_knowledge_graph_text2ttl_ray.sources.triple_store import (
+            TripleStore,
+        )
+
+        source = TripleStore(args.kg)
+    else:
+        from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+
+        source = ttl_dataset(args.kg).materialize()
+
+    if args.sparql_file:
+        with open(args.sparql_file, encoding="utf8") as fh:
+            query = fh.read()
+    else:
+        query = args.sparql
+    result = sparql_select(source, query)
+    if args.out:
+        result.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "n_rows": result.count()}))
+    else:
+        df = result.limit(args.max_print).to_pandas()
+        print(df.to_csv(index=False), end="")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="cmc_knowledge_graph_text2ttl_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -194,6 +237,21 @@ def main(argv=None) -> int:
     p_run.add_argument("--canonical-mode", choices=["broadcast", "join"],
                        default="broadcast", dest="canonical_mode")
     p_run.set_defaults(fn=cmd_run)
+
+    p_q = sub.add_parser(
+        "query", help="SPARQL SELECT over a published KG (TTL dir, "
+                      "generations root, or Parquet triple store)")
+    p_q.add_argument("--kg", required=True,
+                     help="TTL shard dir / generations root / triple-store dir")
+    g = p_q.add_mutually_exclusive_group(required=True)
+    g.add_argument("--sparql", help="query text")
+    g.add_argument("--sparql-file", help="file containing the query")
+    p_q.add_argument("--out", help="write full result as parquet here "
+                                   "(default: print CSV to stdout)")
+    p_q.add_argument("--max-print", type=int, default=100,
+                     help="row cap for stdout printing (default 100)")
+    p_q.add_argument("--num-cpus", type=int, default=32)
+    p_q.set_defaults(fn=cmd_query)
 
     p_doc = sub.add_parser("doc", help="run one document through the interpreter")
     p_doc.add_argument("--workflow", action="append", required=True)

@@ -310,3 +310,31 @@ def test_cli_csv_pages_route(ray_session, tmp_path):
     assert (out / "ttl").is_dir()
     assert any(f.name.endswith((".ttl", ".ttl.gz"))
                for f in (out / "ttl").iterdir())
+
+
+def test_cli_query_sparql_over_published_kg(tmp_path):
+    """run → query round trip: build a small KG via the CLI, then SPARQL
+    it from the published TTL shards (the query CLI auto-detects TTL dir
+    vs triple store)."""
+    out_dir = tmp_path / "kg"
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray", "run",
+         "--pages", "synth:20", "--out", str(out_dir),
+         "--num-cpus", "4", "--num-buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    q = ("PREFIX kg: <http://example.org/kg/> "
+         "SELECT ?e (COUNT(*) AS ?n) WHERE { ?d kg:mentions ?e . } "
+         "GROUP BY ?e")
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray", "query",
+         "--kg", str(out_dir), "--sparql", q, "--num-cpus", "4",
+         "--max-print", "50"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
+    assert lines[0] == "e,n"
+    assert len(lines) > 1
+    assert all("," in ln for ln in lines[1:])
