@@ -199,11 +199,18 @@ def kg_incremental_update(pages_ds, kg_root: str,
                           num_buckets: int = 64,
                           compression: str | None = None,
                           min_new_triples: int = 1,
+                          store_dir: str | None = None,
                           **kg_kwargs) -> dict:
     """One crawl-shard step: extract triples from ``pages_ds``, keep only
     those absent from the published KG at ``kg_root``, publish the delta
     as a new generation (skipped when the delta has fewer than
     ``min_new_triples`` rows — an all-duplicate shard appends nothing).
+
+    ``store_dir``: optionally keep a predicate-bucketed Parquet
+    :class:`~cmc_knowledge_graph_text2ttl_ray.sources.triple_store.TripleStore` in step
+    with the generation log — the delta rows are APPENDED (new files in
+    the partition dirs, nothing rewritten), so the query-optimized
+    layout never needs a rebuild.
 
     Returns ``{"new_triples": Dataset (materialized), "n_new": int,
     "generation": str | None, "path": str | None}``."""
@@ -229,5 +236,14 @@ def kg_incremental_update(pages_ds, kg_root: str,
     pub = publish_generation(new, kg_root, prefixes=prefixes,
                              num_buckets=num_buckets,
                              compression=compression)
+    if store_dir is not None:
+        from cmc_knowledge_graph_text2ttl_ray.sources.triple_store import (
+            write_triple_store,
+        )
+
+        write_triple_store(
+            new, store_dir,
+            append=os.path.isfile(
+                os.path.join(store_dir, "_predicates.json")))
     return {"new_triples": new, "n_new": n_new,
             "generation": pub["generation"], "path": pub["path"]}

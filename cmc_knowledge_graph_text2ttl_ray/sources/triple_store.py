@@ -40,10 +40,25 @@ def _bucket(predicate: str, num_buckets: int) -> int:
 
 
 def write_triple_store(triples_ds, out_dir: str,
-                       num_buckets: int = 64) -> dict:
+                       num_buckets: int = 64, append: bool = False) -> dict:
     """Write a triples Dataset as a predicate-bucketed Parquet store.
     Returns ``{"predicates": {pred: bucket}, "num_buckets": N}`` (also
-    persisted as ``_predicates.json``)."""
+    persisted as ``_predicates.json``).
+
+    ``append=True`` adds the rows to an existing store (Parquet writes
+    are new uniquely-named files inside the partition dirs — nothing is
+    rewritten) and merges the predicate sidecar; ``num_buckets`` is
+    taken from the existing store.  This is how the incremental KG
+    pipeline keeps the query-optimized layout in step with the
+    generation log without rebuilding it per shard."""
+    existing: dict[str, int] = {}
+    sidecar = os.path.join(out_dir, "_predicates.json")
+    if append and os.path.isfile(sidecar):
+        with open(sidecar) as fh:
+            meta0 = json.load(fh)
+        existing = meta0["predicates"]
+        num_buckets = meta0["num_buckets"]
+
     def add_bucket(t: pa.Table) -> pa.Table:
         cols = {}
         for c in _COLS:

@@ -73,6 +73,59 @@ def test_unknown_predicate_is_empty_without_io(store):
     assert ds.schema().names[:3] == ["subject", "predicate", "object"]
 
 
+def test_append_mode_accrues_and_stays_pruned(ray_session, tmp_path):
+    import ray.data
+
+    path = str(tmp_path / "grow")
+    first = TRIPLES[:4]
+    second = TRIPLES[4:]
+
+    def mk(ts):
+        return ray.data.from_arrow(pa.table({
+            "subject": [t[0] for t in ts],
+            "predicate": [t[1] for t in ts],
+            "object": [t[2] for t in ts],
+            "object_kind": ["iri"] * len(ts),
+        }))
+
+    write_triple_store(mk(first), path, num_buckets=8)
+    meta = write_triple_store(mk(second), path, append=True)
+    assert meta["num_buckets"] == 8  # taken from the existing store
+    ts = TripleStore(path)
+    assert _spo(ts.scan()) == {t[:3] for t in TRIPLES}
+    # pruned scans see rows from BOTH writes
+    assert _spo(ts.scan("hq_in")) == {
+        ("acme", "hq_in", "berlin"), ("octan", "hq_in", "vienna")}
+    assert _spo(ts.scan("in_country")) == {
+        ("berlin", "in_country", "germany"),
+        ("vienna", "in_country", "austria")}
+
+
+def test_incremental_update_keeps_store_in_step(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_incremental import (
+        kg_incremental_update,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.pages import (
+        synthesize_pages_table,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+    import ray.data
+
+    root = str(tmp_path / "kg")
+    sdir = str(tmp_path / "store")
+
+    def pages(rng):
+        return ray.data.from_arrow(synthesize_pages_table(list(rng)))
+
+    kg_incremental_update(pages(range(0, 20)), root, concurrency=2,
+                          store_dir=sdir)
+    kg_incremental_update(pages(range(10, 30)), root, concurrency=2,
+                          store_dir=sdir)
+    want = _spo(ttl_dataset(root))
+    got = _spo(TripleStore(sdir).scan())
+    assert got == want
+
+
 def test_bgp_query_over_store_matches_dataset(ray_session, store):
     path, _ = store
     ts = TripleStore(path)
