@@ -139,3 +139,27 @@ def test_bgp_query_over_store_matches_dataset(ray_session, store):
     rhs = over_ds.sort_values(["d", "c"]).reset_index(drop=True)
     assert lhs.equals(rhs)
     assert len(lhs) == 3
+
+
+def test_variable_predicate_over_store_full_scans(ray_session, store):
+    path, _ = store
+    ts = TripleStore(path)
+    # (?s ?p "octan"): predicate is a variable → full (unpruned) scan
+    got = bgp_query(ts, [("?s", "?p", "octan")],
+                    project=["?s", "?p"], distinct=True).to_pandas()
+    assert set(map(tuple, got.values)) == {
+        ("d1", "mentions"), ("d2", "mentions")}
+
+
+def test_sparql_select_over_store(ray_session, store):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    path, _ = store
+    got = sparql_select(
+        TripleStore(path),
+        'SELECT ?e (COUNT(*) AS ?n) WHERE { ?d "mentions" ?e . } '
+        "GROUP BY ?e").to_pandas().sort_values("e").reset_index(drop=True)
+    assert list(got["e"]) == ["acme", "initech", "octan"]
+    assert list(got["n"]) == [1, 1, 2]
