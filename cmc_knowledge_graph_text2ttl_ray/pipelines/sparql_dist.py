@@ -324,7 +324,15 @@ def sparql_select(triples, query: str, num_partitions: int | None = None):
 
             out = {c: t[c] for c in t.column_names}
             for v in num_needed:
-                out["__num_" + v] = pc.cast(t[v], pa.float64())
+                try:
+                    out["__num_" + v] = pc.cast(t[v], pa.float64())
+                except pa.ArrowInvalid as exc:
+                    # match the in-memory evaluator: SUM/AVG/MIN/MAX over
+                    # a non-numeric binding is a query error, not a
+                    # silent skip
+                    raise ValueError(
+                        f"aggregate over non-numeric values of ?{v}: "
+                        f"{exc}") from exc
             out["__one"] = pa.array([1] * len(t), pa.int64())
             return pa.table(out)
 
