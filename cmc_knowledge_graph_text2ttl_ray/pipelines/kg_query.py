@@ -189,6 +189,14 @@ def _join_group(triples, patterns, num_partitions, pattern_sources=None):
     """Inner-join one connected pattern group; returns
     ``(dataset_or_None, n_rows, bound_var_set)``.
 
+    Join order is TRUE-cardinality greedy: every pattern is scanned +
+    compacted first (each is scanned exactly once either way — the
+    compaction already materializes and counts it), then joins start
+    from the smallest binding table and always attach the smallest
+    connected remainder.  The static selectivity heuristic
+    (:func:`_plan_order_indices`) is kept only for the upfront
+    connectivity check, where it raises on cross products.
+
     ``pattern_sources``: optional per-pattern source Datasets (aligned
     with ``patterns``; ``None`` entries fall back to ``triples``) — the
     semi-naive evaluation hook: a rule body re-evaluated with one
@@ -198,27 +206,33 @@ def _join_group(triples, patterns, num_partitions, pattern_sources=None):
     )
 
     patterns = list(patterns)
+    _plan_order_indices(patterns)  # connectivity check (raises)
+    all_vars = {v for p in patterns for v in _pattern_vars(p)}
 
     def _src(i):
         if pattern_sources is not None and pattern_sources[i] is not None:
             return pattern_sources[i]
         return triples
 
-    order_idx = _plan_order_indices(patterns)
-    order = [patterns[i] for i in order_idx]
-    bound = set(_pattern_vars(order[0]))
-    acc, n_acc = _compact(_pattern_scan(_src(order_idx[0]), order[0]))
-    if acc is None:
-        return None, 0, bound | {v for p in order for v in _pattern_vars(p)}
-    for oi, pat in zip(order_idx[1:], order[1:]):
-        pat_vars = set(_pattern_vars(pat))
+    scans = []  # [dataset, n_rows, var_set]
+    for i, pat in enumerate(patterns):
+        ds, n = _compact(_pattern_scan(_src(i), pat))
+        if ds is None:
+            return None, 0, all_vars
+        scans.append([ds, n, set(_pattern_vars(pat))])
+
+    start = min(range(len(scans)), key=lambda i: scans[i][1])
+    acc, n_acc, bound = scans.pop(start)
+    while scans:
+        cand = [i for i, s in enumerate(scans) if bound & s[2]]
+        nxt = min(cand, key=lambda i: scans[i][1])
+        rhs, n_rhs, pat_vars = scans.pop(nxt)
         shared = sorted(bound & pat_vars)
-        # suffix the right side's join keys in-scan: Ray's hash join keeps
-        # both sides' columns, so identical names must not collide
-        rhs, n_rhs = _compact(_pattern_scan(
-            _src(oi), pat, rename={v[1:]: v[1:] + "__r" for v in shared}))
-        if rhs is None:
-            return None, 0, bound | pat_vars
+        # post-compact blocks are never empty, so a rename Project is
+        # safe here; Ray's hash join keeps both sides' columns, so the
+        # right side's join keys must not collide
+        rhs = rhs.rename_columns(
+            {v[1:]: v[1:] + "__r" for v in shared})
         np_join = num_partitions or max(1, min(
             default_join_partitions(), -(-min(n_acc, n_rhs) // 50_000)))
         acc = acc.join(
@@ -232,7 +246,7 @@ def _join_group(triples, patterns, num_partitions, pattern_sources=None):
         acc, n_acc = _compact(acc.select_columns(keep))
         bound |= pat_vars
         if acc is None:
-            return None, 0, bound
+            return None, 0, bound | all_vars
     return acc, n_acc, bound
 
 
