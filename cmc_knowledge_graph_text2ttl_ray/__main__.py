@@ -184,7 +184,7 @@ def cmd_query(args) -> int:
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
     from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
-        sparql_select,
+        sparql_query,
     )
 
     if os.path.isfile(os.path.join(args.kg, "_predicates.json")):
@@ -203,7 +203,7 @@ def cmd_query(args) -> int:
             query = fh.read()
     else:
         query = args.sparql
-    result = sparql_select(source, query)
+    result = sparql_query(source, query)
     if args.out:
         result.write_parquet(args.out)
         print(json.dumps({"out": args.out, "n_rows": result.count()}))
@@ -239,8 +239,8 @@ def main(argv=None) -> int:
     p_run.set_defaults(fn=cmd_run)
 
     p_q = sub.add_parser(
-        "query", help="SPARQL SELECT over a published KG (TTL dir, "
-                      "generations root, or Parquet triple store)")
+        "query", help="SPARQL SELECT/ASK/DESCRIBE over a published KG "
+                      "(TTL dir, generations root, or Parquet triple store)")
     p_q.add_argument("--kg", required=True,
                      help="TTL shard dir / generations root / triple-store dir")
     g = p_q.add_mutually_exclusive_group(required=True)

@@ -44,7 +44,7 @@ import re
 
 import pyarrow as pa
 
-__all__ = ["sparql_select"]
+__all__ = ["sparql_select", "sparql_query"]
 
 _RE_PREFIX_DECL = re.compile(
     r"PREFIX\s+(\w*):\s*<([^>]*)>", re.IGNORECASE)
@@ -253,6 +253,51 @@ def _group_dataset(triples, elements, num_partitions):
     if filters:
         acc = _row_filters(acc, filters)
     return acc
+
+
+def sparql_query(triples, query: str, num_partitions: int | None = None):
+    """Dispatch on the query form:
+
+    - ``SELECT`` → :func:`sparql_select` (a bindings Dataset)
+    - ``ASK``    → one-row Dataset ``{ask: bool}`` (any solution?)
+    - ``DESCRIBE <iri> [<iri> …]`` → the seeds' 1-hop subgraph via
+      :func:`~cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query.khop_subgraph` (a
+      triples Dataset) — the pragmatic DESCRIBE most stores implement.
+    """
+    import ray.data
+
+    stripped = re.sub(r"PREFIX\s+\w*:\s*<[^>]*>", "", query,
+                      flags=re.IGNORECASE).lstrip()
+    form = stripped.split(None, 1)[0].upper() if stripped else ""
+    if form == "SELECT":
+        return sparql_select(triples, query, num_partitions)
+    if form == "ASK":
+        body_query = re.sub(r"\bASK\b", "SELECT *", query, count=1,
+                            flags=re.IGNORECASE)
+        any_row = sparql_select(triples, body_query,
+                                num_partitions).limit(1).count()
+        return ray.data.from_arrow(
+            pa.table({"ask": pa.array([any_row > 0], pa.bool_())}))
+    if form == "DESCRIBE":
+        from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+            khop_subgraph,
+        )
+
+        # seed list = everything between DESCRIBE and WHERE/{/end
+        rest = re.split(r"\bWHERE\b|\{", stripped[len("DESCRIBE"):],
+                        maxsplit=1, flags=re.IGNORECASE)[0]
+        seeds = re.findall(r"<([^>]+)>", rest)
+        prefixes = {m.group(1): m.group(2)
+                    for m in _RE_PREFIX_DECL.finditer(query)}
+        for m in re.finditer(r"(?<![<\w:])(\w*):([\w\-.]+)", rest):
+            if m.group(1) in prefixes:
+                seeds.append(prefixes[m.group(1)] + m.group(2))
+        if not seeds:
+            raise ValueError("DESCRIBE needs at least one IRI")
+        return khop_subgraph(triples, seeds, k=1)
+    raise NotImplementedError(
+        f"distributed SPARQL: query form {form or '<empty>'!r} "
+        "(SELECT / ASK / DESCRIBE supported)")
 
 
 _RE_AGG = re.compile(

@@ -183,6 +183,44 @@ def test_path_sequence_with_inverse_and_alt(ray_session):
         SELECT DISTINCT ?a ?b WHERE { ?a ^ex:mentions/ex:mentions ?b . }""")
 
 
+def test_ask_true_and_false(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_query,
+    )
+
+    yes = sparql_query(_ds(), PFX +
+                       "ASK { ?d ex:mentions ex:octan . }").to_pandas()
+    assert yes["ask"].tolist() == [True]
+    no = sparql_query(_ds(), PFX +
+                      "ASK { ?d ex:mentions ex:ghost . }").to_pandas()
+    assert no["ask"].tolist() == [False]
+
+
+def test_describe_is_one_hop_subgraph(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_query,
+    )
+
+    got = sparql_query(_ds(), PFX + "DESCRIBE ex:octan").to_pandas()
+    spo = set(map(tuple,
+                  got[["subject", "predicate", "object"]].values))
+    assert spo == {
+        (EX + "d1", EX + "mentions", EX + "octan"),
+        (EX + "d2", EX + "mentions", EX + "octan"),
+        (EX + "octan", EX + "hq_in", EX + "vienna"),
+        (EX + "octan", EX + "employees", "1200"),
+    }
+
+
+def test_unknown_form_raises(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_query,
+    )
+
+    with pytest.raises(NotImplementedError, match="CONSTRUCT"):
+        sparql_query(_ds(), "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+
+
 @pytest.mark.parametrize("query,needle", [
     (PFX + "SELECT ?x WHERE { ?x ex:p+ ?y . }", "plus"),
     (PFX + "SELECT ?x WHERE { ?x ex:p ?y . BIND(?y AS ?z) }", "BIND"),
