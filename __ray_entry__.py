@@ -395,6 +395,17 @@ def _kg_bgp_click_no_purchase(sf_dir: str):
     )
 
 
+def _kg_entity_pagerank(sf_dir: str):
+    """Entity importance over the flagship KG's IRI link graph
+    (rows-only: iterative algorithm; the edge-level pagerank has its own
+    oracle-adjacent checks in parts_pagerank)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        kg_entity_pagerank,
+    )
+
+    return kg_entity_pagerank(_kg_records(sf_dir)["triples"], top_k=50)
+
+
 def _kg_profile_events(sf_dir: str):
     """Per-predicate KG profile (exact distincts) over the events triple
     encoding — one hash(predicate) exchange."""
@@ -1388,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_merge_orders": _kg_sameas_merge_orders,
         "kg_shacl_violations": _kg_shacl_violations,
         "kg_profile_events": _kg_profile_events,
+        "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,

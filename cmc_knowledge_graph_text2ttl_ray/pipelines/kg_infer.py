@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["Rule", "construct", "forward_chain",
-           "merge_equivalent_entities"]
+           "merge_equivalent_entities", "kg_entity_pagerank"]
 
 _TRIPLE_COLS = ("subject", "predicate", "object",
                 "object_kind", "object_lang", "object_datatype")
@@ -307,6 +307,91 @@ def merge_equivalent_entities(triples, sameas_pred: str,
 
         out = out.map_batches(drop_loops, batch_format="pyarrow")
     return {"triples": out, "mapping": mapping_ds, "n_mapped": n_mapped}
+
+
+def kg_entity_pagerank(triples, damping: float = 0.85, iters: int = 4,
+                       top_k: int | None = None):
+    """Entity importance over the KG's IRI→IRI link graph: every triple
+    whose object is an IRI is a directed edge subject→object;
+    :func:`~cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos.pagerank` runs over
+    64-bit md5 node ids (same exact collision guard as the sameAs
+    merge), ranks map back to IRIs.  Returns an ``(iri, rank)`` Dataset,
+    optionally the ``top_k`` by rank (deterministic IRI tie-break)."""
+    import hashlib
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        pagerank,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import _compact
+
+    if hasattr(triples, "scan_for_predicate"):
+        triples = triples.scan_for_predicate(None)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if "object_kind" in t.column_names:
+            t = t.filter(pc.fill_null(
+                pc.equal(t["object_kind"], "iri"), False))
+
+        def h64(vals):
+            return pa.array(
+                [int.from_bytes(
+                    hashlib.md5(v.encode("utf-8")).digest()[:8],
+                    "big", signed=False) - (1 << 63) for v in vals],
+                pa.int64())
+
+        a = t["subject"].to_pylist()
+        b = t["object"].to_pylist()
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "src": h64(a), "dst": h64(b)})
+
+    edges, n_edges = _compact(
+        triples.map_batches(edge_rows, batch_format="pyarrow"))
+    if edges is None:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"iri": pa.array([], pa.string()),
+             "rank": pa.array([], pa.float64())}))
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.concat_arrays([t["src"].combine_chunks(),
+                                   t["dst"].combine_chunks()]),
+            "iri": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+        })
+
+    nodes = coarse_group_reduce(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        ["h"], lambda g: g.drop_duplicates(subset=["h", "iri"])
+    ).materialize()
+
+    def collision_guard(g):
+        if (g.groupby("h")["iri"].nunique() > 1).any():
+            raise ValueError(
+                "64-bit IRI hash collision in the entity graph — "
+                "pagerank aborted")
+        return g.drop_duplicates(subset=["h"])[["h"]]
+
+    coarse_group_reduce(nodes, ["h"], collision_guard).count()
+
+    ranks = pagerank(edges.select_columns(["src", "dst"]),
+                     damping=damping, iters=iters)
+    n_nodes = nodes.count()
+    np_join = max(1, min(default_join_partitions(),
+                         -(-n_nodes // 50_000)))
+    out = nodes.join(
+        ranks, join_type="inner", num_partitions=np_join,
+        on=("h",), right_on=("node",)).select_columns(["iri", "rank"])
+    if top_k is not None:
+        out = out.sort(["rank", "iri"], descending=[True, False]) \
+                 .limit(top_k)
+    return out
 
 
 def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,

@@ -183,6 +183,46 @@ def test_merge_over_triple_store(ray_session, tmp_path):
     }
 
 
+def test_kg_entity_pagerank_orders_hubs_first(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        kg_entity_pagerank,
+    )
+
+    # give octan a second in-link: it must outrank the symmetric acme
+    graph = MENTIONS + [("d3", "mentions", "octan")]
+    df = kg_entity_pagerank(_ds(graph), iters=6).to_pandas()
+    ranks = dict(zip(df["iri"], df["rank"]))
+    assert ranks["octan"] > ranks["acme"]
+    # octan's extra mass flows on to vienna, then austria
+    assert ranks["vienna"] > ranks["berlin"]
+    assert ranks["austria"] > ranks["germany"]
+    # every node of the IRI graph is ranked
+    assert set(df["iri"]) == {"d1", "d2", "d3", "acme", "octan",
+                              "berlin", "vienna", "germany", "austria"}
+
+
+def test_kg_entity_pagerank_topk_and_literal_edges_ignored(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        kg_entity_pagerank,
+    )
+
+    triples = MENTIONS + [("acme", "employees", "250")]
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "subject": [t[0] for t in triples],
+        "predicate": [t[1] for t in triples],
+        "object": [t[2] for t in triples],
+        "object_kind": ["iri"] * len(MENTIONS) + ["literal"],
+        "object_lang": pa.array([None] * len(triples), pa.string()),
+        "object_datatype": pa.array([None] * len(triples), pa.string()),
+    }))
+    top = kg_entity_pagerank(ds, top_k=3).to_pandas()
+    assert len(top) == 3
+    assert "250" not in set(top["iri"])  # literal never became a node
+
+
 def test_forward_chain_max_rounds_bound(ray_session):
     long_chain = [(f"n{i}", "locatedIn", f"n{i+1}") for i in range(12)]
     res = forward_chain(_ds(long_chain), [TRANS], max_rounds=1)
