@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "kg_bgp_orders_by_nation",
     "kg_bgp_click_no_purchase",
     "kg_construct_order_nation",
+    "kg_sparql_path_order_nations",
+    "kg_khop_nation",
+    "kg_shacl_violations",
+    "kg_sameas_merge_orders",
+    "kg_profile_events",
 ]
 
 
