@@ -27,15 +27,15 @@ answers):
   has the spec's BAG multiplicity (one row per route); the in-memory
   evaluator dedups path endpoint pairs — use DISTINCT when comparing.
 - SELECT projection, ``DISTINCT``, aggregates COUNT(*) / COUNT(?v) /
-  SUM / MIN / MAX / AVG with ``GROUP BY``
+  SUM / MIN / MAX / AVG with ``GROUP BY`` and ``HAVING`` (compiled
+  filter over the per-group rows)
 - ``ORDER BY`` / ``LIMIT``.  Deviation, documented: the distributed
   sort orders LEXICALLY (Arrow string sort); the in-memory evaluator
   sorts numerically when both values parse as numbers.
 
 NOT supported distributed: unbounded path closures (``+ * ?`` — use
 ``pipelines.kg_infer.forward_chain``), negated property sets, BIND,
-VALUES, subqueries, FILTER EXISTS, nested OPTIONAL groups, HAVING,
-OFFSET.
+VALUES, subqueries, FILTER EXISTS, nested OPTIONAL groups, OFFSET.
 """
 
 from __future__ import annotations
@@ -405,6 +405,17 @@ def sparql_select(triples, query: str, num_partitions: int | None = None):
                      .drop_columns(["__one"])
         out_cols = group_vars + [a for _, _, a in agg_items]
         acc = acc.select_columns(out_cols)
+        # HAVING: the parser's compiled filter over group keys +
+        # aggregate aliases, applied per (already tiny) group row
+        m_hav = re.search(r"\bHAVING\s*\(", tail, re.IGNORECASE)
+        if m_hav:
+            from cmc_knowledge_graph_text2ttl_ray.state.graph_index import (
+                _compile_filter,
+            )
+
+            expr, _end = GraphIndex._read_parens(tail, m_hav.end() - 1)
+            acc = _row_filters(
+                acc, [_compile_filter(expr, prefixes)])
     else:
         if plain_vars:
             acc = acc.select_columns(plain_vars)

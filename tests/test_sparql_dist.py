@@ -144,6 +144,12 @@ def test_count_group_by(ray_session):
         GROUP BY ?e""")
 
 
+def test_count_group_by_having(ray_session):
+    _assert_same(PFX + """
+        SELECT ?e (COUNT(*) AS ?n) WHERE { ?d ex:mentions ?e . }
+        GROUP BY ?e HAVING(?n > 1)""")
+
+
 def test_sum_avg_global(ray_session):
     _assert_same(PFX + """
         SELECT (SUM(?n) AS ?total) (AVG(?n) AS ?mean)
