@@ -21,11 +21,13 @@ answers):
 - ``{ } UNION { }`` groups (arms evaluated independently, columns
   aligned with nulls, correlated with the rest by a hash join on the
   shared variables)
-- fixed-length property paths ``p1/p2`` ``^p`` ``p1|p2`` (grouped) —
-  lowered to the SPARQL-1.1 fresh-variable BGP rewrite (DNF:
-  alternatives become UNION arms).  Deviation, documented: the rewrite
-  has the spec's BAG multiplicity (one row per route); the in-memory
-  evaluator dedups path endpoint pairs — use DISTINCT when comparing.
+- fixed-length property paths ``p1/p2`` ``^p`` ``p1|p2`` (grouped) and
+  negated property sets ``!p`` / ``!(p1|^p2)`` — lowered to the
+  SPARQL-1.1 fresh-variable BGP rewrite (DNF: alternatives become UNION
+  arms; negsets become fresh predicate variables with not-in filters).
+  Deviation, documented: the rewrite has the spec's BAG multiplicity
+  (one row per route); the in-memory evaluator dedups path endpoint
+  pairs — use DISTINCT when comparing.
 - SELECT projection, ``DISTINCT``, aggregates COUNT(*) / COUNT(?v) /
   SUM / MIN / MAX / AVG with ``GROUP BY`` and ``HAVING`` (compiled
   filter over the per-group rows)
@@ -34,8 +36,9 @@ answers):
   sorts numerically when both values parse as numbers.
 
 NOT supported distributed: unbounded path closures (``+ * ?`` — use
-``pipelines.kg_infer.forward_chain``), negated property sets, BIND,
-VALUES, subqueries, FILTER EXISTS, nested OPTIONAL groups, OFFSET.
+``pipelines.kg_infer.forward_chain``), BIND, VALUES, subqueries,
+FILTER EXISTS, nested OPTIONAL groups, paths inside OPTIONAL/MINUS,
+OFFSET.
 """
 
 from __future__ import annotations
@@ -72,26 +75,50 @@ class _Fresh:
         return ("var", f"__p{self.n}")
 
 
-def _lower_path(s_term, ast, o_term, fresh) -> list[list[tuple]]:
+def _not_in_filter(var_name: str, bad: frozenset):
+    def fn(b, _v=var_name, _bad=bad):
+        return b.get(_v) is not None and b[_v] not in _bad
+
+    return fn
+
+
+def _lower_path(s_term, ast, o_term, fresh):
     """Lower a fixed-length property-path AST to DNF: a list of
-    ALTERNATIVE conjunctive pattern lists (SPARQL 1.1 §9.1 defines
-    ``p1/p2`` / ``^p`` / ``p1|p2`` as exactly this fresh-variable BGP
-    rewrite, bag semantics).  Unbounded closures (``+ * ?``) and negated
-    property sets need recursive evaluation — they raise by name
-    (``forward_chain`` covers transitive closure as a pipeline op)."""
+    ALTERNATIVE ``(patterns, filters)`` pairs (SPARQL 1.1 §9.1 defines
+    ``p1/p2`` / ``^p`` / ``p1|p2`` as exactly the fresh-variable BGP
+    rewrite, bag semantics).  Negated property sets ``!p`` /
+    ``!(p1|^p2)`` become a fresh PREDICATE variable constrained by a
+    not-in filter (forward and inverse member groups are separate DNF
+    arms, mirroring the in-memory ``_eval_path`` semantics).  Unbounded
+    closures (``+ * ?``) raise by name (``forward_chain`` covers
+    transitive closure as a pipeline op)."""
     kind = ast[0]
     if kind == "atom":
-        return [[(s_term, ("const", ast[1]), o_term)]]
+        return [([(s_term, ("const", ast[1]), o_term)], [])]
     if kind == "inv":
         return _lower_path(o_term, ast[1], s_term, fresh)
+    if kind == "negset":
+        fwd = frozenset(iri for inv, iri in ast[1] if not inv)
+        invs = frozenset(iri for inv, iri in ast[1] if inv)
+        arms = []
+        if fwd or not invs:
+            pv = fresh()
+            arms.append(([(s_term, pv, o_term)],
+                         [_not_in_filter(pv[1], fwd)]))
+        if invs:
+            pv = fresh()
+            arms.append(([(o_term, pv, s_term)],
+                         [_not_in_filter(pv[1], invs)]))
+        return arms
     if kind == "seq":
-        alts = [[]]
+        alts = [([], [])]
         left = s_term
         parts = ast[1]
         for i, part in enumerate(parts):
             right = o_term if i == len(parts) - 1 else fresh()
             part_alts = _lower_path(left, part, right, fresh)
-            alts = [c + a for c in alts for a in part_alts]
+            alts = [(cp + ap, cf + af)
+                    for cp, cf in alts for ap, af in part_alts]
             left = right
         return alts
     if kind == "alt":
@@ -140,17 +167,22 @@ def _translate_group(elements):
         if kind == "bgp":
             # DNF-expand any property paths: a single conjunction extends
             # the BGP in place; real alternatives become a UNION element
-            conj_alts = [[]]
+            conj_alts = [([], [])]
             for pat in payload:
                 s, p, o = pat
                 alts = (_lower_path(s, p[1], o, fresh)
                         if isinstance(p, tuple) and p[0] == "path"
-                        else [[pat]])
-                conj_alts = [c + a for c in conj_alts for a in alts]
+                        else [([pat], [])])
+                conj_alts = [(cp + ap, cf + af)
+                             for cp, cf in conj_alts for ap, af in alts]
             if len(conj_alts) == 1:
-                patterns.extend(_conv_patterns(conj_alts[0]))
+                pats, fils = conj_alts[0]
+                patterns.extend(_conv_patterns(pats))
+                filters.extend(fils)
             else:
-                unions.append([[("bgp", alt)] for alt in conj_alts])
+                unions.append(
+                    [[("bgp", pats)] + [("filter", f) for f in fils]
+                     for pats, fils in conj_alts])
         elif kind == "optional":
             if optional is not None:
                 raise NotImplementedError(
@@ -246,12 +278,14 @@ def _group_dataset(triples, elements, num_partitions):
 
     if acc is None:
         raise NotImplementedError("distributed SPARQL: empty WHERE body")
+    # filters BEFORE dropping internals: negated-property-set filters
+    # constrain the fresh __p predicate variables
+    if filters:
+        acc = _row_filters(acc, filters)
     internal = [c for c in acc.schema().names if c.startswith("__p")]
     if internal:
         acc = acc.select_columns(
             [c for c in acc.schema().names if not c.startswith("__p")])
-    if filters:
-        acc = _row_filters(acc, filters)
     return acc
 
 

@@ -227,6 +227,25 @@ def test_unknown_form_raises(ray_session):
         sparql_query(_ds(), "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
 
 
+def test_negated_property_set(ray_session):
+    # every edge out of octan/acme that is NOT employees
+    _assert_same(PFX + """
+        SELECT DISTINCT ?s ?v WHERE { ?s !ex:employees ?v . }""")
+
+
+def test_negated_property_set_mixed_inverse(ray_session):
+    _assert_same(PFX + """
+        SELECT DISTINCT ?a ?b WHERE {
+            ?a !(ex:employees|^ex:mentions) ?b . }""")
+
+
+def test_negset_inside_sequence(ray_session):
+    # one non-employees hop then in_country
+    _assert_same(PFX + """
+        SELECT DISTINCT ?e ?c WHERE {
+            ?e !ex:employees/ex:in_country ?c . }""")
+
+
 @pytest.mark.parametrize("query,needle", [
     (PFX + "SELECT ?x WHERE { ?x ex:p+ ?y . }", "plus"),
     (PFX + "SELECT ?x WHERE { ?x ex:p ?y . BIND(?y AS ?z) }", "BIND"),
