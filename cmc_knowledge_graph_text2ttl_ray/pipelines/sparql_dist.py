@@ -28,6 +28,10 @@ answers):
   Deviation, documented: the rewrite has the spec's BAG multiplicity
   (one row per route); the in-memory evaluator dedups path endpoint
   pairs — use DISTINCT when comparing.
+- ``BIND(expr AS ?var)`` (applied after the joins — valid while the
+  expression references only BGP-bound vars) and ``VALUES`` (inline
+  compatible-bindings join; UNDEF entries are wildcards; the inline
+  list is query-text-sized, so the per-solution loop is bounded)
 - SELECT projection, ``DISTINCT``, aggregates COUNT(*) / COUNT(?v) /
   SUM / MIN / MAX / AVG with ``GROUP BY`` and ``HAVING`` (compiled
   filter over the per-group rows)
@@ -36,9 +40,8 @@ answers):
   sorts numerically when both values parse as numbers.
 
 NOT supported distributed: unbounded path closures (``+ * ?`` — use
-``pipelines.kg_infer.forward_chain``), BIND, VALUES, subqueries,
-FILTER EXISTS, nested OPTIONAL groups, paths inside OPTIONAL/MINUS,
-OFFSET.
+``pipelines.kg_infer.forward_chain``), subqueries, FILTER EXISTS,
+nested OPTIONAL groups, paths inside OPTIONAL/MINUS, OFFSET.
 """
 
 from __future__ import annotations
@@ -160,8 +163,72 @@ def _row_filters(ds, filter_fns):
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def _apply_binds(ds, binds):
+    """``BIND(expr AS ?var)`` after the joins (valid for the supported
+    subset: the expression references only BGP-bound variables).  Local
+    semantics mirrored exactly: an expression error leaves the variable
+    unbound; binding over an ALREADY-bound variable keeps the row only
+    when the values agree."""
+    def apply(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = []
+        for r in rows:
+            clean = {k: v for k, v in r.items() if v is not None}
+            ok = True
+            for var, fn in binds:
+                v = fn(clean)
+                if v is None:
+                    continue  # expression error → stays unbound
+                sv = ("true" if v is True else
+                      "false" if v is False else str(v))
+                if clean.get(var) is not None:
+                    if str(clean[var]) != sv:
+                        ok = False
+                        break
+                else:
+                    clean[var] = sv
+            if ok:
+                out.append(clean)
+        names = sorted(set(t.column_names) | {var for var, _ in binds})
+        return pa.table(
+            {n: pa.array([None if r.get(n) is None else str(r.get(n))
+                          for r in out], pa.string()) for n in names})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def _apply_values(ds, vars_, rows):
+    """``VALUES`` as a compatible-bindings join: each solution row joins
+    every inline data row whose non-UNDEF entries agree; UNDEF entries
+    are wildcards.  The inline list is a tiny constant (query text), so
+    the per-solution loop is bounded by its length."""
+    def apply(t: pa.Table) -> pa.Table:
+        sols = t.to_pylist()
+        out = []
+        for r in sols:
+            for vrow in rows:
+                ok, merged = True, dict(r)
+                for var, val in zip(vars_, vrow):
+                    if val is None:
+                        continue  # UNDEF matches anything
+                    cur = merged.get(var)
+                    if cur is not None and str(cur) != val:
+                        ok = False
+                        break
+                    merged[var] = val
+                if ok:
+                    out.append(merged)
+        names = sorted(set(t.column_names) | set(vars_))
+        return pa.table(
+            {n: pa.array([None if r.get(n) is None else str(r.get(n))
+                          for r in out], pa.string()) for n in names})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def _translate_group(elements):
     patterns, optional, minus, filters, unions = [], None, None, [], []
+    binds, values_blocks = [], []
     fresh = _Fresh()
     for kind, payload in elements:
         if kind == "bgp":
@@ -197,10 +264,15 @@ def _translate_group(elements):
             filters.append(payload)
         elif kind == "union":
             unions.append(payload)
+        elif kind == "bind":
+            binds.append(payload)  # (var, compiled fn)
+        elif kind == "values":
+            values_blocks.append(payload)  # (vars, rows)
         else:
             raise NotImplementedError(
                 f"distributed SPARQL: {kind.upper()} is not supported")
-    return patterns, optional, minus, filters, unions
+    return (patterns, optional, minus, filters, unions, binds,
+            values_blocks)
 
 
 def _group_dataset(triples, elements, num_partitions):
@@ -214,7 +286,8 @@ def _group_dataset(triples, elements, num_partitions):
         bgp_query,
     )
 
-    patterns, optional, minus, filters, unions = _translate_group(elements)
+    (patterns, optional, minus, filters, unions, binds,
+     values_blocks) = _translate_group(elements)
 
     acc = None
     if patterns:
@@ -278,8 +351,13 @@ def _group_dataset(triples, elements, num_partitions):
 
     if acc is None:
         raise NotImplementedError("distributed SPARQL: empty WHERE body")
-    # filters BEFORE dropping internals: negated-property-set filters
-    # constrain the fresh __p predicate variables
+    # evaluation order for the supported subset: VALUES (inline joins) →
+    # BIND (derived vars) → FILTER (SPARQL applies filters at group end;
+    # negated-property-set filters must also see their fresh __p vars)
+    for vars_, rows in values_blocks:
+        acc = _apply_values(acc, vars_, rows)
+    if binds:
+        acc = _apply_binds(acc, binds)
     if filters:
         acc = _row_filters(acc, filters)
     internal = [c for c in acc.schema().names if c.startswith("__p")]

@@ -246,10 +246,36 @@ def test_negset_inside_sequence(ray_session):
             ?e !ex:employees/ex:in_country ?c . }""")
 
 
+def test_bind_arithmetic(ray_session):
+    _assert_same(PFX + """
+        SELECT ?e ?m WHERE {
+            ?e ex:employees ?n . BIND((?n + 1) AS ?m) }""")
+
+
+def test_bind_over_bound_var_keeps_agreeing_rows(ray_session):
+    _assert_same(PFX + """
+        SELECT ?e ?n WHERE {
+            ?e ex:employees ?n . BIND(?n AS ?n) }""")
+
+
+def test_values_single_var(ray_session):
+    _assert_same(PFX + """
+        SELECT ?d ?e WHERE {
+            ?d ex:mentions ?e .
+            VALUES ?e { ex:octan ex:initech } }""")
+
+
+def test_values_two_vars_with_undef(ray_session):
+    _assert_same(PFX + """
+        SELECT ?d ?e WHERE {
+            ?d ex:mentions ?e .
+            VALUES (?d ?e) { (ex:d1 UNDEF) (UNDEF ex:initech) } }""")
+
+
 @pytest.mark.parametrize("query,needle", [
     (PFX + "SELECT ?x WHERE { ?x ex:p+ ?y . }", "plus"),
-    (PFX + "SELECT ?x WHERE { ?x ex:p ?y . BIND(?y AS ?z) }", "BIND"),
-    (PFX + 'SELECT ?x WHERE { ?x ex:p ?y . VALUES ?y { "1" } }', "VALUES"),
+    (PFX + "SELECT ?x WHERE { ?x ex:p ?y . FILTER EXISTS "
+           "{ ?y ex:q ?z . } }", "EXISTS"),
     (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } OFFSET 2", "OFFSET"),
 ])
 def test_unsupported_constructs_raise(ray_session, query, needle):
