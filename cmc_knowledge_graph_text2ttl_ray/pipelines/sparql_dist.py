@@ -32,6 +32,12 @@ answers):
   expression references only BGP-bound vars) and ``VALUES`` (inline
   compatible-bindings join; UNDEF entries are wildcards; the inline
   list is query-text-sized, so the per-solution loop is bounded)
+- ``FILTER [NOT] EXISTS { … }`` — a distributed left_semi / left_anti
+  hash join on the shared variables (uncorrelated groups decide
+  globally by emptiness)
+- nested ``{ SELECT … }`` subqueries — evaluated in their own scope
+  (outer prefixes inherited) and natural-joined back on the shared
+  variables
 - SELECT projection, ``DISTINCT``, aggregates COUNT(*) / COUNT(?v) /
   SUM / MIN / MAX / AVG with ``GROUP BY`` and ``HAVING`` (compiled
   filter over the per-group rows)
@@ -40,8 +46,8 @@ answers):
   sorts numerically when both values parse as numbers.
 
 NOT supported distributed: unbounded path closures (``+ * ?`` — use
-``pipelines.kg_infer.forward_chain``), subqueries, FILTER EXISTS,
-nested OPTIONAL groups, paths inside OPTIONAL/MINUS, OFFSET.
+``pipelines.kg_infer.forward_chain``), nested OPTIONAL groups, paths
+inside OPTIONAL/MINUS, OFFSET.
 """
 
 from __future__ import annotations
@@ -228,7 +234,7 @@ def _apply_values(ds, vars_, rows):
 
 def _translate_group(elements):
     patterns, optional, minus, filters, unions = [], None, None, [], []
-    binds, values_blocks = [], []
+    binds, values_blocks, exists_groups, subqueries = [], [], [], []
     fresh = _Fresh()
     for kind, payload in elements:
         if kind == "bgp":
@@ -268,11 +274,15 @@ def _translate_group(elements):
             binds.append(payload)  # (var, compiled fn)
         elif kind == "values":
             values_blocks.append(payload)  # (vars, rows)
+        elif kind == "exists":
+            exists_groups.append(payload)  # (negated, elements)
+        elif kind == "subquery":
+            subqueries.append(payload)  # (text, prefixes)
         else:
             raise NotImplementedError(
                 f"distributed SPARQL: {kind.upper()} is not supported")
     return (patterns, optional, minus, filters, unions, binds,
-            values_blocks)
+            values_blocks, exists_groups, subqueries)
 
 
 def _group_dataset(triples, elements, num_partitions):
@@ -287,7 +297,7 @@ def _group_dataset(triples, elements, num_partitions):
     )
 
     (patterns, optional, minus, filters, unions, binds,
-     values_blocks) = _translate_group(elements)
+     values_blocks, exists_groups, subqueries) = _translate_group(elements)
 
     acc = None
     if patterns:
@@ -351,13 +361,94 @@ def _group_dataset(triples, elements, num_partitions):
 
     if acc is None:
         raise NotImplementedError("distributed SPARQL: empty WHERE body")
+    # subqueries: evaluated in their own scope, natural-joined back on
+    # the shared variables (SPARQL 1.1 §12 bottom-up evaluation)
+    for sub_text, sub_prefixes in subqueries:
+        sub = sparql_select(triples, sub_text, num_partitions,
+                            _base_prefixes=sub_prefixes)
+        sub_cols = set(sub.schema().names)
+        shared = sorted(set(acc.schema().names) & sub_cols)
+        if not shared:
+            raise NotImplementedError(
+                "distributed SPARQL: subquery sharing no variable with "
+                "the outer group (cross product)")
+        left, n_l = _compact(acc)
+        right, n_r = _compact(sub)
+        if left is None or right is None:
+            sch = pa.schema([(c, pa.string()) for c in sorted(
+                set(acc.schema().names) | sub_cols)])
+            import ray.data
+
+            return ray.data.from_arrow(sch.empty_table())
+
+        def _str_cols(t: pa.Table) -> pa.Table:
+            return pa.table({c: t[c].cast(pa.string())
+                             for c in t.column_names})
+
+        right = right.map_batches(_str_cols, batch_format="pyarrow") \
+                     .rename_columns({c: c + "__r" for c in shared})
+        np_join = max(1, min(default_join_partitions(),
+                             -(-min(n_l, n_r) // 50_000)))
+        acc = left.join(right, join_type="inner",
+                        num_partitions=np_join,
+                        on=tuple(shared),
+                        right_on=tuple(c + "__r" for c in shared))
+        acc = acc.select_columns(sorted(
+            set(left.schema().names) | sub_cols))
+
     # evaluation order for the supported subset: VALUES (inline joins) →
-    # BIND (derived vars) → FILTER (SPARQL applies filters at group end;
-    # negated-property-set filters must also see their fresh __p vars)
+    # BIND (derived vars) → EXISTS/FILTER (SPARQL applies filters at
+    # group end; negated-property-set filters must also see their fresh
+    # __p vars)
     for vars_, rows in values_blocks:
         acc = _apply_values(acc, vars_, rows)
     if binds:
         acc = _apply_binds(acc, binds)
+    for negated, group_elements in exists_groups:
+        probe = _group_dataset(triples, group_elements, num_partitions)
+        probe_cols = set(probe.schema().names)
+        shared = sorted(set(acc.schema().names) & probe_cols)
+        if not shared:
+            # uncorrelated EXISTS: group emptiness decides globally
+            any_row = probe.limit(1).count() > 0
+            keep = any_row != negated
+            if keep:
+                continue
+            sch = pa.schema([(c, pa.string())
+                             for c in acc.schema().names])
+            import ray.data
+
+            acc = ray.data.from_arrow(sch.empty_table())
+            continue
+        left, n_l = _compact(acc)
+        right, n_r = _compact(probe)
+        if left is None:
+            continue  # no solutions left; nothing to subtract from
+        if right is None:
+            if not negated:
+                import ray.data
+
+                sch = pa.schema([(c, pa.string())
+                                 for c in left.schema().names])
+                acc = ray.data.from_arrow(sch.empty_table())
+            else:
+                acc = left
+            continue
+
+        def keys_only(t: pa.Table, shared=shared) -> pa.Table:
+            sub = pa.table({c + "__r": t[c].cast(pa.string())
+                            for c in shared})
+            return sub.group_by(list(sub.column_names)).aggregate([])
+
+        right = right.map_batches(keys_only, batch_format="pyarrow")
+        np_join = max(1, min(default_join_partitions(),
+                             -(-min(n_l, n_r) // 50_000)))
+        acc = left.join(
+            right,
+            join_type=("left_anti" if negated else "left_semi"),
+            num_partitions=np_join,
+            on=tuple(shared),
+            right_on=tuple(c + "__r" for c in shared))
     if filters:
         acc = _row_filters(acc, filters)
     internal = [c for c in acc.schema().names if c.startswith("__p")]
@@ -417,19 +508,22 @@ _RE_AGG = re.compile(
     r"\?(\w+)\s*\)$", re.IGNORECASE)
 
 
-def sparql_select(triples, query: str, num_partitions: int | None = None):
+def sparql_select(triples, query: str, num_partitions: int | None = None,
+                  _base_prefixes: dict | None = None):
     """Compile a SPARQL SELECT string onto the distributed BGP engine.
 
     Returns a Dataset: one string column per projected variable
-    (aggregate columns are float64 except COUNT's int64)."""
+    (aggregate columns are float64 except COUNT's int64).
+    ``_base_prefixes``: inherited outer-scope prefixes (subqueries)."""
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         coarse_group_reduce,
     )
     from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
 
     gi = GraphIndex()
-    prefixes = {m.group(1): m.group(2)
-                for m in _RE_PREFIX_DECL.finditer(query)}
+    prefixes = dict(_base_prefixes or {})
+    prefixes.update({m.group(1): m.group(2)
+                     for m in _RE_PREFIX_DECL.finditer(query)})
     start = query.find("{")
     if start < 0:
         raise ValueError("No {...} body in query")

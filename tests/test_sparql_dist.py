@@ -272,10 +272,33 @@ def test_values_two_vars_with_undef(ray_session):
             VALUES (?d ?e) { (ex:d1 UNDEF) (UNDEF ex:initech) } }""")
 
 
+def test_filter_exists(ray_session):
+    # docs mentioning an entity that HAS a headquarters
+    _assert_same(PFX + """
+        SELECT DISTINCT ?d ?e WHERE {
+            ?d ex:mentions ?e .
+            FILTER EXISTS { ?e ex:hq_in ?p . } }""")
+
+
+def test_filter_not_exists(ray_session):
+    _assert_same(PFX + """
+        SELECT DISTINCT ?e WHERE {
+            ?d ex:mentions ?e .
+            FILTER NOT EXISTS { ?e ex:hq_in ?p . } }""")
+
+
+def test_subquery_natural_join(ray_session):
+    # inner: per-entity mention counts; outer: join hq place onto them
+    _assert_same(PFX + """
+        SELECT ?e ?p ?n WHERE {
+            ?e ex:hq_in ?p .
+            { SELECT ?e (COUNT(*) AS ?n) WHERE {
+                ?d ex:mentions ?e . } GROUP BY ?e }
+        }""")
+
+
 @pytest.mark.parametrize("query,needle", [
     (PFX + "SELECT ?x WHERE { ?x ex:p+ ?y . }", "plus"),
-    (PFX + "SELECT ?x WHERE { ?x ex:p ?y . FILTER EXISTS "
-           "{ ?y ex:q ?z . } }", "EXISTS"),
     (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } OFFSET 2", "OFFSET"),
 ])
 def test_unsupported_constructs_raise(ray_session, query, needle):
