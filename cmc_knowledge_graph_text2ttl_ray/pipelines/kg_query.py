@@ -295,6 +295,7 @@ def bgp_query(
     minus_patterns: list[Sequence[str]] | None = None,
     filters: list | None = None,
     pattern_sources: list | None = None,
+    optional_groups: list[list[Sequence[str]]] | None = None,
 ):
     """Evaluate a conjunctive triple-pattern query over a triples Dataset.
 
@@ -311,6 +312,11 @@ def bgp_query(
     ``optional_patterns``: ONE internally-connected OPTIONAL group,
     left-outer-joined to the required solutions on their shared
     variables (SPARQL ``OPTIONAL { }``) — unmatched rows carry nulls.
+    ``optional_groups``: SEVERAL such groups, applied sequentially in
+    order; each group must share variables with the REQUIRED patterns
+    (sharing only a previous OPTIONAL's possibly-null variables would
+    need SPARQL's per-binding substitution semantics — a left-outer
+    join on a null key silently differs, so it is rejected).
     ``minus_patterns``: ONE internally-connected group subtracted from
     the solutions on shared variables (SPARQL ``MINUS`` / ``FILTER NOT
     EXISTS`` over shared vars) — a distributed ``left_anti`` hash join.
@@ -324,11 +330,14 @@ def bgp_query(
     )
 
     _validate_patterns(patterns)
+    opt_groups = list(optional_groups or [])
     if optional_patterns:
-        _validate_patterns(optional_patterns)
+        opt_groups.insert(0, optional_patterns)
+    for grp in opt_groups:
+        _validate_patterns(grp)
     all_vars = sorted(
         {v for pat in patterns for v in _pattern_vars(pat)}
-        | {v for pat in (optional_patterns or [])
+        | {v for grp in opt_groups for pat in grp
            for v in _pattern_vars(pat)})
     cols = [v.lstrip("?") for v in project] if project else [
         v[1:] for v in all_vars]
@@ -344,16 +353,21 @@ def bgp_query(
     if acc is None:
         return _empty_result()
 
-    if optional_patterns:
-        opt_vars = {v for pat in optional_patterns
-                    for v in _pattern_vars(pat)}
-        shared = sorted(bound & opt_vars)
+    required_vars = set(bound)
+    for grp in opt_groups:
+        opt_vars = {v for pat in grp for v in _pattern_vars(pat)}
+        shared = sorted(required_vars & opt_vars)
+        if (bound & opt_vars) - set(shared):
+            raise NotImplementedError(
+                "OPTIONAL group shares a previous OPTIONAL's "
+                "possibly-null variables — per-binding substitution "
+                "semantics are not supported distributed")
         if not shared:
             raise ValueError(
                 "OPTIONAL group shares no variable with the required "
                 "patterns — an unconstrained cross product is rejected")
         opt, n_opt, opt_vars = _join_group(
-            triples, optional_patterns, num_partitions)
+            triples, grp, num_partitions)
         extra = [v[1:] for v in sorted(opt_vars - bound)]
         if opt is None:
             # empty optional side: every solution keeps nulls — extend

@@ -13,7 +13,10 @@ with the unsupported construct named — honesty over silent wrong
 answers):
 
 - basic graph patterns (joined per ``bgp_query``'s planner)
-- one ``OPTIONAL { BGP }`` and one ``MINUS { BGP }`` group
+- any number of ``OPTIONAL { BGP }`` groups (applied in order;
+  groups may only share REQUIRED variables — sharing a previous
+  OPTIONAL's nullable vars is rejected by name) and one
+  ``MINUS { BGP }`` group
 - ``FILTER(...)`` — the parser's compiled closures applied per solution
   row (solutions are the post-join RESULT set, orders of magnitude
   smaller than the triple table; a vectorized translation would cover
@@ -46,8 +49,9 @@ answers):
   sorts numerically when both values parse as numbers.
 
 NOT supported distributed: unbounded path closures (``+ * ?`` — use
-``pipelines.kg_infer.forward_chain``), nested OPTIONAL groups, paths
-inside OPTIONAL/MINUS, OFFSET.
+``pipelines.kg_infer.forward_chain``), OPTIONAL groups correlated only
+through other OPTIONALs' nullable vars, paths inside OPTIONAL/MINUS,
+OFFSET.
 """
 
 from __future__ import annotations
@@ -233,7 +237,7 @@ def _apply_values(ds, vars_, rows):
 
 
 def _translate_group(elements):
-    patterns, optional, minus, filters, unions = [], None, None, [], []
+    patterns, optionals, minus, filters, unions = [], [], None, [], []
     binds, values_blocks, exists_groups, subqueries = [], [], [], []
     fresh = _Fresh()
     for kind, payload in elements:
@@ -257,10 +261,7 @@ def _translate_group(elements):
                     [[("bgp", pats)] + [("filter", f) for f in fils]
                      for pats, fils in conj_alts])
         elif kind == "optional":
-            if optional is not None:
-                raise NotImplementedError(
-                    "distributed SPARQL: only one OPTIONAL group")
-            optional = _bgp_only(payload, "OPTIONAL")
+            optionals.append(_bgp_only(payload, "OPTIONAL"))
         elif kind == "minus":
             if minus is not None:
                 raise NotImplementedError(
@@ -281,7 +282,7 @@ def _translate_group(elements):
         else:
             raise NotImplementedError(
                 f"distributed SPARQL: {kind.upper()} is not supported")
-    return (patterns, optional, minus, filters, unions, binds,
+    return (patterns, optionals, minus, filters, unions, binds,
             values_blocks, exists_groups, subqueries)
 
 
@@ -296,16 +297,16 @@ def _group_dataset(triples, elements, num_partitions):
         bgp_query,
     )
 
-    (patterns, optional, minus, filters, unions, binds,
+    (patterns, optionals, minus, filters, unions, binds,
      values_blocks, exists_groups, subqueries) = _translate_group(elements)
 
     acc = None
     if patterns:
         acc = bgp_query(triples, patterns,
-                        optional_patterns=optional or None,
+                        optional_groups=optionals or None,
                         minus_patterns=minus or None,
                         num_partitions=num_partitions)
-    elif optional or minus:
+    elif optionals or minus:
         raise NotImplementedError(
             "distributed SPARQL: OPTIONAL/MINUS need required patterns")
 

@@ -108,6 +108,25 @@ def test_optional_unmatched_rows_survive(ray_session):
         }""")
 
 
+def test_two_optional_groups(ray_session):
+    _assert_same(PFX + """
+        SELECT ?e ?p ?n WHERE {
+            ?d ex:mentions ?e .
+            OPTIONAL { ?e ex:hq_in ?p . }
+            OPTIONAL { ?e ex:employees ?n . }
+        }""")
+
+
+def test_optional_chained_through_nullable_var_rejected(ray_session):
+    with pytest.raises(NotImplementedError, match="possibly-null"):
+        sparql_select(_ds(), PFX + """
+            SELECT ?e ?c WHERE {
+                ?d ex:mentions ?e .
+                OPTIONAL { ?e ex:hq_in ?p . }
+                OPTIONAL { ?p ex:in_country ?c . }
+            }""").to_pandas()
+
+
 def test_minus(ray_session):
     rows = _assert_same(PFX + """
         SELECT DISTINCT ?e WHERE {
