@@ -24,10 +24,13 @@ answers):
 - ``{ } UNION { }`` groups (arms evaluated independently, columns
   aligned with nulls, correlated with the rest by a hash join on the
   shared variables)
-- fixed-length property paths ``p1/p2`` ``^p`` ``p1|p2`` (grouped) and
-  negated property sets ``!p`` / ``!(p1|^p2)`` — lowered to the
-  SPARQL-1.1 fresh-variable BGP rewrite (DNF: alternatives become UNION
-  arms; negsets become fresh predicate variables with not-in filters).
+- property paths ``p1/p2`` ``^p`` ``p1|p2`` (grouped), negated
+  property sets ``!p`` / ``!(p1|^p2)``, and ``p+`` transitive closure
+  over plain IRIs — lowered to the SPARQL-1.1 fresh-variable BGP
+  rewrite (DNF: alternatives become UNION arms; negsets become fresh
+  predicate variables with not-in filters; ``p+`` patterns scan the
+  predicate's semi-naive ``forward_chain`` closure, computed once per
+  query).
   Deviation, documented: the rewrite has the spec's BAG multiplicity
   (one row per route); the in-memory evaluator dedups path endpoint
   pairs — use DISTINCT when comparing.
@@ -48,10 +51,10 @@ answers):
   sort orders LEXICALLY (Arrow string sort); the in-memory evaluator
   sorts numerically when both values parse as numbers.
 
-NOT supported distributed: unbounded path closures (``+ * ?`` — use
-``pipelines.kg_infer.forward_chain``), OPTIONAL groups correlated only
-through other OPTIONALs' nullable vars, paths inside OPTIONAL/MINUS,
-OFFSET.
+NOT supported distributed: ``*``/``?`` closures (zero-length arms
+need reflexive pairs over every node), ``+`` over complex sub-paths or
+inside path alternatives, OPTIONAL groups correlated only through
+other OPTIONALs' nullable vars, paths inside OPTIONAL/MINUS, OFFSET.
 """
 
 from __future__ import annotations
@@ -95,21 +98,55 @@ def _not_in_filter(var_name: str, bad: frozenset):
     return fn
 
 
+def _closure_source(pred: str):
+    """Source factory for a ``p+`` pattern: the transitive closure of
+    predicate ``pred``, computed ONCE per query by semi-naive
+    ``forward_chain`` over only that predicate's edges (bucket-pruned on
+    a TripleStore) and scanned like any triple source."""
+    def factory(triples):
+        import pyarrow.compute as pc
+
+        from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+            Rule,
+            forward_chain,
+        )
+
+        base = (triples.scan_for_predicate(pred)
+                if hasattr(triples, "scan_for_predicate") else triples)
+        base = base.map_batches(
+            lambda t, _p=pred: t.filter(pc.fill_null(
+                pc.equal(t["predicate"], _p), False)),
+            batch_format="pyarrow")
+        rule = Rule([("?x", pred, "?y"), ("?y", pred, "?z")],
+                    [("?x", pred, "?z")], name="closure")
+        return forward_chain(base, [rule])["closure"]
+
+    return factory
+
+
 def _lower_path(s_term, ast, o_term, fresh):
-    """Lower a fixed-length property-path AST to DNF: a list of
-    ALTERNATIVE ``(patterns, filters)`` pairs (SPARQL 1.1 §9.1 defines
+    """Lower a property-path AST to DNF: a list of ALTERNATIVE
+    ``(patterns, filters, sources)`` triples (SPARQL 1.1 §9.1 defines
     ``p1/p2`` / ``^p`` / ``p1|p2`` as exactly the fresh-variable BGP
     rewrite, bag semantics).  Negated property sets ``!p`` /
     ``!(p1|^p2)`` become a fresh PREDICATE variable constrained by a
-    not-in filter (forward and inverse member groups are separate DNF
-    arms, mirroring the in-memory ``_eval_path`` semantics).  Unbounded
-    closures (``+ * ?``) raise by name (``forward_chain`` covers
-    transitive closure as a pipeline op)."""
+    not-in filter; ``p+`` over a plain IRI becomes a pattern whose
+    SOURCE is the predicate's transitive closure (semi-naive
+    ``forward_chain``, computed once per query).  ``* ?`` closures and
+    ``+`` over complex sub-paths raise by name."""
     kind = ast[0]
     if kind == "atom":
-        return [([(s_term, ("const", ast[1]), o_term)], [])]
+        return [([(s_term, ("const", ast[1]), o_term)], [], [None])]
     if kind == "inv":
         return _lower_path(o_term, ast[1], s_term, fresh)
+    if kind == "plus":
+        inner = ast[1]
+        if inner[0] != "atom":
+            raise NotImplementedError(
+                "distributed SPARQL: '+' over a complex sub-path is "
+                "not supported (plain-IRI closures only)")
+        return [([(s_term, ("const", inner[1]), o_term)], [],
+                 [_closure_source(inner[1])])]
     if kind == "negset":
         fwd = frozenset(iri for inv, iri in ast[1] if not inv)
         invs = frozenset(iri for inv, iri in ast[1] if inv)
@@ -117,21 +154,22 @@ def _lower_path(s_term, ast, o_term, fresh):
         if fwd or not invs:
             pv = fresh()
             arms.append(([(s_term, pv, o_term)],
-                         [_not_in_filter(pv[1], fwd)]))
+                         [_not_in_filter(pv[1], fwd)], [None]))
         if invs:
             pv = fresh()
             arms.append(([(o_term, pv, s_term)],
-                         [_not_in_filter(pv[1], invs)]))
+                         [_not_in_filter(pv[1], invs)], [None]))
         return arms
     if kind == "seq":
-        alts = [([], [])]
+        alts = [([], [], [])]
         left = s_term
         parts = ast[1]
         for i, part in enumerate(parts):
             right = o_term if i == len(parts) - 1 else fresh()
             part_alts = _lower_path(left, part, right, fresh)
-            alts = [(cp + ap, cf + af)
-                    for cp, cf in alts for ap, af in part_alts]
+            alts = [(cp + ap, cf + af, cs + asrc)
+                    for cp, cf, cs in alts
+                    for ap, af, asrc in part_alts]
             left = right
         return alts
     if kind == "alt":
@@ -239,27 +277,35 @@ def _apply_values(ds, vars_, rows):
 def _translate_group(elements):
     patterns, optionals, minus, filters, unions = [], [], None, [], []
     binds, values_blocks, exists_groups, subqueries = [], [], [], []
+    sources = []  # per-pattern source factories (aligned with patterns)
     fresh = _Fresh()
     for kind, payload in elements:
         if kind == "bgp":
             # DNF-expand any property paths: a single conjunction extends
             # the BGP in place; real alternatives become a UNION element
-            conj_alts = [([], [])]
+            conj_alts = [([], [], [])]
             for pat in payload:
                 s, p, o = pat
                 alts = (_lower_path(s, p[1], o, fresh)
                         if isinstance(p, tuple) and p[0] == "path"
-                        else [([pat], [])])
-                conj_alts = [(cp + ap, cf + af)
-                             for cp, cf in conj_alts for ap, af in alts]
+                        else [([pat], [], [None])])
+                conj_alts = [(cp + ap, cf + af, cs + asrc)
+                             for cp, cf, cs in conj_alts
+                             for ap, af, asrc in alts]
             if len(conj_alts) == 1:
-                pats, fils = conj_alts[0]
+                pats, fils, srcs = conj_alts[0]
                 patterns.extend(_conv_patterns(pats))
                 filters.extend(fils)
+                sources.extend(srcs)
             else:
+                if any(src is not None
+                       for _, _, srcs in conj_alts for src in srcs):
+                    raise NotImplementedError(
+                        "distributed SPARQL: '+' closure inside a path "
+                        "alternative is not supported")
                 unions.append(
                     [[("bgp", pats)] + [("filter", f) for f in fils]
-                     for pats, fils in conj_alts])
+                     for pats, fils, _srcs in conj_alts])
         elif kind == "optional":
             optionals.append(_bgp_only(payload, "OPTIONAL"))
         elif kind == "minus":
@@ -283,7 +329,7 @@ def _translate_group(elements):
             raise NotImplementedError(
                 f"distributed SPARQL: {kind.upper()} is not supported")
     return (patterns, optionals, minus, filters, unions, binds,
-            values_blocks, exists_groups, subqueries)
+            values_blocks, exists_groups, subqueries, sources)
 
 
 def _group_dataset(triples, elements, num_partitions):
@@ -298,14 +344,19 @@ def _group_dataset(triples, elements, num_partitions):
     )
 
     (patterns, optionals, minus, filters, unions, binds,
-     values_blocks, exists_groups, subqueries) = _translate_group(elements)
+     values_blocks, exists_groups, subqueries,
+     sources) = _translate_group(elements)
 
     acc = None
     if patterns:
+        resolved = ([src(triples) if src is not None else None
+                     for src in sources]
+                    if any(src is not None for src in sources) else None)
         acc = bgp_query(triples, patterns,
                         optional_groups=optionals or None,
                         minus_patterns=minus or None,
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions,
+                        pattern_sources=resolved)
     elif optionals or minus:
         raise NotImplementedError(
             "distributed SPARQL: OPTIONAL/MINUS need required patterns")

@@ -316,8 +316,59 @@ def test_subquery_natural_join(ray_session):
         }""")
 
 
+def test_transitive_plus_closure(ray_session):
+    # hq_in/in_country chains don't repeat predicates, so build a chain
+    # on one predicate: mentions+ is degenerate; use a locatedIn set
+    import ray.data
+
+    chain = [("a", "in", "b"), ("b", "in", "c"), ("c", "in", "d"),
+             ("x", "other", "y")]
+    ds = ray.data.from_arrow(pa.table({
+        "subject": [t[0] for t in chain],
+        "predicate": [t[1] for t in chain],
+        "object": [t[2] for t in chain],
+        "object_kind": ["iri"] * len(chain),
+    }))
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select as sq,
+    )
+
+    got = sq(ds, 'SELECT DISTINCT ?s ?o WHERE { ?s "in"+ ?o . }') \
+        .to_pandas()
+    pairs = set(map(tuple, got.values))
+    assert pairs == {("a", "b"), ("a", "c"), ("a", "d"),
+                     ("b", "c"), ("b", "d"), ("c", "d")}
+
+    # local evaluator agrees
+    gi = GraphIndex([(s, p, o, "iri", None, None) for s, p, o in chain])
+    local = gi.query('SELECT DISTINCT ?s ?o WHERE { ?s "in"+ ?o . }')
+    assert {(r["s"], r["o"]) for r in local} == pairs
+
+
+def test_plus_in_sequence_path(ray_session):
+    # one closure hop then a fixed hop: a in+ ?m / ?m in_country ?c —
+    # expressed as a sequence path "in"+/"leads" over a mixed graph
+    import ray.data
+
+    rows = [("a", "in", "b"), ("b", "in", "c"), ("c", "leads", "z")]
+    ds = ray.data.from_arrow(pa.table({
+        "subject": [t[0] for t in rows],
+        "predicate": [t[1] for t in rows],
+        "object": [t[2] for t in rows],
+        "object_kind": ["iri"] * len(rows),
+    }))
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select as sq,
+    )
+
+    got = sq(ds, 'SELECT DISTINCT ?s ?z WHERE { ?s "in"+/"leads" ?z . }') \
+        .to_pandas()
+    assert set(map(tuple, got.values)) == {("a", "z"), ("b", "z")}
+
+
 @pytest.mark.parametrize("query,needle", [
-    (PFX + "SELECT ?x WHERE { ?x ex:p+ ?y . }", "plus"),
+    (PFX + "SELECT ?x WHERE { ?x ex:p* ?y . }", "star"),
+    (PFX + "SELECT ?x WHERE { ?x (ex:p/ex:q)+ ?y . }", "complex sub-path"),
     (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } OFFSET 2", "OFFSET"),
 ])
 def test_unsupported_constructs_raise(ray_session, query, needle):
