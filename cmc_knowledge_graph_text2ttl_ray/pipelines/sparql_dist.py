@@ -13,10 +13,12 @@ with the unsupported construct named — honesty over silent wrong
 answers):
 
 - basic graph patterns (joined per ``bgp_query``'s planner)
-- any number of ``OPTIONAL { BGP }`` groups (applied in order;
-  groups may only share REQUIRED variables — sharing a previous
-  OPTIONAL's nullable vars is rejected by name) and one
-  ``MINUS { BGP }`` group
+- any number of ``OPTIONAL { … }`` groups — plain BGPs ride
+  ``bgp_query``'s left-outer machinery; groups containing property
+  paths / FILTER / UNION are evaluated recursively and left-outer
+  joined by the front end.  Groups may only share REQUIRED variables
+  (sharing a previous OPTIONAL's nullable vars is rejected by name).
+  One ``MINUS { … }`` group, same plain/rich split
 - ``FILTER(...)`` — the parser's compiled closures applied per solution
   row (solutions are the post-join RESULT set, orders of magnitude
   smaller than the triple table; a vectorized translation would cover
@@ -25,12 +27,16 @@ answers):
   aligned with nulls, correlated with the rest by a hash join on the
   shared variables)
 - property paths ``p1/p2`` ``^p`` ``p1|p2`` (grouped), negated
-  property sets ``!p`` / ``!(p1|^p2)``, and ``p+`` transitive closure
-  over plain IRIs — lowered to the SPARQL-1.1 fresh-variable BGP
+  property sets ``!p`` / ``!(p1|^p2)``, and the closures ``+`` ``*``
+  ``?`` over plain IRIs AND complex sub-paths (incl. inside
+  alternatives) — lowered to the SPARQL-1.1 fresh-variable BGP
   rewrite (DNF: alternatives become UNION arms; negsets become fresh
-  predicate variables with not-in filters; ``p+`` patterns scan the
-  predicate's semi-naive ``forward_chain`` closure, computed once per
-  query).
+  predicate variables with not-in filters; ``+`` patterns scan a
+  semi-naive ``forward_chain`` closure computed once per query — a
+  complex sub-path's evaluated (start, end) pairs become
+  sentinel-predicate edges first; ``*``/``?`` add a zero-length arm:
+  reflexive pairs of the bound end, or of every graph term when both
+  ends are variables).
   Deviation, documented: the rewrite has the spec's BAG multiplicity
   (one row per route); the in-memory evaluator dedups path endpoint
   pairs — use DISTINCT when comparing.
@@ -44,17 +50,24 @@ answers):
 - nested ``{ SELECT … }`` subqueries — evaluated in their own scope
   (outer prefixes inherited) and natural-joined back on the shared
   variables
-- SELECT projection, ``DISTINCT``, aggregates COUNT(*) / COUNT(?v) /
-  SUM / MIN / MAX / AVG with ``GROUP BY`` and ``HAVING`` (compiled
-  filter over the per-group rows)
-- ``ORDER BY`` / ``LIMIT``.  Deviation, documented: the distributed
-  sort orders LEXICALLY (Arrow string sort); the in-memory evaluator
-  sorts numerically when both values parse as numbers.
+- SELECT projection, ``DISTINCT``, the full aggregate set COUNT(* /
+  ?v) / SUM / MIN / MAX / AVG / SAMPLE / GROUP_CONCAT(;SEPARATOR)
+  with optional ``DISTINCT`` modifiers, ``GROUP BY`` (with or without
+  aggregates) and ``HAVING`` (compiled filter over the per-group
+  rows).  Plain COUNT/SUM/AVG compile to Ray-native aggregates;
+  everything else runs the in-memory evaluator's per-group semantics
+  (numeric MIN/MAX with per-group lexical fallback, SAMPLE = the
+  deterministic minimum, GROUP_CONCAT in sorted value order — a
+  documented deviation: a distributed engine has no solution order,
+  so it equals the in-memory result under DISTINCT) on ONE coarse
+  exchange of the result-sized solution table
+- ``ORDER BY`` with the in-memory comparator (numeric when the value
+  parses as a number, strings after numbers, unbound lowest) via
+  derived sort-key columns, ``OFFSET`` (a distributed ordered split;
+  bounded by OFFSET+LIMIT when LIMIT is present) and ``LIMIT``.
 
-NOT supported distributed: ``*``/``?`` closures (zero-length arms
-need reflexive pairs over every node), ``+`` over complex sub-paths or
-inside path alternatives, OPTIONAL groups correlated only through
-other OPTIONALs' nullable vars, paths inside OPTIONAL/MINUS, OFFSET.
+NOT supported distributed: OPTIONAL/MINUS groups correlated only
+through other OPTIONALs' nullable vars (per-binding substitution).
 """
 
 from __future__ import annotations
@@ -124,6 +137,114 @@ def _closure_source(pred: str):
     return factory
 
 
+def _path_edge_dataset(triples, ast, sent: str, num_partitions=None):
+    """Evaluate a path AST over ``triples`` into an EDGE Dataset
+    ``(subject, predicate=sent, object)`` — one row per (start, end)
+    route (deduped: closure semantics are set-based).  Each DNF arm of
+    the inner path runs through ``bgp_query`` with fresh endpoint
+    variables; arms union, pairs dedupe on coarse partitions."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import bgp_query
+
+    fresh = _Fresh()
+    sv, ov = ("var", "__ca"), ("var", "__cb")
+    arms = _lower_path(sv, ast, ov, fresh)
+    parts = []
+    for pats, fils, srcs in arms:
+        resolved = ([src(triples) if src is not None else None
+                     for src in srcs]
+                    if any(s is not None for s in srcs) else None)
+        ds = bgp_query(triples, _conv_patterns(pats),
+                       num_partitions=num_partitions,
+                       pattern_sources=resolved)
+        if fils:
+            ds = _row_filters(ds, fils)
+
+        def to_edges(t: pa.Table, _sent=sent) -> pa.Table:
+            return pa.table({
+                "subject": t["__ca"].cast(pa.string()),
+                "predicate": pa.array([_sent] * len(t), pa.string()),
+                "object": t["__cb"].cast(pa.string()),
+            })
+
+        parts.append(ds.map_batches(to_edges, batch_format="pyarrow"))
+    edges = parts[0]
+    for other in parts[1:]:
+        edges = edges.union(other)
+    return coarse_group_reduce(
+        edges, ["subject", "object"],
+        lambda g: g.drop_duplicates(subset=["subject", "object"]))
+
+
+def _complex_closure_source(inner_ast, sent: str):
+    """Source factory for ``(path)+`` over a COMPLEX sub-path: the inner
+    path's (start, end) pairs become sentinel-predicate edges, then the
+    same semi-naive ``forward_chain`` closure as the plain-IRI case."""
+    def factory(triples):
+        from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+            Rule,
+            forward_chain,
+        )
+
+        edges = _path_edge_dataset(triples, inner_ast, sent)
+        rule = Rule([("?x", sent, "?y"), ("?y", sent, "?z")],
+                    [("?x", sent, "?z")], name="closure")
+        return forward_chain(edges, [rule])["closure"]
+
+    return factory
+
+
+def _zero_length_source(s_term, o_term, sent: str):
+    """Source factory for the ZERO-length arm of ``p*`` / ``p?``
+    (SPARQL 1.1 §18.4 ZeroLengthPath): sentinel-predicate reflexive
+    pairs.  A bound end contributes its own ``(c, c)`` pair (matching
+    the in-memory evaluator: membership in the graph is NOT required);
+    with both ends variables, every graph term (subjects ∪ objects,
+    literals included) gets one — a single coarse-distinct over the
+    two narrow columns, no all-to-all beyond it."""
+    consts = sorted({t[1] for t in (s_term, o_term) if t[0] == "const"})
+
+    def factory(triples):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            coarse_group_reduce,
+        )
+
+        if consts:
+            return ray.data.from_arrow(pa.table({
+                "subject": pa.array(consts, pa.string()),
+                "predicate": pa.array([sent] * len(consts), pa.string()),
+                "object": pa.array(consts, pa.string()),
+            }))
+        base = (triples.scan_for_predicate(None)
+                if hasattr(triples, "scan_for_predicate") else triples)
+
+        def block_nodes(t: pa.Table) -> pa.Table:
+            both = pa.chunked_array([t["subject"].cast(pa.string()),
+                                     t["object"].cast(pa.string())])
+            return pa.table({"node": pc.unique(both.combine_chunks())})
+
+        nodes = coarse_group_reduce(
+            base.map_batches(block_nodes, batch_format="pyarrow"),
+            ["node"], lambda g: g.drop_duplicates(subset=["node"]))
+
+        def reflexive(t: pa.Table, _sent=sent) -> pa.Table:
+            n = t["node"].cast(pa.string())
+            return pa.table({
+                "subject": n,
+                "predicate": pa.array([_sent] * len(t), pa.string()),
+                "object": n,
+            })
+
+        return nodes.map_batches(reflexive, batch_format="pyarrow")
+
+    return factory
+
+
 def _lower_path(s_term, ast, o_term, fresh):
     """Lower a property-path AST to DNF: a list of ALTERNATIVE
     ``(patterns, filters, sources)`` triples (SPARQL 1.1 §9.1 defines
@@ -141,12 +262,22 @@ def _lower_path(s_term, ast, o_term, fresh):
         return _lower_path(o_term, ast[1], s_term, fresh)
     if kind == "plus":
         inner = ast[1]
-        if inner[0] != "atom":
-            raise NotImplementedError(
-                "distributed SPARQL: '+' over a complex sub-path is "
-                "not supported (plain-IRI closures only)")
-        return [([(s_term, ("const", inner[1]), o_term)], [],
-                 [_closure_source(inner[1])])]
+        if inner[0] == "atom":
+            return [([(s_term, ("const", inner[1]), o_term)], [],
+                     [_closure_source(inner[1])])]
+        # complex sub-path: closure over its evaluated edge pairs
+        sent = "urn:x-kg:path-closure-" + fresh()[1]
+        return [([(s_term, ("const", sent), o_term)], [],
+                 [_complex_closure_source(inner, sent)])]
+    if kind in ("star", "opt"):
+        inner = ast[1]
+        nonzero = _lower_path(
+            s_term, ("plus", inner) if kind == "star" else inner,
+            o_term, fresh)
+        sent = "urn:x-kg:zero-length-" + fresh()[1]
+        zero = ([(s_term, ("const", sent), o_term)], [],
+                [_zero_length_source(s_term, o_term, sent)])
+        return nonzero + [zero]
     if kind == "negset":
         fwd = frozenset(iri for inv, iri in ast[1] if not inv)
         invs = frozenset(iri for inv, iri in ast[1] if inv)
@@ -298,21 +429,36 @@ def _translate_group(elements):
                 filters.extend(fils)
                 sources.extend(srcs)
             else:
-                if any(src is not None
-                       for _, _, srcs in conj_alts for src in srcs):
-                    raise NotImplementedError(
-                        "distributed SPARQL: '+' closure inside a path "
-                        "alternative is not supported")
+                # real alternatives become UNION arms; lowered patterns
+                # keep their per-pattern sources (closure / zero-length
+                # arms) via the internal ``bgp_lowered`` element kind
                 unions.append(
-                    [[("bgp", pats)] + [("filter", f) for f in fils]
-                     for pats, fils, _srcs in conj_alts])
+                    [[("bgp_lowered", (pats, fils, srcs))]
+                     for pats, fils, srcs in conj_alts])
+        elif kind == "bgp_lowered":
+            # internal: a pre-lowered UNION arm (patterns already in
+            # term form, aligned filters + per-pattern sources)
+            pats, fils, srcs = payload
+            patterns.extend(_conv_patterns(pats))
+            filters.extend(fils)
+            sources.extend(srcs)
         elif kind == "optional":
-            optionals.append(_bgp_only(payload, "OPTIONAL"))
+            # plain BGP groups ride bgp_query's left-outer machinery;
+            # groups with paths / FILTER / UNION inside ("rich") are
+            # evaluated recursively and joined by _group_dataset
+            try:
+                optionals.append(("plain", _bgp_only(payload,
+                                                     "OPTIONAL")))
+            except NotImplementedError:
+                optionals.append(("rich", payload))
         elif kind == "minus":
             if minus is not None:
                 raise NotImplementedError(
                     "distributed SPARQL: only one MINUS group")
-            minus = _bgp_only(payload, "MINUS")
+            try:
+                minus = ("plain", _bgp_only(payload, "MINUS"))
+            except NotImplementedError:
+                minus = ("rich", payload)
         elif kind == "filter":
             filters.append(payload)
         elif kind == "union":
@@ -347,14 +493,29 @@ def _group_dataset(triples, elements, num_partitions):
      values_blocks, exists_groups, subqueries,
      sources) = _translate_group(elements)
 
+    plain_opts = [p for k, p in optionals if k == "plain"]
+    rich_opts = [p for k, p in optionals if k == "rich"]
+    plain_minus = minus[1] if minus and minus[0] == "plain" else None
+    rich_minus = minus[1] if minus and minus[0] == "rich" else None
+    # vars that may be NULL in acc (introduced by an OPTIONAL or by a
+    # UNION arm that lacks them) — a later OPTIONAL correlated only
+    # through these needs per-binding substitution → rejected by name
+    nullable: set = set()
+    req_vars = {v[1:] for pat in patterns for v in pat
+                if isinstance(v, str) and v.startswith("?")}
+    for grp in plain_opts:
+        nullable |= {v[1:] for pat in grp for v in pat
+                     if isinstance(v, str) and v.startswith("?")} \
+            - req_vars
+
     acc = None
     if patterns:
         resolved = ([src(triples) if src is not None else None
                      for src in sources]
                     if any(src is not None for src in sources) else None)
         acc = bgp_query(triples, patterns,
-                        optional_groups=optionals or None,
-                        minus_patterns=minus or None,
+                        optional_groups=plain_opts or None,
+                        minus_patterns=plain_minus or None,
                         num_partitions=num_partitions,
                         pattern_sources=resolved)
     elif optionals or minus:
@@ -365,6 +526,10 @@ def _group_dataset(triples, elements, num_partitions):
         arm_ds = [_group_dataset(triples, arm, num_partitions)
                   for arm in arms]
         all_cols = sorted({c for d in arm_ds for c in d.schema().names})
+        common = set(arm_ds[0].schema().names)
+        for d in arm_ds[1:]:
+            common &= set(d.schema().names)
+        nullable |= set(all_cols) - common
 
         def pad(cols):
             def fn(t: pa.Table) -> pa.Table:
@@ -413,6 +578,96 @@ def _group_dataset(triples, elements, num_partitions):
 
     if acc is None:
         raise NotImplementedError("distributed SPARQL: empty WHERE body")
+
+    # rich OPTIONAL groups (paths / FILTER / UNION inside): evaluate the
+    # group recursively, then the same left-outer join + guards as
+    # bgp_query's plain-group machinery
+    for payload in rich_opts:
+        opt_ds = _group_dataset(triples, payload, num_partitions)
+        opt_cols = [c for c in opt_ds.schema().names
+                    if not c.startswith("__p")]
+        shared = sorted(set(acc.schema().names) & set(opt_cols))
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                "patterns — an unconstrained cross product is rejected")
+        if set(shared) & nullable:
+            raise NotImplementedError(
+                "OPTIONAL group shares a previous OPTIONAL's "
+                "possibly-null variables — per-binding substitution "
+                "semantics are not supported distributed")
+        extra = sorted(set(opt_cols) - set(shared))
+        left, n_l = _compact(acc)
+        right, n_r = _compact(opt_ds.select_columns(opt_cols))
+        if left is None:
+            import ray.data
+
+            sch = pa.schema([(c, pa.string()) for c in sorted(
+                set(acc.schema().names) | set(opt_cols))])
+            acc = ray.data.from_arrow(sch.empty_table())
+        elif right is None:
+            def add_nulls(t: pa.Table, _extra=tuple(extra)) -> pa.Table:
+                for name in _extra:
+                    t = t.append_column(
+                        name, pa.nulls(len(t), pa.string()))
+                return t
+
+            acc = left.map_batches(add_nulls, batch_format="pyarrow")
+        else:
+            def _str_opt(t: pa.Table) -> pa.Table:
+                return pa.table({c: t[c].cast(pa.string())
+                                 for c in t.column_names})
+
+            right = right.map_batches(_str_opt, batch_format="pyarrow") \
+                         .rename_columns({c: c + "__r" for c in shared})
+            np_join = max(1, min(default_join_partitions(),
+                                 -(-min(n_l, n_r) // 50_000)))
+            acc = left.join(
+                right, join_type="left_outer",
+                num_partitions=np_join,
+                on=tuple(shared),
+                right_on=tuple(c + "__r" for c in shared))
+            acc = acc.select_columns(sorted(
+                set(left.schema().names) | set(extra)))
+        nullable |= set(extra)
+
+    # rich MINUS: remove solutions with a compatible row in the group
+    # (left_anti on the shared vars; sharing none removes nothing)
+    if rich_minus is not None:
+        min_ds = _group_dataset(triples, rich_minus, num_partitions)
+        min_cols = [c for c in min_ds.schema().names
+                    if not c.startswith("__p")]
+        shared = sorted(set(acc.schema().names) & set(min_cols))
+        if shared and not (set(shared) & nullable):
+            left, n_l = _compact(acc)
+            right, n_r = _compact(min_ds.select_columns(shared))
+            if left is not None and right is not None:
+                def _min_keys(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
+                    sub = pa.table({c + "__r": t[c].cast(pa.string())
+                                    for c in _sh})
+                    return sub.group_by(
+                        list(sub.column_names)).aggregate([])
+
+                right = right.map_batches(_min_keys,
+                                          batch_format="pyarrow")
+                np_join = max(1, min(default_join_partitions(),
+                                     -(-min(n_l, n_r) // 50_000)))
+                acc = left.join(
+                    right, join_type="left_anti",
+                    num_partitions=np_join,
+                    on=tuple(shared),
+                    right_on=tuple(c + "__r" for c in shared))
+            elif left is None:
+                import ray.data
+
+                sch = pa.schema([(c, pa.string())
+                                 for c in acc.schema().names])
+                acc = ray.data.from_arrow(sch.empty_table())
+        elif set(shared) & nullable:
+            raise NotImplementedError(
+                "distributed SPARQL: MINUS over possibly-null shared "
+                "variables needs per-binding compatibility semantics")
+
     # subqueries: evaluated in their own scope, natural-joined back on
     # the shared variables (SPARQL 1.1 §12 bottom-up evaluation)
     for sub_text, sub_prefixes in subqueries:
@@ -556,8 +811,116 @@ def sparql_query(triples, query: str, num_partitions: int | None = None):
 
 
 _RE_AGG = re.compile(
-    r"^\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\?\w+)\s*\)\s+AS\s+"
-    r"\?(\w+)\s*\)$", re.IGNORECASE)
+    r"^\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+    r"(DISTINCT\s+)?(\*|\?\w+)\s*"
+    r"(?:;\s*SEPARATOR\s*=\s*\"([^\"]*)\"\s*)?\)\s+AS\s+\?(\w+)\s*\)$",
+    re.IGNORECASE)
+
+
+def _general_aggregate(acc, group_vars, agg_items):
+    """Aggregates Ray's native aggregate objects can't express —
+    DISTINCT modifiers, SAMPLE, GROUP_CONCAT, and MIN/MAX with the
+    in-memory evaluator's PER-GROUP lexical fallback — via ONE
+    ``coarse_group_reduce`` exchange of the (post-join, result-sized)
+    solution table on hash(group keys): each group's rows land in one
+    coarse partition, where a pandas combine replicates
+    ``GraphIndex._apply_aggregation``'s per-group semantics exactly.
+
+    Output dtypes: COUNT → int64, SUM/AVG → float64 (non-numeric values
+    raise, matching the in-memory QueryError), MIN/MAX → string in the
+    in-memory evaluator's numeric rendering (``str(int(x))`` when
+    integral) with lexical per-group fallback, SAMPLE → the group's
+    minimum lexical value (deterministic), GROUP_CONCAT → values in
+    SORTED order (deviation, documented: a distributed engine has no
+    solution order; equals the in-memory result under DISTINCT)."""
+    import numpy as np
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    out_aliases = [alias for *_x, alias in agg_items]
+    int_aliases = {alias for fname, _d, _v, _s, alias in agg_items
+                   if fname == "COUNT"}
+    float_aliases = {alias for fname, _d, _v, _s, alias in agg_items
+                     if fname in ("SUM", "AVG")}
+
+    def agg_group(g: pd.DataFrame, row: dict) -> dict:
+        for fname, dist, var, sep, alias in agg_items:
+            if var is None:  # COUNT(*) / COUNT(DISTINCT *)
+                row[alias] = int(len(g.drop_duplicates()) if dist
+                                 else len(g))
+                continue
+            vals = [v for v in g[var].tolist()
+                    if v is not None and v == v]
+            if dist:
+                vals = sorted({str(v) for v in vals})
+            if fname == "COUNT":
+                row[alias] = int(len(vals))
+                continue
+            if fname == "GROUP_CONCAT":
+                row[alias] = sep.join(
+                    str(v) for v in (vals if dist
+                                     else sorted(map(str, vals))))
+                continue
+            if not vals:
+                continue  # SUM/MIN/MAX/AVG/SAMPLE of nothing: unbound
+            if fname == "SAMPLE":
+                row[alias] = str(min(str(v) for v in vals))
+                continue
+            nums = []
+            for v in vals:
+                try:
+                    nums.append(float(v))
+                except (TypeError, ValueError):
+                    nums = None
+                    break
+            if fname in ("SUM", "AVG"):
+                if nums is None:
+                    raise ValueError(
+                        f"aggregate {fname} over non-numeric values "
+                        f"of ?{var}")
+                row[alias] = sum(nums) / (len(nums) if fname == "AVG"
+                                          else 1)
+            elif nums is not None:
+                x = min(nums) if fname == "MIN" else max(nums)
+                row[alias] = (str(int(x)) if float(x).is_integer()
+                              else str(x))
+            else:
+                svals = [str(v) for v in vals]
+                row[alias] = min(svals) if fname == "MIN" else max(svals)
+        return row
+
+    keys = group_vars or ["__g"]
+    if not group_vars:
+        acc = acc.map_batches(
+            lambda t: t.append_column(
+                "__g", pa.array(["_"] * len(t), pa.string())),
+            batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(keys, dropna=False, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            row = {v: k for v, k in zip(group_vars, key)
+                   if k is not None and k == k}
+            rows.append(agg_group(g, row))
+        cols = group_vars + out_aliases
+        out = pd.DataFrame(
+            [{c: r.get(c) for c in cols} for r in rows], columns=cols)
+        for a in int_aliases:
+            out[a] = out[a].astype("int64")
+        for a in float_aliases:
+            out[a] = out[a].astype("float64")
+        for c in out.columns:
+            if c not in int_aliases and c not in float_aliases:
+                out[c] = out[c].astype(object).where(
+                    out[c].notna(), None)
+        _ = np  # (numpy imported for pandas' benefit on older stacks)
+        return out
+
+    return coarse_group_reduce(acc, keys, combine)
 
 
 def sparql_select(triples, query: str, num_partitions: int | None = None,
@@ -591,13 +954,16 @@ def sparql_select(triples, query: str, num_partitions: int | None = None,
     distinct = bool(m_sel and m_sel.group(1))
     items = GraphIndex._split_select_items(m_sel.group(2)) if m_sel else []
 
-    agg_items = []
+    agg_items = []  # (fname, distinct, var|None, separator, alias)
     plain_vars = []
     for it in items:
         m_a = _RE_AGG.match(it)
         if m_a:
-            agg_items.append((m_a.group(1).upper(), m_a.group(2),
-                              m_a.group(3)))
+            agg_items.append((
+                m_a.group(1).upper(), bool(m_a.group(2)),
+                None if m_a.group(3) == "*" else m_a.group(3)[1:],
+                m_a.group(4) if m_a.group(4) is not None else " ",
+                m_a.group(5)))
         elif it.startswith("?"):
             plain_vars.append(it[1:])
         elif it == "*":
@@ -605,63 +971,81 @@ def sparql_select(triples, query: str, num_partitions: int | None = None,
         else:
             raise NotImplementedError(
                 f"distributed SPARQL: select item {it!r}")
+    for fname, _d, var, _s, _a in agg_items:
+        if var is None and fname != "COUNT":
+            raise ValueError(f"{fname}(*) is only valid for COUNT")
+
+    m_grp_plain = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail,
+                            re.IGNORECASE)
+    if m_grp_plain and not agg_items:
+        # GROUP BY without aggregates: one row per group (the group
+        # keys), i.e. a distinct projection of the grouping variables
+        group_vars = re.findall(r"\?(\w+)", m_grp_plain.group(1))
+        acc = acc.select_columns(group_vars)
+        acc = coarse_group_reduce(
+            acc, group_vars,
+            lambda g, _c=tuple(group_vars):
+                g.drop_duplicates(subset=list(_c)))
+        plain_vars, distinct = group_vars, False
 
     if agg_items:
         from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-        m_grp = re.search(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail,
-                          re.IGNORECASE)
-        group_vars = (re.findall(r"\?(\w+)", m_grp.group(1))
-                      if m_grp else [])
+        group_vars = (re.findall(r"\?(\w+)", m_grp_plain.group(1))
+                      if m_grp_plain else [])
         if sorted(plain_vars) != sorted(group_vars) and plain_vars:
             raise NotImplementedError(
                 "distributed SPARQL: non-grouped plain select vars "
                 "alongside aggregates")
 
-        num_needed = sorted({v[1:] for fn, v, _alias in agg_items
-                             if v != "*"
-                             and fn in ("SUM", "MIN", "MAX", "AVG")})
-
-        def prep(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            out = {c: t[c] for c in t.column_names}
-            for v in num_needed:
-                try:
-                    out["__num_" + v] = pc.cast(t[v], pa.float64())
-                except pa.ArrowInvalid as exc:
-                    # match the in-memory evaluator: SUM/AVG/MIN/MAX over
-                    # a non-numeric binding is a query error, not a
-                    # silent skip
-                    raise ValueError(
-                        f"aggregate over non-numeric values of ?{v}: "
-                        f"{exc}") from exc
-            out["__one"] = pa.array([1] * len(t), pa.int64())
-            return pa.table(out)
-
-        aggs = []
-        for fn, v, alias in agg_items:
-            if fn == "COUNT":
-                if v == "*":
-                    aggs.append(Count(alias_name=alias))
-                else:
-                    aggs.append(Count(v[1:], ignore_nulls=True,
-                                      alias_name=alias))
-            elif fn == "SUM":
-                aggs.append(Sum("__num_" + v[1:], alias_name=alias))
-            elif fn == "MIN":
-                aggs.append(Min("__num_" + v[1:], alias_name=alias))
-            elif fn == "MAX":
-                aggs.append(Max("__num_" + v[1:], alias_name=alias))
-            elif fn == "AVG":
-                aggs.append(Mean("__num_" + v[1:], alias_name=alias))
-        acc = acc.map_batches(prep, batch_format="pyarrow")
-        if group_vars:
-            acc = acc.groupby(group_vars).aggregate(*aggs)
+        # fast path: Ray-native aggregates, numeric columns, zero
+        # Python per group — valid when no item needs DISTINCT /
+        # SAMPLE / GROUP_CONCAT / MIN/MAX's per-group lexical fallback
+        fast = all(not dist and fname in ("COUNT", "SUM", "AVG")
+                   for fname, dist, _v, _s, _a in agg_items)
+        if not fast:
+            acc = _general_aggregate(acc, group_vars, agg_items)
         else:
-            acc = acc.groupby("__one").aggregate(*aggs) \
-                     .drop_columns(["__one"])
-        out_cols = group_vars + [a for _, _, a in agg_items]
+            num_needed = sorted({v for fn, _d, v, _s, _a in agg_items
+                                 if v is not None and fn in ("SUM",
+                                                             "AVG")})
+
+            def prep(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                out = {c: t[c] for c in t.column_names}
+                for v in num_needed:
+                    try:
+                        out["__num_" + v] = pc.cast(t[v], pa.float64())
+                    except pa.ArrowInvalid as exc:
+                        # match the in-memory evaluator: SUM/AVG over a
+                        # non-numeric binding is a query error, not a
+                        # silent skip
+                        raise ValueError(
+                            f"aggregate over non-numeric values of "
+                            f"?{v}: {exc}") from exc
+                out["__one"] = pa.array([1] * len(t), pa.int64())
+                return pa.table(out)
+
+            aggs = []
+            for fn, _d, v, _s, alias in agg_items:
+                if fn == "COUNT":
+                    if v is None:
+                        aggs.append(Count(alias_name=alias))
+                    else:
+                        aggs.append(Count(v, ignore_nulls=True,
+                                          alias_name=alias))
+                elif fn == "SUM":
+                    aggs.append(Sum("__num_" + v, alias_name=alias))
+                elif fn == "AVG":
+                    aggs.append(Mean("__num_" + v, alias_name=alias))
+            acc = acc.map_batches(prep, batch_format="pyarrow")
+            if group_vars:
+                acc = acc.groupby(group_vars).aggregate(*aggs)
+            else:
+                acc = acc.groupby("__one").aggregate(*aggs) \
+                         .drop_columns(["__one"])
+        out_cols = group_vars + [a for *_x, a in agg_items]
         acc = acc.select_columns(out_cols)
         # HAVING: the parser's compiled filter over group keys +
         # aggregate aliases, applied per (already tiny) group row
@@ -682,7 +1066,7 @@ def sparql_select(triples, query: str, num_partitions: int | None = None,
             acc = coarse_group_reduce(
                 acc, cols, lambda g: g.drop_duplicates(subset=cols))
 
-    # ---- ORDER BY / OFFSET / LIMIT (lexical sort; see module doc) ----
+    # ---- ORDER BY / OFFSET / LIMIT ----
     m_ord = re.search(
         r"ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
         r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)",
@@ -692,12 +1076,46 @@ def sparql_select(triples, query: str, num_partitions: int | None = None,
                           m_ord.group(1), re.IGNORECASE)
         cols = [(v1 or v2) for _, v1, v2 in keys]
         desc = [bool(d) and d.upper() == "DESC" for d, _, _ in keys]
-        acc = acc.sort(cols, descending=desc)
-    if re.search(r"\bOFFSET\s+\d+", tail, re.IGNORECASE):
-        raise NotImplementedError(
-            "distributed SPARQL: OFFSET is not supported (Ray Datasets "
-            "have no skip operator; page with LIMIT + a key predicate)")
+
+        # the in-memory comparator, as derived sort-key columns: per key
+        # a (kind, numeric, lexical) triple with kind −1 unbound /
+        # 0 numeric / 1 string — so values compare numerically when both
+        # parse as numbers, strings sort after numbers, and unbound
+        # sorts LOWEST (leads under ASC, trails under DESC)
+        def add_sort_keys(df):
+            import numpy as np
+            import pandas as pd
+
+            for i, c in enumerate(cols):
+                v = df[c]
+                num = pd.to_numeric(v, errors="coerce")
+                unbound = v.isna().to_numpy()
+                numeric = num.notna().to_numpy() & ~unbound
+                df[f"__ord{i}k"] = np.where(
+                    unbound, -1, np.where(numeric, 0, 1)).astype("int8")
+                df[f"__ord{i}n"] = num.fillna(0.0).astype("float64")
+                df[f"__ord{i}s"] = np.where(
+                    numeric | unbound, "", v.astype(str))
+            return df
+
+        sort_cols = [f"__ord{i}{p}" for i in range(len(cols))
+                     for p in "kns"]
+        sort_desc = [d for d in desc for _ in range(3)]
+        acc = acc.map_batches(add_sort_keys, batch_format="pandas") \
+                 .sort(sort_cols, descending=sort_desc)
+        acc = acc.drop_columns(sort_cols)
+    m_off = re.search(r"\bOFFSET\s+(\d+)", tail, re.IGNORECASE)
     m_lim = re.search(r"\bLIMIT\s+(\d+)", tail, re.IGNORECASE)
+    if m_off and int(m_off.group(1)) > 0:
+        # distributed skip: global positions need one materialization —
+        # bounded by OFFSET+LIMIT when LIMIT is present, and always
+        # applied to the post-modifier RESULT set, not the triple table.
+        # Without ORDER BY the skipped rows are engine-order (same as
+        # any distributed store); sort first for deterministic paging.
+        off = int(m_off.group(1))
+        if m_lim:
+            acc = acc.limit(off + int(m_lim.group(1)))
+        acc = acc.split_at_indices([off])[1]
     if m_lim:
         acc = acc.limit(int(m_lim.group(1)))
     return acc

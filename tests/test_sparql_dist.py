@@ -176,11 +176,12 @@ def test_sum_avg_global(ray_session):
 
 
 def test_order_by_limit(ray_session):
-    rows = _dist(PFX + """
+    query = PFX + """
         SELECT ?e ?n WHERE { ?e ex:employees ?n . }
-        ORDER BY DESC(?n) LIMIT 2""")
-    # lexical DESC over "250" "1200" "40": "40" > "250" > "1200"
-    assert [r["n"] for r in rows] == ["40", "250"]
+        ORDER BY DESC(?n) LIMIT 2"""
+    rows = _assert_same(query)
+    # numeric DESC (the in-memory comparator): 1200 > 250 > 40
+    assert [r["n"] for r in rows] == ["1200", "250"]
 
 
 def test_path_sequence(ray_session):
@@ -367,10 +368,149 @@ def test_plus_in_sequence_path(ray_session):
 
 
 @pytest.mark.parametrize("query,needle", [
-    (PFX + "SELECT ?x WHERE { ?x ex:p* ?y . }", "star"),
-    (PFX + "SELECT ?x WHERE { ?x (ex:p/ex:q)+ ?y . }", "complex sub-path"),
-    (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } OFFSET 2", "OFFSET"),
+    # OPTIONAL correlated only through a previous OPTIONAL's nullable
+    # vars still needs per-binding substitution semantics
+    (PFX + "SELECT ?x WHERE { ?x ex:mentions ?m "
+           "OPTIONAL { ?m ex:hq_in ?c } OPTIONAL { ?c ex:in_country ?k } }",
+     "possibly-null"),
 ])
 def test_unsupported_constructs_raise(ray_session, query, needle):
     with pytest.raises(NotImplementedError, match=needle):
         sparql_select(_ds(), query).to_pandas()
+
+
+# ---- closures (*, ?, complex +) ------------------------------------------
+
+
+def test_star_closure_with_join(ray_session):
+    _assert_same(PFX + "SELECT DISTINCT ?x ?c WHERE { "
+                 "?x (ex:hq_in/ex:in_country)* ?c . ?x ex:employees ?e }")
+
+
+def test_star_bound_object(ray_session):
+    _assert_same(PFX +
+                 "SELECT DISTINCT ?x WHERE { ?x ex:hq_in* ex:berlin }")
+
+
+def test_opt_zero_or_one(ray_session):
+    _assert_same(PFX + "SELECT DISTINCT ?d ?o WHERE { "
+                 "?d ex:mentions ?m . ?m ex:hq_in? ?o }")
+
+
+def test_opt_bound_subject_complex(ray_session):
+    _assert_same(PFX + "SELECT DISTINCT ?c WHERE { "
+                 "ex:acme (ex:hq_in/ex:in_country)? ?c }")
+
+
+def test_plus_complex_subpath(ray_session):
+    _assert_same(PFX + "SELECT DISTINCT ?x ?y WHERE { "
+                 "?x (ex:hq_in/ex:in_country)+ ?y }")
+
+
+def test_closure_inside_alternative(ray_session):
+    _assert_same(PFX + "SELECT DISTINCT ?x ?y WHERE { "
+                 "?x (ex:employees|ex:hq_in+) ?y }")
+
+
+def test_star_unbound_both_ends(ray_session):
+    # zero-length arm over ALL graph terms (subjects ∪ objects,
+    # literals included) joined against a required pattern
+    _assert_same(PFX + "SELECT DISTINCT ?x ?y WHERE { "
+                 "?x (ex:mentions/ex:hq_in)* ?y . ?x ex:mentions ?m }")
+
+
+# ---- rich OPTIONAL / MINUS groups ----------------------------------------
+
+
+def test_path_inside_optional(ray_session):
+    _assert_same(PFX + "SELECT ?d ?c WHERE { ?d ex:mentions ?m "
+                 "OPTIONAL { ?m ex:hq_in/ex:in_country ?c } }")
+
+
+def test_filter_inside_optional(ray_session):
+    _assert_same(PFX + "SELECT ?x ?e WHERE { ?x ex:employees ?e "
+                 "OPTIONAL { ?x ex:hq_in ?h FILTER(?h = ex:berlin) } }")
+
+
+def test_closure_inside_optional(ray_session):
+    _assert_same(PFX + "SELECT ?d ?c WHERE { ?d ex:mentions ?m "
+                 "OPTIONAL { ?m (ex:hq_in/ex:in_country)+ ?c } }")
+
+
+def test_union_inside_optional(ray_session):
+    _assert_same(PFX + "SELECT ?x ?v WHERE { ?x ex:employees ?e "
+                 "OPTIONAL { { ?x ex:hq_in ?v } UNION "
+                 "{ ?x ex:in_country ?v } } }")
+
+
+def test_path_inside_minus(ray_session):
+    _assert_same(PFX + "SELECT ?x WHERE { ?x ex:employees ?e "
+                 "MINUS { ?x ex:hq_in/ex:in_country ex:germany } }")
+
+
+# ---- aggregates beyond Ray natives ---------------------------------------
+
+
+def test_sample_and_group_concat_distinct(ray_session):
+    _assert_same(PFX + "SELECT ?d (SAMPLE(?m) AS ?one) "
+                 '(GROUP_CONCAT(DISTINCT ?m ; SEPARATOR=",") AS ?all) '
+                 "WHERE { ?d ex:mentions ?m } GROUP BY ?d")
+
+
+def test_count_distinct(ray_session):
+    _assert_same(PFX + "SELECT (COUNT(DISTINCT ?m) AS ?n) "
+                 "WHERE { ?d ex:mentions ?m }")
+
+
+def test_count_distinct_star(ray_session):
+    _assert_same(PFX + "SELECT (COUNT(DISTINCT *) AS ?n) "
+                 "WHERE { ?d ex:mentions ?m }")
+
+
+def test_min_max_numeric_general_path(ray_session):
+    _assert_same(PFX + "SELECT (MIN(?e) AS ?lo) (MAX(?e) AS ?hi) "
+                 "WHERE { ?x ex:employees ?e }")
+
+
+def test_min_lexical_fallback(ray_session):
+    # IRI values: the in-memory evaluator falls back to lexical min
+    _assert_same(PFX + "SELECT (MIN(?m) AS ?first) "
+                 "WHERE { ?d ex:mentions ?m }")
+
+
+def test_sum_distinct(ray_session):
+    _assert_same(PFX + "SELECT (SUM(DISTINCT ?e) AS ?s) "
+                 "WHERE { ?x ex:employees ?e }")
+
+
+def test_group_by_without_aggregates(ray_session):
+    _assert_same(PFX + "SELECT ?m WHERE { ?d ex:mentions ?m } "
+                 "GROUP BY ?m")
+
+
+# ---- ORDER BY numeric comparator + OFFSET --------------------------------
+
+
+def test_order_by_numeric_not_lexical(ray_session):
+    # employees: 250, 1200, 40 — lexical order would put "1200" first
+    _assert_same(PFX + "SELECT ?x ?e WHERE { ?x ex:employees ?e } "
+                 "ORDER BY ?e LIMIT 2")
+
+
+def test_order_by_desc_offset_limit(ray_session):
+    _assert_same(PFX + "SELECT ?x ?e WHERE { ?x ex:employees ?e } "
+                 "ORDER BY DESC(?e) OFFSET 1 LIMIT 1")
+
+
+def test_offset_without_limit(ray_session):
+    _assert_same(PFX + "SELECT ?x ?e WHERE { ?x ex:employees ?e } "
+                 "ORDER BY ?e OFFSET 2")
+
+
+def test_order_by_unbound_lowest_asc_desc(ray_session):
+    # unbound (OPTIONAL-null) sorts lowest: leads ASC, trails DESC
+    _assert_same(PFX + "SELECT ?m ?c WHERE { ?d ex:mentions ?m "
+                 "OPTIONAL { ?m ex:hq_in ?c } } ORDER BY ?c ?m LIMIT 3")
+    _assert_same(PFX + "SELECT ?m ?c WHERE { ?d ex:mentions ?m "
+                 "OPTIONAL { ?m ex:hq_in ?c } } "
+                 "ORDER BY DESC(?c) ?m LIMIT 3")
