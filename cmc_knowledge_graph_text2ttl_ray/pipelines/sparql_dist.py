@@ -13,12 +13,14 @@ with the unsupported construct named — honesty over silent wrong
 answers):
 
 - basic graph patterns (joined per ``bgp_query``'s planner)
-- any number of ``OPTIONAL { … }`` groups — plain BGPs ride
-  ``bgp_query``'s left-outer machinery; groups containing property
-  paths / FILTER / UNION are evaluated recursively and left-outer
-  joined by the front end.  Groups may only share REQUIRED variables
-  (sharing a previous OPTIONAL's nullable vars is rejected by name).
-  One ``MINUS { … }`` group, same plain/rich split
+- any number of ``OPTIONAL { … }`` groups, applied in syntactic
+  order with full SPARQL LeftJoin per-binding semantics: groups
+  containing property paths / FILTER / UNION evaluate recursively; a
+  group correlated through a previous OPTIONAL's possibly-null vars
+  is joined via bound-var STRATA (one left-outer join per observed
+  null bitmask; an all-unbound stratum crosses with the
+  compatible-with-anything optional side).  One ``MINUS { … }``
+  group (plain/rich split)
 - ``FILTER(...)`` — the parser's compiled closures applied per solution
   row (solutions are the post-join RESULT set, orders of magnitude
   smaller than the triple table; a vectorized translation would cover
@@ -66,8 +68,10 @@ answers):
   derived sort-key columns, ``OFFSET`` (a distributed ordered split;
   bounded by OFFSET+LIMIT when LIMIT is present) and ``LIMIT``.
 
-NOT supported distributed: OPTIONAL/MINUS groups correlated only
-through other OPTIONALs' nullable vars (per-binding substitution).
+NOT supported distributed: an OPTIONAL whose own solutions carry
+unbound SHARED variables while correlating through nullable vars
+(null-wildcard compatibility on both sides), and MINUS over
+possibly-null shared variables — both rejected by name.
 """
 
 from __future__ import annotations
@@ -405,6 +409,157 @@ def _apply_values(ds, vars_, rows):
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def _left_join(acc, opt_ds, nullable, num_partitions):
+    """SPARQL algebra ``LeftJoin(acc, opt)`` (§18.5): for each solution
+    μ1, extend by every COMPATIBLE optional solution μ2 (agree on the
+    variables bound in BOTH), or keep μ1 unextended when none matches.
+    Returns ``(joined, vars-made-nullable)``.
+
+    When no shared variable is nullable in ``acc`` this is one
+    left-outer hash join.  Otherwise — the OPTIONAL correlates through
+    a previous OPTIONAL's possibly-null vars — the left side is
+    STRATIFIED by which nullable shared vars are actually bound (at
+    most 2^k strata, each a real bitmask observed in the data): every
+    stratum left-outer joins on its bound keys only, unbound shared
+    vars take the optional side's value, and the strata union back.
+    An all-unbound stratum crosses with the (compatible-with-anything)
+    optional side — bounded by |stratum| × |opt|, and such rows only
+    exist when an earlier OPTIONAL matched nothing.  The optional side
+    must be fully bound on the shared vars (nulls there would need
+    null-wildcard compatibility on BOTH sides — rejected by name)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import _compact
+
+    opt_cols = [c for c in opt_ds.schema().names
+                if not c.startswith("__p")]
+    acc_cols = list(acc.schema().names)
+    shared = sorted(set(acc_cols) & set(opt_cols))
+    if not shared:
+        raise ValueError(
+            "OPTIONAL group shares no variable with the required "
+            "patterns — an unconstrained cross product is rejected")
+    extra = sorted(set(opt_cols) - set(shared))
+    out_cols = sorted(set(acc_cols) | set(opt_cols))
+    null_shared = sorted(set(shared) & nullable)
+    out_schema = pa.schema([(c, pa.string()) for c in out_cols])
+
+    left, n_l = _compact(acc)
+    right, n_r = _compact(opt_ds.select_columns(opt_cols))
+    if left is None:
+        return ray.data.from_arrow(out_schema.empty_table()), set(extra)
+    if right is None:
+        def add_nulls(t: pa.Table, _extra=tuple(extra)) -> pa.Table:
+            for name in _extra:
+                t = t.append_column(name, pa.nulls(len(t), pa.string()))
+            return t
+
+        return (left.map_batches(add_nulls, batch_format="pyarrow"),
+                set(extra))
+
+    def _str_cols(t: pa.Table) -> pa.Table:
+        return pa.table({c: t[c].cast(pa.string())
+                         for c in t.column_names})
+
+    right = right.map_batches(_str_cols, batch_format="pyarrow")
+    np_join = max(1, min(default_join_partitions(),
+                         -(-min(n_l, n_r) // 50_000)))
+
+    if not null_shared:
+        r2 = right.rename_columns({c: c + "__r" for c in shared})
+        j = left.join(r2, join_type="left_outer",
+                      num_partitions=np_join,
+                      on=tuple(shared),
+                      right_on=tuple(c + "__r" for c in shared))
+        return j.select_columns(out_cols), set(extra)
+
+    # ---- per-binding substitution strata ----
+    n_right_nulls = right.map_batches(
+        lambda t, _sh=tuple(shared): pa.table(
+            {"n": pa.array([sum(t[c].null_count for c in _sh)],
+                           pa.int64())}),
+        batch_format="pyarrow").sum("n")
+    if n_right_nulls:
+        raise NotImplementedError(
+            "distributed SPARQL: OPTIONAL correlated through nullable "
+            "variables where the OPTIONAL side itself has unbound "
+            "shared variables (null-wildcard compatibility on both "
+            "sides)")
+
+    def add_mask(t: pa.Table, _ns=tuple(null_shared)) -> pa.Table:
+        import numpy as np
+
+        mask = np.zeros(len(t), dtype="int64")
+        for i, c in enumerate(_ns):
+            isnull = pc.is_null(t[c]).to_numpy(zero_copy_only=False)
+            mask |= isnull.astype("int64") << i
+        return t.append_column("__stratum", pa.array(mask, pa.int64()))
+
+    lm = left.map_batches(_str_cols, batch_format="pyarrow") \
+             .map_batches(add_mask, batch_format="pyarrow") \
+             .materialize()
+    masks = sorted(lm.unique("__stratum"))
+    r_all = right.rename_columns({c: c + "__r" for c in opt_cols})
+    parts = []
+    for mask in masks:
+        unbound = {c for i, c in enumerate(null_shared)
+                   if (mask >> i) & 1}
+        join_on = [c for c in shared if c not in unbound]
+
+        def pick(t: pa.Table, _m=mask) -> pa.Table:
+            t = t.filter(pc.equal(t["__stratum"], _m))
+            return t.select([c for c in t.column_names
+                             if c != "__stratum"])
+
+        stratum, n_s = _compact(lm.map_batches(pick,
+                                               batch_format="pyarrow"))
+        if stratum is None:
+            continue
+        if join_on:
+            j = stratum.join(
+                r_all, join_type="left_outer",
+                num_partitions=np_join,
+                on=tuple(join_on),
+                right_on=tuple(c + "__r" for c in join_on))
+        else:
+            # every shared var unbound here: all opt rows compatible
+            # (right is non-empty) → constant-key cross join
+            s2 = stratum.map_batches(
+                lambda t: t.append_column(
+                    "__x", pa.array(["_"] * len(t), pa.string())),
+                batch_format="pyarrow")
+            r3 = r_all.map_batches(
+                lambda t: t.append_column(
+                    "__x__r", pa.array(["_"] * len(t), pa.string())),
+                batch_format="pyarrow")
+            j = s2.join(r3, join_type="inner",
+                        num_partitions=np_join,
+                        on=("__x",), right_on=("__x__r",))
+
+        def project(t: pa.Table, _ub=frozenset(unbound | set(extra)),
+                    _oc=tuple(out_cols)) -> pa.Table:
+            cols = {}
+            for c in _oc:
+                src = c + "__r" if c in _ub else c
+                cols[c] = (t[src].cast(pa.string())
+                           if src in t.column_names
+                           else pa.nulls(len(t), pa.string()))
+            return pa.table(cols, schema=pa.schema(
+                [(c, pa.string()) for c in _oc]))
+
+        parts.append(j.map_batches(project, batch_format="pyarrow"))
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table()), set(extra)
+    acc2 = parts[0]
+    for other in parts[1:]:
+        acc2 = acc2.union(other)
+    return acc2, set(extra)
+
+
 def _translate_group(elements):
     patterns, optionals, minus, filters, unions = [], [], None, [], []
     binds, values_blocks, exists_groups, subqueries = [], [], [], []
@@ -493,20 +648,12 @@ def _group_dataset(triples, elements, num_partitions):
      values_blocks, exists_groups, subqueries,
      sources) = _translate_group(elements)
 
-    plain_opts = [p for k, p in optionals if k == "plain"]
-    rich_opts = [p for k, p in optionals if k == "rich"]
     plain_minus = minus[1] if minus and minus[0] == "plain" else None
     rich_minus = minus[1] if minus and minus[0] == "rich" else None
     # vars that may be NULL in acc (introduced by an OPTIONAL or by a
-    # UNION arm that lacks them) — a later OPTIONAL correlated only
-    # through these needs per-binding substitution → rejected by name
+    # UNION arm that lacks them) — a later OPTIONAL correlated through
+    # these takes the per-binding-substitution LeftJoin path
     nullable: set = set()
-    req_vars = {v[1:] for pat in patterns for v in pat
-                if isinstance(v, str) and v.startswith("?")}
-    for grp in plain_opts:
-        nullable |= {v[1:] for pat in grp for v in pat
-                     if isinstance(v, str) and v.startswith("?")} \
-            - req_vars
 
     acc = None
     if patterns:
@@ -514,7 +661,6 @@ def _group_dataset(triples, elements, num_partitions):
                      for src in sources]
                     if any(src is not None for src in sources) else None)
         acc = bgp_query(triples, patterns,
-                        optional_groups=plain_opts or None,
                         minus_patterns=plain_minus or None,
                         num_partitions=num_partitions,
                         pattern_sources=resolved)
@@ -579,57 +725,20 @@ def _group_dataset(triples, elements, num_partitions):
     if acc is None:
         raise NotImplementedError("distributed SPARQL: empty WHERE body")
 
-    # rich OPTIONAL groups (paths / FILTER / UNION inside): evaluate the
-    # group recursively, then the same left-outer join + guards as
-    # bgp_query's plain-group machinery
-    for payload in rich_opts:
-        opt_ds = _group_dataset(triples, payload, num_partitions)
-        opt_cols = [c for c in opt_ds.schema().names
-                    if not c.startswith("__p")]
-        shared = sorted(set(acc.schema().names) & set(opt_cols))
-        if not shared:
-            raise ValueError(
-                "OPTIONAL group shares no variable with the required "
-                "patterns — an unconstrained cross product is rejected")
-        if set(shared) & nullable:
-            raise NotImplementedError(
-                "OPTIONAL group shares a previous OPTIONAL's "
-                "possibly-null variables — per-binding substitution "
-                "semantics are not supported distributed")
-        extra = sorted(set(opt_cols) - set(shared))
-        left, n_l = _compact(acc)
-        right, n_r = _compact(opt_ds.select_columns(opt_cols))
-        if left is None:
-            import ray.data
-
-            sch = pa.schema([(c, pa.string()) for c in sorted(
-                set(acc.schema().names) | set(opt_cols))])
-            acc = ray.data.from_arrow(sch.empty_table())
-        elif right is None:
-            def add_nulls(t: pa.Table, _extra=tuple(extra)) -> pa.Table:
-                for name in _extra:
-                    t = t.append_column(
-                        name, pa.nulls(len(t), pa.string()))
-                return t
-
-            acc = left.map_batches(add_nulls, batch_format="pyarrow")
+    # OPTIONAL groups, in syntactic order: plain BGPs evaluate through
+    # bgp_query, rich groups (paths / FILTER / UNION inside) through
+    # the recursive group evaluator; both left-join via _left_join,
+    # which switches to per-binding-substitution strata when the group
+    # correlates through a previous OPTIONAL's nullable variables
+    for opt_kind, payload in optionals:
+        if opt_kind == "plain":
+            opt_ds = bgp_query(triples, payload,
+                               num_partitions=num_partitions)
         else:
-            def _str_opt(t: pa.Table) -> pa.Table:
-                return pa.table({c: t[c].cast(pa.string())
-                                 for c in t.column_names})
-
-            right = right.map_batches(_str_opt, batch_format="pyarrow") \
-                         .rename_columns({c: c + "__r" for c in shared})
-            np_join = max(1, min(default_join_partitions(),
-                                 -(-min(n_l, n_r) // 50_000)))
-            acc = left.join(
-                right, join_type="left_outer",
-                num_partitions=np_join,
-                on=tuple(shared),
-                right_on=tuple(c + "__r" for c in shared))
-            acc = acc.select_columns(sorted(
-                set(left.schema().names) | set(extra)))
-        nullable |= set(extra)
+            opt_ds = _group_dataset(triples, payload, num_partitions)
+        acc, new_nullable = _left_join(acc, opt_ds, nullable,
+                                       num_partitions)
+        nullable |= new_nullable
 
     # rich MINUS: remove solutions with a compatible row in the group
     # (left_anti on the shared vars; sharing none removes nothing)

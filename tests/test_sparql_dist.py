@@ -117,14 +117,31 @@ def test_two_optional_groups(ray_session):
         }""")
 
 
-def test_optional_chained_through_nullable_var_rejected(ray_session):
-    with pytest.raises(NotImplementedError, match="possibly-null"):
-        sparql_select(_ds(), PFX + """
-            SELECT ?e ?c WHERE {
-                ?d ex:mentions ?e .
-                OPTIONAL { ?e ex:hq_in ?p . }
-                OPTIONAL { ?p ex:in_country ?c . }
-            }""").to_pandas()
+def test_optional_chained_through_nullable_var(ray_session):
+    # per-binding substitution: the second OPTIONAL correlates through
+    # ?p, which the first OPTIONAL may have left unbound — evaluated
+    # via bound-var strata (one left-outer join per observed bitmask)
+    _assert_same(PFX + """
+        SELECT ?e ?c WHERE {
+            ?d ex:mentions ?e .
+            OPTIONAL { ?e ex:hq_in ?p . }
+            OPTIONAL { ?p ex:in_country ?c . }
+        }""")
+
+
+def test_optional_three_level_chain(ray_session):
+    _assert_same(PFX + "SELECT ?d ?c ?k WHERE { ?d ex:mentions ?m "
+                 "OPTIONAL { ?m ex:hq_in ?c } "
+                 "OPTIONAL { ?c ex:in_country ?k } "
+                 "OPTIONAL { ?k ex:in_country ?z } }")
+
+
+def test_optional_unbound_stratum_wildcard(ray_session):
+    # rows whose ?h stayed unbound are SPARQL-compatible with EVERY
+    # optional solution (the all-unbound stratum's cross join)
+    _assert_same(PFX + "SELECT ?x ?h ?k WHERE { ?x ex:employees ?e "
+                 "OPTIONAL { ?x ex:hq_in ?h } "
+                 "OPTIONAL { ?h ex:in_country ?k } }")
 
 
 def test_minus(ray_session):
@@ -367,16 +384,17 @@ def test_plus_in_sequence_path(ray_session):
     assert set(map(tuple, got.values)) == {("a", "z"), ("b", "z")}
 
 
-@pytest.mark.parametrize("query,needle", [
-    # OPTIONAL correlated only through a previous OPTIONAL's nullable
-    # vars still needs per-binding substitution semantics
-    (PFX + "SELECT ?x WHERE { ?x ex:mentions ?m "
-           "OPTIONAL { ?m ex:hq_in ?c } OPTIONAL { ?c ex:in_country ?k } }",
-     "possibly-null"),
-])
-def test_unsupported_constructs_raise(ray_session, query, needle):
-    with pytest.raises(NotImplementedError, match=needle):
-        sparql_select(_ds(), query).to_pandas()
+def test_optional_nullable_right_side_rejected(ray_session):
+    # the OPTIONAL side itself carrying unbound shared vars would need
+    # null-wildcard compatibility on BOTH sides — rejected by name
+    with pytest.raises(NotImplementedError, match="null-wildcard"):
+        sparql_select(_ds(), PFX + """
+            SELECT ?d WHERE {
+                ?d ex:mentions ?m .
+                OPTIONAL { ?m ex:hq_in ?c }
+                OPTIONAL { ?x ex:employees ?e
+                           OPTIONAL { ?x ex:hq_in ?c } . ?x ?q ?m }
+            }""").to_pandas()
 
 
 # ---- closures (*, ?, complex +) ------------------------------------------
