@@ -661,6 +661,83 @@ def _kg_sparql_top_mentioned(sf_dir: str):
         "GROUP BY ?e")
 
 
+def _kg_sparql_sample_concat(sf_dir: str):
+    """SPARQL SAMPLE + GROUP_CONCAT(DISTINCT) + COUNT(DISTINCT) over
+    the events triple encoding — the general (non-Ray-native)
+    aggregate path: one coarse exchange of the solution table, pandas
+    per-group combine replicating the in-memory evaluator's semantics
+    (SAMPLE = deterministic min; GROUP_CONCAT DISTINCT = sorted)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        event_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        event_triples(sf_dir).materialize(),
+        "SELECT ?u (COUNT(DISTINCT ?d) AS ?n_days) "
+        "(SAMPLE(?d) AS ?first_day) "
+        '(GROUP_CONCAT(DISTINCT ?d ; SEPARATOR=",") AS ?days) '
+        'WHERE { ?u "purchase" ?d } GROUP BY ?u')
+
+
+def _kg_sparql_topk_offset(sf_dir: str):
+    """SPARQL ORDER BY (numeric comparator) + OFFSET + LIMIT over the
+    3-hop order chain: the distributed sort runs on derived
+    (kind, number, lexical) key columns and OFFSET is an ordered
+    split bounded by OFFSET+LIMIT."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        order_triples(sf_dir).materialize(),
+        "SELECT ?name (COUNT(*) AS ?n_orders) WHERE { "
+        '?o "placed_by"/"in_nation"/"has_name" ?name . } GROUP BY ?name '
+        "ORDER BY DESC(?n_orders) ?name OFFSET 3 LIMIT 5")
+
+
+def _kg_sparql_star_reach(sf_dir: str):
+    """SPARQL ``*`` closure over a COMPLEX sub-path: the zero-length
+    arm (reflexive pairs over all graph terms, one coarse distinct)
+    unions with the sub-path's semi-naive closure."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        order_triples(sf_dir).materialize(),
+        'SELECT DISTINCT ?c ?y WHERE { ?o "placed_by" ?c . '
+        '?c ("in_nation"/"has_name")* ?y . }')
+
+
+def _kg_sparql_chained_optional(sf_dir: str):
+    """Chained OPTIONAL through a possibly-null variable (SPARQL §18.5
+    per-binding substitution): a FILTER inside the first OPTIONAL
+    leaves ?n unbound for most customers; the second OPTIONAL then
+    evaluates via bound-var strata — the unbound stratum crosses with
+    the compatible-with-anything (nation, name) pairs."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        order_triples(sf_dir).materialize(),
+        'SELECT ?o ?c ?n ?nm WHERE { ?o "placed_by" ?c . '
+        'OPTIONAL { ?c "in_nation" ?n FILTER(strstarts(?n, "nation:1")) } '
+        'OPTIONAL { ?n "has_name" ?nm } FILTER(strends(?o, "00")) }')
+
+
 def _kg_construct_order_nation(sf_dir: str):
     """SPARQL-CONSTRUCT over the order-chain triple encoding: derive
     (order, from_nation, nation) triples from the 2-pattern body."""
@@ -1401,6 +1478,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_profile_events": _kg_profile_events,
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_sparql_click_or_error_days": _kg_sparql_click_or_error_days,
+        "kg_sparql_sample_concat": _kg_sparql_sample_concat,
+        "kg_sparql_topk_offset": _kg_sparql_topk_offset,
+        "kg_sparql_star_reach": _kg_sparql_star_reach,
+        "kg_sparql_chained_optional": _kg_sparql_chained_optional,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
@@ -2948,5 +3029,71 @@ def oracle_sql() -> dict[str, str]:
                             strftime(ts, '%Y-%m-%d')            AS d
             FROM events
             WHERE event_type IN ('click', 'error')
+        """,
+        # SPARQL SAMPLE (deterministic min) / GROUP_CONCAT(DISTINCT,
+        # sorted) / COUNT(DISTINCT) ≡ MIN / ordered string_agg / COUNT
+        "kg_sparql_sample_concat": """
+            SELECT 'user:' || CAST(user_id AS VARCHAR)           AS u,
+                   COUNT(DISTINCT strftime(ts, '%Y-%m-%d'))      AS n_days,
+                   MIN(strftime(ts, '%Y-%m-%d'))                 AS first_day,
+                   string_agg(DISTINCT strftime(ts, '%Y-%m-%d'), ','
+                              ORDER BY strftime(ts, '%Y-%m-%d')) AS days
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        """,
+        # SPARQL ORDER BY DESC + tiebreak + OFFSET/LIMIT ≡ SQL paging
+        "kg_sparql_topk_offset": """
+            SELECT n_name AS name, COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_orders DESC, name ASC
+            OFFSET 3 LIMIT 5
+        """,
+        # ("in_nation"/"has_name")* from order-placing customers:
+        # zero-length arm (the customer itself) ∪ the one composed hop
+        "kg_sparql_star_reach": """
+            WITH c AS (SELECT DISTINCT
+                              'cust:' || CAST(o_custkey AS VARCHAR) AS c,
+                              o_custkey
+                       FROM orders)
+            SELECT c AS c, c AS y FROM c
+            UNION
+            SELECT c.c AS c, n_name AS y
+            FROM c
+            JOIN customer ON c_custkey = c.o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+        """,
+        # chained OPTIONAL via per-binding substitution: bound rows
+        # join their nation's name; unbound rows (the FILTER inside
+        # the first OPTIONAL failed) are SPARQL-compatible with EVERY
+        # (nation, name) pair → CROSS JOIN
+        "kg_sparql_chained_optional": """
+            WITH ord AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS o,
+                     'cust:'  || CAST(o_custkey  AS VARCHAR) AS c,
+                     o_custkey
+              FROM orders
+              WHERE CAST(o_orderkey AS VARCHAR) LIKE '%00'),
+            cn AS (SELECT c_custkey,
+                          'nation:' || CAST(c_nationkey AS VARCHAR) AS n
+                   FROM customer),
+            names AS (SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+                             n_name
+                      FROM nation),
+            opt1 AS (SELECT ord.o, ord.c,
+                            CASE WHEN cn.n LIKE 'nation:1%' THEN cn.n
+                            END AS n
+                     FROM ord JOIN cn ON cn.c_custkey = ord.o_custkey)
+            SELECT opt1.o AS o, opt1.c AS c, names.n AS n,
+                   names.n_name AS nm
+            FROM opt1 JOIN names ON opt1.n = names.n
+            WHERE opt1.n IS NOT NULL
+            UNION ALL
+            SELECT opt1.o, opt1.c, names.n, names.n_name
+            FROM opt1 CROSS JOIN names
+            WHERE opt1.n IS NULL
         """,
     }
