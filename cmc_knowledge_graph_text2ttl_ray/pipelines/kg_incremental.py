@@ -151,23 +151,13 @@ def kg_as_of(kg_root: str, generation: str | int):
     published.  ``generation`` is a name (``"gen-00002"``) or an int.
     Because generations are append-only and immutable, this is pure
     read-side filtering — no snapshot copies, the lineage story of the
-    incremental pipeline."""
-    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+    incremental pipeline.  Removal-aware: a root touched by
+    ``pipelines/kg_update.sparql_update`` resolves tombstones up to the
+    cutoff (``kg_update.kg_read``); append-only roots keep the pure
+    union path."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_update import kg_read
 
-    if isinstance(generation, int):
-        generation = f"{_GEN_PREFIX}{generation:05d}"
-    gens = list_generations(kg_root)
-    if generation not in gens:
-        raise ValueError(
-            f"unknown generation {generation!r}; root has {gens}")
-    keep = [g for g in gens if g <= generation]
-    import os
-
-    parts = [ttl_dataset(os.path.join(kg_root, g)) for g in keep]
-    out = parts[0]
-    for extra in parts[1:]:
-        out = out.union(extra)
-    return out
+    return kg_read(kg_root, generation)
 
 
 def compact_generations(kg_root: str, out_root: str | None = None,
@@ -181,12 +171,14 @@ def compact_generations(kg_root: str, out_root: str | None = None,
     swaps the roots after validating (an in-place directory swap is not
     atomic across filesystems, so the engine never deletes the old root
     itself).  The sink's fused dedup shuffle collapses any triple
-    republished across generations.  Returns the ``publish_generation``
-    dict plus ``out_root``."""
-    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
+    republished across generations, and the removal-aware read folds
+    ``sparql_update`` tombstones away — a compacted root is pure adds
+    again.  Returns the ``publish_generation`` dict plus
+    ``out_root``."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_update import kg_read
 
     out_root = out_root or kg_root.rstrip("/") + ".compacted"
-    pub = publish_generation(ttl_dataset(kg_root), out_root,
+    pub = publish_generation(kg_read(kg_root), out_root,
                              prefixes=prefixes, num_buckets=num_buckets,
                              compression=compression)
     pub["out_root"] = out_root
