@@ -738,6 +738,146 @@ def _kg_sparql_chained_optional(sf_dir: str):
         'OPTIONAL { ?n "has_name" ?nm } FILTER(strends(?o, "00")) }')
 
 
+def _full_identity(t):
+    """Pad a 4-column triple encoding to the sink's full identity schema
+    (null lang/datatype)."""
+    import pyarrow as pa
+
+    n = len(t)
+    return (t.append_column("object_lang", pa.nulls(n, pa.string()))
+             .append_column("object_datatype", pa.nulls(n, pa.string())))
+
+
+def _publish_tmp_kg(ds):
+    """Publish a triple Dataset as gen-00000 of a fresh /tmp KG root
+    (per-call scratch — the caller owns cleanup; results are
+    deterministic because every generation derives only from sf tables)."""
+    import tempfile
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_incremental import (
+        publish_generation,
+    )
+
+    root = tempfile.mkdtemp(prefix="graft_kg_update_")
+    publish_generation(
+        ds.map_batches(_full_identity, batch_format="pyarrow"), root)
+    return root
+
+
+def _kg_update_retract_errors(sf_dir: str):
+    """SPARQL 1.1 Update DELETE WHERE over a published generation KG:
+    the events triple encoding becomes gen-00000, the update publishes
+    a tombstone generation retracting every ``ev:error`` triple, and the
+    removal-aware ``kg_read`` resolves per-identity last-touch in one
+    hash exchange.  Returns per-predicate triple counts of the surviving
+    KG (DISTINCT in the oracle: the bucketed TTL sink dedups exact
+    triples at publish)."""
+    import shutil
+
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        event_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_update import (
+        kg_read,
+        sparql_update,
+    )
+
+    def iri_preds(t):
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("predicate"), "predicate",
+            pc.binary_join_element_wise("ev:", t["predicate"], ""))
+
+    root = _publish_tmp_kg(
+        event_triples(sf_dir).map_batches(iri_preds, batch_format="pyarrow"))
+    try:
+        sparql_update(root, 'DELETE WHERE { ?u <ev:error> ?d . }')
+        out = (kg_read(root)
+               .groupby("predicate")
+               .aggregate(Count(alias_name="n"))
+               .to_pandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _kg_update_order_nation_insert(sf_dir: str):
+    """SPARQL 1.1 Update INSERT … WHERE (typed inserts): materialize the
+    3-hop order→customer→nation chain into direct ``order_nation``
+    triples on a published KG; the variable object ?name recovers its
+    stored RDF typing (literal) by joining the typing back from the KG
+    pruned to the binding patterns' predicates.  Returns the inserted
+    (subject, object) pairs read back removal-aware."""
+    import shutil
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_update import (
+        kg_read,
+        sparql_update,
+    )
+
+    root = _publish_tmp_kg(order_triples(sf_dir))
+    try:
+        sparql_update(
+            root,
+            'INSERT { ?o <order_nation> ?name } '
+            'WHERE { ?o <placed_by> ?c . ?c <in_nation> ?n . '
+            '?n <has_name> ?name }')
+        out = (kg_read(root)
+               .filter(expr='predicate == "order_nation"')
+               .select_columns(["subject", "object"])
+               .to_pandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _kg_update_relabel_clicks(sf_dir: str):
+    """SPARQL 1.1 Update DELETE/INSERT WHERE (the combined modify form,
+    DELETE-before-INSERT semantics): relabel every ``ev:click`` triple to
+    ``ev:view`` in one update — one tombstone set + one add set published
+    as a single generation.  Returns per-predicate counts after the
+    relabel (clicks fold into views; DISTINCT set semantics)."""
+    import shutil
+
+    from ray.data.aggregate import Count
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        event_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_update import (
+        kg_read,
+        sparql_update,
+    )
+
+    def iri_preds(t):
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("predicate"), "predicate",
+            pc.binary_join_element_wise("ev:", t["predicate"], ""))
+
+    root = _publish_tmp_kg(
+        event_triples(sf_dir).map_batches(iri_preds, batch_format="pyarrow"))
+    try:
+        sparql_update(
+            root,
+            'DELETE { ?u <ev:click> ?d } INSERT { ?u <ev:view> ?d } '
+            'WHERE { ?u <ev:click> ?d }')
+        out = (kg_read(root)
+               .groupby("predicate")
+               .aggregate(Count(alias_name="n"))
+               .to_pandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _kg_construct_order_nation(sf_dir: str):
     """SPARQL-CONSTRUCT over the order-chain triple encoding: derive
     (order, from_nation, nation) triples from the 2-pattern body."""
@@ -1485,6 +1625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
+        "kg_update_retract_errors": _kg_update_retract_errors,
+        "kg_update_order_nation_insert": _kg_update_order_nation_insert,
+        "kg_update_relabel_clicks": _kg_update_relabel_clicks,
         "part_size_unpivot": _part_size_unpivot,
         "events_daily_anomalies": _events_daily_anomalies,
         "lineitem_qty_price_corr": _lineitem_corr,
@@ -2957,6 +3100,35 @@ def oracle_sql() -> dict[str, str]:
                    0 AS n_iri
             FROM events
             GROUP BY event_type
+        """,
+        # SPARQL Update DELETE WHERE: KG minus the retracted ev:error
+        # triples; DISTINCT because the bucketed TTL sink publishes the
+        # deduped triple SET
+        "kg_update_retract_errors": """
+            SELECT 'ev:' || event_type AS predicate, COUNT(*) AS n
+            FROM (SELECT DISTINCT user_id, event_type,
+                         strftime(ts, '%Y-%m-%d') AS d FROM events)
+            WHERE event_type <> 'error'
+            GROUP BY event_type
+        """,
+        # SPARQL Update INSERT ... WHERE: the inserted order_nation
+        # triples ARE the 3-hop chain join
+        "kg_update_order_nation_insert": """
+            SELECT 'order:' || CAST(o.o_orderkey AS VARCHAR) AS subject,
+                   n.n_name AS object
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        # SPARQL Update DELETE/INSERT WHERE: clicks relabeled to views
+        # fold into the existing view set (set semantics)
+        "kg_update_relabel_clicks": """
+            SELECT 'ev:' || CASE WHEN event_type = 'click' THEN 'view'
+                                 ELSE event_type END AS predicate,
+                   COUNT(DISTINCT (user_id, strftime(ts, '%Y-%m-%d')))
+                       AS n
+            FROM events
+            GROUP BY 1
         """,
         # SHACL-lite gate: datatype violations (every 7th customer) +
         # maxCount-12 violations (customers with >12 orders)
