@@ -653,6 +653,23 @@ def _expand_spo(templates):
     return expand
 
 
+def _spill_roundtrip(ds, out_dir: str, schema: pa.Schema):
+    """Execute ``ds`` ONCE into ``out_dir`` parquet and hand back a
+    streaming read — the multi-consumer reuse mechanism that does NOT
+    pin the rows in the object store (same treatment the dedup family
+    gives signatures/candidate pairs past their spill thresholds).  An
+    empty dataset writes no files; fall back to an empty table so the
+    read side never globs a fileless directory."""
+    import os
+
+    import ray.data
+
+    ds.write_parquet(out_dir)
+    if any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+    return ray.data.from_arrow(schema.empty_table())
+
+
 _RE_INSERT_DATA = re.compile(r"\bINSERT\s+DATA\s*(?=\{)", re.IGNORECASE)
 _RE_DELETE_DATA = re.compile(r"\bDELETE\s+DATA\s*(?=\{)", re.IGNORECASE)
 _RE_DELETE_WHERE = re.compile(r"\bDELETE\s+WHERE\s*(?=\{)", re.IGNORECASE)
@@ -665,7 +682,8 @@ def sparql_update(kg_root: str, update: str,
                   prefixes: dict[str, str] | None = None,
                   num_partitions: int | None = None,
                   num_buckets: int = 64,
-                  compression: str | None = None) -> dict:
+                  compression: str | None = None,
+                  spill_rows: int = 5_000_000) -> dict:
     """Apply ONE SPARQL 1.1 Update operation to the KG at ``kg_root``
     by publishing the next generation (adds and/or tombstones).
 
@@ -673,7 +691,16 @@ def sparql_update(kg_root: str, update: str,
     ``DELETE {} INSERT {} WHERE {}`` (either template optional).  The
     WHERE group supports the full distributed SPARQL group grammar
     (paths, FILTER, OPTIONAL, UNION — ``sparql_dist``).  Returns
-    ``{"op", "generation", "path", "n_added", "n_removed"}``."""
+    ``{"op", "generation", "path", "n_added", "n_removed"}``.
+
+    The resolved KG and the WHERE solution table each feed several
+    consumers (group evaluation, tombstone match, typed-insert lookup),
+    so both are reused — as object-store pins below ``spill_rows``
+    estimated triples (metadata-only estimate, no extra parse pass),
+    and as per-call scratch parquet on disk above it, so a 100-TB KG
+    streams through every consumer instead of pinning in memory (the
+    same spill treatment the dedup family gives signatures and
+    candidate pairs)."""
     from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
         _group_dataset,
     )
@@ -733,36 +760,62 @@ def sparql_update(kg_root: str, update: str,
             raise ValueError("DELETE/INSERT needs a WHERE group")
         where_block, _ = block_after(m_w)
 
-    kg = kg_read(kg_root).materialize()
-    elements = GraphIndex()._parse_group(where_block, pfx)
-    sols = _group_dataset(kg, elements, num_partitions)
-    sol_vars = set(sols.schema().names)
-    for s, p, o, _meta in del_tmpls + ins_tmpls:
-        for term in (s, p, o):
-            if term.startswith("?") and term[1:] not in sol_vars:
-                raise ValueError(
-                    f"template variable {term} not bound by WHERE")
-    sols = sols.materialize()
+    import os
+    import shutil
+    import tempfile
 
-    adds_ds = removals_ds = None
-    if del_tmpls:
-        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
-            coarse_group_reduce,
-        )
+    from cmc_knowledge_graph_text2ttl_ray.sources.ttl import _est_ttl_rows
+    from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import (
+        IDENTITY_COLS,
+    )
 
-        spo_cols = ["subject", "predicate", "object"]
-        spo = coarse_group_reduce(
-            sols.map_batches(_expand_spo(del_tmpls),
-                             batch_format="pyarrow"),
-            spo_cols,
-            lambda g, _c=tuple(spo_cols):
-                g.drop_duplicates(subset=list(_c)))
-        removals_ds = _match_stored(kg, spo, num_partitions)
-    if ins_tmpls:
-        adds_ds = _typed_inserts(kg, sols, ins_tmpls, elements,
-                                 num_partitions)
-    pub = publish_update(kg_root, adds_ds=adds_ds,
-                         removals_ds=removals_ds, prefixes=pfx,
-                         num_buckets=num_buckets,
-                         compression=compression)
+    spill = _est_ttl_rows(kg_root) > spill_rows
+    scratch = tempfile.mkdtemp(prefix="graft_sparql_update_") if spill \
+        else None
+    try:
+        if spill:
+            kg = _spill_roundtrip(
+                kg_read(kg_root), os.path.join(scratch, "kg"),
+                pa.schema([(c, pa.string()) for c in IDENTITY_COLS]))
+        else:
+            kg = kg_read(kg_root).materialize()
+        elements = GraphIndex()._parse_group(where_block, pfx)
+        sols = _group_dataset(kg, elements, num_partitions)
+        sol_vars = list(sols.schema().names)
+        for s, p, o, _meta in del_tmpls + ins_tmpls:
+            for term in (s, p, o):
+                if term.startswith("?") and term[1:] not in sol_vars:
+                    raise ValueError(
+                        f"template variable {term} not bound by WHERE")
+        if spill:
+            sols = _spill_roundtrip(
+                sols, os.path.join(scratch, "sols"),
+                pa.schema([(n, pa.string()) for n in sol_vars]))
+        else:
+            sols = sols.materialize()
+
+        adds_ds = removals_ds = None
+        if del_tmpls:
+            from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+                coarse_group_reduce,
+            )
+
+            spo_cols = ["subject", "predicate", "object"]
+            spo = coarse_group_reduce(
+                sols.map_batches(_expand_spo(del_tmpls),
+                                 batch_format="pyarrow"),
+                spo_cols,
+                lambda g, _c=tuple(spo_cols):
+                    g.drop_duplicates(subset=list(_c)))
+            removals_ds = _match_stored(kg, spo, num_partitions)
+        if ins_tmpls:
+            adds_ds = _typed_inserts(kg, sols, ins_tmpls, elements,
+                                     num_partitions)
+        pub = publish_update(kg_root, adds_ds=adds_ds,
+                             removals_ds=removals_ds, prefixes=pfx,
+                             num_buckets=num_buckets,
+                             compression=compression)
+    finally:
+        if scratch is not None:
+            shutil.rmtree(scratch, ignore_errors=True)
     return {"op": "modify" if ins_tmpls else "delete_where", **pub}

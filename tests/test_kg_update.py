@@ -260,3 +260,33 @@ def test_parse_triple_block_typed_terms():
 def test_literal_subject_rejected():
     with pytest.raises(ValueError, match="subject/predicate"):
         parse_triple_block('"lit" ex:p ex:o', {"ex": EX})
+
+
+def test_spill_path_equivalence(ray_session, tmp_path):
+    """spill_rows=0 forces the scratch-parquet path for the resolved KG
+    AND the solution table; the published generation and the final KG
+    must be byte-equal in set terms to the pinned path, incl. the
+    typed-insert lookup (which consumes the spilled KG a second time)."""
+    results = {}
+    for mode, spill_rows in (("pin", 5_000_000), ("spill", 0)):
+        r = str(tmp_path / f"kg_{mode}")
+        sparql_update(r, INSERT_SEED)
+        pub = sparql_update(r, PFX + """
+            DELETE { ?s ex:name ?o }
+            INSERT { ?s ex:fullName ?o . ?s ex:knows ex:a }
+            WHERE  { ?s ex:name ?o }""", spill_rows=spill_rows)
+        results[mode] = (pub["n_removed"], pub["n_added"],
+                         _tset(kg_read(r)))
+    assert results["pin"] == results["spill"]
+    assert results["pin"][0] == 2
+
+
+def test_spill_scratch_cleaned_up(ray_session, tmp_path):
+    import glob
+
+    before = set(glob.glob("/tmp/graft_sparql_update_*"))
+    r = str(tmp_path / "kg")
+    sparql_update(r, INSERT_SEED)
+    sparql_update(r, PFX + "DELETE WHERE { ex:a ex:name ?o }",
+                  spill_rows=0)
+    assert set(glob.glob("/tmp/graft_sparql_update_*")) == before
