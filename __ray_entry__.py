@@ -1766,9 +1766,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        # exact integer-cents arithmetic on BOTH sides: a float SUM's
+        # last-ulp drift is combine-order-dependent and can flip a
+        # ROUND(.,2) half boundary between runs (observed once in a
+        # round-4 sweep); value is 2-decimal data so cents are exact
         "events_user_stats": """
             SELECT user_id, COUNT(*) AS n_events,
-                   ROUND(SUM(value) / COUNT(*), 2) AS avg_value
+                   ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                         / (COUNT(*) * 100.0), 2) AS avg_value
             FROM events
             GROUP BY user_id
         """,
@@ -2027,10 +2032,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = b.l_suppkey
             WHERE b.rn = 1 ORDER BY p_partkey
         """,
+        # exact 10^-4-unit integer sums on both sides (price and
+        # discount are 2-decimal): the float SUM's combine-order drift
+        # was measured within one ulp of a ROUND(.,2) half boundary
         "q9_profit_by_nation_year": """
             SELECT n.n_name AS nation,
                    CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                             * CAST(ROUND((1 - l.l_discount) * 100, 0)
+                                    AS BIGINT)) / 10000.0, 2)
                        AS profit
             FROM lineitem l
             JOIN orders o ON o.o_orderkey = l.l_orderkey

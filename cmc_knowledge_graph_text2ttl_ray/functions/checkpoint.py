@@ -16,7 +16,7 @@ import os
 import shutil
 
 __all__ = ["input_fingerprint", "default_cache_dir", "is_valid", "reset",
-           "mark_done"]
+           "mark_done", "spill_roundtrip"]
 
 
 def input_fingerprint(paths: list[str], params: dict | None = None) -> str:
@@ -54,3 +54,20 @@ def reset(ckpt_dir: str) -> None:
 def mark_done(ckpt_dir: str, fingerprint: str, **extra) -> None:
     with open(os.path.join(ckpt_dir, "_DONE"), "w") as fh:
         json.dump({"fp": fingerprint, **extra}, fh)
+
+
+def spill_roundtrip(ds, out_dir: str, schema):
+    """Execute ``ds`` ONCE into ``out_dir`` parquet and hand back a
+    streaming read — the multi-consumer reuse mechanism that does NOT
+    pin the rows in the object store (the treatment the dedup family
+    gives signatures/candidate pairs past their spill thresholds, and
+    the SPARQL Update / forward-chain paths give the resolved KG and
+    per-round closure deltas).  An empty dataset writes no files; fall
+    back to an empty table so the read side never globs a fileless
+    directory.  ``schema`` is the pyarrow schema of the empty fallback."""
+    import ray.data
+
+    ds.write_parquet(out_dir)
+    if any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return ray.data.read_parquet(out_dir, file_extensions=["parquet"])
+    return ray.data.from_arrow(schema.empty_table())

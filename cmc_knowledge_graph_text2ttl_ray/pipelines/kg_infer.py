@@ -395,16 +395,29 @@ def kg_entity_pagerank(triples, damping: float = 0.85, iters: int = 4,
 
 
 def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
-                  num_partitions: int | None = None) -> dict:
+                  num_partitions: int | None = None,
+                  spill_rows: int = 5_000_000,
+                  spill_dir: str | None = None) -> dict:
     """Apply ``rules`` to a fixpoint (or ``max_rounds``).  Returns
     ``{"closure": Dataset, "derived": Dataset, "rounds": int,
-    "n_derived": int}`` — ``closure`` is base ∪ derived, materialized.
+    "n_derived": int, "spill_dir": str | None}`` — ``closure`` is
+    base ∪ derived.
 
     Round 1 evaluates each body against the base graph; later rounds are
     semi-naive (one evaluation per body pattern with that pattern bound
     to the previous round's delta), so convergence work tracks the delta
     size.  Facts already known never re-enter the delta, guaranteeing
-    termination on finite domains."""
+    termination on finite domains.
+
+    The closure is re-consumed by every rule body every round, so it
+    must be reused: below ``spill_rows`` base triples it pins in the
+    object store (materialize — cheapest at test/benchmark scale);
+    above it the base and each round's delta round-trip through scratch
+    parquet (``spill_dir`` or a fresh /tmp dir, returned as
+    ``"spill_dir"``) and the closure is a UNION OF STREAMING READS —
+    nothing closure-sized ever pins, the 100-TB path.  The returned
+    datasets reference the spill files, so the CALLER owns the
+    directory's lifetime."""
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         default_coarse_partitions,
     )
@@ -427,9 +440,25 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     n_full = full.count()
     if num_partitions is None:
         num_partitions = default_coarse_partitions(max(n_full, 1))
+    spilling = n_full > spill_rows
+    spill_base = None
+    if spilling:
+        import os
+        import tempfile
+
+        from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+            spill_roundtrip,
+        )
+
+        spill_base = spill_dir or tempfile.mkdtemp(prefix="graft_fchain_")
+        # one execution-free write from the already-materialized blocks,
+        # then the pin is released and every consumer streams from disk
+        full = spill_roundtrip(full, os.path.join(spill_base, "base"),
+                               _TRIPLES_SCHEMA)
 
     delta = full
     derived_parts = []
+    n_derived = 0
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         first_round = rounds == 1
@@ -457,20 +486,33 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
         if n_new == 0:
             rounds -= 1  # this round added nothing
             break
+        if spilling:
+            import os
+
+            from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+                spill_roundtrip,
+            )
+
+            new = spill_roundtrip(
+                new, os.path.join(spill_base, f"delta-{rounds:03d}"),
+                _TRIPLES_SCHEMA)
         derived_parts.append(new)
+        n_derived += n_new  # deltas are disjoint (new-vs-known per round)
         delta = new
-        full = full.union(new).materialize()
+        full = full.union(new)
+        if not spilling:  # spilled closure = union of streaming reads
+            full = full.materialize()
 
     if derived_parts:
         derived = derived_parts[0]
         for extra in derived_parts[1:]:
             derived = derived.union(extra)
-        derived = derived.materialize()
-        n_derived = derived.count()
+        if not spilling:
+            derived = derived.materialize()
     else:
         import ray.data
 
         derived = ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
-        n_derived = 0
-    return {"closure": full, "derived": derived,
+    return {"spill_dir": spill_base,
+            "closure": full, "derived": derived,
             "rounds": rounds, "n_derived": n_derived}

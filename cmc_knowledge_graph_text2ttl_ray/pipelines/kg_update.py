@@ -653,23 +653,6 @@ def _expand_spo(templates):
     return expand
 
 
-def _spill_roundtrip(ds, out_dir: str, schema: pa.Schema):
-    """Execute ``ds`` ONCE into ``out_dir`` parquet and hand back a
-    streaming read — the multi-consumer reuse mechanism that does NOT
-    pin the rows in the object store (same treatment the dedup family
-    gives signatures/candidate pairs past their spill thresholds).  An
-    empty dataset writes no files; fall back to an empty table so the
-    read side never globs a fileless directory."""
-    import os
-
-    import ray.data
-
-    ds.write_parquet(out_dir)
-    if any(f.endswith(".parquet") for f in os.listdir(out_dir)):
-        return ray.data.read_parquet(out_dir, file_extensions=["parquet"])
-    return ray.data.from_arrow(schema.empty_table())
-
-
 _RE_INSERT_DATA = re.compile(r"\bINSERT\s+DATA\s*(?=\{)", re.IGNORECASE)
 _RE_DELETE_DATA = re.compile(r"\bDELETE\s+DATA\s*(?=\{)", re.IGNORECASE)
 _RE_DELETE_WHERE = re.compile(r"\bDELETE\s+WHERE\s*(?=\{)", re.IGNORECASE)
@@ -764,6 +747,9 @@ def sparql_update(kg_root: str, update: str,
     import shutil
     import tempfile
 
+    from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+        spill_roundtrip,
+    )
     from cmc_knowledge_graph_text2ttl_ray.sources.ttl import _est_ttl_rows
     from cmc_knowledge_graph_text2ttl_ray.stages.dedup_triples import (
         IDENTITY_COLS,
@@ -774,7 +760,7 @@ def sparql_update(kg_root: str, update: str,
         else None
     try:
         if spill:
-            kg = _spill_roundtrip(
+            kg = spill_roundtrip(
                 kg_read(kg_root), os.path.join(scratch, "kg"),
                 pa.schema([(c, pa.string()) for c in IDENTITY_COLS]))
         else:
@@ -788,7 +774,7 @@ def sparql_update(kg_root: str, update: str,
                     raise ValueError(
                         f"template variable {term} not bound by WHERE")
         if spill:
-            sols = _spill_roundtrip(
+            sols = spill_roundtrip(
                 sols, os.path.join(scratch, "sols"),
                 pa.schema([(n, pa.string()) for n in sol_vars]))
         else:

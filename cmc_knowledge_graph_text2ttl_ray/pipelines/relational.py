@@ -310,13 +310,21 @@ def events_daily(sf_dir: str):
 
 
 def events_user_stats(sf_dir: str):
-    """Per-user activity profile (count, avg value, distinct event types)."""
+    """Per-user activity profile (count, avg value, distinct event types).
+
+    ``value`` is 2-decimal money-like data, so the partial sums run in
+    EXACT integer cents — a float partial-sum's last-ulp drift depends
+    on Ray's block combine order, and a user whose average sits on a
+    ROUND(·, 2) half boundary then flips by 0.01 between runs (observed
+    once in a round-4 sweep).  Integer summation is order-independent;
+    the oracle SQL mirrors the same cents arithmetic."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("user_id").agg(
-            n=("value", "size"), sum_value=("value", "sum")
-        )
+        cents = np.round(df["value"].to_numpy() * 100.0).astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"], "cents": cents}) \
+            .groupby("user_id").agg(n=("cents", "size"),
+                                    sum_cents=("cents", "sum"))
         return g.reset_index()
 
     from ray.data.aggregate import Sum
@@ -324,12 +332,16 @@ def events_user_stats(sf_dir: str):
     agg = (
         ds.map_batches(partial, batch_format="pandas")
         .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("sum_cents", alias_name="sum_cents"))
     )
 
     def fin(t: pa.Table) -> pa.Table:
         from cmc_knowledge_graph_text2ttl_ray.functions.rounding import pc_round
-        avg = pc_round(pc.divide(t["sum_value"], pc.cast(t["n_events"], pa.float64())), 2)
+        avg = pc_round(
+            pc.divide(pc.cast(t["sum_cents"], pa.float64()),
+                      pc.multiply(pc.cast(t["n_events"], pa.float64()),
+                                  100.0)), 2)
         return pa.table(
             {
                 "user_id": t["user_id"],
@@ -2237,7 +2249,15 @@ def q9_profit_by_nation_year(sf_dir: str,
     under the threshold those ship once as two sorted numpy arrays and the
     single lineitem scan does year lookup + per-(nation, year) partial sums
     in one pass (only ~nations×years rows shuffle); past it, the standard
-    distributed hash join on orderkey (q8's size-aware pattern)."""
+    distributed hash join on orderkey (q8's size-aware pattern).
+
+    Profit sums run in EXACT 10^-4 units (price and discount are both
+    2-decimal, so each product is an exact int64): a float partial-sum's
+    combine-order drift was measured within one ulp of a ROUND(·, 2)
+    half boundary at sf0.01, which would flip the rounded value between
+    runs.  Integer summation is order-independent (magnitude bound:
+    ≤1e9/row, ~6e8 rows per (nation, year) group at 100 TB → ≤6e17,
+    inside int64); the oracle SQL mirrors the same units."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -2275,11 +2295,14 @@ def q9_profit_by_nation_year(sf_dir: str,
         found, pos = sorted_lookup(sk, df["l_suppkey"].to_numpy())
         d = df[found]
         p = pos[found]
+        cents = np.round(
+            d["l_extendedprice"].to_numpy() * 100.0).astype("int64")
+        keep = np.round(
+            (1.0 - d["l_discount"].to_numpy()) * 100.0).astype("int64")
         return pd.DataFrame({
             "l_orderkey": d["l_orderkey"].astype("int64"),
             "nation": sn[p],
-            "amount": d["l_extendedprice"].to_numpy()
-            * (1.0 - d["l_discount"].to_numpy())})
+            "amount": cents * keep})
 
     if broadcast:
         om = ord_years.to_pandas().sort_values("o_orderkey")
@@ -2292,7 +2315,7 @@ def q9_profit_by_nation_year(sf_dir: str,
             if len(ok) == 0:
                 return pd.DataFrame({"nation": pd.Series(dtype=object),
                                      "o_year": pd.Series(dtype="int64"),
-                                     "profit": pd.Series(dtype="float64")})
+                                     "profit": pd.Series(dtype="int64")})
             pos = np.clip(np.searchsorted(ok, d["l_orderkey"].to_numpy()),
                           0, len(ok) - 1)
             d["o_year"] = ray.get(oyears_ref)[pos]
@@ -2316,7 +2339,8 @@ def q9_profit_by_nation_year(sf_dir: str,
     )
 
     out = agg.to_pandas()
-    out["profit"] = round_half_away(out["profit"].to_numpy(), 2)
+    out["profit"] = round_half_away(
+        out["profit"].to_numpy().astype("float64") / 1e4, 2)
     return (out.sort_values(["nation", "o_year"])
             .reset_index(drop=True)[["nation", "o_year", "profit"]])
 

@@ -229,3 +229,31 @@ def test_forward_chain_max_rounds_bound(ray_session):
     # one round only: exactly the distance-2 pairs
     assert res["rounds"] == 1
     assert res["n_derived"] == 11
+
+
+def test_forward_chain_spill_path_equivalence(ray_session, tmp_path):
+    """spill_rows=0 forces the base closure and every round's delta
+    through the scratch-parquet path (closure = union of streaming
+    reads); results must be identical to the pinned path, including
+    the semi-naive multi-round convergence and n_derived accounting."""
+    pin = forward_chain(_ds(CHAIN), [TRANS])
+    spill = forward_chain(_ds(CHAIN), [TRANS], spill_rows=0,
+                          spill_dir=str(tmp_path / "fchain"))
+    assert spill["spill_dir"] == str(tmp_path / "fchain")
+    assert pin["spill_dir"] is None
+    assert spill["rounds"] == pin["rounds"] == 2
+    assert spill["n_derived"] == pin["n_derived"] == 3
+    assert _spo(spill["closure"]) == _spo(pin["closure"])
+    assert _spo(spill["derived"]) == _spo(pin["derived"])
+
+
+def test_forward_chain_spill_noop_rules(ray_session, tmp_path):
+    """A spilled run whose rules derive nothing still returns the base
+    closure intact (empty-delta fallback paths)."""
+    noop = Rule([("?a", "mentions", "?b"), ("?b", "mentions", "?c")],
+                [("?a", "mentions2", "?c")], name="noop")
+    res = forward_chain(_ds(CHAIN), [noop], spill_rows=0,
+                        spill_dir=str(tmp_path / "fc2"))
+    assert res["n_derived"] == 0
+    assert res["rounds"] == 0
+    assert _spo(res["closure"]) == set(CHAIN)
