@@ -20,6 +20,7 @@ on a real cluster; locally it owns its Ray session (guarded init).
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import re
 import sys
@@ -193,6 +194,14 @@ def cmd_query(args) -> int:
         )
 
         source = TripleStore(args.kg)
+    elif glob.glob(os.path.join(args.kg, "gen-*", "_removals")):
+        # a generations root touched by SPARQL Update carries tombstone
+        # shards; the plain TTL union would show deleted triples
+        from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_update import (
+            kg_read,
+        )
+
+        source = kg_read(args.kg).materialize()
     else:
         from cmc_knowledge_graph_text2ttl_ray.sources.ttl import ttl_dataset
 
@@ -210,6 +219,33 @@ def cmd_query(args) -> int:
     else:
         df = result.limit(args.max_print).to_pandas()
         print(df.to_csv(index=False), end="")
+    ray.shutdown()
+    return 0
+
+
+def cmd_update(args) -> int:
+    """SPARQL 1.1 Update against a generations-root KG: each operation
+    (or ``;``-separated sequence) publishes tombstone/add generations;
+    reads through ``query`` resolve them removal-aware."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_update import (
+        sparql_update,
+    )
+
+    if args.sparql_file:
+        with open(args.sparql_file, encoding="utf8") as fh:
+            update = fh.read()
+    else:
+        update = args.sparql
+    pub = sparql_update(args.kg, update, num_buckets=args.num_buckets)
+    print(json.dumps({k: v for k, v in pub.items() if k != "operations"}
+                     | ({"n_operations": len(pub["operations"])}
+                        if "operations" in pub else {})))
     ray.shutdown()
     return 0
 
@@ -252,6 +288,18 @@ def main(argv=None) -> int:
                      help="row cap for stdout printing (default 100)")
     p_q.add_argument("--num-cpus", type=int, default=32)
     p_q.set_defaults(fn=cmd_query)
+
+    p_u = sub.add_parser(
+        "update", help="SPARQL 1.1 Update (INSERT/DELETE DATA, DELETE "
+                       "WHERE, DELETE/INSERT WHERE, ;-sequences) against "
+                       "a generations-root KG")
+    p_u.add_argument("--kg", required=True, help="generations root")
+    gu = p_u.add_mutually_exclusive_group(required=True)
+    gu.add_argument("--sparql", help="update text")
+    gu.add_argument("--sparql-file", help="file containing the update")
+    p_u.add_argument("--num-buckets", type=int, default=64)
+    p_u.add_argument("--num-cpus", type=int, default=32)
+    p_u.set_defaults(fn=cmd_update)
 
     p_doc = sub.add_parser("doc", help="run one document through the interpreter")
     p_doc.add_argument("--workflow", action="append", required=True)

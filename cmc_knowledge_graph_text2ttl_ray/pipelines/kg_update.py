@@ -661,20 +661,51 @@ _RE_INSERT = re.compile(r"\bINSERT\s*(?=\{)", re.IGNORECASE)
 _RE_WHERE = re.compile(r"\bWHERE\s*(?=\{)", re.IGNORECASE)
 
 
+def _split_operations(body: str) -> list[str]:
+    """Split a SPARQL 1.1 Update request body into its ``;``-separated
+    operations — ``;`` counts only at brace depth 0 and outside quoted
+    literals / ``<IRI>`` terms (a ``;`` inside a template or WHERE group
+    belongs to that group's own grammar)."""
+    ops, depth, start, i, n = [], 0, 0, 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == '"':
+            i += 1
+            while i < n and body[i] != '"':
+                i += 2 if body[i] == "\\" else 1
+        elif c == "<":
+            while i < n and body[i] != ">":
+                i += 1
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            ops.append(body[start:i])
+            start = i + 1
+        i += 1
+    ops.append(body[start:])
+    return [o for o in ops if o.strip()]
+
+
 def sparql_update(kg_root: str, update: str,
                   prefixes: dict[str, str] | None = None,
                   num_partitions: int | None = None,
                   num_buckets: int = 64,
                   compression: str | None = None,
                   spill_rows: int = 5_000_000) -> dict:
-    """Apply ONE SPARQL 1.1 Update operation to the KG at ``kg_root``
-    by publishing the next generation (adds and/or tombstones).
+    """Apply a SPARQL 1.1 Update REQUEST to the KG at ``kg_root`` —
+    one operation, or a ``;``-separated sequence applied in order
+    (each operation sees its predecessors' effects, per §3: "operations
+    are executed in lexical order"), each publishing one generation.
 
-    Forms: ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
-    ``DELETE {} INSERT {} WHERE {}`` (either template optional).  The
-    WHERE group supports the full distributed SPARQL group grammar
-    (paths, FILTER, OPTIONAL, UNION — ``sparql_dist``).  Returns
-    ``{"op", "generation", "path", "n_added", "n_removed"}``.
+    Operation forms: ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE
+    WHERE`` / ``DELETE {} INSERT {} WHERE {}`` (either template
+    optional).  The WHERE group supports the full distributed SPARQL
+    group grammar (paths, FILTER, OPTIONAL, UNION — ``sparql_dist``).
+    Returns ``{"op", "generation", "path", "n_added", "n_removed"}``;
+    a sequence returns ``op="sequence"`` with summed counts, the LAST
+    generation, and the per-operation dicts under ``"operations"``.
 
     The resolved KG and the WHERE solution table each feed several
     consumers (group evaluation, tombstone match, typed-insert lookup),
@@ -684,15 +715,34 @@ def sparql_update(kg_root: str, update: str,
     streams through every consumer instead of pinning in memory (the
     same spill treatment the dedup family gives signatures and
     candidate pairs)."""
+    pfx = dict(prefixes or {})
+    pfx.update({m.group(1): m.group(2)
+                for m in _RE_PREFIX_DECL.finditer(update)})
+    full_body = _RE_PREFIX_DECL.sub("", update)
+    ops = _split_operations(full_body)
+    if len(ops) > 1:
+        results = [
+            _apply_one_update(kg_root, op, pfx, num_partitions,
+                              num_buckets, compression, spill_rows)
+            for op in ops
+        ]
+        return {"op": "sequence",
+                "operations": results,
+                "generation": results[-1]["generation"],
+                "path": results[-1]["path"],
+                "n_added": sum(r["n_added"] for r in results),
+                "n_removed": sum(r["n_removed"] for r in results)}
+    return _apply_one_update(kg_root, full_body, pfx, num_partitions,
+                             num_buckets, compression, spill_rows)
+
+
+def _apply_one_update(kg_root: str, body: str, pfx: dict,
+                      num_partitions, num_buckets, compression,
+                      spill_rows) -> dict:
     from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
         _group_dataset,
     )
     from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
-
-    pfx = dict(prefixes or {})
-    pfx.update({m.group(1): m.group(2)
-                for m in _RE_PREFIX_DECL.finditer(update)})
-    body = _RE_PREFIX_DECL.sub("", update)
 
     def block_after(m):
         start = body.index("{", m.end() - 1)
@@ -737,7 +787,7 @@ def sparql_update(kg_root: str, update: str,
             ins_tmpls = parse_triple_block(block, pfx)
         if not del_tmpls and not ins_tmpls:
             raise ValueError(
-                f"unrecognized SPARQL UPDATE form: {update[:120]!r}")
+                f"unrecognized SPARQL UPDATE form: {body[:120]!r}")
         m_w = _RE_WHERE.search(body, pos)
         if not m_w:
             raise ValueError("DELETE/INSERT needs a WHERE group")

@@ -290,3 +290,64 @@ def test_spill_scratch_cleaned_up(ray_session, tmp_path):
     sparql_update(r, PFX + "DELETE WHERE { ex:a ex:name ?o }",
                   spill_rows=0)
     assert set(glob.glob("/tmp/graft_sparql_update_*")) == before
+
+
+def test_sequence_operations_lexical_order(ray_session, tmp_path):
+    """A ';'-separated request applies in lexical order (SPARQL 1.1 §3):
+    the DELETE WHERE sees the triples the preceding INSERT DATA added.
+    Braces/quotes/IRIs shield their own ';' from the splitter."""
+    r = str(tmp_path / "kg")
+    pub = sparql_update(r, PFX + """
+        INSERT DATA { ex:a ex:name "semi;colon" . ex:b ex:name "Bob" } ;
+        INSERT DATA { ex:a ex:age 42 } ;
+        DELETE WHERE { ex:b ex:name ?o }
+    """)
+    assert pub["op"] == "sequence"
+    assert len(pub["operations"]) == 3
+    assert [o["op"] for o in pub["operations"]] == [
+        "insert_data", "insert_data", "delete_where"]
+    assert pub["n_added"] == 3
+    assert pub["n_removed"] == 1
+    assert pub["generation"] == "gen-00002"
+    assert _tset(kg_read(r)) == {
+        (EX + "a", EX + "name", "semi;colon", "literal", None, None),
+        (EX + "a", EX + "age", "42", "literal", None,
+         XSD + "integer"),
+    }
+
+
+def test_cli_update_and_removal_aware_query(ray_session, tmp_path):
+    """CLI round trip: update (sequence) publishes generations; the
+    query subcommand auto-detects the _removals shards and resolves
+    tombstones (a plain TTL union would still show the deleted row)."""
+    import subprocess
+    import sys
+
+    r = str(tmp_path / "kg")
+    upd = (PFX.replace("\n", " ") +
+           ' INSERT DATA { ex:a ex:name "Alice" . ex:b ex:name "Bob" } ; '
+           ' DELETE WHERE { ex:b ex:name ?o } ')
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray",
+         "update", "--kg", r, "--sparql", upd,
+         "--num-cpus", "4", "--num-buckets", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json as _json
+
+    summary = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["op"] == "sequence"
+    assert summary["n_operations"] == 2
+    assert summary["n_removed"] == 1
+    proc = subprocess.run(
+        [sys.executable, "-m", "cmc_knowledge_graph_text2ttl_ray",
+         "query", "--kg", r, "--sparql",
+         "SELECT ?s ?o WHERE { ?s <http://example.org/name> ?o }",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
+    assert lines[0] == "s,o"
+    assert lines[1:] == ["http://example.org/a,Alice"]
