@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "kg_shacl_violations",
     "kg_sameas_merge_orders",
     "kg_profile_events",
+    "kg_update_relabel_clicks",
 ]
 
 
