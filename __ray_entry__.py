@@ -916,6 +916,23 @@ def _kg_forward_chain_locations(sf_dir: str):
     return res["derived"].select_columns(["subject", "predicate", "object"])
 
 
+def _kg_rdfs_closure(sf_dir: str):
+    """ρDF entailment (rdfs2/3/5/7/9/11) over the RDFS demo encoding:
+    class tree nation⊑region⊑world, property chain
+    placed_by⊑involves⊑related_to with domain/range on placed_by, and
+    a literal-valued has_name⊑labeled whose range must NOT fire.
+    Returns the DERIVED triple set — every entailment has a closed
+    plain-join SQL form, so the whole inference engine is
+    oracle-checked end to end."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import rdfs_closure
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        rdfs_demo_triples,
+    )
+
+    out = rdfs_closure(rdfs_demo_triples(sf_dir))
+    return out["derived"].select_columns(["subject", "predicate", "object"])
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1624,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_chained_optional": _kg_sparql_chained_optional,
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
+        "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "kg_update_retract_errors": _kg_update_retract_errors,
         "kg_update_order_nation_insert": _kg_update_order_nation_insert,
@@ -3090,6 +3108,54 @@ def oracle_sql() -> dict[str, str]:
                    'nation:' || CAST(c_nationkey AS VARCHAR) AS object
             FROM orders
             JOIN customer ON o_custkey = c_custkey
+        """,
+        # ρDF entailment over the RDFS demo encoding — every derived
+        # triple family in closed plain-join form: rdfs11 (nation⊑world
+        # through its region), rdfs5 (placed_by⊑related_to), rdfs7
+        # (predicate lift through the property chain, incl. the
+        # literal-preserving has_name→labeled rewrite), rdfs2/rdfs3
+        # (domain/range typing of orders and ordering customers) and
+        # rdfs9 (supertype inheritance over every type triple).  The
+        # literal range (has_name rdfs:range class:Label) contributes
+        # NOTHING — rdfs3 skips literal objects.
+        "kg_rdfs_closure": """
+            SELECT DISTINCT subject, predicate, object FROM (
+                SELECT 'nation:' || CAST(n_nationkey AS VARCHAR)
+                           AS subject,
+                       'rdfs:subClassOf' AS predicate,
+                       'class:world' AS object
+                FROM nation
+                UNION
+                SELECT 'placed_by', 'rdfs:subPropertyOf', 'related_to'
+                UNION
+                SELECT 'order:' || CAST(o_orderkey AS VARCHAR), p.pred,
+                       'cust:' || CAST(o_custkey AS VARCHAR)
+                FROM orders, (SELECT 'involves' AS pred
+                              UNION ALL SELECT 'related_to') p
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'labeled', c_name
+                FROM customer
+                UNION
+                SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                       'rdf:type', c.cls
+                FROM orders, (SELECT 'class:Order' AS cls
+                              UNION ALL SELECT 'class:Thing') c
+                UNION
+                SELECT DISTINCT 'cust:' || CAST(o_custkey AS VARCHAR),
+                       'rdf:type', c.cls
+                FROM orders, (SELECT 'class:Customer' AS cls
+                              UNION ALL SELECT 'class:Agent') c
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'rdf:type',
+                       'region:' || CAST(n_regionkey AS VARCHAR)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'rdf:type', 'class:world'
+                FROM customer
+            )
         """,
         # SPARQL front end: aggregate over the events triple encoding
         "kg_sparql_purchases_per_user": """

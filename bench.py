@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "kg_sameas_merge_orders",
     "kg_profile_events",
     "kg_update_relabel_clicks",
+    "kg_rdfs_closure",
 ]
 
 

@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["Rule", "construct", "forward_chain",
+__all__ = ["Rule", "construct", "forward_chain", "rdfs_closure",
            "merge_equivalent_entities", "kg_entity_pagerank"]
 
 _TRIPLE_COLS = ("subject", "predicate", "object",
@@ -125,6 +125,19 @@ def _dedup_triples(ds, num_partitions: int | None = None):
     return coarse_group_reduce(
         ds, cols, lambda g: g.drop_duplicates(subset=cols),
         num_coarse=num_partitions)
+
+
+def _norm_triples(ds):
+    """Project any triple-shaped Dataset onto the pipeline's 6-column
+    string schema (missing typing columns become nulls)."""
+    def pick(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in _TRIPLE_COLS:
+            cols[c] = (t[c].cast(pa.string()) if c in t.column_names
+                       else pa.nulls(len(t), pa.string()))
+        return pa.table(cols, schema=_TRIPLES_SCHEMA)
+
+    return ds.map_batches(pick, batch_format="pyarrow")
 
 
 def _new_vs_known(candidates, known, num_partitions: int):
@@ -426,17 +439,7 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     if hasattr(triples, "scan_for_predicate"):
         triples = triples.scan_for_predicate(None)
 
-    def norm(ds):
-        def pick(t: pa.Table) -> pa.Table:
-            cols = {}
-            for c in _TRIPLE_COLS:
-                cols[c] = (t[c].cast(pa.string()) if c in t.column_names
-                           else pa.nulls(len(t), pa.string()))
-            return pa.table(cols, schema=_TRIPLES_SCHEMA)
-
-        return ds.map_batches(pick, batch_format="pyarrow")
-
-    full = norm(triples).materialize()
+    full = _norm_triples(triples).materialize()
     n_full = full.count()
     if num_partitions is None:
         num_partitions = default_coarse_partitions(max(n_full, 1))
@@ -516,3 +519,369 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     return {"spill_dir": spill_base,
             "closure": full, "derived": derived,
             "rounds": rounds, "n_derived": n_derived}
+
+
+# ---------------------------------------------------------------------------
+# RDFS (ρDF) entailment closure
+# ---------------------------------------------------------------------------
+
+_RDFS_VOCAB = {
+    "type": "rdf:type",
+    "subClassOf": "rdfs:subClassOf",
+    "subPropertyOf": "rdfs:subPropertyOf",
+    "domain": "rdfs:domain",
+    "range": "rdfs:range",
+}
+
+
+def _pd_transitive_closure(pairs: pd.DataFrame,
+                           max_rounds: int) -> tuple[pd.DataFrame, int]:
+    """Driver-side semi-naive transitive closure of an ontology-sized
+    edge set (columns ``subject``/``object``); returns
+    ``(closure_pairs, rounds)``.  Right-linear (delta ⋈ base edges), so
+    it converges in diameter rounds."""
+    cols = ["subject", "object"]
+    base = pairs[cols].drop_duplicates().reset_index(drop=True)
+    closure, delta, rounds = base, base, 0
+    while rounds < max_rounds and len(delta):
+        step = delta.merge(base, left_on="object", right_on="subject",
+                           suffixes=("", "_r"))
+        if step.empty:
+            break
+        new = pd.DataFrame({"subject": step["subject"],
+                            "object": step["object_r"]}).drop_duplicates()
+        probe = new.merge(closure, on=cols, how="left", indicator=True)
+        delta = probe[probe["_merge"] == "left_only"][cols]
+        if delta.empty:
+            break
+        closure = pd.concat([closure, delta], ignore_index=True)
+        rounds += 1
+    return closure, rounds
+
+
+def _apply_pair_map(inst, pairs, n_pairs: int, key_col: str, build,
+                    broadcast_threshold: int, num_partitions: int):
+    """Inner-join the triple Dataset ``inst`` to the schema pair set
+    ``pairs`` (a Dataset or a driver pandas frame with columns
+    ``subject``→``_sub``, ``object``→``_sup``) on
+    ``inst[key_col] == _sub`` and emit ``build(merged_df)`` triples.
+
+    Schema closures are ontology-sized, so the default path BROADCASTS
+    them (``ray.put`` once, a vectorized pandas merge per batch — the
+    instance side never re-partitions); past ``broadcast_threshold``
+    pairs it falls back to a distributed hash join at
+    ``num_partitions``."""
+    import ray
+    import ray.data
+
+    cols = list(_TRIPLE_COLS)
+    if n_pairs == 0:
+        return ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+
+    def emit(m: pd.DataFrame) -> pa.Table:
+        if m.empty:
+            return _TRIPLES_SCHEMA.empty_table()
+        return pa.Table.from_pandas(build(m), schema=_TRIPLES_SCHEMA,
+                                    preserve_index=False)
+
+    is_pd = isinstance(pairs, pd.DataFrame)
+    if n_pairs <= broadcast_threshold:
+        pmap = (pairs[["subject", "object"]] if is_pd
+                else pairs.to_pandas())
+        ref = ray.put(pmap.rename(
+            columns={"subject": "_sub", "object": "_sup"}))
+
+        def apply(t: pa.Table) -> pa.Table:
+            pmap = ray.get(ref)
+            df = t.select(cols).to_pandas()
+            return emit(df.merge(pmap, left_on=key_col, right_on="_sub",
+                                 how="inner"))
+
+        return inst.map_batches(apply, batch_format="pyarrow")
+
+    # Both sides are compacted first: Ray's hash-shuffle join broadcasts
+    # each side's schema from its first shuffled block only, and an
+    # empty block crashes pyarrow's join with "No match for key field"
+    # (see kg_query._compact, which also notes why this adds no new
+    # scale cost class — the hash join pins both sides regardless).
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import _compact
+
+    left, n_left = _compact(inst)
+    if n_left == 0:
+        return ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+    if is_pd:
+        pairs = ray.data.from_arrow(pa.table({
+            "subject": pa.array(pairs["subject"].astype(str), pa.string()),
+            "object": pa.array(pairs["object"].astype(str), pa.string()),
+        }))
+    right, _ = _compact(pairs.map_batches(
+        lambda t: pa.table({"_sub": t["subject"].cast(pa.string()),
+                            "_sup": t["object"].cast(pa.string())}),
+        batch_format="pyarrow"))
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(key_col,), right_on=("_sub",))
+    return joined.map_batches(
+        lambda t: emit(t.to_pandas()), batch_format="pyarrow")
+
+
+def rdfs_closure(triples, vocab: dict[str, str] | None = None,
+                 broadcast_threshold: int = 2_000_000,
+                 driver_schema_rows: int = 2_000_000,
+                 num_partitions: int | None = None,
+                 max_rounds: int = 32,
+                 spill_rows: int = 5_000_000,
+                 spill_dir: str | None = None) -> dict:
+    """Materialize the RDFS entailment of ``triples`` for the minimal
+    ρDF fragment (``subClassOf`` / ``subPropertyOf`` / ``domain`` /
+    ``range`` / ``type``) and return
+    ``{"closure", "derived", "n_derived", "rounds", "spill_dir"}``
+    (same contract as :func:`forward_chain`; ``derived`` is deduped and
+    disjoint from the base).
+
+    Evaluation is STRATIFIED rather than a naive instance-level
+    fixpoint — sound and complete for this fragment because instance
+    rules never feed schema rules (Muñoz, Pérez & Gutierrez, *Simple
+    and Efficient Minimal RDFS*, J. Web Semantics 2009):
+
+    1. schema fixpoints: transitive closures of ``subClassOf`` (rdfs11)
+       and ``subPropertyOf`` (rdfs5) — ONE filtered scan of the four
+       schema predicates, closed with driver pandas merges below
+       ``driver_schema_rows`` (ontologies are tiny next to the
+       instance corpus), semi-naive :func:`forward_chain` above it;
+    2. rdfs7 property inheritance: ONE join of the instance triples
+       against the closed sub→super-property map, rewriting the
+       predicate and PRESERVING the object's stored typing (a head
+       template can't — this is why it isn't a generic :class:`Rule`);
+    3. rdfs2/rdfs3 domain & range typing over base ∪ step-2 (so
+       ``p ⊑ q, q domain C`` fires through the rewritten triples);
+       range skips literal objects (typing a literal is vacuous);
+    4. rdfs9 type inheritance: ONE join of all ``type`` triples
+       (base ∪ steps 3) against the closed sub→super-class map.
+
+    The axiomatic rules (rdfs4/6/8/10 reflexivity and
+    ``rdfs:Resource`` typing) are intentionally omitted — standard ρDF
+    practice, they only add trivial triples.
+
+    Scale shape: the instance corpus is touched by streaming joins
+    only — with ontology-sized schema closures each derivation step is
+    a broadcast ``map_batches`` (zero instance exchange); the final
+    dedup-and-subtract is the one ``hash(identity) % P`` exchange over
+    the derived set.  Past ``broadcast_threshold`` schema pairs the
+    steps become distributed hash joins, and each join's output is
+    SETTLED (pinned below ``spill_rows``, scratch parquet above)
+    before the next join is planned — every hash-shuffle join recruits
+    its own aggregator-actor pool, and stacking four of them into one
+    streaming topology oversubscribes small clusters.  ``vocab``
+    overrides the predicate IRIs (defaults ``rdf:type`` /
+    ``rdfs:*``)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_coarse_partitions,
+    )
+
+    v = dict(_RDFS_VOCAB)
+    if vocab:
+        v.update(vocab)
+    if hasattr(triples, "scan_for_predicate"):
+        triples = triples.scan_for_predicate(None)
+
+    base = _norm_triples(triples).materialize()
+    n_base = base.count()
+    if num_partitions is None:
+        num_partitions = default_coarse_partitions(max(n_base, 1))
+    # The derivation DAG fans ``base`` out ~10× (inst / dom / rng / sup
+    # all re-map it), so block over-splitting multiplies into per-block
+    # overhead that dwarfs the compute.  Small corpora read from many
+    # tiny files hit exactly that; coalesce them once.  Past
+    # ``spill_rows`` the reads produce right-sized blocks and no
+    # repartition fires (never an exchange over the big regime).
+    if n_base <= spill_rows:
+        target = max(1, -(-n_base // 200_000))
+        if base.num_blocks() > 4 * target:
+            base = base.repartition(target).materialize()
+    spill_base = None
+    if n_base > spill_rows:
+        import os
+        import tempfile
+
+        from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+            spill_roundtrip,
+        )
+
+        spill_base = spill_dir or tempfile.mkdtemp(prefix="graft_rdfs_")
+        base = spill_roundtrip(base, os.path.join(spill_base, "base"),
+                               _TRIPLES_SCHEMA)
+
+    # --- schema closures (rdfs5 / rdfs11) ------------------------------
+    # Ontologies are tiny next to the instance corpus, so the default
+    # path pulls ONE filtered scan of the four schema predicates to the
+    # driver and closes them with pandas merges (the same
+    # threshold-gated driver-path convention as pagerank / the LR
+    # classifier); past ``driver_schema_rows`` it falls back to
+    # semi-naive :func:`forward_chain` per hierarchy.  Both paths are
+    # equivalence-tested.
+    import ray.data
+
+    schema_preds = pa.array([v["subClassOf"], v["subPropertyOf"],
+                             v["domain"], v["range"]], pa.string())
+
+    def only_schema(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["predicate"], value_set=schema_preds))
+
+    schema_ds = base.map_batches(
+        only_schema, batch_format="pyarrow").materialize()
+    n_schema = schema_ds.count()
+
+    def pair_cols(closure_ds):
+        return closure_ds.select_columns(["subject", "object"]) \
+                         .materialize()
+
+    if n_schema <= driver_schema_rows:
+        # an empty Dataset drops its column schema through to_pandas()
+        sdf = (schema_ds.to_pandas() if n_schema
+               else pd.DataFrame(columns=list(_TRIPLE_COLS)))
+
+        def close(pred: str):
+            edges = sdf[sdf["predicate"] == pred]
+            closure, rnds = _pd_transitive_closure(edges, max_rounds)
+            probe = closure.merge(
+                edges[["subject", "object"]].drop_duplicates(),
+                on=["subject", "object"], how="left", indicator=True)
+            derived = probe[probe["_merge"] == "left_only"] \
+                [["subject", "object"]]
+            return closure, derived, rnds
+
+        sc_pairs, sc_new, r_sc = close(v["subClassOf"])
+        sp_pairs, sp_new, r_sp = close(v["subPropertyOf"])
+        n_sc, n_sp = len(sc_pairs), len(sp_pairs)
+        rounds = max(r_sc, r_sp)
+        dom_pairs = sdf[sdf["predicate"] == v["domain"]] \
+            [["subject", "object"]].drop_duplicates()
+        rng_pairs = sdf[sdf["predicate"] == v["range"]] \
+            [["subject", "object"]].drop_duplicates()
+        n_dom, n_rng = len(dom_pairs), len(rng_pairs)
+
+        def schema_triples(pairs_pd: pd.DataFrame, pred: str) -> pa.Table:
+            n = len(pairs_pd)
+            return pa.table({
+                "subject": pa.array(pairs_pd["subject"].astype(str),
+                                    pa.string()),
+                "predicate": pa.array([pred] * n, pa.string()),
+                "object": pa.array(pairs_pd["object"].astype(str),
+                                   pa.string()),
+                "object_kind": pa.array(["iri"] * n, pa.string()),
+                "object_lang": pa.nulls(n, pa.string()),
+                "object_datatype": pa.nulls(n, pa.string()),
+            }, schema=_TRIPLES_SCHEMA)
+
+        schema_derived = ray.data.from_arrow(pa.concat_tables([
+            schema_triples(sc_new, v["subClassOf"]),
+            schema_triples(sp_new, v["subPropertyOf"]),
+        ]))
+    else:
+        def schema_closure(pred: str) -> dict:
+            edges = schema_ds.filter(expr=f'predicate == "{pred}"')
+            return forward_chain(
+                edges,
+                [Rule([("?a", pred, "?b"), ("?b", pred, "?c")],
+                      [("?a", pred, "?c")], name=f"trans:{pred}")],
+                max_rounds=max_rounds)
+
+        sc_fc = schema_closure(v["subClassOf"])
+        sp_fc = schema_closure(v["subPropertyOf"])
+        sc_pairs = pair_cols(sc_fc["closure"])
+        sp_pairs = pair_cols(sp_fc["closure"])
+        n_sc, n_sp = sc_pairs.count(), sp_pairs.count()
+        rounds = max(sc_fc["rounds"], sp_fc["rounds"])
+        dom_pairs = pair_cols(schema_ds.filter(
+            expr=f'predicate == "{v["domain"]}"'))
+        rng_pairs = pair_cols(schema_ds.filter(
+            expr=f'predicate == "{v["range"]}"'))
+        n_dom, n_rng = dom_pairs.count(), rng_pairs.count()
+        schema_derived = _norm_triples(
+            sc_fc["derived"].union(sp_fc["derived"]))
+
+    def build_sp(m: pd.DataFrame) -> pd.DataFrame:
+        m = m.copy()
+        m["predicate"] = m["_sup"]
+        return m[list(_TRIPLE_COLS)]
+
+    def build_typed(subj_col: str):
+        def build(m: pd.DataFrame) -> pd.DataFrame:
+            n = len(m)
+            return pd.DataFrame({
+                "subject": m[subj_col].astype(str).to_numpy(),
+                "predicate": np.repeat(v["type"], n),
+                "object": m["_sup"].astype(str).to_numpy(),
+                "object_kind": np.repeat("iri", n),
+                "object_lang": pd.Series([None] * n, dtype=object),
+                "object_datatype": pd.Series([None] * n, dtype=object),
+            })
+
+        return build
+
+    def settle(ds, n_pairs: int, name: str):
+        # Join-path outputs only (see the docstring's scale-shape note);
+        # broadcast-path outputs stay fully lazy.
+        nonlocal spill_base
+        if n_pairs <= broadcast_threshold:
+            return ds
+        ds = ds.materialize()
+        if ds.count() > spill_rows:
+            import os
+            import tempfile
+
+            from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+                spill_roundtrip,
+            )
+
+            if spill_base is None:
+                spill_base = spill_dir or tempfile.mkdtemp(
+                    prefix="graft_rdfs_")
+            return spill_roundtrip(ds, os.path.join(spill_base, name),
+                                   _TRIPLES_SCHEMA)
+        return ds
+
+    # rdfs7: predicate rewrite preserving object typing
+    derived_sp = settle(
+        _apply_pair_map(base, sp_pairs, n_sp, "predicate", build_sp,
+                        broadcast_threshold, num_partitions),
+        n_sp, "sp")
+    inst = base.union(derived_sp)
+
+    # rdfs2 / rdfs3 over base ∪ rewritten triples
+    dom_types = settle(
+        _apply_pair_map(inst, dom_pairs, n_dom, "predicate",
+                        build_typed("subject"), broadcast_threshold,
+                        num_partitions),
+        n_dom, "dom")
+
+    def iri_objects(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(
+            pc.equal(t["object_kind"], "iri"), False))
+
+    rng_types = settle(
+        _apply_pair_map(
+            inst.map_batches(iri_objects, batch_format="pyarrow"),
+            rng_pairs, n_rng, "predicate", build_typed("object"),
+            broadcast_threshold, num_partitions),
+        n_rng, "rng")
+
+    # rdfs9: supertype join over every type triple derived so far
+    all_types = inst.filter(expr=f'predicate == "{v["type"]}"') \
+                    .union(dom_types).union(rng_types)
+    sup_types = settle(
+        _apply_pair_map(all_types, sc_pairs, n_sc, "object",
+                        build_typed("subject"), broadcast_threshold,
+                        num_partitions),
+        n_sc, "sup")
+
+    candidates = (schema_derived
+                  .union(derived_sp).union(dom_types)
+                  .union(rng_types).union(sup_types))
+    new = _new_vs_known(candidates, base, num_partitions).materialize()
+    n_derived = new.count()
+    return {"closure": base.union(new), "derived": new,
+            "n_derived": n_derived,
+            "rounds": rounds,
+            "spill_dir": spill_base}

@@ -47,7 +47,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["bgp_query", "khop_subgraph", "kg_profile",
-           "event_triples", "order_triples"]
+           "event_triples", "order_triples", "rdfs_demo_triples"]
 
 _POS_COLS = ("subject", "predicate", "object")
 
@@ -629,3 +629,88 @@ def order_triples(sf_dir: str):
     return (orders.map_batches(enc_orders, batch_format="pyarrow")
             .union(cust.map_batches(enc_cust, batch_format="pyarrow"))
             .union(nation.map_batches(enc_nation, batch_format="pyarrow")))
+
+
+def rdfs_demo_triples(sf_dir: str):
+    """RDFS-annotated triple encoding of the testdata for the
+    oracle-checked ``rdfs_closure`` entry: class tree
+    ``nation:<n> ⊑ region:<r> ⊑ class:world`` (plus
+    ``class:Order ⊑ class:Thing``, ``class:Customer ⊑ class:Agent``),
+    property chain ``placed_by ⊑ involves ⊑ related_to`` with
+    ``rdfs:domain class:Order`` / ``rdfs:range class:Customer`` on
+    ``placed_by``, and a literal-valued ``has_name ⊑ labeled`` with a
+    range (``class:Label``) that must NOT type its literal objects.
+    Instances: ``(cust:<c>, rdf:type, nation:<n>)``,
+    ``(order:<o>, placed_by, cust:<c>)``,
+    ``(cust:<c>, has_name, <c_name>)``.  Every ρDF entailment over
+    this encoding has a closed plain-join SQL form — see
+    ``oracle_sql()['kg_rdfs_closure']``."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_name"])
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey"])
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+
+    def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            prefix, pc.cast(col, pa.string()), "")
+
+    def tbl(subject, predicate, obj, kind):
+        n = len(subject)
+        return pa.table({
+            "subject": subject,
+            "predicate": pa.array([predicate] * n, pa.string()),
+            "object": obj,
+            "object_kind": pa.array([kind] * n, pa.string()),
+        })
+
+    def enc_orders(t: pa.Table) -> pa.Table:
+        return tbl(_iri("order:", t["o_orderkey"]), "placed_by",
+                   _iri("cust:", t["o_custkey"]), "iri")
+
+    def enc_cust(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            tbl(_iri("cust:", t["c_custkey"]), "rdf:type",
+                _iri("nation:", t["c_nationkey"]), "iri"),
+            tbl(_iri("cust:", t["c_custkey"]), "has_name",
+                pc.cast(t["c_name"], pa.string()), "literal"),
+        ])
+
+    def enc_nation(t: pa.Table) -> pa.Table:
+        return tbl(_iri("nation:", t["n_nationkey"]), "rdfs:subClassOf",
+                   _iri("region:", t["n_regionkey"]), "iri")
+
+    def enc_region(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return tbl(_iri("region:", t["r_regionkey"]), "rdfs:subClassOf",
+                   pa.array(["class:world"] * n, pa.string()), "iri")
+
+    onto = [
+        ("class:Order", "rdfs:subClassOf", "class:Thing"),
+        ("class:Customer", "rdfs:subClassOf", "class:Agent"),
+        ("placed_by", "rdfs:subPropertyOf", "involves"),
+        ("involves", "rdfs:subPropertyOf", "related_to"),
+        ("placed_by", "rdfs:domain", "class:Order"),
+        ("placed_by", "rdfs:range", "class:Customer"),
+        ("has_name", "rdfs:subPropertyOf", "labeled"),
+        ("has_name", "rdfs:range", "class:Label"),
+    ]
+    onto_tbl = pa.table({
+        "subject": pa.array([s for s, _, _ in onto], pa.string()),
+        "predicate": pa.array([p for _, p, _ in onto], pa.string()),
+        "object": pa.array([o for _, _, o in onto], pa.string()),
+        "object_kind": pa.array(["iri"] * len(onto), pa.string()),
+    })
+
+    return (orders.map_batches(enc_orders, batch_format="pyarrow")
+            .union(cust.map_batches(enc_cust, batch_format="pyarrow"))
+            .union(nation.map_batches(enc_nation, batch_format="pyarrow"))
+            .union(region.map_batches(enc_region, batch_format="pyarrow"))
+            .union(ray.data.from_arrow(onto_tbl)))

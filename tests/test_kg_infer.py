@@ -257,3 +257,110 @@ def test_forward_chain_spill_noop_rules(ray_session, tmp_path):
     assert res["n_derived"] == 0
     assert res["rounds"] == 0
     assert _spo(res["closure"]) == set(CHAIN)
+
+
+# ---------------------------------------------------------------------------
+# rdfs_closure (ρDF entailment)
+# ---------------------------------------------------------------------------
+
+RDFS_TOY = [
+    # schema
+    ("Cat", "rdfs:subClassOf", "Mammal", "iri", None, None),
+    ("Mammal", "rdfs:subClassOf", "Animal", "iri", None, None),
+    ("hasPet", "rdfs:subPropertyOf", "knows", "iri", None, None),
+    ("knows", "rdfs:subPropertyOf", "related", "iri", None, None),
+    ("hasPet", "rdfs:domain", "Person", "iri", None, None),
+    ("hasPet", "rdfs:range", "Animal", "iri", None, None),
+    ("nick", "rdfs:subPropertyOf", "name", "iri", None, None),
+    ("name", "rdfs:range", "Label", "iri", None, None),
+    # instances
+    ("tom", "rdf:type", "Cat", "iri", None, None),
+    ("alice", "hasPet", "tom", "iri", None, None),
+    ("bob", "nick", "Bobby", "literal", "en", None),
+]
+
+
+def _typed_ds(rows, num_blocks=1):
+    import ray.data
+
+    tbl = pa.table({
+        "subject": pa.array([r[0] for r in rows], pa.string()),
+        "predicate": pa.array([r[1] for r in rows], pa.string()),
+        "object": pa.array([r[2] for r in rows], pa.string()),
+        "object_kind": pa.array([r[3] for r in rows], pa.string()),
+        "object_lang": pa.array([r[4] for r in rows], pa.string()),
+        "object_datatype": pa.array([r[5] for r in rows], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(num_blocks) if num_blocks > 1 else ds
+
+
+RDFS_EXPECT = {
+    ("Cat", "rdfs:subClassOf", "Animal"),        # rdfs11
+    ("hasPet", "rdfs:subPropertyOf", "related"),  # rdfs5
+    ("alice", "knows", "tom"),                    # rdfs7
+    ("alice", "related", "tom"),                  # rdfs7 via sp closure
+    ("bob", "name", "Bobby"),                     # rdfs7, literal object
+    ("alice", "rdf:type", "Person"),              # rdfs2 (domain)
+    ("tom", "rdf:type", "Animal"),                # rdfs3 (range) + rdfs9
+    ("tom", "rdf:type", "Mammal"),                # rdfs9
+}
+
+
+def test_rdfs_closure_entailments(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import rdfs_closure
+
+    out = rdfs_closure(_typed_ds(RDFS_TOY))
+    assert _spo(out["derived"]) == RDFS_EXPECT
+    assert out["n_derived"] == len(RDFS_EXPECT)
+    got = _spo(out["closure"])
+    assert RDFS_EXPECT <= got
+    # literal objects are never range-typed (rdfs3 skips literals)
+    assert ("Bobby", "rdf:type", "Label") not in got
+    # rdfs7 preserves the OBJECT TYPING of the rewritten triple
+    df = out["derived"].to_pandas()
+    row = df[(df.subject == "bob") & (df.predicate == "name")].iloc[0]
+    assert (row.object, row.object_kind, row.object_lang) == \
+        ("Bobby", "literal", "en")
+    iri_row = df[(df.subject == "alice") & (df.predicate == "knows")].iloc[0]
+    assert iri_row.object_kind == "iri"
+
+
+def test_rdfs_closure_block_invariance_and_join_path(ray_session):
+    """Same entailments regardless of input blocking, and every
+    scale-path combination matches the default (driver-pandas schema
+    closure + broadcast derivation): forward_chain schema closure
+    (driver_schema_rows=0), and the fully-distributed variant
+    (forward_chain schema + hash-join derivations,
+    broadcast_threshold=0 too)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import rdfs_closure
+
+    base = rdfs_closure(_typed_ds(RDFS_TOY))
+    blocked = rdfs_closure(_typed_ds(RDFS_TOY, num_blocks=4))
+    fc = rdfs_closure(_typed_ds(RDFS_TOY), driver_schema_rows=0)
+    joined = rdfs_closure(_typed_ds(RDFS_TOY), driver_schema_rows=0,
+                          broadcast_threshold=0)
+    assert _spo(blocked["derived"]) == _spo(base["derived"]) == RDFS_EXPECT
+    assert _spo(fc["derived"]) == RDFS_EXPECT
+    assert _spo(joined["derived"]) == RDFS_EXPECT
+    assert joined["n_derived"] == base["n_derived"]
+
+
+def test_rdfs_closure_no_schema_is_noop(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import rdfs_closure
+
+    inst = [("a", "p", "b", "iri", None, None),
+            ("a", "rdf:type", "C", "iri", None, None)]
+    out = rdfs_closure(_typed_ds(inst))
+    assert out["n_derived"] == 0
+    assert _spo(out["closure"]) == {("a", "p", "b"), ("a", "rdf:type", "C")}
+
+
+def test_rdfs_closure_custom_vocab(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import rdfs_closure
+
+    rows = [("B", "sub", "A", "iri", None, None),
+            ("x", "isa", "B", "iri", None, None)]
+    out = rdfs_closure(_typed_ds(rows),
+                       vocab={"type": "isa", "subClassOf": "sub"})
+    assert _spo(out["derived"]) == {("x", "isa", "A")}
