@@ -933,6 +933,26 @@ def _kg_rdfs_closure(sf_dir: str):
     return out["derived"].select_columns(["subject", "predicate", "object"])
 
 
+def _kg_owl_closure(sf_dir: str):
+    """OWL-lite property-semantics entailment (prp-inv, prp-symp,
+    prp-trp) over the OWL demo encoding: supplier ships_to with a
+    declared inverse, a symmetric+transitive same_region_as nation
+    chain, a transitive within hierarchy cust->nation->region->world,
+    and a literal-valued invertible labeled_as that must NOT swap.
+    Returns the DERIVED triple set -- every entailment has a closed
+    plain-join SQL form, so the OWL closure engine is oracle-checked
+    end to end."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_lite_closure,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        owl_demo_triples,
+    )
+
+    out = owl_lite_closure(owl_demo_triples(sf_dir))
+    return out["derived"].select_columns(["subject", "predicate", "object"])
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1642,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_top_mentioned": _kg_sparql_top_mentioned,
         "kg_forward_chain_locations": _kg_forward_chain_locations,
         "kg_rdfs_closure": _kg_rdfs_closure,
+        "kg_owl_closure": _kg_owl_closure,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "kg_update_retract_errors": _kg_update_retract_errors,
         "kg_update_order_nation_insert": _kg_update_order_nation_insert,
@@ -3155,6 +3176,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
                        'rdf:type', 'class:world'
                 FROM customer
+            )
+        """,
+        # OWL-lite entailment over the OWL demo encoding in closed
+        # form: prp-inv (one supplied_by mirror per supplier), the
+        # symmetric+transitive closure of the per-region nation chain
+        # (every ordered same-region pair incl. self-loops, minus the
+        # base chain edges, guarded to regions with >=2 nations), and
+        # the transitive within hierarchy (cust->region, cust->world,
+        # nation->world).  The literal-valued labeled_as inverse
+        # contributes NOTHING -- a literal can never be a subject.
+        "kg_owl_closure": """
+            SELECT DISTINCT subject, predicate, object FROM (
+                SELECT 'nation:' || CAST(s_nationkey AS VARCHAR)
+                           AS subject,
+                       'supplied_by' AS predicate,
+                       'supp:' || CAST(s_suppkey AS VARCHAR) AS object
+                FROM supplier
+                UNION
+                SELECT 'nation:' || CAST(a.n_nationkey AS VARCHAR),
+                       'same_region_as',
+                       'nation:' || CAST(b.n_nationkey AS VARCHAR)
+                FROM nation a JOIN nation b
+                     ON a.n_regionkey = b.n_regionkey
+                WHERE NOT EXISTS (
+                        SELECT 1 FROM (
+                            SELECT n_nationkey AS x, n_regionkey,
+                                   LEAD(n_nationkey) OVER (
+                                       PARTITION BY n_regionkey
+                                       ORDER BY n_nationkey) AS y
+                            FROM nation) ch
+                        WHERE ch.x = a.n_nationkey
+                          AND ch.y = b.n_nationkey)
+                  AND 1 < (SELECT COUNT(*) FROM nation c
+                           WHERE c.n_regionkey = a.n_regionkey)
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'within',
+                       'region:' || CAST(n_regionkey AS VARCHAR)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'within',
+                       'class:world'
+                FROM customer
+                UNION
+                SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+                       'within', 'class:world'
+                FROM nation
             )
         """,
         # SPARQL front end: aggregate over the events triple encoding

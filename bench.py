@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "kg_profile_events",
     "kg_update_relabel_clicks",
     "kg_rdfs_closure",
+    "kg_owl_closure",
 ]
 
 

@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["Rule", "construct", "forward_chain", "rdfs_closure",
+           "owl_lite_closure",
            "merge_equivalent_entities", "kg_entity_pagerank"]
 
 _TRIPLE_COLS = ("subject", "predicate", "object",
@@ -534,6 +535,46 @@ _RDFS_VOCAB = {
 }
 
 
+def _prepare_base(triples, num_partitions, spill_rows: int,
+                  spill_dir: str | None, prefix: str = "graft_rdfs_"):
+    """Shared closure-pipeline intake: normalize onto the 6-column
+    triple schema, materialize, size partitions, and either COALESCE
+    (small multi-file corpora over-split into tiny blocks, and the
+    derivation DAGs fan ``base`` out ~10× — inst / dom / rng / sup all
+    re-map it — so over-splitting multiplies into per-block overhead
+    that dwarfs the compute) or SPILL to scratch parquet past
+    ``spill_rows`` (nothing corpus-sized stays pinned).  The big regime
+    never sees a repartition — reads produce right-sized blocks there.
+    Returns ``(base, n_base, num_partitions, spill_base)``."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_coarse_partitions,
+    )
+
+    if hasattr(triples, "scan_for_predicate"):
+        triples = triples.scan_for_predicate(None)
+    base = _norm_triples(triples).materialize()
+    n_base = base.count()
+    if num_partitions is None:
+        num_partitions = default_coarse_partitions(max(n_base, 1))
+    spill_base = None
+    if n_base <= spill_rows:
+        target = max(1, -(-n_base // 200_000))
+        if base.num_blocks() > 4 * target:
+            base = base.repartition(target).materialize()
+    else:
+        import os
+        import tempfile
+
+        from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+            spill_roundtrip,
+        )
+
+        spill_base = spill_dir or tempfile.mkdtemp(prefix=prefix)
+        base = spill_roundtrip(base, os.path.join(spill_base, "base"),
+                               _TRIPLES_SCHEMA)
+    return base, n_base, num_partitions, spill_base
+
+
 def _pd_transitive_closure(pairs: pd.DataFrame,
                            max_rounds: int) -> tuple[pd.DataFrame, int]:
     """Driver-side semi-naive transitive closure of an ontology-sized
@@ -675,42 +716,11 @@ def rdfs_closure(triples, vocab: dict[str, str] | None = None,
     streaming topology oversubscribes small clusters.  ``vocab``
     overrides the predicate IRIs (defaults ``rdf:type`` /
     ``rdfs:*``)."""
-    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
-        default_coarse_partitions,
-    )
-
     v = dict(_RDFS_VOCAB)
     if vocab:
         v.update(vocab)
-    if hasattr(triples, "scan_for_predicate"):
-        triples = triples.scan_for_predicate(None)
-
-    base = _norm_triples(triples).materialize()
-    n_base = base.count()
-    if num_partitions is None:
-        num_partitions = default_coarse_partitions(max(n_base, 1))
-    # The derivation DAG fans ``base`` out ~10× (inst / dom / rng / sup
-    # all re-map it), so block over-splitting multiplies into per-block
-    # overhead that dwarfs the compute.  Small corpora read from many
-    # tiny files hit exactly that; coalesce them once.  Past
-    # ``spill_rows`` the reads produce right-sized blocks and no
-    # repartition fires (never an exchange over the big regime).
-    if n_base <= spill_rows:
-        target = max(1, -(-n_base // 200_000))
-        if base.num_blocks() > 4 * target:
-            base = base.repartition(target).materialize()
-    spill_base = None
-    if n_base > spill_rows:
-        import os
-        import tempfile
-
-        from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
-            spill_roundtrip,
-        )
-
-        spill_base = spill_dir or tempfile.mkdtemp(prefix="graft_rdfs_")
-        base = spill_roundtrip(base, os.path.join(spill_base, "base"),
-                               _TRIPLES_SCHEMA)
+    base, n_base, num_partitions, spill_base = _prepare_base(
+        triples, num_partitions, spill_rows, spill_dir)
 
     # --- schema closures (rdfs5 / rdfs11) ------------------------------
     # Ontologies are tiny next to the instance corpus, so the default
@@ -884,4 +894,150 @@ def rdfs_closure(triples, vocab: dict[str, str] | None = None,
     return {"closure": base.union(new), "derived": new,
             "n_derived": n_derived,
             "rounds": rounds,
+            "spill_dir": spill_base}
+
+
+# ---------------------------------------------------------------------------
+# OWL-lite property-semantics closure
+# ---------------------------------------------------------------------------
+
+_OWL_VOCAB = {
+    "type": "rdf:type",
+    "inverseOf": "owl:inverseOf",
+    "symmetric": "owl:SymmetricProperty",
+    "transitive": "owl:TransitiveProperty",
+}
+
+
+def owl_lite_closure(triples, vocab: dict[str, str] | None = None,
+                     num_partitions: int | None = None,
+                     max_rounds: int = 32,
+                     spill_rows: int = 5_000_000,
+                     spill_dir: str | None = None) -> dict:
+    """Materialize the property-semantics entailment of ``triples`` for
+    the OWL 2 RL fragment ``owl:inverseOf`` / ``owl:SymmetricProperty``
+    / ``owl:TransitiveProperty`` (rules prp-inv1/2, prp-symp, prp-trp).
+    Same contract as :func:`rdfs_closure` / :func:`forward_chain`:
+    ``{"closure", "derived", "n_derived", "rounds", "spill_dir"}`` with
+    ``derived`` deduped and disjoint from the base.
+
+    Evaluation is STRATIFIED — one pass each, provably a fixpoint for
+    this fragment:
+
+    1. swap pass over the base: inverse rewrites (both directions of
+       every ``owl:inverseOf`` pair) and symmetric self-swaps, one
+       vectorized broadcast ``map_batches`` (swaps are involutions, so
+       a second application of step 1 can derive nothing new).
+       Triples with literal objects never swap — a literal can't be a
+       subject;
+    2. per-property transitive fixpoints via ONE semi-naive
+       :func:`forward_chain` over base ∪ step-1 edges of the declared
+       transitive properties (so a transitive property fed by its
+       inverse, or a symmetric-transitive property, closes over its
+       full edge set — the transitive closure of a symmetric relation
+       is itself symmetric, so step 2 needs no symmetric re-pass);
+    3. swap pass over step-2's derivations — this is what completes
+       ``p owl:inverseOf q`` with ``q`` transitive: ``closure(q)``
+       mirrors back onto ``p``.  Nothing feeds back: a step-3 triple's
+       predicate is transitive only if it was already closed in
+       step 2, and its mirror is closure(q) which step 2 finished.
+
+    The declared-property schema (inverse pairs, symmetric/transitive
+    membership) is property-count-sized and is collected to the driver
+    unconditionally — unlike class hierarchies there is no plausible
+    regime where it approaches corpus scale.  Instance data only ever
+    streams: the swap passes are stateless ``map_batches``, the
+    transitive fixpoint inherits :func:`forward_chain`'s spill
+    behavior, and the final dedup-and-subtract is the one
+    ``hash(identity) % P`` exchange."""
+    import ray
+    import ray.data
+
+    v = dict(_OWL_VOCAB)
+    if vocab:
+        v.update(vocab)
+    base, n_base, num_partitions, spill_base = _prepare_base(
+        triples, num_partitions, spill_rows, spill_dir,
+        prefix="graft_owl_")
+    cols = list(_TRIPLE_COLS)
+    empty = ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+
+    schema_preds = pa.array([v["inverseOf"], v["type"]], pa.string())
+    schema_ds = base.map_batches(
+        lambda t: t.filter(pc.is_in(t["predicate"],
+                                    value_set=schema_preds)),
+        batch_format="pyarrow").materialize()
+    sdf = (schema_ds.to_pandas() if schema_ds.count()
+           else pd.DataFrame(columns=cols))
+    inv = sdf[sdf["predicate"] == v["inverseOf"]]
+    types = sdf[sdf["predicate"] == v["type"]]
+    sym = set(types.loc[types["object"] == v["symmetric"], "subject"])
+    trans = sorted(set(
+        types.loc[types["object"] == v["transitive"], "subject"]))
+
+    # p → set of predicates its swapped triple carries: q for each
+    # inverseOf partner (both directions), p itself when symmetric
+    targets: dict[str, set] = {}
+    for s, o in zip(inv["subject"], inv["object"]):
+        targets.setdefault(str(s), set()).add(str(o))
+        targets.setdefault(str(o), set()).add(str(s))
+    for p in sym:
+        targets.setdefault(str(p), set()).add(str(p))
+
+    swap_ref = None
+    if targets:
+        swap_ref = ray.put(pd.DataFrame(
+            [(p, t) for p in sorted(targets) for t in sorted(targets[p])],
+            columns=["_p", "_t"]))
+
+    def swapped(ds):
+        if swap_ref is None:
+            return empty
+
+        def apply(t: pa.Table) -> pa.Table:
+            df = t.select(cols).to_pandas()
+            ok = df["object_kind"].isna() | (df["object_kind"] == "iri")
+            m = df[ok].merge(ray.get(swap_ref), left_on="predicate",
+                             right_on="_p", how="inner")
+            if m.empty:
+                return _TRIPLES_SCHEMA.empty_table()
+            n = len(m)
+            out = pd.DataFrame({
+                "subject": m["object"].astype(str).to_numpy(),
+                "predicate": m["_t"].to_numpy(),
+                "object": m["subject"].astype(str).to_numpy(),
+                "object_kind": np.repeat("iri", n),
+                "object_lang": pd.Series([None] * n, dtype=object),
+                "object_datatype": pd.Series([None] * n, dtype=object),
+            })
+            return pa.Table.from_pandas(out, schema=_TRIPLES_SCHEMA,
+                                        preserve_index=False)
+
+        return ds.map_batches(apply, batch_format="pyarrow")
+
+    derived_swap = swapped(base)
+    inst = base.union(derived_swap) if targets else base
+
+    rounds = 0
+    derived_trans = empty
+    if trans:
+        tp = pa.array(trans, pa.string())
+        edges = inst.map_batches(
+            lambda t: t.filter(pc.is_in(t["predicate"], value_set=tp)),
+            batch_format="pyarrow")
+        fc = forward_chain(
+            edges,
+            [Rule([("?a", p, "?b"), ("?b", p, "?c")],
+                  [("?a", p, "?c")], name=f"trans:{p}") for p in trans],
+            max_rounds=max_rounds, num_partitions=num_partitions,
+            spill_rows=spill_rows)
+        derived_trans = fc["derived"]
+        rounds = fc["rounds"]
+
+    candidates = derived_swap.union(derived_trans) \
+                             .union(swapped(derived_trans))
+    new = _new_vs_known(candidates, base, num_partitions).materialize()
+    n_derived = new.count()
+    return {"closure": base.union(new), "derived": new,
+            "n_derived": n_derived, "rounds": rounds,
             "spill_dir": spill_base}

@@ -47,7 +47,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["bgp_query", "khop_subgraph", "kg_profile",
-           "event_triples", "order_triples", "rdfs_demo_triples"]
+           "event_triples", "order_triples", "rdfs_demo_triples",
+           "owl_demo_triples"]
 
 _POS_COLS = ("subject", "predicate", "object")
 
@@ -714,3 +715,92 @@ def rdfs_demo_triples(sf_dir: str):
             .union(nation.map_batches(enc_nation, batch_format="pyarrow"))
             .union(region.map_batches(enc_region, batch_format="pyarrow"))
             .union(ray.data.from_arrow(onto_tbl)))
+
+
+def owl_demo_triples(sf_dir: str):
+    """OWL-lite-annotated triple encoding of the testdata for the
+    oracle-checked ``owl_lite_closure`` entry:
+
+    - ``ships_to owl:inverseOf supplied_by`` over
+      ``(supp:<s>, ships_to, nation:<n>)`` — prp-inv derives one
+      ``supplied_by`` mirror per supplier;
+    - ``same_region_as`` declared both ``owl:SymmetricProperty`` and
+      ``owl:TransitiveProperty`` over the per-region nation CHAIN
+      (consecutive nationkeys within each region) — the closure is
+      every ordered same-region pair incl. self-loops, minus the base
+      chain edges;
+    - ``within rdf:type owl:TransitiveProperty`` over the hierarchy
+      ``cust:<c> → nation:<n> → region:<r> → class:world``;
+    - a literal-valued ``labeled_as owl:inverseOf label_of`` whose
+      triples must NOT swap (a literal can't be a subject).
+
+    Every entailment has a closed SQL form — see
+    ``oracle_sql()['kg_owl_closure']``."""
+    import ray.data
+    import pyarrow.parquet as pq
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+
+    def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            prefix, pc.cast(col, pa.string()), "")
+
+    def tbl(subject, predicate, obj, kind="iri"):
+        n = len(subject)
+        return pa.table({
+            "subject": subject,
+            "predicate": pa.array([predicate] * n, pa.string()),
+            "object": obj,
+            "object_kind": pa.array([kind] * n, pa.string()),
+        })
+
+    def enc_cust(t: pa.Table) -> pa.Table:
+        return tbl(_iri("cust:", t["c_custkey"]), "within",
+                   _iri("nation:", t["c_nationkey"]))
+
+    def enc_supp(t: pa.Table) -> pa.Table:
+        return tbl(_iri("supp:", t["s_suppkey"]), "ships_to",
+                   _iri("nation:", t["s_nationkey"]))
+
+    # nation/region are ≤25-row dimension tables: build the chain and
+    # hierarchy edges driver-side (same broadcast-dimension treatment
+    # the relational family uses).
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]) \
+            .to_pandas().sort_values(["n_regionkey", "n_nationkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey"]).to_pandas()
+    rows: list[tuple[str, str, str, str]] = []
+    for _, grp in nat.groupby("n_regionkey"):
+        keys = grp["n_nationkey"].tolist()
+        rows += [(f"nation:{a}", "same_region_as", f"nation:{b}", "iri")
+                 for a, b in zip(keys, keys[1:])]
+    rows += [(f"nation:{r.n_nationkey}", "within",
+              f"region:{r.n_regionkey}", "iri")
+             for r in nat.itertuples()]
+    rows += [(f"region:{k}", "within", "class:world", "iri")
+             for k in reg["r_regionkey"]]
+    # literal objects on an invertible predicate: must never swap
+    nat_names = pq.read_table(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"]).to_pandas()
+    rows += [(f"nation:{r.n_nationkey}", "labeled_as", str(r.n_name),
+              "literal") for r in nat_names.itertuples()]
+    rows += [
+        ("ships_to", "owl:inverseOf", "supplied_by", "iri"),
+        ("labeled_as", "owl:inverseOf", "label_of", "iri"),
+        ("same_region_as", "rdf:type", "owl:SymmetricProperty", "iri"),
+        ("same_region_as", "rdf:type", "owl:TransitiveProperty", "iri"),
+        ("within", "rdf:type", "owl:TransitiveProperty", "iri"),
+    ]
+    small = pa.table({
+        "subject": pa.array([r[0] for r in rows], pa.string()),
+        "predicate": pa.array([r[1] for r in rows], pa.string()),
+        "object": pa.array([r[2] for r in rows], pa.string()),
+        "object_kind": pa.array([r[3] for r in rows], pa.string()),
+    })
+    return (cust.map_batches(enc_cust, batch_format="pyarrow")
+            .union(supp.map_batches(enc_supp, batch_format="pyarrow"))
+            .union(ray.data.from_arrow(small)))

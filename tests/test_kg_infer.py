@@ -364,3 +364,89 @@ def test_rdfs_closure_custom_vocab(ray_session):
     out = rdfs_closure(_typed_ds(rows),
                        vocab={"type": "isa", "subClassOf": "sub"})
     assert _spo(out["derived"]) == {("x", "isa", "A")}
+
+
+# ---------------------------------------------------------------------------
+# owl_lite_closure (inverseOf / SymmetricProperty / TransitiveProperty)
+# ---------------------------------------------------------------------------
+
+OWL_TOY = [
+    # schema
+    ("ships_to", "owl:inverseOf", "supplied_by", "iri", None, None),
+    ("same_region_as", "rdf:type", "owl:SymmetricProperty", "iri", None, None),
+    ("same_region_as", "rdf:type", "owl:TransitiveProperty", "iri", None, None),
+    ("within", "rdf:type", "owl:TransitiveProperty", "iri", None, None),
+    # instances
+    ("s1", "ships_to", "n1", "iri", None, None),
+    ("n1", "same_region_as", "n2", "iri", None, None),
+    ("n2", "same_region_as", "n3", "iri", None, None),
+    ("c1", "within", "n1", "iri", None, None),
+    ("n1", "within", "r1", "iri", None, None),
+    ("r1", "within", "world", "iri", None, None),
+    # a literal object on an invertible predicate must never swap
+    ("s9", "ships_to", "not an iri", "literal", None, None),
+]
+
+OWL_EXPECT = {
+    ("n1", "supplied_by", "s1"),                      # prp-inv
+    # symmetric + transitive closure of the n1-n2-n3 chain: all 9
+    # ordered pairs (incl. self-loops) minus the 2 base edges
+    ("n2", "same_region_as", "n1"),
+    ("n3", "same_region_as", "n2"),
+    ("n1", "same_region_as", "n3"),
+    ("n3", "same_region_as", "n1"),
+    ("n1", "same_region_as", "n1"),
+    ("n2", "same_region_as", "n2"),
+    ("n3", "same_region_as", "n3"),
+    # transitive within
+    ("c1", "within", "r1"),
+    ("c1", "within", "world"),
+    ("n1", "within", "world"),
+}
+
+
+def test_owl_lite_closure_entailments(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_lite_closure,
+    )
+
+    out = owl_lite_closure(_typed_ds(OWL_TOY))
+    assert _spo(out["derived"]) == OWL_EXPECT
+    assert out["n_derived"] == len(OWL_EXPECT)
+    got = _spo(out["closure"])
+    assert OWL_EXPECT <= got
+    assert ("not an iri", "supplied_by", "s9") not in got
+
+
+def test_owl_lite_closure_inverse_of_transitive(ray_session):
+    """p owl:inverseOf q with q transitive: closure(q) must mirror
+    back onto p (the step-3 swap pass)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_lite_closure,
+    )
+
+    rows = [("p", "owl:inverseOf", "q", "iri", None, None),
+            ("q", "rdf:type", "owl:TransitiveProperty", "iri", None, None),
+            ("a", "p", "b", "iri", None, None),
+            ("b", "p", "c", "iri", None, None)]
+    out = owl_lite_closure(_typed_ds(rows))
+    assert _spo(out["derived"]) == {
+        ("b", "q", "a"), ("c", "q", "b"),  # inverse of the base edges
+        ("c", "q", "a"),                    # transitivity over q
+        ("a", "p", "c"),                    # closure(q) mirrored onto p
+    }
+
+
+def test_owl_lite_closure_block_invariance_and_noop(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_lite_closure,
+    )
+
+    blocked = owl_lite_closure(_typed_ds(OWL_TOY, num_blocks=4))
+    assert _spo(blocked["derived"]) == OWL_EXPECT
+
+    plain = [("a", "p", "b", "iri", None, None),
+             ("b", "p", "c", "iri", None, None)]
+    out = owl_lite_closure(_typed_ds(plain))
+    assert out["n_derived"] == 0
+    assert _spo(out["closure"]) == {("a", "p", "b"), ("b", "p", "c")}
