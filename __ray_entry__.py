@@ -953,6 +953,39 @@ def _kg_owl_closure(sf_dir: str):
     return out["derived"].select_columns(["subject", "predicate", "object"])
 
 
+def _kg_sameas_pairs(sf_dir: str):
+    """prp-fp / prp-ifp entity resolution over the sameAs demo
+    encoding: derived owl:sameAs star pairs (spelling-variant owners +
+    shared-contact-key customer groups; the undeclared multi-valued
+    decoy contributes nothing).  Closed GROUP-BY/MIN SQL form."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        sameas_from_functional,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        sameas_demo_triples,
+    )
+
+    out = sameas_from_functional(sameas_demo_triples(sf_dir))
+    return out["pairs"].select_columns(["subject", "predicate", "object"])
+
+
+def _kg_sameas_canonical(sf_dir: str):
+    """Full entity resolution: derived sameAs pairs smushed through
+    connected components into an iri -> canonical mapping.  The chain
+    customer:<c> <-> cust:<c> <-> its contact-key group makes the
+    mapping genuinely transitive, yet it stays in closed SQL form
+    because every component's canonical is its group's min cust IRI."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        sameas_from_functional,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        sameas_demo_triples,
+    )
+
+    out = sameas_from_functional(sameas_demo_triples(sf_dir), merge=True)
+    return out["mapping"].select_columns(["iri", "canonical"])
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1663,6 +1696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_forward_chain_locations": _kg_forward_chain_locations,
         "kg_rdfs_closure": _kg_rdfs_closure,
         "kg_owl_closure": _kg_owl_closure,
+        "kg_sameas_pairs": _kg_sameas_pairs,
+        "kg_sameas_canonical": _kg_sameas_canonical,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "kg_update_retract_errors": _kg_update_retract_errors,
         "kg_update_order_nation_insert": _kg_update_order_nation_insert,
@@ -3223,6 +3258,49 @@ def oracle_sql() -> dict[str, str]:
                        'within', 'class:world'
                 FROM nation
             )
+        """,
+        # prp-fp / prp-ifp derived sameAs star pairs in closed form:
+        # one spelling-variant pair per distinct ordering customer
+        # ('cust:' < 'customer:' lexicographically, so cust: is always
+        # the star center), plus per-contact-key-group edges from the
+        # min cust IRI (STRING min, matching the engine's lexicographic
+        # canonical) to every other group member.
+        "kg_sameas_pairs": """
+            SELECT DISTINCT subject, 'owl:sameAs' AS predicate, object
+            FROM (
+                SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS subject,
+                       'customer:' || CAST(o_custkey AS VARCHAR) AS object
+                FROM orders
+                UNION
+                SELECT g.mn, c.iri
+                FROM (SELECT c_custkey % 100 AS k,
+                             MIN('cust:' || CAST(c_custkey AS VARCHAR))
+                                 AS mn
+                      FROM customer GROUP BY 1) g
+                JOIN (SELECT c_custkey % 100 AS k,
+                             'cust:' || CAST(c_custkey AS VARCHAR) AS iri
+                      FROM customer) c
+                  ON g.k = c.k AND c.iri <> g.mn
+            )
+        """,
+        # full smushed mapping: each component is one contact-key
+        # group's cust IRIs plus the customer: spelling variants of its
+        # members that place orders; canonical = the group's min cust
+        # IRI (string min).  Identity rows excluded, matching the
+        # engine's mapping contract.
+        "kg_sameas_canonical": """
+            WITH g AS (SELECT c_custkey, c_custkey % 100 AS k,
+                              'cust:' || CAST(c_custkey AS VARCHAR) AS iri
+                       FROM customer),
+                 m AS (SELECT k, MIN(iri) AS canon FROM g GROUP BY k)
+            SELECT iri, canon AS canonical
+            FROM g JOIN m USING (k) WHERE g.iri <> m.canon
+            UNION
+            SELECT DISTINCT 'customer:' || CAST(o.o_custkey AS VARCHAR),
+                   m.canon
+            FROM orders o
+            JOIN g ON g.c_custkey = o.o_custkey
+            JOIN m ON m.k = g.k
         """,
         # SPARQL front end: aggregate over the events triple encoding
         "kg_sparql_purchases_per_user": """

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "kg_update_relabel_clicks",
     "kg_rdfs_closure",
     "kg_owl_closure",
+    "kg_sameas_pairs",
 ]
 
 

@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["Rule", "construct", "forward_chain", "rdfs_closure",
-           "owl_lite_closure",
+           "owl_lite_closure", "sameas_from_functional",
            "merge_equivalent_entities", "kg_entity_pagerank"]
 
 _TRIPLE_COLS = ("subject", "predicate", "object",
@@ -1041,3 +1041,158 @@ def owl_lite_closure(triples, vocab: dict[str, str] | None = None,
     return {"closure": base.union(new), "derived": new,
             "n_derived": n_derived, "rounds": rounds,
             "spill_dir": spill_base}
+
+
+# ---------------------------------------------------------------------------
+# Functional / inverse-functional property entity resolution (prp-fp, prp-ifp)
+# ---------------------------------------------------------------------------
+
+_FUNC_VOCAB = {
+    "type": "rdf:type",
+    "functional": "owl:FunctionalProperty",
+    "inverseFunctional": "owl:InverseFunctionalProperty",
+    "sameAs": "owl:sameAs",
+}
+
+_SEP = "\x1f"
+
+
+def sameas_from_functional(triples, vocab: dict[str, str] | None = None,
+                           num_partitions: int | None = None,
+                           merge: bool = False,
+                           spill_rows: int = 5_000_000,
+                           spill_dir: str | None = None) -> dict:
+    """Derive ``owl:sameAs`` identity edges from declared
+    ``owl:FunctionalProperty`` / ``owl:InverseFunctionalProperty``
+    semantics (OWL 2 RL prp-fp / prp-ifp) — the classic web-KG
+    entity-resolution move ("two nodes sharing an email are the same
+    entity"; "two spellings of one order's owner are the same
+    customer").
+
+    Returns ``{"pairs": Dataset (6-col sameAs triples, deduped,
+    canonical-star orientation), "n_pairs": int, "spill_dir": ...}``;
+    with ``merge=True`` additionally smushes the input through
+    :func:`merge_equivalent_entities` over base ∪ derived pairs and
+    adds its ``{"triples", "mapping", "n_mapped"}``.
+
+    Semantics per group:
+
+    - prp-ifp: for each inverse-functional ``p`` and each distinct
+      VALUE (object compared with its full typing — kind, language,
+      datatype: ``"5"^^xsd:int`` never groups with ``"5"@en``), all
+      subjects sharing it are pairwise sameAs;
+    - prp-fp: for each functional ``p`` and each subject, all its IRI
+      objects are pairwise sameAs.  Literal objects never merge — OWL
+      gives functional-literal conflicts no useful entailment here.
+
+    A k-member group emits k−1 STAR edges to its lexicographic-min
+    member, not the k² clique — equivalent under the downstream
+    connected-components closure and linear in the group size, so a
+    hot shared value (an empty email on half the crawl) costs O(k),
+    not O(k²).
+
+    Scale shape: the property declarations are property-count-sized
+    and collected to the driver; instance rows stream through one
+    stateless projection ``map_batches``, then the ONE
+    ``hash(group) % P`` exchange of :func:`coarse_group_reduce`
+    co-locates each (property, value) group and emits its star edges
+    vectorized; a second coarse exchange on the pair identity dedups
+    globally.  Nothing corpus-sized is pinned (shares
+    :func:`_prepare_base`'s coalesce/spill intake)."""
+    import ray
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    v = dict(_FUNC_VOCAB)
+    if vocab:
+        v.update(vocab)
+    base, n_base, num_partitions, spill_base = _prepare_base(
+        triples, num_partitions, spill_rows, spill_dir,
+        prefix="graft_funcsame_")
+
+    decl = pa.array([v["functional"], v["inverseFunctional"]], pa.string())
+    schema_ds = base.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t["predicate"], v["type"]),
+            pc.is_in(t["object"], value_set=decl))),
+        batch_format="pyarrow").materialize()
+    sdf = (schema_ds.to_pandas() if schema_ds.count()
+           else pd.DataFrame(columns=list(_TRIPLE_COLS)))
+    fp = sorted(set(sdf.loc[sdf["object"] == v["functional"], "subject"]))
+    ifp = sorted(set(
+        sdf.loc[sdf["object"] == v["inverseFunctional"], "subject"]))
+
+    empty_pairs = ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+    out: dict = {"pairs": empty_pairs, "n_pairs": 0, "spill_dir": spill_base}
+    if fp or ifp:
+        fp_set, ifp_set = set(fp), set(ifp)
+
+        def members(df: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            if ifp_set:
+                m = df[df["predicate"].isin(ifp_set)]
+                if len(m):
+                    # full value typing in the key: kind + lang + datatype
+                    gkey = ("I" + _SEP + m["predicate"] + _SEP
+                            + m["object"].astype(str) + _SEP
+                            + m["object_kind"].fillna("iri") + _SEP
+                            + m["object_lang"].fillna("") + _SEP
+                            + m["object_datatype"].fillna(""))
+                    frames.append(pd.DataFrame(
+                        {"gkey": gkey, "member": m["subject"]}))
+            if fp_set:
+                kind = df["object_kind"].fillna("iri")
+                m = df[df["predicate"].isin(fp_set) & (kind == "iri")]
+                if len(m):
+                    gkey = ("F" + _SEP + m["predicate"] + _SEP
+                            + m["subject"])
+                    frames.append(pd.DataFrame(
+                        {"gkey": gkey, "member": m["object"]}))
+            if not frames:
+                return pd.DataFrame({"gkey": pd.Series(dtype=object),
+                                     "member": pd.Series(dtype=object)})
+            return pd.concat(frames, ignore_index=True)
+
+        def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates(["gkey", "member"])
+            mn = g.groupby("gkey")["member"].transform("min")
+            hit = g[g["member"] != mn]
+            return pd.DataFrame({"subject": mn[hit.index].to_numpy(),
+                                 "object": hit["member"].to_numpy()})
+
+        raw = coarse_group_reduce(
+            base.map_batches(members, batch_format="pandas"),
+            ["gkey"], star_edges, num_coarse=num_partitions)
+        # distinct (subject, object) pairs may repeat across gkeys
+        # (two orders assert the same spelling variant): one more
+        # coarse exchange on the pair identity dedups globally.
+        pairs = coarse_group_reduce(
+            raw, ["subject", "object"],
+            lambda g: g.drop_duplicates(["subject", "object"]),
+            num_coarse=num_partitions)
+
+        def to_triples(df: pd.DataFrame) -> pa.Table:
+            n = len(df)
+            return pa.Table.from_pandas(pd.DataFrame({
+                "subject": df["subject"].to_numpy(),
+                "predicate": np.repeat(v["sameAs"], n),
+                "object": df["object"].to_numpy(),
+                "object_kind": np.repeat("iri", n),
+                "object_lang": pd.Series([None] * n, dtype=object),
+                "object_datatype": pd.Series([None] * n, dtype=object),
+            }), schema=_TRIPLES_SCHEMA, preserve_index=False)
+
+        pairs = pairs.map_batches(to_triples,
+                                  batch_format="pandas").materialize()
+        out["pairs"] = pairs
+        out["n_pairs"] = pairs.count()
+
+    if merge:
+        merged = merge_equivalent_entities(
+            base.union(out["pairs"]), v["sameAs"])
+        out.update(triples=merged["triples"], mapping=merged["mapping"],
+                   n_mapped=merged["n_mapped"])
+    return out

@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 
 __all__ = ["bgp_query", "khop_subgraph", "kg_profile",
            "event_triples", "order_triples", "rdfs_demo_triples",
-           "owl_demo_triples"]
+           "owl_demo_triples", "sameas_demo_triples"]
 
 _POS_COLS = ("subject", "predicate", "object")
 
@@ -804,3 +804,70 @@ def owl_demo_triples(sf_dir: str):
     return (cust.map_batches(enc_cust, batch_format="pyarrow")
             .union(supp.map_batches(enc_supp, batch_format="pyarrow"))
             .union(ray.data.from_arrow(small)))
+
+
+def sameas_demo_triples(sf_dir: str):
+    """Functional/inverse-functional-property entity-resolution demo
+    encoding for the oracle-checked ``sameas_from_functional`` entries:
+
+    - ``owner`` declared ``owl:FunctionalProperty``, asserted TWICE per
+      order with two URI spellings of the same customer
+      (``cust:<c>`` and ``customer:<c>``) — the classic
+      same-entity-two-schemes web-KG situation; prp-fp derives one
+      spelling-variant sameAs pair per distinct ordering customer;
+    - ``contact_key`` declared ``owl:InverseFunctionalProperty`` with
+      literal value ``key:<c_custkey % 100>`` — customers sharing a
+      contact key are the same entity; prp-ifp derives the per-group
+      star edges to the lexicographic-min member;
+    - a decoy multi-valued but UNDECLARED predicate (``clicked``)
+      that must derive nothing.
+
+    Components chain (``customer:<c>`` ↔ ``cust:<c>`` ↔ its %100
+    group), so the ``merge=True`` canonical mapping genuinely
+    exercises transitive smushing while staying in closed SQL form —
+    see ``oracle_sql()['kg_sameas_pairs' / 'kg_sameas_canonical']``."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            prefix, pc.cast(col, pa.string()), "")
+
+    def tbl(subject, predicate, obj, kind="iri"):
+        n = len(subject)
+        return pa.table({
+            "subject": subject,
+            "predicate": pa.array([predicate] * n, pa.string()),
+            "object": obj,
+            "object_kind": pa.array([kind] * n, pa.string()),
+        })
+
+    def enc_orders(t: pa.Table) -> pa.Table:
+        o = _iri("order:", t["o_orderkey"])
+        return pa.concat_tables([
+            tbl(o, "owner", _iri("cust:", t["o_custkey"])),
+            tbl(o, "owner", _iri("customer:", t["o_custkey"])),
+            # decoy: multi-valued, undeclared — must derive nothing
+            tbl(o, "clicked", _iri("page:", t["o_orderkey"])),
+        ])
+
+    def enc_cust(t: pa.Table) -> pa.Table:
+        grp = pa.chunked_array([pa.array(
+            t["c_custkey"].to_numpy() % 100, pa.int64())])
+        return tbl(_iri("cust:", t["c_custkey"]), "contact_key",
+                   _iri("key:", grp), "literal")
+
+    onto = pa.table({
+        "subject": pa.array(["owner", "contact_key"], pa.string()),
+        "predicate": pa.array(["rdf:type"] * 2, pa.string()),
+        "object": pa.array(["owl:FunctionalProperty",
+                            "owl:InverseFunctionalProperty"], pa.string()),
+        "object_kind": pa.array(["iri"] * 2, pa.string()),
+    })
+    return (orders.map_batches(enc_orders, batch_format="pyarrow")
+            .union(cust.map_batches(enc_cust, batch_format="pyarrow"))
+            .union(ray.data.from_arrow(onto)))

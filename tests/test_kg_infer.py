@@ -450,3 +450,92 @@ def test_owl_lite_closure_block_invariance_and_noop(ray_session):
     out = owl_lite_closure(_typed_ds(plain))
     assert out["n_derived"] == 0
     assert _spo(out["closure"]) == {("a", "p", "b"), ("b", "p", "c")}
+
+
+# ---------------------------------------------------------------------------
+# sameas_from_functional (prp-fp / prp-ifp entity resolution)
+# ---------------------------------------------------------------------------
+
+FUNC_TOY = [
+    # schema
+    ("owner", "rdf:type", "owl:FunctionalProperty", "iri", None, None),
+    ("email", "rdf:type", "owl:InverseFunctionalProperty", "iri", None, None),
+    # prp-fp: two IRI spellings of one owner → sameAs; the literal
+    # third value must NOT merge with anything
+    ("o1", "owner", "cust:9", "iri", None, None),
+    ("o1", "owner", "customer:9", "iri", None, None),
+    ("o1", "owner", "Customer Nine", "literal", None, None),
+    # prp-ifp over literals: a, b, c share an email → star to min(a)
+    ("a", "email", "x@y", "literal", None, None),
+    ("b", "email", "x@y", "literal", None, None),
+    ("c", "email", "x@y", "literal", None, None),
+    # same lexical value, DIFFERENT datatype / language: never groups
+    ("d", "email", "x@y", "literal", None, "xsd:token"),
+    ("e", "email", "x@y", "literal", "en", None),
+    # undeclared multi-valued predicate: derives nothing
+    ("o1", "clicked", "p1", "iri", None, None),
+    ("o1", "clicked", "p2", "iri", None, None),
+]
+
+FUNC_EXPECT = {
+    ("cust:9", "owl:sameAs", "customer:9"),
+    ("a", "owl:sameAs", "b"),
+    ("a", "owl:sameAs", "c"),
+}
+
+
+def test_sameas_from_functional_pairs(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        sameas_from_functional,
+    )
+
+    out = sameas_from_functional(_typed_ds(FUNC_TOY))
+    assert _spo(out["pairs"]) == FUNC_EXPECT
+    assert out["n_pairs"] == len(FUNC_EXPECT)
+
+
+def test_sameas_from_functional_block_invariance_and_noop(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        sameas_from_functional,
+    )
+
+    blocked = sameas_from_functional(_typed_ds(FUNC_TOY, num_blocks=5))
+    assert _spo(blocked["pairs"]) == FUNC_EXPECT
+
+    # no declarations at all → nothing derived
+    out = sameas_from_functional(_typed_ds(
+        [("o1", "owner", "cust:9", "iri", None, None),
+         ("o1", "owner", "customer:9", "iri", None, None)]))
+    assert out["n_pairs"] == 0
+
+
+def test_sameas_from_functional_merge_chain(ray_session):
+    """FP pair (n2 ≡ alt:n2) chains into the IFP email group
+    {n1, n2, n3} — one component, canonical = min, and the smushed
+    KG rewrites every mention through it."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        sameas_from_functional,
+    )
+
+    rows = [
+        ("owner", "rdf:type", "owl:FunctionalProperty", "iri", None, None),
+        ("email", "rdf:type", "owl:InverseFunctionalProperty",
+         "iri", None, None),
+        ("n1", "email", "e1", "literal", None, None),
+        ("n2", "email", "e1", "literal", None, None),
+        ("n3", "email", "e1", "literal", None, None),
+        ("o1", "owner", "n2", "iri", None, None),
+        ("o1", "owner", "alt:n2", "iri", None, None),
+        ("d1", "mentions", "alt:n2", "iri", None, None),
+    ]
+    out = sameas_from_functional(_typed_ds(rows), merge=True)
+    mapping = {(r["iri"], r["canonical"])
+               for r in out["mapping"].to_pandas().to_dict("records")}
+    # canonical is the lexicographic min of the component: 'alt:n2' < 'n1'
+    assert mapping == {("n1", "alt:n2"), ("n2", "alt:n2"),
+                       ("n3", "alt:n2")}
+    got = _spo(out["triples"])
+    assert ("d1", "mentions", "alt:n2") in got
+    assert ("o1", "owner", "alt:n2") in got
+    assert not any(s in ("n1", "n2", "n3") or o in ("n1", "n2", "n3")
+                   for s, _, o in got)
