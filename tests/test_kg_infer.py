@@ -539,3 +539,16 @@ def test_sameas_from_functional_merge_chain(ray_session):
     assert ("o1", "owner", "alt:n2") in got
     assert not any(s in ("n1", "n2", "n3") or o in ("n1", "n2", "n3")
                    for s, _, o in got)
+
+
+def test_owl_lite_closure_path_equivalence(ray_session):
+    """driver_edge_rows=0 forces the distributed forward_chain
+    fixpoint; both paths must derive the identical set."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_lite_closure,
+    )
+
+    dist = owl_lite_closure(_typed_ds(OWL_TOY, num_blocks=3),
+                            driver_edge_rows=0)
+    assert _spo(dist["derived"]) == OWL_EXPECT
+    assert dist["n_derived"] == len(OWL_EXPECT)
