@@ -986,6 +986,23 @@ def _kg_sameas_canonical(sf_dir: str):
     return out["mapping"].select_columns(["iri", "canonical"])
 
 
+def _kg_eq_closure(sf_dir: str):
+    """owl:equivalentClass / equivalentProperty entailment over the eq
+    demo encoding: the 3-class eq chain closes symmetric-transitively
+    (incl. self-loops) and expands into the full subClassOf hierarchy,
+    lifting every customer's type; placed_by = ordered_by lifts every
+    order triple.  Every entailment has a closed SQL form."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_equivalence_closure,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        eq_demo_triples,
+    )
+
+    out = owl_equivalence_closure(eq_demo_triples(sf_dir))
+    return out["derived"].select_columns(["subject", "predicate", "object"])
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1698,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_owl_closure": _kg_owl_closure,
         "kg_sameas_pairs": _kg_sameas_pairs,
         "kg_sameas_canonical": _kg_sameas_canonical,
+        "kg_eq_closure": _kg_eq_closure,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "kg_update_retract_errors": _kg_update_retract_errors,
         "kg_update_order_nation_insert": _kg_update_order_nation_insert,
@@ -3301,6 +3319,42 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN g ON g.c_custkey = o.o_custkey
             JOIN m ON m.k = g.k
+        """,
+        # owl:equivalentClass/equivalentProperty entailment in closed
+        # form.  The 3-class eq chain {Customer, Client, Buyer} closes
+        # to all 9 ordered eq pairs (incl. self-loops) minus the 2 base
+        # assertions, and expands to all 9 subClassOf pairs; the
+        # 2-property chain likewise (4-1 eq, 4 subPropertyOf); type
+        # lifting gives each customer the two new classes; predicate
+        # lifting rewrites each order triple onto ordered_by.
+        "kg_eq_closure": """
+            WITH cls(c) AS (VALUES ('class:Customer'), ('class:Client'),
+                                   ('class:Buyer')),
+                 prp(p) AS (VALUES ('placed_by'), ('ordered_by'))
+            SELECT DISTINCT subject, predicate, object FROM (
+                SELECT a.c AS subject, 'owl:equivalentClass' AS predicate,
+                       b.c AS object
+                FROM cls a, cls b
+                WHERE NOT (a.c = 'class:Customer' AND b.c = 'class:Client')
+                  AND NOT (a.c = 'class:Client' AND b.c = 'class:Buyer')
+                UNION
+                SELECT a.c, 'rdfs:subClassOf', b.c FROM cls a, cls b
+                UNION
+                SELECT a.p, 'owl:equivalentProperty', b.p
+                FROM prp a, prp b
+                WHERE NOT (a.p = 'placed_by' AND b.p = 'ordered_by')
+                UNION
+                SELECT a.p, 'rdfs:subPropertyOf', b.p FROM prp a, prp b
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'rdf:type',
+                       t.cls
+                FROM customer,
+                     (VALUES ('class:Client'), ('class:Buyer')) t(cls)
+                UNION
+                SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                       'ordered_by', 'cust:' || CAST(o_custkey AS VARCHAR)
+                FROM orders
+            )
         """,
         # SPARQL front end: aggregate over the events triple encoding
         "kg_sparql_purchases_per_user": """

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 __all__ = ["Rule", "construct", "forward_chain", "rdfs_closure",
            "owl_lite_closure", "sameas_from_functional",
+           "owl_equivalence_closure",
            "merge_equivalent_entities", "kg_entity_pagerank"]
 
 _TRIPLE_COLS = ("subject", "predicate", "object",
@@ -1233,3 +1234,102 @@ def sameas_from_functional(triples, vocab: dict[str, str] | None = None,
         out.update(triples=merged["triples"], mapping=merged["mapping"],
                    n_mapped=merged["n_mapped"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# OWL equivalence closure (equivalentClass / equivalentProperty)
+# ---------------------------------------------------------------------------
+
+_EQ_VOCAB = {
+    "equivalentClass": "owl:equivalentClass",
+    "equivalentProperty": "owl:equivalentProperty",
+    "subClassOf": "rdfs:subClassOf",
+    "subPropertyOf": "rdfs:subPropertyOf",
+}
+
+
+def owl_equivalence_closure(triples, vocab: dict[str, str] | None = None,
+                            num_partitions: int | None = None,
+                            max_rounds: int = 32,
+                            spill_rows: int = 5_000_000,
+                            spill_dir: str | None = None) -> dict:
+    """Materialize ``owl:equivalentClass`` / ``owl:equivalentProperty``
+    entailment (OWL 2 RL cax-eqc1/2, scm-eqc1/2, scm-eqp1/2 +
+    symmetry/transitivity of the eq relations): each equivalence is
+    closed symmetric-transitively, rewritten into BOTH
+    ``rdfs:subClassOf`` / ``rdfs:subPropertyOf`` directions, and the
+    instance consequences (type lifting, predicate lifting) come from
+    ONE composed :func:`rdfs_closure` pass over base ∪ the expansion.
+    Same contract as the other closure entries: ``{"closure",
+    "derived", "n_derived", "rounds", "spill_dir"}``, ``derived``
+    deduped and disjoint from the base.
+
+    Scale shape: equivalence declarations relate class/property NAMES —
+    schema-sized by construction — so their symmetric-transitive
+    closure runs driver-side (:func:`_pd_transitive_closure` over the
+    mirrored pair set, the same treatment :func:`rdfs_closure` gives
+    ontology hierarchies); instance data only ever streams through the
+    composed ``rdfs_closure`` (broadcast schema, stateless
+    ``map_batches``, one final dedup-and-subtract exchange)."""
+    import ray
+    import ray.data
+
+    v = dict(_EQ_VOCAB)
+    if vocab:
+        v.update(vocab)
+    base, n_base, num_partitions, spill_base = _prepare_base(
+        triples, num_partitions, spill_rows, spill_dir,
+        prefix="graft_eq_")
+
+    eq_preds = pa.array([v["equivalentClass"], v["equivalentProperty"]],
+                        pa.string())
+    schema_ds = base.map_batches(
+        lambda t: t.filter(pc.is_in(t["predicate"], value_set=eq_preds)),
+        batch_format="pyarrow").materialize()
+    sdf = (schema_ds.to_pandas() if schema_ds.count()
+           else pd.DataFrame(columns=list(_TRIPLE_COLS)))
+
+    rounds = 0
+    frames: list[pd.DataFrame] = []
+    for eq_pred, sub_pred in ((v["equivalentClass"], v["subClassOf"]),
+                              (v["equivalentProperty"], v["subPropertyOf"])):
+        pairs = sdf.loc[sdf["predicate"] == eq_pred, ["subject", "object"]]
+        if pairs.empty:
+            continue
+        mirrored = pd.concat([
+            pairs,
+            pairs.rename(columns={"subject": "object",
+                                  "object": "subject"}),
+        ], ignore_index=True)
+        closed, r = _pd_transitive_closure(mirrored, max_rounds)
+        rounds = max(rounds, r)
+        for pred in (eq_pred, sub_pred):
+            n = len(closed)
+            frames.append(pd.DataFrame({
+                "subject": closed["subject"].to_numpy(),
+                "predicate": np.repeat(pred, n),
+                "object": closed["object"].to_numpy(),
+                "object_kind": np.repeat("iri", n),
+                "object_lang": pd.Series([None] * n, dtype=object),
+                "object_datatype": pd.Series([None] * n, dtype=object),
+            }))
+
+    if not frames:
+        empty = ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+        return {"closure": base, "derived": empty, "n_derived": 0,
+                "rounds": 0, "spill_dir": spill_base}
+
+    expansion = ray.data.from_arrow(pa.Table.from_pandas(
+        pd.concat(frames, ignore_index=True),
+        schema=_TRIPLES_SCHEMA, preserve_index=False))
+    sub = rdfs_closure(base.union(expansion),
+                       num_partitions=num_partitions,
+                       max_rounds=max_rounds, spill_rows=spill_rows)
+    rounds = max(rounds, sub["rounds"])
+
+    candidates = expansion.union(sub["derived"])
+    new = _new_vs_known(candidates, base, num_partitions).materialize()
+    n_derived = new.count()
+    return {"closure": base.union(new), "derived": new,
+            "n_derived": n_derived, "rounds": rounds,
+            "spill_dir": spill_base}

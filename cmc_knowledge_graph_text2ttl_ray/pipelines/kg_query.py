@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 
 __all__ = ["bgp_query", "khop_subgraph", "kg_profile",
            "event_triples", "order_triples", "rdfs_demo_triples",
-           "owl_demo_triples", "sameas_demo_triples"]
+           "owl_demo_triples", "sameas_demo_triples", "eq_demo_triples"]
 
 _POS_COLS = ("subject", "predicate", "object")
 
@@ -871,3 +871,58 @@ def sameas_demo_triples(sf_dir: str):
     return (orders.map_batches(enc_orders, batch_format="pyarrow")
             .union(cust.map_batches(enc_cust, batch_format="pyarrow"))
             .union(ray.data.from_arrow(onto)))
+
+
+def eq_demo_triples(sf_dir: str):
+    """owl:equivalentClass / equivalentProperty demo encoding for the
+    oracle-checked ``owl_equivalence_closure`` entry: a 3-class
+    equivalence chain ``class:Customer ≡ class:Client ≡ class:Buyer``
+    over per-customer type triples, and ``placed_by ≡ ordered_by``
+    over per-order instance triples.  Every entailment — the
+    symmetric-transitive eq closures (incl. self-loops), the full
+    sub-hierarchy expansions, the type lifting and the predicate
+    lifting — has a closed SQL form; see
+    ``oracle_sql()['kg_eq_closure']``."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            prefix, pc.cast(col, pa.string()), "")
+
+    def tbl(subject, predicate, obj):
+        n = len(subject)
+        return pa.table({
+            "subject": subject,
+            "predicate": pa.array([predicate] * n, pa.string()),
+            "object": obj,
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    def enc_orders(t: pa.Table) -> pa.Table:
+        return tbl(_iri("order:", t["o_orderkey"]), "placed_by",
+                   _iri("cust:", t["o_custkey"]))
+
+    def enc_cust(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return tbl(_iri("cust:", t["c_custkey"]), "rdf:type",
+                   pa.chunked_array([pa.array(["class:Customer"] * n)]))
+
+    onto = [
+        ("class:Customer", "owl:equivalentClass", "class:Client"),
+        ("class:Client", "owl:equivalentClass", "class:Buyer"),
+        ("placed_by", "owl:equivalentProperty", "ordered_by"),
+    ]
+    onto_tbl = pa.table({
+        "subject": pa.array([s for s, _, _ in onto], pa.string()),
+        "predicate": pa.array([p for _, p, _ in onto], pa.string()),
+        "object": pa.array([o for _, _, o in onto], pa.string()),
+        "object_kind": pa.array(["iri"] * len(onto), pa.string()),
+    })
+    return (orders.map_batches(enc_orders, batch_format="pyarrow")
+            .union(cust.map_batches(enc_cust, batch_format="pyarrow"))
+            .union(ray.data.from_arrow(onto_tbl)))

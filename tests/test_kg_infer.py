@@ -552,3 +552,80 @@ def test_owl_lite_closure_path_equivalence(ray_session):
                             driver_edge_rows=0)
     assert _spo(dist["derived"]) == OWL_EXPECT
     assert dist["n_derived"] == len(OWL_EXPECT)
+
+
+# ---------------------------------------------------------------------------
+# owl_equivalence_closure (equivalentClass / equivalentProperty)
+# ---------------------------------------------------------------------------
+
+EQ_TOY = [
+    ("A", "owl:equivalentClass", "B", "iri", None, None),
+    ("p", "owl:equivalentProperty", "q", "iri", None, None),
+    ("x", "rdf:type", "A", "iri", None, None),
+    ("s", "p", "o", "iri", None, None),
+    ("s", "p", "lit", "literal", None, None),
+]
+
+EQ_EXPECT = {
+    # eq symmetry + self-loops (base pair excluded)
+    ("B", "owl:equivalentClass", "A"),
+    ("A", "owl:equivalentClass", "A"),
+    ("B", "owl:equivalentClass", "B"),
+    ("q", "owl:equivalentProperty", "p"),
+    ("p", "owl:equivalentProperty", "p"),
+    ("q", "owl:equivalentProperty", "q"),
+    # full sub expansions
+    ("A", "rdfs:subClassOf", "B"), ("B", "rdfs:subClassOf", "A"),
+    ("A", "rdfs:subClassOf", "A"), ("B", "rdfs:subClassOf", "B"),
+    ("p", "rdfs:subPropertyOf", "q"), ("q", "rdfs:subPropertyOf", "p"),
+    ("p", "rdfs:subPropertyOf", "p"), ("q", "rdfs:subPropertyOf", "q"),
+    # instance lifting (incl. the literal-object triple, rdfs7-style)
+    ("x", "rdf:type", "B"),
+    ("s", "q", "o"),
+    ("s", "q", "lit"),
+}
+
+
+def test_owl_equivalence_closure_entailments(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_equivalence_closure,
+    )
+
+    out = owl_equivalence_closure(_typed_ds(EQ_TOY))
+    assert _spo(out["derived"]) == EQ_EXPECT
+    assert out["n_derived"] == len(EQ_EXPECT)
+    # the lifted literal triple keeps its literal typing
+    df = out["derived"].to_pandas()
+    lit = df[(df["subject"] == "s") & (df["predicate"] == "q")
+             & (df["object"] == "lit")]
+    assert list(lit["object_kind"]) == ["literal"]
+
+
+def test_owl_equivalence_closure_chain_and_blocks(ray_session):
+    """3-class chain A≡B≡C: transitivity must connect A and C."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_equivalence_closure,
+    )
+
+    rows = [("A", "owl:equivalentClass", "B", "iri", None, None),
+            ("B", "owl:equivalentClass", "C", "iri", None, None),
+            ("x", "rdf:type", "A", "iri", None, None)]
+    out = owl_equivalence_closure(_typed_ds(rows, num_blocks=4))
+    got = _spo(out["derived"])
+    assert ("A", "owl:equivalentClass", "C") in got
+    assert ("C", "owl:equivalentClass", "A") in got
+    assert ("x", "rdf:type", "B") in got
+    assert ("x", "rdf:type", "C") in got
+    # all 9 eq pairs minus 2 base + all 9 sub pairs + 2 type lifts
+    assert out["n_derived"] == 7 + 9 + 2
+
+
+def test_owl_equivalence_closure_noop(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        owl_equivalence_closure,
+    )
+
+    out = owl_equivalence_closure(_typed_ds(
+        [("x", "rdf:type", "A", "iri", None, None)]))
+    assert out["n_derived"] == 0
+    assert _spo(out["closure"]) == {("x", "rdf:type", "A")}
