@@ -1003,6 +1003,58 @@ def _kg_eq_closure(sf_dir: str):
     return out["derived"].select_columns(["subject", "predicate", "object"])
 
 
+def _kg_incremental_closure(sf_dir: str):
+    """Incremental entailment maintenance: the place hierarchy
+    (nation locatedIn region locatedIn world) is closed ONCE, then the
+    customer shard arrives as a seed delta — forward_chain re-enters
+    semi-naive from the delta only, deriving each customer's region and
+    world memberships without re-closing the base KG.  Closed
+    plain-join SQL form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        Rule,
+        forward_chain,
+    )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    base_rows = (
+        [(f"nation:{r.n_nationkey}", "locatedIn",
+          f"region:{r.n_regionkey}") for r in nat.itertuples()]
+        + [(f"region:{k}", "locatedIn", "class:world")
+           for k in sorted(set(nat["n_regionkey"]))])
+    base = ray.data.from_items(
+        [{"subject": s_, "predicate": p_, "object": o_,
+          "object_kind": "iri"} for s_, p_, o_ in base_rows])
+
+    trans = Rule([("?x", "locatedIn", "?y"), ("?y", "locatedIn", "?z")],
+                 [("?x", "locatedIn", "?z")], name="trans")
+    closed = forward_chain(base, [trans])["closure"]
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": pc.binary_join_element_wise(
+                "cust:", pc.cast(t["c_custkey"], pa.string()), ""),
+            "predicate": pa.array(["locatedIn"] * n, pa.string()),
+            "object": pc.binary_join_element_wise(
+                "nation:", pc.cast(t["c_nationkey"], pa.string()), ""),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    inc = forward_chain(closed, [trans],
+                        seed_delta=cust.map_batches(
+                            enc, batch_format="pyarrow"))
+    return inc["derived"].select_columns(["subject", "predicate", "object"])
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1716,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_pairs": _kg_sameas_pairs,
         "kg_sameas_canonical": _kg_sameas_canonical,
         "kg_eq_closure": _kg_eq_closure,
+        "kg_incremental_closure": _kg_incremental_closure,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "kg_update_retract_errors": _kg_update_retract_errors,
         "kg_update_order_nation_insert": _kg_update_order_nation_insert,
@@ -3354,6 +3407,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
                        'ordered_by', 'cust:' || CAST(o_custkey AS VARCHAR)
                 FROM orders
+            )
+        """,
+        # incremental (delta-seeded) transitive closure: the customer
+        # shard joins the pre-closed place hierarchy; derived = each
+        # customer's region and world memberships (the seed and base
+        # are excluded by the new-vs-known subtraction).
+        "kg_incremental_closure": """
+            SELECT DISTINCT subject, predicate, object FROM (
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS subject,
+                       'locatedIn' AS predicate,
+                       'region:' || CAST(n_regionkey AS VARCHAR) AS object
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'locatedIn', 'class:world'
+                FROM customer
             )
         """,
         # SPARQL front end: aggregate over the events triple encoding

@@ -409,10 +409,160 @@ def kg_entity_pagerank(triples, damping: float = 0.85, iters: int = 4,
     return out
 
 
+# In-frame sentinel for null typing columns (pandas merge keys must not
+# be NaN).  NOT "\x00": numpy fixed-width unicode strips trailing NULs,
+# silently turning that sentinel into "".
+_PD_NULL = "\x1f@null@\x1f"
+
+
+def _pd_pattern_scan(facts: pd.DataFrame, pattern) -> pd.DataFrame:
+    """Driver-side twin of ``kg_query._pattern_scan``: constants become
+    boolean masks, variables become binding columns, repeated variables
+    become in-scan equality filters."""
+    first: dict[str, str] = {}
+    mask = None
+    for col, term in zip(("subject", "predicate", "object"), pattern):
+        if isinstance(term, str) and term.startswith("?"):
+            if term in first:
+                m = facts[first[term]] == facts[col]
+            else:
+                first[term] = col
+                continue
+        else:
+            m = facts[col] == term
+        mask = m if mask is None else (mask & m)
+    sub = facts if mask is None else facts[mask]
+    return pd.DataFrame({v[1:]: sub[c].to_numpy()
+                         for v, c in first.items()})
+
+
+def _pd_bgp(facts: pd.DataFrame, rule: Rule,
+            sources: list | None = None) -> pd.DataFrame:
+    """Driver-side BGP evaluation with pandas merges, same join order
+    heuristic as the distributed path (``_plan_order_indices``)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        _plan_order_indices,
+    )
+
+    binding = None
+    for i in _plan_order_indices(rule.body):
+        src = facts if sources is None or sources[i] is None \
+            else sources[i]
+        t = _pd_pattern_scan(src, rule.body[i]).drop_duplicates()
+        if binding is None:
+            binding = t
+        else:
+            shared = [c for c in binding.columns if c in t.columns]
+            binding = binding.merge(t, on=shared, how="inner")
+        if binding.empty:
+            return binding
+    return binding.drop_duplicates()
+
+
+def _pd_expand_head(binding: pd.DataFrame, head) -> pd.DataFrame:
+    n = len(binding)
+    frames = []
+    for tmpl in head:
+        meta = tmpl[3] if len(tmpl) > 3 else {}
+
+        def col(term):
+            if isinstance(term, str) and term.startswith("?"):
+                return binding[term[1:]].astype(str).to_numpy()
+            return np.repeat(term, n)
+
+        frames.append(pd.DataFrame({
+            "subject": col(tmpl[0]),
+            "predicate": col(tmpl[1]),
+            "object": col(tmpl[2]),
+            "object_kind": np.repeat(meta.get("object_kind", "iri"), n),
+            "object_lang": np.repeat(
+                meta.get("object_lang") or _PD_NULL, n),
+            "object_datatype": np.repeat(
+                meta.get("object_datatype") or _PD_NULL, n),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _pd_forward_chain(facts: pd.DataFrame, rules: list[Rule],
+                      max_rounds: int,
+                      seed: pd.DataFrame | None) -> dict:
+    """Driver-side semi-naive fixpoint — identical semantics to the
+    distributed loop (incl. ``seed_delta`` incremental maintenance),
+    for graphs below the ``driver_rows`` gate."""
+    cols = list(_TRIPLE_COLS)
+    typing = ["object_kind", "object_lang", "object_datatype"]
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].copy()
+        for c in typing:
+            out[c] = out[c].fillna(_PD_NULL)
+        return out.drop_duplicates()
+
+    def minus(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        probe = a.merge(b[cols], on=cols, how="left", indicator=True)
+        return probe[probe["_merge"] == "left_only"][cols]
+
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c in typing:
+            out[c] = out[c].where(out[c] != _PD_NULL, None)
+        return out
+
+    def wrap(df: pd.DataFrame):
+        import ray.data
+
+        if df.empty:
+            return ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            restore(df), schema=_TRIPLES_SCHEMA, preserve_index=False))
+
+    closure = norm(facts)
+    seeded = seed is not None
+    delta = closure
+    if seeded:
+        delta = minus(norm(seed), closure)
+        closure = pd.concat([closure, delta], ignore_index=True)
+
+    derived_frames: list[pd.DataFrame] = []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        first_round = rounds == 1 and not seeded
+        cands = []
+        for rule in rules:
+            evals = [None] if first_round else range(len(rule.body))
+            for i in evals:
+                srcs = (None if i is None else
+                        [delta if j == i else None
+                         for j in range(len(rule.body))])
+                b = _pd_bgp(closure, rule, srcs)
+                if len(b):
+                    cands.append(_pd_expand_head(b, rule.head))
+        if cands:
+            cand = pd.concat(cands,
+                             ignore_index=True).drop_duplicates(subset=cols)
+            new = minus(cand, closure)
+        else:
+            new = closure.iloc[0:0]
+        if new.empty:
+            rounds -= 1
+            break
+        derived_frames.append(new)
+        closure = pd.concat([closure, new], ignore_index=True)
+        delta = new
+
+    derived = (pd.concat(derived_frames, ignore_index=True)
+               if derived_frames else closure.iloc[0:0])
+    return {"spill_dir": None, "closure": wrap(closure),
+            "derived": wrap(derived), "rounds": rounds,
+            "n_derived": len(derived)}
+
+
 def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
                   num_partitions: int | None = None,
                   spill_rows: int = 5_000_000,
-                  spill_dir: str | None = None) -> dict:
+                  spill_dir: str | None = None,
+                  seed_delta=None,
+                  driver_rows: int = 200_000) -> dict:
     """Apply ``rules`` to a fixpoint (or ``max_rounds``).  Returns
     ``{"closure": Dataset, "derived": Dataset, "rounds": int,
     "n_derived": int, "spill_dir": str | None}`` — ``closure`` is
@@ -424,6 +574,19 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     size.  Facts already known never re-enter the delta, guaranteeing
     termination on finite domains.
 
+    **Incremental maintenance**: pass ``seed_delta`` (a triple Dataset of
+    NEW facts) when ``triples`` is an ALREADY-CLOSED graph — a previous
+    run's ``closure`` or a published generation.  Round 1 then skips the
+    full-graph evaluation and goes straight to semi-naive with the (seed
+    minus closure) facts as the delta, so a crawl-shard update costs
+    delta-sized joins, never a re-closure of the accumulated KG —
+    additions-only maintenance, the counterpart of
+    ``kg_incremental.kg_new_triples`` (retractions go through
+    ``kg_update``'s tombstones instead).  ``derived`` excludes both the
+    base and the seed; ``closure`` includes all three.  If ``triples``
+    is NOT a fixpoint the result still only adds derivations reachable
+    from the seed (equivalence-tested against full re-closure).
+
     The closure is re-consumed by every rule body every round, so it
     must be reused: below ``spill_rows`` base triples it pins in the
     object store (materialize — cheapest at test/benchmark scale);
@@ -432,7 +595,11 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     ``"spill_dir"``) and the closure is a UNION OF STREAMING READS —
     nothing closure-sized ever pins, the 100-TB path.  The returned
     datasets reference the spill files, so the CALLER owns the
-    directory's lifetime."""
+    directory's lifetime.  At the other end of the scale, graphs whose
+    base + seed fit under ``driver_rows`` run the identical semi-naive
+    loop driver-side in pandas (:func:`_pd_forward_chain`,
+    distributed-equivalence-tested) — the distributed loop's fixed
+    per-round Ray-execution overhead dwarfs toy ontologies."""
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         default_coarse_partitions,
     )
@@ -446,6 +613,21 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     if num_partitions is None:
         num_partitions = default_coarse_partitions(max(n_full, 1))
     spilling = n_full > spill_rows
+
+    seed = None
+    n_seed = 0
+    if seed_delta is not None:
+        seed = _norm_triples(seed_delta).materialize()
+        n_seed = seed.count()
+    if not spilling and n_full + n_seed <= driver_rows:
+        # Graphs (and seeds) far below corpus scale: the distributed
+        # loop pays rules × body-size sequential Ray executions per
+        # round in fixed overhead; the pandas twin runs the identical
+        # semi-naive semantics driver-side (repo-standard
+        # threshold-gated small path, distributed-equivalence-tested).
+        return _pd_forward_chain(
+            full.to_pandas(), rules, max_rounds,
+            seed.to_pandas() if seed is not None else None)
     spill_base = None
     if spilling:
         import os
@@ -462,11 +644,35 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
                                _TRIPLES_SCHEMA)
 
     delta = full
+    seeded = seed is not None
+    if seeded:
+        seed_new = _new_vs_known(seed, full, num_partitions).materialize()
+        if seed_new.count() == 0:
+            import ray.data
+
+            empty = ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+            return {"spill_dir": spill_base, "closure": full,
+                    "derived": empty, "rounds": 0, "n_derived": 0}
+        if spilling:
+            import os
+
+            from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+                spill_roundtrip,
+            )
+
+            seed_new = spill_roundtrip(
+                seed_new, os.path.join(spill_base, "seed"),
+                _TRIPLES_SCHEMA)
+        delta = seed_new
+        full = full.union(seed_new)
+        if not spilling:
+            full = full.materialize()
+
     derived_parts = []
     n_derived = 0
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        first_round = rounds == 1
+        first_round = rounds == 1 and not seeded
         cand_parts = []
         for rule in rules:
             if first_round:

@@ -629,3 +629,110 @@ def test_owl_equivalence_closure_noop(ray_session):
         [("x", "rdf:type", "A", "iri", None, None)]))
     assert out["n_derived"] == 0
     assert _spo(out["closure"]) == {("x", "rdf:type", "A")}
+
+
+# ---------------------------------------------------------------------------
+# forward_chain incremental maintenance (seed_delta)
+# ---------------------------------------------------------------------------
+
+def test_forward_chain_seed_delta_equivalence(ray_session):
+    """Incremental closure over a new shard == full re-closure minus
+    the old closure and the seed itself."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        forward_chain,
+    )
+
+    base_closed = forward_chain(_ds(CHAIN), [TRANS])["closure"]
+    new = [("d", "locatedIn", "e"), ("e", "locatedIn", "f")]
+
+    inc = forward_chain(base_closed, [TRANS], seed_delta=_ds(new))
+    ref = forward_chain(_ds(CHAIN + new), [TRANS])
+    want_derived = (_spo(ref["closure"]) - _spo(base_closed)
+                    - {t[:3] for t in new})
+    assert _spo(inc["derived"]) == want_derived
+    assert _spo(inc["closure"]) == _spo(ref["closure"])
+    # d/e/f attach below the a-b-c-d chain: every old node gains paths
+    # THROUGH the seed, so the joins genuinely mix old and new facts
+    assert ("a", "locatedIn", "f") in _spo(inc["derived"])
+
+
+def test_forward_chain_seed_delta_already_known(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        forward_chain,
+    )
+
+    closed = forward_chain(_ds(CHAIN), [TRANS])["closure"]
+    inc = forward_chain(closed, [TRANS],
+                        seed_delta=_ds([("a", "locatedIn", "b")]))
+    assert inc["n_derived"] == 0
+    assert inc["rounds"] == 0
+    assert _spo(inc["closure"]) == _spo(closed)
+
+
+def test_forward_chain_seed_delta_no_entailments(ray_session):
+    """A disconnected seed adds itself to the closure but derives
+    nothing."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        forward_chain,
+    )
+
+    closed = forward_chain(_ds(CHAIN), [TRANS])["closure"]
+    inc = forward_chain(closed, [TRANS],
+                        seed_delta=_ds([("zz", "other", "yy")]))
+    assert inc["n_derived"] == 0
+    assert _spo(inc["closure"]) == _spo(closed) | {("zz", "other", "yy")}
+
+
+def test_forward_chain_driver_vs_distributed_equivalence(ray_session):
+    """driver_rows=0 forces the distributed loop; both paths must agree
+    on closure, derived, rounds and n_derived — plain, multi-rule and
+    seeded runs."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        forward_chain,
+    )
+
+    drv = forward_chain(_ds(CHAIN), [TRANS])
+    dist = forward_chain(_ds(CHAIN), [TRANS], driver_rows=0)
+    assert _spo(drv["closure"]) == _spo(dist["closure"])
+    assert _spo(drv["derived"]) == _spo(dist["derived"])
+    assert (drv["rounds"], drv["n_derived"]) == \
+           (dist["rounds"], dist["n_derived"])
+
+    rules = [
+        Rule([("?c", "subClassOf", "?d"), ("?d", "subClassOf", "?e")],
+             [("?c", "subClassOf", "?e")]),
+        Rule([("?x", "type", "?c"), ("?c", "subClassOf", "?d")],
+             [("?x", "type", "?d")]),
+    ]
+    tri = [("cat", "subClassOf", "mammal"),
+           ("mammal", "subClassOf", "animal"), ("felix", "type", "cat")]
+    drv = forward_chain(_ds(tri), rules)
+    dist = forward_chain(_ds(tri), rules, driver_rows=0)
+    assert _spo(drv["closure"]) == _spo(dist["closure"])
+    assert drv["n_derived"] == dist["n_derived"] == 3
+
+    closed = forward_chain(_ds(CHAIN), [TRANS])["closure"]
+    new = [("d", "locatedIn", "e")]
+    drv = forward_chain(closed, [TRANS], seed_delta=_ds(new))
+    dist = forward_chain(closed, [TRANS], seed_delta=_ds(new),
+                         driver_rows=0)
+    assert _spo(drv["derived"]) == _spo(dist["derived"])
+    assert drv["n_derived"] == dist["n_derived"]
+
+
+def test_forward_chain_driver_path_literal_meta(ray_session):
+    """Head templates with literal typing keep kind/lang through the
+    driver path's sentinel round-trip."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        forward_chain,
+    )
+
+    res = forward_chain(
+        _ds([("a", "hq_in", "b")]),
+        [Rule([("?e", "hq_in", "?pl")],
+              [("?e", "hq_label", "?pl",
+                {"object_kind": "literal", "object_lang": "en"})])])
+    df = res["derived"].to_pandas()
+    assert list(df["object_kind"]) == ["literal"]
+    assert list(df["object_lang"]) == ["en"]
+    assert df["object_datatype"].isna().all()
