@@ -1055,6 +1055,66 @@ def _kg_incremental_closure(sf_dir: str):
     return inc["derived"].select_columns(["subject", "predicate", "object"])
 
 
+def _kg_dred_retract(sf_dir: str):
+    """DRed retraction over the closed place hierarchy: delete region
+    0's nation->region edges.  Overdeletion takes out every fact in
+    their dependency cone; rederivation brings back what has
+    alternative support (even-keyed nations assert locatedIn world
+    DIRECTLY as base facts, so their world memberships — and their
+    customers' — survive).  Returns the REMOVED set, which has a
+    closed SQL form over the region-0 odd/even split."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        Rule,
+        dred_delete,
+        forward_chain,
+    )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    base_rows = (
+        [(f"nation:{r.n_nationkey}", "locatedIn",
+          f"region:{r.n_regionkey}") for r in nat.itertuples()]
+        + [(f"region:{k}", "locatedIn", "class:world")
+           for k in sorted(set(nat["n_regionkey"]))]
+        + [(f"nation:{r.n_nationkey}", "locatedIn", "class:world")
+           for r in nat.itertuples() if r.n_nationkey % 2 == 0])
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": pc.binary_join_element_wise(
+                "cust:", pc.cast(t["c_custkey"], pa.string()), ""),
+            "predicate": pa.array(["locatedIn"] * n, pa.string()),
+            "object": pc.binary_join_element_wise(
+                "nation:", pc.cast(t["c_nationkey"], pa.string()), ""),
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    base = ray.data.from_items(
+        [{"subject": s_, "predicate": p_, "object": o_,
+          "object_kind": "iri"} for s_, p_, o_ in base_rows]).union(
+        cust.map_batches(enc, batch_format="pyarrow"))
+
+    trans = Rule([("?x", "locatedIn", "?y"), ("?y", "locatedIn", "?z")],
+                 [("?x", "locatedIn", "?z")], name="trans")
+    closure = forward_chain(base, [trans])["closure"]
+
+    dels = ray.data.from_items(
+        [{"subject": f"nation:{r.n_nationkey}", "predicate": "locatedIn",
+          "object": f"region:{r.n_regionkey}", "object_kind": "iri"}
+         for r in nat.itertuples() if r.n_regionkey == 0])
+    out = dred_delete(closure, [trans], deletions=dels, base=base)
+    return out["removed"].select_columns(["subject", "predicate", "object"])
+
+
 def _kg_bgp_mentions_chain(sf_dir: str):
     """BGP over the flagship pipeline's OWN emitted triples: documents
     that mention an entity headquartered in a place in some country —
@@ -1769,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_canonical": _kg_sameas_canonical,
         "kg_eq_closure": _kg_eq_closure,
         "kg_incremental_closure": _kg_incremental_closure,
+        "kg_dred_retract": _kg_dred_retract,
         "kg_bgp_mentions_chain": _kg_bgp_mentions_chain,
         "kg_update_retract_errors": _kg_update_retract_errors,
         "kg_update_order_nation_insert": _kg_update_order_nation_insert,
@@ -3423,6 +3484,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
                        'locatedIn', 'class:world'
                 FROM customer
+            )
+        """,
+        # DRed retraction in closed form: removing region 0's
+        # nation->region edges removes (a) the edges themselves,
+        # (b) odd region-0 nations' world memberships (even ones assert
+        # locatedIn world directly as base facts and are rederived),
+        # (c) all region-0 customers' region memberships, and (d) the
+        # world memberships of customers whose nation is odd.
+        "kg_dred_retract": """
+            SELECT DISTINCT subject, predicate, object FROM (
+                SELECT 'nation:' || CAST(n_nationkey AS VARCHAR)
+                           AS subject,
+                       'locatedIn' AS predicate,
+                       'region:0' AS object
+                FROM nation WHERE n_regionkey = 0
+                UNION
+                SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+                       'locatedIn', 'class:world'
+                FROM nation
+                WHERE n_regionkey = 0 AND n_nationkey % 2 = 1
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'locatedIn', 'region:0'
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_regionkey = 0
+                UNION
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+                       'locatedIn', 'class:world'
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_regionkey = 0 AND n_nationkey % 2 = 1
             )
         """,
         # SPARQL front end: aggregate over the events triple encoding

@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 
 __all__ = ["Rule", "construct", "forward_chain", "rdfs_closure",
            "owl_lite_closure", "sameas_from_functional",
-           "owl_equivalence_closure",
+           "owl_equivalence_closure", "dred_delete",
            "merge_equivalent_entities", "kg_entity_pagerank"]
 
 _TRIPLE_COLS = ("subject", "predicate", "object",
@@ -1539,3 +1539,317 @@ def owl_equivalence_closure(triples, vocab: dict[str, str] | None = None,
     return {"closure": base.union(new), "derived": new,
             "n_derived": n_derived, "rounds": rounds,
             "spill_dir": spill_base}
+
+
+# ---------------------------------------------------------------------------
+# DRed deletion with rederivation (incremental maintenance under retraction)
+# ---------------------------------------------------------------------------
+
+def _in_known(candidates, known, num_partitions: int):
+    """Semi-join ``candidates ∩ known`` on full triple identity (the
+    intersection twin of :func:`_new_vs_known`; same one-exchange
+    shape)."""
+    cols = list(_TRIPLE_COLS)
+
+    def tag(side: int):
+        def pre(t: pa.Table) -> pd.DataFrame:
+            df = t.select(cols).to_pandas().drop_duplicates(subset=cols)
+            df["side"] = np.int64(side)
+            h = pd.util.hash_pandas_object(df[cols], index=False) \
+                .to_numpy(np.uint64)
+            df["part"] = (h % np.uint64(num_partitions)).astype("int64")
+            return df
+
+        return pre
+
+    both = known.map_batches(tag(0), batch_format="pyarrow").union(
+        candidates.map_batches(tag(1), batch_format="pyarrow"))
+
+    def keep_present(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=cols + ["side"])
+        grp = g.groupby(cols, dropna=False, sort=False)["side"]
+        present = grp.transform("min") == 0
+        keep = g[present & (g["side"] == 1)]
+        if keep.empty:
+            return _TRIPLES_SCHEMA.empty_table()
+        return pa.Table.from_pandas(keep[cols], schema=_TRIPLES_SCHEMA,
+                                    preserve_index=False)
+
+    return (both.groupby("part")
+            .map_groups(keep_present, batch_format="pandas"))
+
+
+def _pd_dred(closure_df: pd.DataFrame, base_df: pd.DataFrame,
+             deletions_df: pd.DataFrame, rules: list[Rule],
+             max_rounds: int) -> dict:
+    """Driver-side DRed, identical semantics to the distributed path."""
+    cols = list(_TRIPLE_COLS)
+    typing = ["object_kind", "object_lang", "object_datatype"]
+
+    def norm(df):
+        out = df[cols].copy()
+        for c in typing:
+            out[c] = out[c].fillna(_PD_NULL)
+        return out.drop_duplicates()
+
+    def minus(a, b):
+        probe = a.merge(b[cols], on=cols, how="left", indicator=True)
+        return probe[probe["_merge"] == "left_only"][cols]
+
+    def inter(a, b):
+        return a.merge(b[cols].drop_duplicates(), on=cols, how="inner")
+
+    def wrap(df):
+        import ray.data
+
+        if df.empty:
+            return ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+        out = df.copy()
+        for c in typing:
+            out[c] = out[c].where(out[c] != _PD_NULL, None)
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            out, schema=_TRIPLES_SCHEMA, preserve_index=False))
+
+    full = norm(closure_df)
+    base = norm(base_df)
+    dels = inter(norm(deletions_df), full)
+    if dels.empty:
+        return {"closure": wrap(full), "removed": wrap(full.iloc[0:0]),
+                "n_removed": 0, "rounds_over": 0, "rounds_red": 0}
+
+    # --- overdeletion: semi-naive from the deleted facts ---------------
+    over = dels
+    delta = dels
+    rounds_over = 0
+    for rounds_over in range(1, max_rounds + 1):
+        cands = []
+        for rule in rules:
+            for i in range(len(rule.body)):
+                srcs = [delta if j == i else None
+                        for j in range(len(rule.body))]
+                b = _pd_bgp(full, rule, srcs)
+                if len(b):
+                    cands.append(_pd_expand_head(b, rule.head))
+        if cands:
+            cand = pd.concat(cands,
+                             ignore_index=True).drop_duplicates(subset=cols)
+            new = minus(inter(cand, full), over)
+        else:
+            new = full.iloc[0:0]
+        if new.empty:
+            rounds_over -= 1
+            break
+        over = pd.concat([over, new], ignore_index=True)
+        delta = new
+
+    keep = minus(full, over)
+    # --- rederivation: head bound to the candidate set -----------------
+    cand_set = minus(over, dels)
+    readd = inter(cand_set, minus(base, dels))  # EDB survivors
+    keep = pd.concat([keep, readd], ignore_index=True)
+    cand_set = minus(cand_set, readd)
+    delta = readd
+    rounds_red = 0
+    first = True
+    while len(cand_set) and rounds_red < max_rounds:
+        cands = []
+        for rule in rules:
+            for tmpl in rule.head:
+                head_pat = tuple(tmpl[:3])
+                if not _pd_pattern_vars_exist(head_pat):
+                    b = _pd_bgp(keep, rule)
+                    if len(b):
+                        hit = inter(_pd_expand_head(b.iloc[:1], [tmpl]),
+                                    cand_set)
+                        if len(hit):
+                            cands.append(hit)
+                    continue
+                aug = Rule(list(rule.body) + [head_pat], [tmpl])
+                if first:
+                    srcs_list = [[None] * len(rule.body) + [cand_set]]
+                else:
+                    srcs_list = [
+                        [delta if j == i else None
+                         for j in range(len(rule.body))] + [cand_set]
+                        for i in range(len(rule.body))]
+                for srcs in srcs_list:
+                    b = _pd_bgp(keep, aug, srcs)
+                    if len(b):
+                        cands.append(_pd_expand_head(b, [tmpl]))
+        if not cands:
+            break
+        cand = pd.concat(cands,
+                         ignore_index=True).drop_duplicates(subset=cols)
+        new = inter(cand, cand_set)
+        if new.empty:
+            break
+        keep = pd.concat([keep, new], ignore_index=True)
+        cand_set = minus(cand_set, new)
+        delta = new
+        first = False
+        rounds_red += 1
+
+    removed = minus(full, keep)
+    return {"closure": wrap(keep), "removed": wrap(removed),
+            "n_removed": len(removed), "rounds_over": rounds_over,
+            "rounds_red": rounds_red}
+
+
+def _pd_pattern_vars_exist(pattern) -> bool:
+    return any(isinstance(t, str) and t.startswith("?") for t in pattern)
+
+
+def dred_delete(closure, rules: list[Rule], deletions, base,
+                num_partitions: int | None = None,
+                max_rounds: int = 12,
+                driver_rows: int = 200_000) -> dict:
+    """Retract ``deletions`` (base facts) from an already-materialized
+    ``closure`` under ``rules`` using **DRed**
+    (delete-and-rederive, Gupta/Mumick/Subrahmanian): the counterpart
+    of :func:`forward_chain`'s ``seed_delta`` additions path, so the
+    two together maintain a 100-TB entailed KG under both kinds of
+    change without ever re-closing it.
+
+    Phases, both DELTA-sized:
+
+    1. **Overdeletion** — semi-naive from the deleted facts: a closure
+       fact joins the overdeletion set when some rule instantiation
+       that yields it uses an already-overdeleted fact (body pattern i
+       bound to the round's delta, the rest to the pre-deletion
+       closure).  Cost tracks the dependency cone of the deletions,
+       never the closure size.
+    2. **Rederivation** — an overdeleted fact returns if it is itself a
+       surviving base fact, or some rule re-derives it from RETAINED
+       facts only.  The search is head-restricted: each rule body is
+       joined WITH ITS HEAD PATTERN BOUND TO THE CANDIDATE SET (the
+       overdeleted non-base facts), so rederivation joins start from
+       the delta too — no full rule re-evaluation over the kept
+       closure.  Facts that only support each other in a cycle with no
+       external support are NOT rederived (bodies evaluate against the
+       kept set, which excludes all candidates).
+
+    ``base`` is the EDB (extracted) fact set — required, because
+    rederivation must know which facts hold without derivation.
+    Returns ``{"closure", "removed", "n_removed", "rounds_over",
+    "rounds_red"}`` with ``removed`` = old closure − new closure
+    (includes the deletions themselves).
+
+    Below ``driver_rows`` closure facts the identical algorithm runs
+    driver-side in pandas (:func:`_pd_dred`,
+    distributed-equivalence-tested)."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_coarse_partitions,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import bgp_query
+
+    if hasattr(closure, "scan_for_predicate"):
+        closure = closure.scan_for_predicate(None)
+    full = _norm_triples(closure).materialize()
+    n_full = full.count()
+    if num_partitions is None:
+        num_partitions = default_coarse_partitions(max(n_full, 1))
+    base_n = _norm_triples(base).materialize()
+    dels_n = _norm_triples(deletions).materialize()
+
+    if n_full <= driver_rows:
+        return _pd_dred(full.to_pandas(), base_n.to_pandas(),
+                        dels_n.to_pandas(), rules, max_rounds)
+
+    empty = ray.data.from_arrow(_TRIPLES_SCHEMA.empty_table())
+    dels = _in_known(dels_n, full, num_partitions).materialize()
+    if dels.count() == 0:
+        return {"closure": full, "removed": empty, "n_removed": 0,
+                "rounds_over": 0, "rounds_red": 0}
+
+    # --- overdeletion ---------------------------------------------------
+    over = dels
+    delta = dels
+    rounds_over = 0
+    for rounds_over in range(1, max_rounds + 1):
+        cand_parts = []
+        for rule in rules:
+            for i in range(len(rule.body)):
+                srcs = [delta if j == i else None
+                        for j in range(len(rule.body))]
+                sols = bgp_query(full, rule.body, project=rule.body_vars,
+                                 distinct=True, pattern_sources=srcs)
+                cand_parts.append(sols.map_batches(
+                    _expand_templates(rule.head), batch_format="pyarrow"))
+        cand = cand_parts[0]
+        for extra in cand_parts[1:]:
+            cand = cand.union(extra)
+        hit = _in_known(cand, full, num_partitions)
+        new = _new_vs_known(hit, over, num_partitions).materialize()
+        if new.count() == 0:
+            rounds_over -= 1
+            break
+        over = over.union(new).materialize()
+        delta = new
+
+    keep = _new_vs_known(full, over, num_partitions).materialize()
+    # --- rederivation ----------------------------------------------------
+    cand_set = _new_vs_known(over, dels, num_partitions).materialize()
+    surviving_base = _new_vs_known(base_n, dels, num_partitions)
+    readd = _in_known(cand_set, surviving_base,
+                      num_partitions).materialize()
+    if readd.count():
+        keep = keep.union(readd).materialize()
+        cand_set = _new_vs_known(cand_set, readd,
+                                 num_partitions).materialize()
+    delta = readd
+    rounds_red = 0
+    first = True
+    while cand_set.count() and rounds_red < max_rounds:
+        cand_parts = []
+        for rule in rules:
+            for tmpl in rule.head:
+                head_pat = tuple(tmpl[:3])
+                if not _pd_pattern_vars_exist(head_pat):
+                    sols = bgp_query(keep, rule.body,
+                                     project=rule.body_vars[:1],
+                                     distinct=True)
+                    if sols.limit(1).count():
+                        one = ray.data.from_arrow(pa.table({
+                            "subject": [head_pat[0]],
+                            "predicate": [head_pat[1]],
+                            "object": [head_pat[2]]}))
+                        cand_parts.append(one.map_batches(
+                            _expand_templates([tmpl]),
+                            batch_format="pyarrow"))
+                    continue
+                aug = Rule(list(rule.body) + [head_pat], [tmpl])
+                if first:
+                    srcs_list = [[None] * len(rule.body) + [cand_set]]
+                else:
+                    srcs_list = [
+                        [delta if j == i else None
+                         for j in range(len(rule.body))] + [cand_set]
+                        for i in range(len(rule.body))]
+                for srcs in srcs_list:
+                    sols = bgp_query(keep, aug.body,
+                                     project=aug.body_vars,
+                                     distinct=True, pattern_sources=srcs)
+                    cand_parts.append(sols.map_batches(
+                        _expand_templates([tmpl]),
+                        batch_format="pyarrow"))
+        if not cand_parts:
+            break
+        cand = cand_parts[0]
+        for extra in cand_parts[1:]:
+            cand = cand.union(extra)
+        new = _in_known(cand, cand_set, num_partitions).materialize()
+        if new.count() == 0:
+            break
+        keep = keep.union(new).materialize()
+        cand_set = _new_vs_known(cand_set, new,
+                                 num_partitions).materialize()
+        delta = new
+        first = False
+        rounds_red += 1
+
+    removed = _new_vs_known(full, keep, num_partitions).materialize()
+    return {"closure": keep, "removed": removed,
+            "n_removed": removed.count(), "rounds_over": rounds_over,
+            "rounds_red": rounds_red}

@@ -736,3 +736,128 @@ def test_forward_chain_driver_path_literal_meta(ray_session):
     assert list(df["object_kind"]) == ["literal"]
     assert list(df["object_lang"]) == ["en"]
     assert df["object_datatype"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# dred_delete (deletion with rederivation)
+# ---------------------------------------------------------------------------
+
+def _close(ds_rows, rules):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        forward_chain,
+    )
+
+    return forward_chain(_ds(ds_rows), rules)["closure"]
+
+
+def test_dred_delete_removes_dependency_cone(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        dred_delete,
+    )
+
+    closure = _close(CHAIN, [TRANS])
+    out = dred_delete(closure, [TRANS],
+                      deletions=_ds([("b", "locatedIn", "c")]),
+                      base=_ds(CHAIN))
+    # with b-c gone: every path through it dies, a-b and c-d survive
+    assert _spo(out["removed"]) == {
+        ("b", "locatedIn", "c"), ("a", "locatedIn", "c"),
+        ("b", "locatedIn", "d"), ("a", "locatedIn", "d")}
+    assert _spo(out["closure"]) == {
+        ("a", "locatedIn", "b"), ("c", "locatedIn", "d")}
+    # result equals full re-closure of the surviving base
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        forward_chain,
+    )
+    ref = forward_chain(_ds([("a", "locatedIn", "b"),
+                             ("c", "locatedIn", "d")]), [TRANS])
+    assert _spo(out["closure"]) == _spo(ref["closure"])
+
+
+def test_dred_delete_rederives_alternative_support(ray_session):
+    """a→c is derivable through b AND through x; deleting the b-route
+    must overdelete a→c then rederive it through x."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        dred_delete,
+    )
+
+    rows = [("a", "locatedIn", "b"), ("b", "locatedIn", "c"),
+            ("a", "locatedIn", "x"), ("x", "locatedIn", "c")]
+    closure = _close(rows, [TRANS])
+    out = dred_delete(closure, [TRANS],
+                      deletions=_ds([("b", "locatedIn", "c")]),
+                      base=_ds(rows))
+    assert ("a", "locatedIn", "c") in _spo(out["closure"])  # rederived
+    assert _spo(out["removed"]) == {("b", "locatedIn", "c")}
+    assert out["rounds_red"] >= 1
+
+
+def test_dred_delete_edb_facts_survive_overdeletion(ray_session):
+    """A derived fact that is ALSO asserted as a base fact returns via
+    the EDB-survivor readd, and derivations from it stay intact."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        dred_delete,
+    )
+
+    rows = [("a", "locatedIn", "b"), ("b", "locatedIn", "c"),
+            ("a", "locatedIn", "c"),          # also EDB
+            ("c", "locatedIn", "d")]
+    closure = _close(rows, [TRANS])
+    out = dred_delete(closure, [TRANS],
+                      deletions=_ds([("b", "locatedIn", "c")]),
+                      base=_ds(rows))
+    got = _spo(out["closure"])
+    assert ("a", "locatedIn", "c") in got        # EDB survivor
+    assert ("a", "locatedIn", "d") in got        # rederived through it
+    assert _spo(out["removed"]) == {("b", "locatedIn", "c"),
+                                    ("b", "locatedIn", "d")}
+
+
+def test_dred_delete_cycle_without_external_support_dies(ray_session):
+    """Facts that only support each other must NOT rederive: the
+    sameAs-style symmetric rule closure of (m,n) collapses entirely
+    when the base edge goes."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        dred_delete,
+    )
+
+    sym = Rule([("?x", "eq", "?y")], [("?y", "eq", "?x")], name="sym")
+    rows = [("m", "eq", "n")]
+    closure = _close(rows, [sym])   # adds (n, eq, m)
+    out = dred_delete(closure, [sym],
+                      deletions=_ds([("m", "eq", "n")]), base=_ds(rows))
+    assert _spo(out["closure"]) == set()
+    assert _spo(out["removed"]) == {("m", "eq", "n"), ("n", "eq", "m")}
+
+
+def test_dred_delete_driver_vs_distributed_equivalence(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        dred_delete,
+    )
+
+    rows = [("a", "locatedIn", "b"), ("b", "locatedIn", "c"),
+            ("a", "locatedIn", "x"), ("x", "locatedIn", "c"),
+            ("c", "locatedIn", "d")]
+    closure = _close(rows, [TRANS])
+    drv = dred_delete(closure, [TRANS],
+                      deletions=_ds([("b", "locatedIn", "c")]),
+                      base=_ds(rows))
+    dist = dred_delete(closure, [TRANS],
+                       deletions=_ds([("b", "locatedIn", "c")]),
+                       base=_ds(rows), driver_rows=0)
+    assert _spo(drv["closure"]) == _spo(dist["closure"])
+    assert _spo(drv["removed"]) == _spo(dist["removed"])
+    assert drv["n_removed"] == dist["n_removed"]
+
+
+def test_dred_delete_noop_when_deletion_unknown(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import (
+        dred_delete,
+    )
+
+    closure = _close(CHAIN, [TRANS])
+    out = dred_delete(closure, [TRANS],
+                      deletions=_ds([("zz", "locatedIn", "yy")]),
+                      base=_ds(CHAIN))
+    assert out["n_removed"] == 0
+    assert _spo(out["closure"]) == _spo(closure)
