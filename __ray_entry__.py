@@ -599,6 +599,49 @@ def _kg_khop_nation(sf_dir: str):
     return sub.select_columns(["subject", "predicate", "object"])
 
 
+def _kg_graph_quad_counts(sf_dir: str):
+    """Named-graph GROUP BY through the SPARQL front end: quad counts per
+    graph (one graph per customer nation, ``order_quads`` encoding)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_quads
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        order_quads(sf_dir).materialize(),
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?g ORDER BY ?g")
+
+
+def _kg_graph_building_orders(sf_dir: str):
+    """``GRAPH ?g { … }`` with a same-graph 2-pattern join: orders placed
+    by BUILDING-segment customers, counted per named graph (= nation)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_quads
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        order_quads(sf_dir).materialize(),
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { "
+        '?o "placed_by" ?c . ?c "segment" "BUILDING" } } '
+        "GROUP BY ?g ORDER BY ?g")
+
+
+def _kg_graph_const_segments(sf_dir: str):
+    """``GRAPH <iri> { … }``: customer segments inside ONE named graph —
+    the scan is graph-filtered before the aggregate."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_quads
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    return sparql_select(
+        order_quads(sf_dir).materialize(),
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { GRAPH <urn:g:NATION_7> { "
+        '?c "segment" ?s } } GROUP BY ?s ORDER BY ?s')
+
+
 def _kg_sparql_purchases_per_user(sf_dir: str):
     """SPARQL string front end compiled onto the distributed BGP engine:
     aggregate query over the events triple encoding."""
@@ -1808,6 +1851,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_graph_quad_counts": _kg_graph_quad_counts,
+        "kg_graph_building_orders": _kg_graph_building_orders,
+        "kg_graph_const_segments": _kg_graph_const_segments,
         "kg_sparql_purchases_per_user": _kg_sparql_purchases_per_user,
         "kg_sparql_path_order_nations": _kg_sparql_path_order_nations,
         "kg_khop_nation": _kg_khop_nation,
@@ -3263,6 +3309,43 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d')
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # quad counts per named graph (graph = customer nation): one
+        # segment quad per customer + two quads per order
+        "kg_graph_quad_counts": """
+            WITH g AS (
+              SELECT 'urn:g:' || replace(n_name, ' ', '_') AS g,
+                     COUNT(*) AS n
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1
+              UNION ALL
+              SELECT 'urn:g:' || replace(n_name, ' ', '_') AS g,
+                     2 * COUNT(*) AS n
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              GROUP BY 1
+            )
+            SELECT g, CAST(SUM(n) AS BIGINT) AS n FROM g
+            GROUP BY g ORDER BY g
+        """,
+        # same-graph GRAPH ?g join == orders of BUILDING customers per
+        # nation (order quads inherit the customer's nation graph)
+        "kg_graph_building_orders": """
+            SELECT 'urn:g:' || replace(n_name, ' ', '_') AS g,
+                   COUNT(*) AS n
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1 ORDER BY g
+        """,
+        # constant-graph scan == customers of exactly that nation
+        "kg_graph_const_segments": """
+            SELECT c_mktsegment AS s, COUNT(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE replace(n_name, ' ', '_') = 'NATION_7'
+            GROUP BY 1 ORDER BY s
         """,
         # 3-pattern BGP chain over the orders→customer→nation triple
         # encoding ≡ the relational 3-way join, counted per nation name

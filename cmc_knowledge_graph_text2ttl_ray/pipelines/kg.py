@@ -126,6 +126,7 @@ def run_kg_pipeline(
     canonical_broadcast_rows: int = 2_000_000,
     source: str = "auto",
     ttl_compression: str | None = None,
+    output_format: str = "turtle",
 ):
     """Run the full pipeline. Returns a dict with the key datasets/artifacts.
 
@@ -271,14 +272,39 @@ def run_kg_pipeline(
         t0 = time.perf_counter()
         # dedup is fused into the sink's bucket shuffle; `deduped` above
         # stays lazy for API consumers and is not executed here
-        manifest = write_ttl_partitions(
-            canonical,
-            os.path.join(out_dir, "ttl"),
-            prefixes=prefixes,
-            num_buckets=num_buckets,
-            resume=resume,
-            compression=ttl_compression,
-        )
+        if output_format in ("nquads", "trig"):
+            # named-graph output: one graph per source document (minted
+            # from doc_url, which canonicalization preserves) — the
+            # scalable replacement for the reference's one-file-per-doc
+            # provenance (text_to_turtle_processor.py:66-83)
+            from cmc_knowledge_graph_text2ttl_ray.stages.sinks import (
+                records_to_quads,
+                write_quad_partitions,
+            )
+
+            manifest = write_quad_partitions(
+                records_to_quads(canonical),
+                os.path.join(out_dir, "nq" if output_format == "nquads"
+                             else "trig"),
+                fmt=output_format,
+                prefixes=prefixes,
+                num_buckets=num_buckets,
+                resume=resume,
+                compression=ttl_compression,
+            )
+        elif output_format == "turtle":
+            manifest = write_ttl_partitions(
+                canonical,
+                os.path.join(out_dir, "ttl"),
+                prefixes=prefixes,
+                num_buckets=num_buckets,
+                resume=resume,
+                compression=ttl_compression,
+            )
+        else:
+            raise ValueError(
+                f"output_format must be turtle|nquads|trig, got "
+                f"{output_format!r}")
         timings["ttl_write"] = time.perf_counter() - t0
 
     if out_dir:

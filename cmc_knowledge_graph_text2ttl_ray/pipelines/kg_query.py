@@ -51,6 +51,7 @@ __all__ = ["bgp_query", "khop_subgraph", "kg_profile",
            "owl_demo_triples", "sameas_demo_triples", "eq_demo_triples"]
 
 _POS_COLS = ("subject", "predicate", "object")
+_QUAD_COLS = ("subject", "predicate", "object", "graph")
 
 
 def _is_var(term: str) -> bool:
@@ -79,6 +80,8 @@ def _selectivity_key(pattern: Sequence[str]) -> tuple:
         bonus -= 2
     if not _is_var(pattern[1]):
         bonus -= 1
+    if len(pattern) > 3 and not _is_var(pattern[3]):
+        bonus -= 2  # a bound graph prunes like a bound subject
     return (n_vars, bonus)
 
 
@@ -93,7 +96,7 @@ def _pattern_scan(triples, pattern: Sequence[str],
     ones, carries the full typed schema (a separate ``rename_columns``
     Project leaves post-filter empty blocks schema-inconsistent, which
     Ray's hash join rejects with "No match ... for key field")."""
-    s, p, o = pattern
+    cols = _POS_COLS if len(pattern) == 3 else _QUAD_COLS
     rename = rename or {}
     var_cols = _pattern_vars(pattern)
     out_names = [rename.get(v[1:], v[1:]) for v in var_cols]
@@ -103,12 +106,12 @@ def _pattern_scan(triples, pattern: Sequence[str],
         # predicate-bucketed TripleStore: a constant predicate prunes
         # the read to its bucket before the scan filter runs
         triples = triples.scan_for_predicate(
-            None if _is_var(p) else p)
+            None if _is_var(pattern[1]) else pattern[1])
 
     def scan(t: pa.Table) -> pa.Table:
         mask = None
         first_col: dict[str, str] = {}
-        for col, term in zip(_POS_COLS, (s, p, o)):
+        for col, term in zip(cols, pattern):
             if _is_var(term):
                 if term in first_col:
                     m = pc.equal(t[first_col[term]], t[col])
@@ -177,8 +180,9 @@ def _validate_patterns(patterns):
     if not patterns:
         raise ValueError("bgp_query needs at least one pattern")
     for pat in patterns:
-        if len(pat) != 3:
-            raise ValueError(f"pattern must be (s, p, o), got {pat!r}")
+        if len(pat) not in (3, 4):
+            raise ValueError(
+                f"pattern must be (s, p, o) or (s, p, o, g), got {pat!r}")
         if not _pattern_vars(pat):
             raise ValueError(
                 f"pattern {pat!r} has no variables; constant-only "
@@ -926,3 +930,81 @@ def eq_demo_triples(sf_dir: str):
     return (orders.map_batches(enc_orders, batch_format="pyarrow")
             .union(cust.map_batches(enc_cust, batch_format="pyarrow"))
             .union(ray.data.from_arrow(onto_tbl)))
+
+
+def order_quads(sf_dir: str):
+    """Deterministic QUAD encoding (named graph per customer nation) of
+    the orders→customer chain — the engine's named-graph demo source for
+    oracle-checked GRAPH queries:
+
+    - graph ``urn:g:<N_NAME>`` (spaces → ``_``) holds every triple about
+      that nation's customers and their orders
+    - ``(cust:<c>, segment, <c_mktsegment>)``
+    - ``(order:<o>, placed_by, cust:<c>)`` and
+      ``(order:<o>, priority, <o_orderpriority>)``
+
+    Nation (25 rows) is a driver-side broadcast lookup; orders get their
+    customer's graph through ONE pruned hash join on ``custkey`` at a
+    derived partition count — the same shape the relational pipelines use.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        default_join_partitions,
+    )
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    ndict = {int(k): "urn:g:" + str(v).replace(" ", "_")
+             for k, v in zip(nation["n_nationkey"], nation["n_name"])}
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def enc_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["c_nationkey"].map(ndict)
+        subj = "cust:" + df["c_custkey"].astype(str)
+        return pd.DataFrame({
+            "subject": subj,
+            "predicate": "segment",
+            "object": df["c_mktsegment"].astype(str),
+            "object_kind": "literal",
+            "graph": g,
+        })
+
+    cust_graph = cust.map_batches(
+        lambda df: pd.DataFrame({"o_custkey": df["c_custkey"],
+                                 "graph": df["c_nationkey"].map(ndict)}),
+        batch_format="pandas")
+    n_orders = orders.count()
+    np_join = max(1, min(default_join_partitions(), -(-n_orders // 200_000)))
+    joined = orders.join(cust_graph, join_type="inner",
+                         num_partitions=np_join, on=("o_custkey",))
+
+    def enc_orders(df: pd.DataFrame) -> pd.DataFrame:
+        osubj = "order:" + df["o_orderkey"].astype(str)
+        by = pd.DataFrame({
+            "subject": osubj,
+            "predicate": "placed_by",
+            "object": "cust:" + df["o_custkey"].astype(str),
+            "object_kind": "iri",
+            "graph": df["graph"],
+        })
+        pr = pd.DataFrame({
+            "subject": osubj,
+            "predicate": "priority",
+            "object": df["o_orderpriority"].astype(str),
+            "object_kind": "literal",
+            "graph": df["graph"],
+        })
+        return pd.concat([by, pr], ignore_index=True)
+
+    return (cust.map_batches(enc_cust, batch_format="pandas")
+            .union(joined.map_batches(enc_orders, batch_format="pandas")))

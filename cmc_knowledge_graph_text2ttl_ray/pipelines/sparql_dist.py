@@ -108,6 +108,29 @@ class _Fresh:
         return ("var", f"__p{self.n}")
 
 
+
+def _graph_source(graph_iri: str):
+    """Source factory for patterns inside ``GRAPH <iri> { … }``: the quad
+    dataset restricted to that graph.  Raises a clear error when the
+    source carries no ``graph`` column (a plain triple dataset)."""
+    def factory(triples):
+        import pyarrow.compute as pc
+
+        base = (triples.scan_for_predicate(None)
+                if hasattr(triples, "scan_for_predicate") else triples)
+
+        def pick(t: pa.Table, _g=graph_iri) -> pa.Table:
+            if "graph" not in t.column_names:
+                raise ValueError(
+                    "GRAPH requires a quad source (a 'graph' column); "
+                    "this dataset is triple-only")
+            return t.filter(pc.fill_null(pc.equal(t["graph"], _g), False))
+
+        return base.map_batches(pick, batch_format="pyarrow")
+
+    return factory
+
+
 def _not_in_filter(var_name: str, bad: frozenset):
     def fn(b, _v=var_name, _bad=bad):
         return b.get(_v) is not None and b[_v] not in _bad
@@ -626,6 +649,37 @@ def _translate_group(elements):
             exists_groups.append(payload)  # (negated, elements)
         elif kind == "subquery":
             subqueries.append(payload)  # (text, prefixes)
+        elif kind == "graph":
+            # GRAPH ?g { BGP [FILTER…] } — patterns become QUADS (the
+            # graph var is a 4th join term, so multi-pattern groups are
+            # same-graph-constrained for free); GRAPH <iri> { … } keeps
+            # 3-term patterns over a graph-filtered source.  Default-graph
+            # semantics outside GRAPH are the UNION of all graphs (the
+            # rdflib-Dataset default_union / Virtuoso convention),
+            # documented deviation from the SPARQL dataset model.
+            gterm, inner = payload
+            for ikind, ipayload in inner:
+                if ikind == "filter":
+                    filters.append(ipayload)
+                    continue
+                if ikind != "bgp":
+                    raise NotImplementedError(
+                        f"distributed SPARQL: {ikind.upper()} inside "
+                        "GRAPH is not supported")
+                for pat in ipayload:
+                    if isinstance(pat[1], tuple) and pat[1][0] == "path":
+                        raise NotImplementedError(
+                            "distributed SPARQL: property paths inside "
+                            "GRAPH are not supported")
+                g = _conv_term(gterm)
+                if g.startswith("?"):
+                    patterns.extend(
+                        tuple(_conv_term(t) for t in pat) + (g,)
+                        for pat in ipayload)
+                    sources.extend([None] * len(ipayload))
+                else:
+                    patterns.extend(_conv_patterns(ipayload))
+                    sources.extend([_graph_source(g)] * len(ipayload))
         else:
             raise NotImplementedError(
                 f"distributed SPARQL: {kind.upper()} is not supported")

@@ -717,8 +717,9 @@ class GraphIndex:
         # the FILTER keyword — hence the span mask and the left lookbehind
         # (':' keeps prefixed names out)
         in_str = _string_mask(body)
-        kw = re.compile(r"(?<![?\w:])(OPTIONAL|FILTER|MINUS|UNION|BIND|VALUES)\b|\{",
-                        re.IGNORECASE)
+        kw = re.compile(
+            r"(?<![?\w:])(OPTIONAL|FILTER|MINUS|UNION|BIND|VALUES|GRAPH)\b|\{",
+            re.IGNORECASE)
         while pos < n:
             m = kw.search(body, pos)
             while m is not None and in_str[m.start()]:
@@ -765,6 +766,30 @@ class GraphIndex:
                     raise QueryError(f"{word} must be followed by a group")
                 sub, pos = self._read_group(body, nxt)
                 elements.append((word.lower(), self._parse_group(sub, prefixes)))
+            elif word == "GRAPH":
+                # GRAPH ?g { … } | GRAPH <iri> { … } | GRAPH pfx:name { … }
+                mg = re.match(
+                    r"(\?(\w+)|<([^>]*)>|(\w*):([A-Za-z0-9_.\-]+))\s*",
+                    body[nxt:])
+                if mg is None:
+                    raise QueryError(
+                        "GRAPH requires ?var or an IRI before its group")
+                if mg.group(2):
+                    gterm = ("var", mg.group(2))
+                elif mg.group(3) is not None:
+                    gterm = ("const", mg.group(3))
+                else:
+                    ns = prefixes.get(mg.group(4))
+                    if ns is None:
+                        raise QueryError(
+                            f"Unknown prefix {mg.group(4)!r} in GRAPH")
+                    gterm = ("const", ns + mg.group(5))
+                brace = nxt + mg.end()
+                if brace >= n or body[brace] != "{":
+                    raise QueryError("GRAPH term must be followed by a group")
+                sub, pos = self._read_group(body, brace)
+                elements.append(("graph", (gterm,
+                                           self._parse_group(sub, prefixes))))
             elif word == "FILTER":
                 m_ex = re.match(r"(NOT\s+)?EXISTS\s*\{", body[nxt:],
                                 re.IGNORECASE)
@@ -936,6 +961,11 @@ class GraphIndex:
                             nb.update(r)
                             nxt2.append(nb)
                 bindings = nxt2
+            elif kind == "graph":
+                raise QueryError(
+                    "GRAPH is not supported on in-memory reference graphs "
+                    "(they are triple-only); run the query through the "
+                    "distributed front end over a quad dataset")
             elif kind == "values":
                 vars_, rows_ = payload
                 nxt2 = []
