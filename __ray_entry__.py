@@ -599,6 +599,52 @@ def _kg_khop_nation(sf_dir: str):
     return sub.select_columns(["subject", "predicate", "object"])
 
 
+def _kg_void_properties(sf_dir: str):
+    """VoID property partitions (per-predicate triples / distinct
+    subjects / distinct objects) over the orders→customer→nation triple
+    encoding — per-block partials + one coarse exchange per metric."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_triples
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.void_stats import (
+        void_property_partitions,
+    )
+
+    return void_property_partitions(order_triples(sf_dir).materialize())
+
+
+def _kg_void_classes(sf_dir: str):
+    """VoID class partitions (distinct instances per class) over the
+    RDFS demo encoding's rdf:type triples."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        rdfs_demo_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.void_stats import (
+        void_class_partitions,
+    )
+
+    return void_class_partitions(rdfs_demo_triples(sf_dir).materialize(),
+                                 type_predicate="rdf:type")
+
+
+def _kg_void_graphs(sf_dir: str):
+    """Per-named-graph VoID descriptors (quads / distinct subjects /
+    distinct predicates) over the order_quads encoding."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_quads
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.void_stats import (
+        void_graph_partitions,
+    )
+
+    return void_graph_partitions(order_quads(sf_dir).materialize())
+
+
+def _kg_void_summary(sf_dir: str):
+    """Whole-dataset VoID summary (exact distinct counts) over the
+    orders→customer→nation triple encoding."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_triples
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.void_stats import void_summary
+
+    return void_summary(order_triples(sf_dir).materialize())
+
+
 def _kg_graph_quad_counts(sf_dir: str):
     """Named-graph GROUP BY through the SPARQL front end: quad counts per
     graph (one graph per customer nation, ``order_quads`` encoding)."""
@@ -1851,6 +1897,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_void_properties": _kg_void_properties,
+        "kg_void_classes": _kg_void_classes,
+        "kg_void_graphs": _kg_void_graphs,
+        "kg_void_summary": _kg_void_summary,
         "kg_graph_quad_counts": _kg_graph_quad_counts,
         "kg_graph_building_orders": _kg_graph_building_orders,
         "kg_graph_const_segments": _kg_graph_const_segments,
@@ -3309,6 +3359,74 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d')
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # VoID property partitions == per-source-table aggregates of the
+        # demo triple encoding (one predicate per table)
+        "kg_void_properties": """
+            SELECT * FROM (
+              SELECT 'has_name' AS predicate, COUNT(*) AS n_triples,
+                     COUNT(DISTINCT n_nationkey) AS n_subjects,
+                     COUNT(DISTINCT n_name) AS n_objects
+              FROM nation
+              UNION ALL
+              SELECT 'in_nation', COUNT(*),
+                     COUNT(DISTINCT c_custkey), COUNT(DISTINCT c_nationkey)
+              FROM customer
+              UNION ALL
+              SELECT 'placed_by', COUNT(*),
+                     COUNT(DISTINCT o_orderkey), COUNT(DISTINCT o_custkey)
+              FROM orders
+            ) ORDER BY predicate
+        """,
+        # class partition of rdf:type triples == customers per nation
+        "kg_void_classes": """
+            SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS "class",
+                   COUNT(DISTINCT c_custkey) AS n_instances
+            FROM customer GROUP BY c_nationkey ORDER BY "class"
+        """,
+        # per-named-graph descriptors over the quad encoding
+        "kg_void_graphs": """
+            WITH parts AS (
+              SELECT 'urn:g:' || replace(n_name, ' ', '_') AS g,
+                     'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+                     'segment' AS p
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 'urn:g:' || replace(n_name, ' ', '_'),
+                     'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by'
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 'urn:g:' || replace(n_name, ' ', '_'),
+                     'order:' || CAST(o_orderkey AS VARCHAR), 'priority'
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT g AS graph, COUNT(*) AS n_quads,
+                   COUNT(DISTINCT s) AS n_subjects,
+                   COUNT(DISTINCT p) AS n_predicates
+            FROM parts GROUP BY g ORDER BY graph
+        """,
+        # whole-dataset distinct counts over the union of the encoding's
+        # (s, p, o) rows
+        "kg_void_summary": """
+            WITH t AS (
+              SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+                     'has_name' AS p, n_name AS o
+              FROM nation
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+                     'cust:' || CAST(o_custkey AS VARCHAR)
+              FROM orders
+            )
+            SELECT COUNT(*) AS n_triples, COUNT(DISTINCT s) AS n_subjects,
+                   COUNT(DISTINCT p) AS n_predicates,
+                   COUNT(DISTINCT o) AS n_objects
+            FROM t
         """,
         # quad counts per named graph (graph = customer nation): one
         # segment quad per customer + two quads per order

@@ -1,0 +1,202 @@
+"""VoID dataset statistics over triple / quad Datasets.
+
+W3C VoID (Vocabulary of Interlinked Datasets) is the standard way to
+describe an RDF dataset's shape: total triples, distinct subjects /
+objects, per-property partitions (``void:propertyPartition``), per-class
+partitions (``void:classPartition``).  The reference has no equivalent —
+its output is write-only TTL — but any consumer of a 100-TB KG needs
+these descriptors to plan queries, and they double as a cheap
+regression fingerprint between pipeline runs.
+
+Scale shape (the repo's standard aggregate treatment):
+
+- every metric is a per-block VECTORIZED partial (pandas ``groupby`` /
+  ``drop_duplicates``) followed by ONE ``coarse_group_reduce`` exchange —
+  nothing pays Ray's per-distinct-group sort-aggregate overhead;
+- distinct counts pre-dedup inside each block before anything shuffles,
+  so the exchange carries distinct (key, value) pairs, not raw rows;
+- the per-predicate / per-class / per-graph result tables are bounded by
+  vocabulary size (predicates, classes) or graph count, orders of
+  magnitude below row count — the final three-way merge of per-metric
+  tables is a driver-side pandas join on that bounded table (same
+  justification as the repo's post-aggregation broadcasts).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+__all__ = [
+    "void_property_partitions",
+    "void_class_partitions",
+    "void_graph_partitions",
+    "void_summary",
+    "void_triples",
+]
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _reduce_counts(ds, keys, value_col, metric: str, distinct: bool,
+                   num_coarse=None):
+    """One exchange: per-block partials → per-key totals.
+
+    ``distinct=False`` ships one partial-count row per (block, key);
+    ``distinct=True`` ships per-block pre-deduped (key, value) pairs and
+    counts uniques after the exchange (exact, since hash-partitioning by
+    key co-locates every pair of a key)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    keys = list(keys)
+
+    if distinct:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df[keys + [value_col]].drop_duplicates()
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.drop_duplicates()
+                    .groupby(keys, as_index=False)[value_col].count())
+            return out.rename(columns={value_col: metric})
+    else:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(keys, as_index=False).size()
+            return out.rename(columns={"size": metric})
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(keys, as_index=False)[metric].sum()
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    return coarse_group_reduce(pre, keys, combine, num_coarse=num_coarse)
+
+
+def void_property_partitions(triples, num_coarse=None) -> pd.DataFrame:
+    """``void:propertyPartition``: per predicate — ``n_triples``,
+    ``n_subjects`` (distinct), ``n_objects`` (distinct).  Returns a
+    pandas DataFrame bounded by vocabulary size."""
+    cnt = _reduce_counts(triples, ["predicate"], None, "n_triples",
+                         distinct=False, num_coarse=num_coarse).to_pandas()
+    ns = _reduce_counts(triples, ["predicate"], "subject", "n_subjects",
+                        distinct=True, num_coarse=num_coarse).to_pandas()
+    no = _reduce_counts(triples, ["predicate"], "object", "n_objects",
+                        distinct=True, num_coarse=num_coarse).to_pandas()
+    out = cnt.merge(ns, on="predicate").merge(no, on="predicate")
+    return out.sort_values("predicate", ignore_index=True)
+
+
+def void_class_partitions(triples, type_predicate: str = _RDF_TYPE,
+                          num_coarse=None) -> pd.DataFrame:
+    """``void:classPartition``: per class IRI — ``n_instances``
+    (distinct typed subjects).  ``type_predicate`` defaults to rdf:type
+    but demo encodings may use a short form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def only_type(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(
+            pc.equal(t["predicate"], type_predicate), False))
+        return t.select(["subject", "object"]).rename_columns(
+            ["subject", "class"])
+
+    typed = triples.map_batches(only_type, batch_format="pyarrow")
+    out = _reduce_counts(typed, ["class"], "subject", "n_instances",
+                         distinct=True, num_coarse=num_coarse).to_pandas()
+    return out.sort_values("class", ignore_index=True)
+
+
+def void_graph_partitions(quads, num_coarse=None) -> pd.DataFrame:
+    """Per named graph (one ``void:Dataset`` each): ``n_quads``,
+    ``n_subjects`` (distinct), ``n_predicates`` (distinct)."""
+    cnt = _reduce_counts(quads, ["graph"], None, "n_quads",
+                         distinct=False, num_coarse=num_coarse).to_pandas()
+    ns = _reduce_counts(quads, ["graph"], "subject", "n_subjects",
+                        distinct=True, num_coarse=num_coarse).to_pandas()
+    np_ = _reduce_counts(quads, ["graph"], "predicate", "n_predicates",
+                         distinct=True, num_coarse=num_coarse).to_pandas()
+    out = cnt.merge(ns, on="graph").merge(np_, on="graph")
+    return out.sort_values("graph", ignore_index=True)
+
+
+def void_summary(triples, num_coarse=None) -> pd.DataFrame:
+    """Whole-dataset descriptors: ``n_triples``, ``n_subjects``,
+    ``n_predicates``, ``n_objects`` (all distinct counts exact).
+
+    Global distinct counts reuse the keyed machinery with a constant
+    key column — the exchange still carries only per-block-deduped
+    values, partitioned by value hash inside coarse_group_reduce."""
+    import pyarrow as pa
+
+    def with_const(col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"k": pa.array([0] * len(t), pa.int64()),
+                             "v": t[col]})
+        return fn
+
+    total = triples.count()
+    vals = {}
+    for metric, col in (("n_subjects", "subject"),
+                        ("n_predicates", "predicate"),
+                        ("n_objects", "object")):
+        proj = triples.map_batches(with_const(col), batch_format="pyarrow")
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop_duplicates()
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [g["v"].nunique()]})
+
+        from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+            coarse_group_reduce,
+        )
+
+        # partition by VALUE hash so each distinct value is counted once
+        n = coarse_group_reduce(
+            proj.map_batches(partial, batch_format="pandas"),
+            ["v"], combine, num_coarse=num_coarse)
+        vals[metric] = int(n.to_pandas()["n"].sum())
+    return pd.DataFrame([{"n_triples": int(total), **vals}])
+
+
+def void_triples(property_parts: pd.DataFrame | None = None,
+                 class_parts: pd.DataFrame | None = None,
+                 summary: pd.DataFrame | None = None,
+                 dataset_iri: str = "urn:graft:void:dataset") -> pd.DataFrame:
+    """Render computed statistics as VoID RDF triple rows (engine schema),
+    ready for the TTL/N-Quads sinks — partition subjects are minted IRIs
+    (``urn:graft:void:prop:<i>``) because the engine never emits blank
+    nodes (functions/turtle.py ledger)."""
+    VOID = "http://rdfs.org/ns/void#"
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = []
+
+    def lit(s, p, n):
+        rows.append((s, p, str(int(n)), "literal", None, XSD_INT))
+
+    def ref(s, p, o):
+        rows.append((s, p, o, "iri", None, None))
+
+    if summary is not None and len(summary):
+        r = summary.iloc[0]
+        lit(dataset_iri, VOID + "triples", r["n_triples"])
+        lit(dataset_iri, VOID + "distinctSubjects", r["n_subjects"])
+        lit(dataset_iri, VOID + "properties", r["n_predicates"])
+        lit(dataset_iri, VOID + "distinctObjects", r["n_objects"])
+    if property_parts is not None:
+        for i, r in enumerate(property_parts.itertuples()):
+            part = f"{dataset_iri}:prop:{i}"
+            ref(dataset_iri, VOID + "propertyPartition", part)
+            ref(part, VOID + "property", r.predicate)
+            lit(part, VOID + "triples", r.n_triples)
+            lit(part, VOID + "distinctSubjects", r.n_subjects)
+            lit(part, VOID + "distinctObjects", r.n_objects)
+    if class_parts is not None:
+        for i, (cls, n_inst) in enumerate(
+                zip(class_parts["class"], class_parts["n_instances"])):
+            part = f"{dataset_iri}:class:{i}"
+            ref(dataset_iri, VOID + "classPartition", part)
+            ref(part, VOID + "class", cls)
+            lit(part, VOID + "entities", n_inst)
+    return pd.DataFrame(rows, columns=[
+        "subject", "predicate", "object", "object_kind",
+        "object_lang", "object_datatype"])
