@@ -299,3 +299,36 @@ class TestPipelineQuadOutput:
                     for e in ttl_run["manifest"]["buckets"].values())
         # quads >= deduped triples: the same triple from two docs is two quads
         assert len(rows) >= n_ttl
+
+
+class TestNQuadsReader:
+    def test_sink_reader_round_trip(self, ray_session, tmp_path):
+        ds = ray.data.from_pandas(_quads_df(QUADS))
+        write_quad_partitions(ds, str(tmp_path), fmt="nquads", num_buckets=3)
+        from cmc_knowledge_graph_text2ttl_ray.sources.nquads_src import nquads_dataset
+
+        back = nquads_dataset(str(tmp_path)).to_pandas()
+        assert len(back) == len(QUADS)
+        want = {(s, p, o, k, lg, dt, g) for s, p, o, k, lg, dt, g in QUADS}
+        got = {tuple(None if pd.isna(x) else x for x in r)
+               for r in back.itertuples(index=False, name=None)}
+        assert got == want
+        # the read-back dataset answers GRAPH queries directly
+        from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+            sparql_select,
+        )
+
+        out = sparql_select(
+            nquads_dataset(str(tmp_path)).materialize(),
+            "SELECT DISTINCT ?s WHERE { GRAPH <urn:g1> { ?s ?p ?o } } "
+            "ORDER BY ?s"
+        ).to_pandas()
+        assert out["s"].tolist() == ["urn:s1"]
+
+    def test_gzip_read_back(self, ray_session, tmp_path):
+        ds = ray.data.from_pandas(_quads_df(QUADS))
+        write_quad_partitions(ds, str(tmp_path), fmt="nquads", num_buckets=2,
+                              compression="gzip")
+        from cmc_knowledge_graph_text2ttl_ray.sources.nquads_src import nquads_dataset
+
+        assert nquads_dataset(str(tmp_path)).count() == len(QUADS)
