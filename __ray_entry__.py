@@ -599,6 +599,47 @@ def _kg_khop_nation(sf_dir: str):
     return sub.select_columns(["subject", "predicate", "object"])
 
 
+def _kg_transe_link_rank(sf_dir: str):
+    """Distributed TransE KG-embedding training over the IRI triples of
+    the orders→customer→nation encoding, evaluated by filtered link
+    rank per relation (no_oracle: model output; pinned by
+    planted-structure + layout-invariance tests in test_kg_embed.py).
+
+    Scale shape: corpus never shuffles — one map_batches gradient pass
+    per epoch against broadcast parameter matrices, partials summed in
+    one coarse exchange bounded by (entities touched × dim)."""
+    import numpy as np
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_embed import (
+        encode_triple_ids,
+        link_rank,
+        transe_train,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_triples
+
+    ids, ents, rels = encode_triple_ids(order_triples(sf_dir))
+    # lr is scaled by 1/n_rows inside transe_train (full-batch mean
+    # gradient), so the nominal value rises with corpus size; 20 ≈ a
+    # 0.012 per-row step at sf0.001
+    E, R, losses = transe_train(ids, len(ents), len(rels),
+                                dim=16, epochs=10, lr=20.0, seed=7)
+    df = ids.to_pandas()
+    # bound the O(n × |E|) rank evaluation: deterministic md5-style
+    # subsample of up to 2000 evaluation rows
+    if len(df) > 2000:
+        h = pd.util.hash_pandas_object(
+            df[["s", "p", "o"]], index=False).to_numpy()
+        df = df.iloc[np.argsort(h, kind="stable")[:2000]]
+    ranks = link_rank(E, R, df)
+    ranks["relation"] = ranks["p"].map(dict(enumerate(rels)))
+    ranks["n_entities"] = len(ents)
+    ranks["loss_first"] = round(losses[0], 4)
+    ranks["loss_last"] = round(losses[-1], 4)
+    return ranks[["relation", "mean_rank", "hits_at_10", "n",
+                  "n_entities", "loss_first", "loss_last"]]
+
+
 def _kg_void_properties(sf_dir: str):
     """VoID property partitions (per-predicate triples / distinct
     subjects / distinct objects) over the orders→customer→nation triple
@@ -1897,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_transe_link_rank": _kg_transe_link_rank,
         "kg_void_properties": _kg_void_properties,
         "kg_void_classes": _kg_void_classes,
         "kg_void_graphs": _kg_void_graphs,
