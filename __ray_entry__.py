@@ -599,6 +599,28 @@ def _kg_khop_nation(sf_dir: str):
     return sub.select_columns(["subject", "predicate", "object"])
 
 
+def _kg_fingerprint_orders(sf_dir: str):
+    """Order-independent 64-bit set hash of the distinct (s, p, o) triple
+    set — O(1) run-to-run change detection (XOR of per-triple md5)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_fingerprint,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_triples
+
+    return kg_fingerprint(order_triples(sf_dir))
+
+
+def _kg_fingerprint_graphs(sf_dir: str):
+    """Per-named-graph content fingerprints over the quad encoding —
+    which documents' triples changed between runs."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_fingerprint_by_graph,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_quads
+
+    return kg_fingerprint_by_graph(order_quads(sf_dir))
+
+
 def _kg_transe_link_rank(sf_dir: str):
     """Distributed TransE KG-embedding training over the IRI triples of
     the orders→customer→nation encoding, evaluated by filtered link
@@ -1938,6 +1960,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_fingerprint_orders": _kg_fingerprint_orders,
+        "kg_fingerprint_graphs": _kg_fingerprint_graphs,
         "kg_transe_link_rank": _kg_transe_link_rank,
         "kg_void_properties": _kg_void_properties,
         "kg_void_classes": _kg_void_classes,
@@ -3401,6 +3425,56 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d')
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # XOR-of-md5 set hash: md5_number_upper == int.from_bytes(
+        # md5(key)[:8], 'little'); chr(31) joins the identity columns on
+        # both sides
+        "kg_fingerprint_orders": """
+            WITH t AS (
+              SELECT DISTINCT s, p, o FROM (
+                SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+                       'has_name' AS p, n_name AS o FROM nation
+                UNION ALL
+                SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                       'nation:' || CAST(c_nationkey AS VARCHAR)
+                FROM customer
+                UNION ALL
+                SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+                       'cust:' || CAST(o_custkey AS VARCHAR)
+                FROM orders
+              )
+            )
+            SELECT COUNT(*) AS n_triples,
+                   lower(lpad(to_hex(bit_xor(md5_number_upper(
+                       s || chr(31) || p || chr(31) || o))), 16, '0'))
+                     AS fingerprint
+            FROM t
+        """,
+        "kg_fingerprint_graphs": """
+            WITH q AS (
+              SELECT 'urn:g:' || replace(n_name, ' ', '_') AS g,
+                     'cust:' || CAST(c_custkey AS VARCHAR) AS s,
+                     'segment' AS p, c_mktsegment AS o
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 'urn:g:' || replace(n_name, ' ', '_'),
+                     'order:' || CAST(o_orderkey AS VARCHAR), 'placed_by',
+                     'cust:' || CAST(o_custkey AS VARCHAR)
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 'urn:g:' || replace(n_name, ' ', '_'),
+                     'order:' || CAST(o_orderkey AS VARCHAR), 'priority',
+                     o_orderpriority
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT g AS graph, COUNT(*) AS n_quads,
+                   lower(lpad(to_hex(bit_xor(md5_number_upper(
+                       s || chr(31) || p || chr(31) || o))), 16, '0'))
+                     AS fingerprint
+            FROM (SELECT DISTINCT * FROM q)
+            GROUP BY g ORDER BY graph
         """,
         # VoID property partitions == per-source-table aggregates of the
         # demo triple encoding (one predicate per table)
