@@ -599,6 +599,25 @@ def _kg_khop_nation(sf_dir: str):
     return sub.select_columns(["subject", "predicate", "object"])
 
 
+def _kg_property_graph_counts(sf_dir: str):
+    """Property-graph export tables (nodes/edges/props) over the
+    orders→customer→nation encoding, summarized as row counts."""
+    import pandas as pd
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_triples
+    from cmc_knowledge_graph_text2ttl_ray.stages.property_graph import (
+        property_graph_tables,
+    )
+
+    nodes, edges, props = property_graph_tables(
+        order_triples(sf_dir).materialize())
+    return pd.DataFrame([{
+        "n_nodes": nodes.count(),
+        "n_edges": edges.count(),
+        "n_props": props.count(),
+    }])
+
+
 def _kg_fingerprint_orders(sf_dir: str):
     """Order-independent 64-bit set hash of the distinct (s, p, o) triple
     set — O(1) run-to-run change detection (XOR of per-triple md5)."""
@@ -1960,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_property_graph_counts": _kg_property_graph_counts,
         "kg_fingerprint_orders": _kg_fingerprint_orders,
         "kg_fingerprint_graphs": _kg_fingerprint_graphs,
         "kg_transe_link_rank": _kg_transe_link_rank,
@@ -3425,6 +3445,18 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d')
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # nodes = distinct IRIs (order ∪ cust ∪ nation; the referenced
+        # sets are subsets of the subject sets); edges = IRI-object
+        # triples; props = literal-valued triples (has_name)
+        "kg_property_graph_counts": """
+            SELECT (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+                 + (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+                 + (SELECT COUNT(DISTINCT n_nationkey) FROM nation)
+                     AS n_nodes,
+                   (SELECT COUNT(*) FROM orders)
+                 + (SELECT COUNT(*) FROM customer) AS n_edges,
+                   (SELECT COUNT(*) FROM nation) AS n_props
         """,
         # XOR-of-md5 set hash: md5_number_upper == int.from_bytes(
         # md5(key)[:8], 'little'); chr(31) joins the identity columns on
