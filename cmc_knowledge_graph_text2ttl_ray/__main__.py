@@ -153,6 +153,7 @@ def cmd_run(args) -> int:
         resume=not args.no_resume,
         canonical_mode=args.canonical_mode,
         ttl_compression=("gzip" if args.ttl_gzip else None),
+        output_format=args.output_format,
         # pdf: sources are a lazy map plan (schema unknown without running
         # the executor) — route explicitly instead of the auto sniff
         source=("pdf" if args.pages.startswith("pdf:")
@@ -161,7 +162,8 @@ def cmd_run(args) -> int:
     )
     summary = {
         "buckets": len(result["manifest"]["buckets"]),
-        "n_triples": sum(b["n_triples"] for b in result["manifest"]["buckets"].values()),
+        "n_triples": sum(b.get("n_triples", b.get("n_quads", 0))
+                         for b in result["manifest"]["buckets"].values()),
         "entities": (len(result["entity_mapping"])
                      if result["entity_mapping"] is not None else None),
         "timings": {k: round(v, 2) for k, v in result["timings"].items()},
@@ -270,8 +272,14 @@ def main(argv=None) -> int:
     p_run.add_argument("--ttl-gzip", action="store_true",
                        help="write gzip'd TTL shards (8-10x smaller; "
                             "storage-bandwidth-bound sinks)")
-    p_run.add_argument("--canonical-mode", choices=["broadcast", "join"],
-                       default="broadcast", dest="canonical_mode")
+    p_run.add_argument("--canonical-mode",
+                       choices=["auto", "broadcast", "join"],
+                       default="auto", dest="canonical_mode")
+    p_run.add_argument("--output-format",
+                       choices=["turtle", "nquads", "trig"],
+                       default="turtle", dest="output_format",
+                       help="turtle = bucketed TTL shards; nquads/trig = "
+                            "named-graph-per-document quad shards")
     p_run.set_defaults(fn=cmd_run)
 
     p_q = sub.add_parser(

@@ -332,3 +332,23 @@ class TestNQuadsReader:
         from cmc_knowledge_graph_text2ttl_ray.sources.nquads_src import nquads_dataset
 
         assert nquads_dataset(str(tmp_path)).count() == len(QUADS)
+
+
+def test_cli_run_output_format_nquads(ray_session, tmp_path):
+    from cmc_knowledge_graph_text2ttl_ray.__main__ import main
+
+    wf = tmp_path / "wf.yaml"
+    wf.write_text(
+        "- prefix: ex\n  iri: http://e/\n"
+        "- match: \"<title>(.*?)</title>\"\n  as: t\n  do:\n"
+        "    - subject: ex:d\n      predicate: ex:t\n"
+        "      object:\n        text: \"@{t.1}\"\n")
+    out = tmp_path / "out"
+    main(["run", "--workflow", str(wf), "--pages", "synth:20",
+          "--out", str(out), "--num-cpus", "4", "--num-buckets", "4",
+          "--output-format", "nquads"])
+    nq_files = [f for f in os.listdir(out / "nq") if f.endswith(".nq")]
+    assert nq_files
+    rows = parse_nquads("".join(
+        open(out / "nq" / f).read() for f in nq_files))
+    assert rows and all(r[6].startswith("https://site") for r in rows)
