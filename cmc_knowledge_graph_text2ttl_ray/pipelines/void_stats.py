@@ -31,6 +31,7 @@ __all__ = [
     "void_class_partitions",
     "void_graph_partitions",
     "void_summary",
+    "void_summary_approx",
     "void_triples",
 ]
 
@@ -200,3 +201,46 @@ def void_triples(property_parts: pd.DataFrame | None = None,
     return pd.DataFrame(rows, columns=[
         "subject", "predicate", "object", "object_kind",
         "object_lang", "object_datatype"])
+
+
+def void_summary_approx(triples, p: int = 13) -> pd.DataFrame:
+    """Sketch-path summary for the 100-TB case: HLL estimates of the
+    distinct counts (~1.04/sqrt(2^p) relative error; ≈1.2% at p=13).
+
+    The exact path (:func:`void_summary`) exchanges every per-block
+    DISTINCT value — right when the answer must be exact, but the
+    exchange grows with vocabulary size.  Here each block ships THREE
+    fixed 2^p-byte register rows (one per column) regardless of data
+    size, and the driver merges with an element-wise max — the same
+    constant-exchange treatment the engine's HLL family uses
+    (``pipelines/sketches.py``).
+    """
+    import numpy as np
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sketches import (
+        _hll_estimate,
+        _hll_partial,
+    )
+
+    cols = ("subject", "predicate", "object")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col": list(cols),
+            "regs": [_hll_partial(df[c].to_numpy(), p).tobytes()
+                     for c in cols],
+        })
+
+    total = triples.count()
+    rows = triples.map_batches(partial, batch_format="pandas").take_all()
+    merged = {c: np.zeros(1 << p, dtype=np.uint8) for c in cols}
+    for r in rows:
+        np.maximum(merged[r["col"]],
+                   np.frombuffer(r["regs"], dtype=np.uint8),
+                   out=merged[r["col"]])
+    return pd.DataFrame([{
+        "n_triples": int(total),
+        "n_subjects_est": int(round(_hll_estimate(merged["subject"]))),
+        "n_predicates_est": int(round(_hll_estimate(merged["predicate"]))),
+        "n_objects_est": int(round(_hll_estimate(merged["object"]))),
+    }])

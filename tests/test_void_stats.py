@@ -106,3 +106,25 @@ def test_void_triples_render_and_serialize(ray_session):
         {"void": "http://rdfs.org/ns/void#"})
     back, _ = parse_turtle(ttl)
     assert len(back) == len(vt)
+
+
+def test_summary_approx_within_hll_bound(ray_session):
+    # 5000 distinct subjects / 40 predicates / 2500 distinct objects
+    n = 20_000
+    df = pd.DataFrame({
+        "subject": [f"urn:s{i % 5000}" for i in range(n)],
+        "predicate": [f"urn:p{i % 40}" for i in range(n)],
+        "object": [f"v{i % 2500}" for i in range(n)],
+    })
+    ds = ray.data.from_pandas(df).repartition(6).materialize()
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.void_stats import (
+        void_summary_approx,
+    )
+
+    out = void_summary_approx(ds, p=12).iloc[0]
+    assert out["n_triples"] == n
+    # 1.04/sqrt(2^12) ≈ 1.6%; allow 5 sigma
+    for est, exact in ((out["n_subjects_est"], 5000),
+                       (out["n_predicates_est"], 40),
+                       (out["n_objects_est"], 2500)):
+        assert abs(est - exact) / exact < 0.09, (est, exact)
