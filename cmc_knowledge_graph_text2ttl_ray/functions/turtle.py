@@ -170,23 +170,47 @@ def _tokenize(text: str) -> Iterator[tuple[str, str]]:
         yield kind, m.group(0)
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_BNODE_NS = "urn:graft:bnode:"
+
+
 def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
-    """Parse a Turtle subset into triple rows + prefix table."""
+    """Parse a Turtle subset into triple rows + prefix table.
+
+    Blank nodes — labeled ``_:x``, anonymous ``[ … ]`` property lists,
+    and collections ``( … )`` (lowered to rdf:first/rest/nil chains) —
+    are SKOLEMIZED to ``urn:graft:bnode:…`` IRIs (documented deviation:
+    the engine's triple schema has no bnode kind; skolem IRIs keep
+    external ontologies queryable and round-trippable, at the cost of
+    graph-isomorphism-only equality with the original).  Labels are
+    document-scoped; anonymous nodes number in document order, so the
+    skolemization is deterministic for a given document.
+    """
     tokens = list(_tokenize(text))
     prefixes: dict[str, str] = {}
     triples: list[TripleRow] = []
     i = 0
+    anon_n = 0
+
+    def skolem(label: str | None = None) -> str:
+        nonlocal anon_n
+        if label is None:
+            anon_n += 1
+            return f"{_BNODE_NS}anon{anon_n}"
+        return f"{_BNODE_NS}{label}"
 
     def resolve(kind: str, tok: str):
         if kind == "iri":
             return ("iri", tok[1:-1], None, None)
         if kind == "prefixed":
             pfx, local = tok.split(":", 1)
+            if pfx == "_":
+                return ("iri", skolem(local), None, None)
             if pfx not in prefixes:
                 raise TurtleParseError(f"Unknown prefix {pfx}")
             return ("iri", prefixes[pfx] + local, None, None)
         if kind == "keyword" and tok == "a":
-            return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", None, None)
+            return ("iri", _RDF_NS + "type", None, None)
         if kind == "keyword" and tok in ("true", "false"):
             return ("literal", tok, None, XSD_BOOLEAN)
         if kind == "number":
@@ -209,7 +233,74 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
                 dtype = resolve(nkind, ntok)[1]
                 idx += 2
             return ("literal", lexical, lang, dtype), idx
+        if (kind, tok) == ("punct", "["):
+            node, idx = parse_anon_bnode(idx)
+            return ("iri", node, None, None), idx
+        if (kind, tok) == ("punct", "("):
+            node, idx = parse_collection(idx)
+            return ("iri", node, None, None), idx
         return resolve(kind, tok), idx + 1
+
+    def parse_anon_bnode(idx: int):
+        """``[`` at ``idx`` → (skolem IRI, idx past the closing ``]``)."""
+        node = skolem()
+        idx += 1
+        if idx < len(tokens) and tokens[idx] == ("punct", "]"):
+            return node, idx + 1  # empty [] — a bare fresh node
+        idx = parse_predicate_objects(node, idx, stop="]")
+        return node, idx
+
+    def parse_collection(idx: int):
+        """``(`` at ``idx`` → (head IRI, idx past ``)``): rdf:first/rest
+        chain; ``()`` is rdf:nil."""
+        idx += 1
+        items = []
+        while idx < len(tokens) and tokens[idx] != ("punct", ")"):
+            (okind, olex, olang, odt), idx = parse_object(idx)
+            items.append((okind, olex, olang, odt))
+        if idx >= len(tokens):
+            raise TurtleParseError("Unterminated collection")
+        idx += 1  # past ')'
+        if not items:
+            return _RDF_NS + "nil", idx
+        head = None
+        prev = None
+        for item in items:
+            cell = skolem()
+            if head is None:
+                head = cell
+            else:
+                triples.append((prev, _RDF_NS + "rest", cell,
+                                "iri", None, None))
+            okind, olex, olang, odt = item
+            triples.append((cell, _RDF_NS + "first", olex, okind, olang, odt))
+            prev = cell
+        triples.append((prev, _RDF_NS + "rest", _RDF_NS + "nil",
+                        "iri", None, None))
+        return head, idx
+
+    def parse_predicate_objects(subj: str, idx: int, stop: str) -> int:
+        """predicateObjectList for ``subj``; consumes the ``stop`` token
+        (``]``) or leaves ``.`` handling to the caller (``stop="."``)."""
+        while True:
+            pred = resolve(*tokens[idx])[1]
+            idx += 1
+            while True:
+                (okind, olex, olang, odt), idx = parse_object(idx)
+                triples.append((subj, pred, olex, okind, olang, odt))
+                if idx < len(tokens) and tokens[idx] == ("punct", ","):
+                    idx += 1
+                    continue
+                break
+            if idx < len(tokens) and tokens[idx] == ("punct", ";"):
+                idx += 1
+                # allow trailing ; before the closer
+                if idx < len(tokens) and tokens[idx] == ("punct", stop):
+                    return idx + 1
+                continue
+            if idx < len(tokens) and tokens[idx] == ("punct", stop):
+                return idx + 1
+            raise TurtleParseError(f"Expected ';' or '{stop}' near token {idx}")
 
     while i < len(tokens):
         kind, tok = tokens[i]
@@ -226,31 +317,19 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
                     raise TurtleParseError("@prefix not terminated with .")
                 i += 1
             continue
-        # subject
-        subj = resolve(kind, tok)[1]
-        i += 1
-        while True:
-            pred = resolve(*tokens[i])[1]
-            i += 1
-            while True:
-                (okind, olex, olang, odt), i = parse_object(i)
-                triples.append((subj, pred, olex, okind, olang, odt))
-                if i < len(tokens) and tokens[i] == ("punct", ","):
-                    i += 1
-                    continue
-                break
-            if i < len(tokens) and tokens[i] == ("punct", ";"):
-                i += 1
-                # allow trailing ; before .
-                if i < len(tokens) and tokens[i] == ("punct", "."):
-                    i += 1
-                    break
-                continue
+        # subject: IRI / prefixed / labeled bnode / [ … ] / ( … )
+        if (kind, tok) == ("punct", "["):
+            subj, i = parse_anon_bnode(i)
+            # `[ p o ] .` — the bracketed properties WERE the statement
             if i < len(tokens) and tokens[i] == ("punct", "."):
                 i += 1
-                break
-            raise TurtleParseError(f"Expected ';' or '.' near token {i}")
-        # next statement
+                continue
+        elif (kind, tok) == ("punct", "("):
+            subj, i = parse_collection(i)
+        else:
+            subj = resolve(kind, tok)[1]
+            i += 1
+        i = parse_predicate_objects(subj, i, stop=".")
     return triples, prefixes
 
 

@@ -544,3 +544,73 @@ def test_query_negated_property_sets():
     # composes with sequences
     assert g.query("SELECT ?v WHERE { ex:d ex:knows/!ex:hates ?v }") == \
         [{"v": "http://ex/b"}]
+
+
+class TestBlankNodeSkolemization:
+    def test_anonymous_property_list(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        t, _ = parse_turtle(
+            '@prefix ex: <http://e/> .\n'
+            'ex:a ex:p [ ex:q "v" ; ex:r ex:b ] .\n')
+        node = [o for s, p, o, k, _, _ in t
+                if s == "http://e/a" and k == "iri"][0]
+        assert node.startswith("urn:graft:bnode:anon")
+        assert ({(s, p) for s, p, *_ in t if s == node}
+                == {(node, "http://e/q"), (node, "http://e/r")})
+
+    def test_labeled_bnode_document_scoped(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        t, _ = parse_turtle(
+            '@prefix ex: <http://e/> .\n'
+            '_:n1 ex:p ex:a .\nex:d ex:q _:n1 .\n')
+        assert t[0][0] == "urn:graft:bnode:n1"
+        assert t[1][2] == "urn:graft:bnode:n1"  # same label → same skolem
+
+    def test_collection_lowered_to_first_rest(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        t, _ = parse_turtle(
+            '@prefix ex: <http://e/> .\nex:c ex:l ( ex:x 2 ) .\n')
+        firsts = [(s, o) for s, p, o, *_ in t if p == RDF + "first"]
+        rests = [(s, o) for s, p, o, *_ in t if p == RDF + "rest"]
+        assert len(firsts) == 2 and len(rests) == 2
+        assert rests[-1][1] == RDF + "nil"
+        # empty collection is rdf:nil directly
+        t2, _ = parse_turtle('@prefix ex: <http://e/> .\nex:c ex:l () .\n')
+        assert t2[0][2] == RDF + "nil"
+
+    def test_bracket_subject_statement(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        t, _ = parse_turtle(
+            '@prefix owl: <http://www.w3.org/2002/07/owl#> .\n'
+            '@prefix ex: <http://e/> .\n'
+            '[ a owl:Restriction ; owl:onProperty ex:p ] .\n')
+        assert len(t) == 2 and t[0][0] == t[1][0]
+
+    def test_skolemization_deterministic(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        ttl = ('@prefix ex: <http://e/> .\n'
+               'ex:a ex:p [ ex:q "v" ] .\nex:b ex:p [ ex:q "w" ] .\n')
+        assert parse_turtle(ttl) == parse_turtle(ttl)
+
+    def test_bnode_graph_queryable_in_memory(self):
+        # reference graphs loaded from external ontologies with bnodes
+        # must stay queryable through the select: evaluator
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+        from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+        t, _ = parse_turtle(
+            '@prefix owl: <http://www.w3.org/2002/07/owl#> .\n'
+            '@prefix ex: <http://e/> .\n'
+            'ex:c ex:sub [ a owl:Restriction ; owl:onProperty ex:p ] .\n')
+        g = GraphIndex([(s, p, o) for s, p, o, k, _, _ in t])
+        rows = g.query(
+            "PREFIX owl: <http://www.w3.org/2002/07/owl#> "
+            "PREFIX ex: <http://e/> "
+            "SELECT ?r WHERE { ex:c ex:sub ?x . ?x owl:onProperty ?r }")
+        assert rows == [{"r": "http://e/p"}]
