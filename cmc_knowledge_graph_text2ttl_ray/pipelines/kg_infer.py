@@ -104,10 +104,17 @@ def _expand_templates(head: list[Sequence]):
     return expand
 
 
-def construct(triples, patterns, head: list[Sequence], **bgp_kwargs):
+def construct(triples, patterns, head: list[Sequence], graph: str | None = None,
+              **bgp_kwargs):
     """SPARQL-CONSTRUCT: evaluate the BGP, emit one set of ``head``
     template triples per solution (deduped).  Returns a Dataset in the
-    pipeline triple schema, composable with the sinks / generations."""
+    pipeline triple schema, composable with the sinks / generations.
+
+    ``graph``: optionally stamp every derived triple with a target named
+    graph (a constant ``graph`` column) — the result is quad-shaped and
+    flows straight into ``write_quad_partitions`` / GRAPH queries, the
+    conventional home for materialized inferences (kept separate from
+    asserted source graphs)."""
     from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import bgp_query
 
     rule = Rule(patterns, head)  # validates head vars against body
@@ -115,7 +122,15 @@ def construct(triples, patterns, head: list[Sequence], **bgp_kwargs):
                      distinct=True, **bgp_kwargs)
     derived = sols.map_batches(_expand_templates(rule.head),
                                batch_format="pyarrow")
-    return _dedup_triples(derived)
+    out = _dedup_triples(derived)
+    if graph is None:
+        return out
+
+    def stamp(t: pa.Table) -> pa.Table:
+        return t.append_column("graph", pa.array([graph] * len(t),
+                                                 pa.string()))
+
+    return out.map_batches(stamp, batch_format="pyarrow")
 
 
 def _dedup_triples(ds, num_partitions: int | None = None):

@@ -352,3 +352,29 @@ def test_cli_run_output_format_nquads(ray_session, tmp_path):
     rows = parse_nquads("".join(
         open(out / "nq" / f).read() for f in nq_files))
     assert rows and all(r[6].startswith("https://site") for r in rows)
+
+
+def test_construct_into_named_graph(ray_session, tmp_path):
+    """CONSTRUCT with a target graph: derived triples are quad-shaped and
+    flow into the quad sink + GRAPH queries."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_infer import construct
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+
+    base = pd.DataFrame([
+        ("urn:o1", "urn:by", "urn:c1", "iri"),
+        ("urn:c1", "urn:in", "urn:n1", "iri"),
+    ], columns=["subject", "predicate", "object", "object_kind"])
+    derived = construct(
+        ray.data.from_pandas(base).materialize(),
+        [("?o", "urn:by", "?c"), ("?c", "urn:in", "?n")],
+        [("?o", "urn:from", "?n")],
+        graph="urn:g:derived")
+    write_quad_partitions(derived, str(tmp_path), fmt="nquads",
+                          num_buckets=2)
+    out = sparql_select(
+        derived.materialize(),
+        "SELECT ?o ?n WHERE { GRAPH <urn:g:derived> { ?o <urn:from> ?n } }"
+    ).to_pandas()
+    assert out.to_dict("records") == [{"o": "urn:o1", "n": "urn:n1"}]
