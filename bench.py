@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "kg_rdfs_closure",
     "kg_owl_closure",
     "kg_sameas_pairs",
+    "kg_graph_building_orders",
+    "kg_void_properties",
+    "kg_fingerprint_graphs",
 ]
 
 
