@@ -142,9 +142,20 @@ def void_class_partitions(triples, type_predicate: str = _RDF_TYPE,
             ["subject", "class"])
 
     typed = triples.map_batches(only_type, batch_format="pyarrow")
-    out = _reduce_counts(typed, ["class"], "subject", "n_instances",
-                         distinct=True, num_coarse=num_coarse).to_pandas()
-    return out.sort_values("class", ignore_index=True)
+    # partition by the FULL (class, subject) pair — same skew argument as
+    # void_property_partitions: few classes with many instances would
+    # otherwise serialize into single partitions.  Pairs dedup in exactly
+    # one partition, so per-partition counts are additive per class.
+    out = _reduce_counts(typed, ["class", "subject"], None, "n_pairs",
+                         distinct=False, num_coarse=num_coarse)
+
+    def pair_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("class", as_index=False)["n_pairs"].count() \
+            .rename(columns={"n_pairs": "n_instances"})
+
+    parts = out.map_batches(pair_count, batch_format="pandas").to_pandas()
+    final = parts.groupby("class", as_index=False)["n_instances"].sum()
+    return final.sort_values("class", ignore_index=True)
 
 
 def void_graph_partitions(quads, num_coarse=None) -> pd.DataFrame:
