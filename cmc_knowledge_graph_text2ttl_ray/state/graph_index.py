@@ -407,14 +407,25 @@ class GraphIndex:
     extracted from text against ontology labels).
     """
 
-    def __init__(self, triples: Iterable[TripleRow] = (), prefixes: dict[str, str] | None = None):
+    def __init__(self, triples: Iterable[TripleRow] = (), prefixes: dict[str, str] | None = None,
+                 graphs: Iterable[str] | None = None):
         self._triples: list[TripleRow] = []
         self._by_s: dict[str, list[int]] = {}
         self._by_p: dict[str, list[int]] = {}
         self._by_o: dict[str, list[int]] = {}
+        # optional named-graph column (parallel to _triples; "" = default
+        # graph). None = a plain triple-only reference graph, which
+        # rejects GRAPH queries by name.
+        self._graphs: list[str] | None = None
+        self._graph_views: dict[str, "GraphIndex"] = {}
         self.prefixes: dict[str, str] = dict(prefixes or {})
-        for t in triples:
-            self.add(t)
+        if graphs is not None:
+            self._graphs = []
+            for t, g in zip(triples, graphs):
+                self.add(t, graph=g)
+        else:
+            for t in triples:
+                self.add(t)
 
     @classmethod
     def from_turtle(cls, text: str) -> "GraphIndex":
@@ -426,12 +437,32 @@ class GraphIndex:
         with open(path, "r", encoding="utf8") as fh:
             return cls.from_turtle(fh.read())
 
-    def add(self, t: TripleRow) -> None:
+    def add(self, t: TripleRow, graph: str | None = None) -> None:
         idx = len(self._triples)
         self._triples.append(tuple(t))
         self._by_s.setdefault(t[0], []).append(idx)
         self._by_p.setdefault(t[1], []).append(idx)
         self._by_o.setdefault(t[2], []).append(idx)
+        if self._graphs is not None:
+            self._graphs.append(graph or "")
+            self._graph_views.clear()
+        elif graph is not None:
+            raise ValueError(
+                "add(graph=...) on a triple-only GraphIndex; construct "
+                "with graphs=[...] for quad support")
+
+    def graph_names(self) -> list[str]:
+        return sorted(set(self._graphs or ()))
+
+    def _graph_view(self, g: str) -> "GraphIndex":
+        """Sub-index of one named graph (cached; invalidated by add)."""
+        view = self._graph_views.get(g)
+        if view is None:
+            view = GraphIndex(
+                (t for t, tg in zip(self._triples, self._graphs) if tg == g),
+                self.prefixes)
+            self._graph_views[g] = view
+        return view
 
     def __len__(self) -> int:
         return len(self._triples)
@@ -962,10 +993,28 @@ class GraphIndex:
                             nxt2.append(nb)
                 bindings = nxt2
             elif kind == "graph":
-                raise QueryError(
-                    "GRAPH is not supported on in-memory reference graphs "
-                    "(they are triple-only); run the query through the "
-                    "distributed front end over a quad dataset")
+                if self._graphs is None:
+                    raise QueryError(
+                        "GRAPH is not supported on triple-only reference "
+                        "graphs; construct the GraphIndex with graphs=[...] "
+                        "or run the query through the distributed front "
+                        "end over a quad dataset")
+                gterm, elems = payload
+                gkind, gval = gterm
+                nxt = []
+                for b in bindings:
+                    if gkind == "var":
+                        pinned = b.get(gval)
+                        for g in self.graph_names():
+                            if pinned is not None and g != pinned:
+                                continue
+                            for sol in self._graph_view(g)._eval_group(
+                                    elems, [dict(b, **{gval: g})]):
+                                nxt.append(sol)
+                    else:
+                        nxt.extend(self._graph_view(gval)._eval_group(
+                            elems, [b]))
+                bindings = nxt
             elif kind == "values":
                 vars_, rows_ = payload
                 nxt2 = []

@@ -378,3 +378,54 @@ def test_construct_into_named_graph(ray_session, tmp_path):
         "SELECT ?o ?n WHERE { GRAPH <urn:g:derived> { ?o <urn:from> ?n } }"
     ).to_pandas()
     assert out.to_dict("records") == [{"o": "urn:o1", "n": "urn:n1"}]
+
+
+class TestGraphDifferential:
+    """Distributed GRAPH lowering vs the in-memory quad evaluator on
+    randomized quad sets — the same differential-oracle treatment the
+    triple-side SPARQL front end gets."""
+
+    QUERIES = [
+        'SELECT ?g ?o WHERE { GRAPH ?g { ?o <urn:by> ?c . '
+        '?c <urn:seg> "B" } }',
+        'SELECT ?c ?s WHERE { GRAPH <urn:g1> { ?c <urn:seg> ?s } }',
+        "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?g",
+        'SELECT ?o ?g WHERE { ?o <urn:by> ?c . '
+        'GRAPH ?g { ?c <urn:seg> "A" } }',
+    ]
+
+    def test_matches_in_memory_evaluator(self, ray_session):
+        import numpy as np
+
+        from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+            sparql_select,
+        )
+        from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+        rng = np.random.default_rng(5)
+        rows, graphs = [], []
+        for i in range(120):
+            g = f"urn:g{rng.integers(0, 4)}"
+            if rng.random() < 0.5:
+                rows.append((f"urn:c{rng.integers(0, 12)}", "urn:seg",
+                             "AB"[int(rng.integers(0, 2))], "literal"))
+            else:
+                rows.append((f"urn:o{i}", "urn:by",
+                             f"urn:c{rng.integers(0, 12)}", "iri"))
+            graphs.append(g)
+        df = pd.DataFrame(rows, columns=["subject", "predicate", "object",
+                                         "object_kind"])
+        df["graph"] = graphs
+        ds = ray.data.from_pandas(df).repartition(4).materialize()
+        mem = GraphIndex([(s, p, o) for s, p, o, _ in rows], graphs=graphs)
+
+        for q in self.QUERIES:
+            got = sparql_select(ds, q).to_pandas()
+            got = {tuple(str(v) for v in r)
+                   for r in got[sorted(got.columns)].itertuples(
+                       index=False, name=None)}
+            want_rows = mem.query(q)
+            cols = sorted(want_rows[0].keys()) if want_rows else []
+            want = {tuple(str(r[c]) for c in cols) for r in want_rows}
+            assert got == want, q
