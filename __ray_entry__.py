@@ -599,6 +599,39 @@ def _kg_khop_nation(sf_dir: str):
     return sub.select_columns(["subject", "predicate", "object"])
 
 
+def _kg_store_graph_segments(sf_dir: str):
+    """Constant-GRAPH query over the graph-bucketed Parquet QuadStore:
+    the GRAPH <iri> scan reads ONLY its bucket directory (store built
+    once per sf_dir, fingerprinted)."""
+    import os
+
+    from cmc_knowledge_graph_text2ttl_ray.functions import checkpoint as ck
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_quads
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.sources.quad_store import (
+        QuadStore,
+        write_quad_store,
+    )
+
+    root = ck.default_cache_dir("graft_quad_store", os.path.abspath(sf_dir))
+    fp = ck.input_fingerprint(
+        [f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet",
+         f"{sf_dir}/nation.parquet"], {"enc": "order_quads_v1"})
+    if not ck.is_valid(root, fp):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        write_quad_store(order_quads(sf_dir), root, num_buckets=16)
+        ck.mark_done(root, fp)
+    return sparql_select(
+        QuadStore(root),
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { GRAPH <urn:g:NATION_7> { "
+        '?c "segment" ?s } } GROUP BY ?s ORDER BY ?s')
+
+
 def _kg_property_graph_counts(sf_dir: str):
     """Property-graph export tables (nodes/edges/props) over the
     orders→customer→nation encoding, summarized as row counts."""
@@ -1979,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_store_graph_segments": _kg_store_graph_segments,
         "kg_property_graph_counts": _kg_property_graph_counts,
         "kg_fingerprint_orders": _kg_fingerprint_orders,
         "kg_fingerprint_graphs": _kg_fingerprint_graphs,
@@ -3445,6 +3479,14 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d')
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # constant-GRAPH scan over the graph-bucketed QuadStore == the
+        # same nation-filtered segment counts
+        "kg_store_graph_segments": """
+            SELECT c_mktsegment AS s, COUNT(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE replace(n_name, ' ', '_') = 'NATION_7'
+            GROUP BY 1 ORDER BY s
         """,
         # nodes = distinct IRIs (order ∪ cust ∪ nation; the referenced
         # sets are subsets of the subject sets); edges = IRI-object

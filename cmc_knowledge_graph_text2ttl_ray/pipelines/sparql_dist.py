@@ -116,6 +116,10 @@ def _graph_source(graph_iri: str):
     def factory(triples):
         import pyarrow.compute as pc
 
+        if hasattr(triples, "scan_for_graph"):
+            # graph-bucketed QuadStore: the constant graph prunes the
+            # read to its bucket directory (sources/quad_store.py)
+            return triples.scan_for_graph(graph_iri)
         base = (triples.scan_for_predicate(None)
                 if hasattr(triples, "scan_for_predicate") else triples)
 
