@@ -599,6 +599,60 @@ def _kg_khop_nation(sf_dir: str):
     return sub.select_columns(["subject", "predicate", "object"])
 
 
+def _kg_quads_replace_segments(sf_dir: str):
+    """Document-replace over a quad KG root: publish the order_quads
+    encoding as gen-0, then REPLACE graph urn:g:NATION_7 (one
+    generation retracting the graph + adding relabeled segment quads);
+    the zero-exchange quad_read resolve yields post-replace segment
+    counts."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_quads import (
+        publish_quads,
+        quad_read,
+        replace_graphs,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import order_quads
+
+    quads = order_quads(sf_dir).materialize()
+    root = tempfile.mkdtemp(prefix="graft_kg_quads_")
+    try:
+        publish_quads(root, quads)
+
+        def relabel(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(t["graph"], "urn:g:NATION_7"),
+                        pc.equal(t["predicate"], "segment"))
+            t = t.filter(m)
+            n = len(t)
+            return pa.table({
+                "subject": t["subject"],
+                "predicate": t["predicate"],
+                "object": pa.array(["RELABELED"] * n, pa.string()),
+                "object_kind": t["object_kind"],
+                "graph": t["graph"],
+            })
+
+        replace_graphs(root, quads.map_batches(relabel,
+                                               batch_format="pyarrow"),
+                       graphs=["urn:g:NATION_7"])
+
+        def seg_only(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["predicate"] == "segment"][["object"]]
+
+        out = (quad_read(root)
+               .map_batches(seg_only, batch_format="pandas")
+               .groupby("object").count().to_pandas()
+               .rename(columns={"object": "s", "count()": "n"}))
+        return out.sort_values("s", ignore_index=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _kg_store_graph_segments(sf_dir: str):
     """Constant-GRAPH query over the graph-bucketed Parquet QuadStore:
     the GRAPH <iri> scan reads ONLY its bucket directory (store built
@@ -2012,6 +2066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_orders_by_nation": _kg_bgp_orders_by_nation,
         "kg_bgp_click_no_purchase": _kg_bgp_click_no_purchase,
         "kg_construct_order_nation": _kg_construct_order_nation,
+        "kg_quads_replace_segments": _kg_quads_replace_segments,
         "kg_store_graph_segments": _kg_store_graph_segments,
         "kg_property_graph_counts": _kg_property_graph_counts,
         "kg_fingerprint_orders": _kg_fingerprint_orders,
@@ -3479,6 +3534,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND strftime(a.ts, '%Y-%m-%d') = strftime(b.ts, '%Y-%m-%d')
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        # after the graph replace, NATION_7 customers' segment quads all
+        # read RELABELED; every other nation keeps its segments
+        "kg_quads_replace_segments": """
+            SELECT CASE WHEN replace(n_name, ' ', '_') = 'NATION_7'
+                        THEN 'RELABELED' ELSE c_mktsegment END AS s,
+                   COUNT(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY s
         """,
         # constant-GRAPH scan over the graph-bucketed QuadStore == the
         # same nation-filtered segment counts

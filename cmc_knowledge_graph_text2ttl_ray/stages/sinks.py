@@ -308,6 +308,10 @@ def write_quad_partitions(
 
     def pre(batch: pa.Table) -> pd.DataFrame:
         df = batch.to_pandas()
+        # tolerate minimal quad sources (no lang/datatype columns)
+        for c in QUAD_IDENTITY_COLS:
+            if c not in df.columns:
+                df[c] = None
         df = df[[c for c in QUAD_IDENTITY_COLS]].copy()
         if fmt == "trig":
             h = pd.util.hash_pandas_object(df["graph"], index=False).to_numpy()
