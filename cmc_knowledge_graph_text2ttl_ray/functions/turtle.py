@@ -135,6 +135,8 @@ class TurtleParseError(Exception):
 _TOKEN_RE = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
+  | (?P<qt_open><<)
+  | (?P<qt_close>>>)
   | (?P<iri><[^>]*>)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<langtag>@(?!prefix\b|base\b)[A-Za-z][A-Za-z0-9\-]*)
@@ -239,6 +241,9 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
         if (kind, tok) == ("punct", "("):
             node, idx = parse_collection(idx)
             return ("iri", node, None, None), idx
+        if kind == "qt_open":
+            node, idx = parse_quoted_triple(idx)
+            return ("iri", node, None, None), idx
         return resolve(kind, tok), idx + 1
 
     def parse_anon_bnode(idx: int):
@@ -279,6 +284,41 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
                         "iri", None, None))
         return head, idx
 
+    def parse_quoted_triple(idx: int):
+        """RDF-star ``<< s p o >>`` at ``idx`` → (statement IRI, idx past
+        ``>>``): lowered to standard reification.  The statement node is
+        CONTENT-derived (md5 of the embedded triple), so the same quoted
+        triple names the same node everywhere — RDF-star's referential
+        semantics.  The embedded triple is NOT asserted (spec)."""
+        import hashlib as _hashlib
+
+        idx += 1  # past '<<'
+        skind, stok = tokens[idx]
+        if skind == "qt_open":
+            subj_t, idx = parse_quoted_triple(idx)
+        else:
+            subj_t = resolve(skind, stok)[1]
+            idx += 1
+        pred_t = resolve(*tokens[idx])[1]
+        idx += 1
+        (okind, olex, olang, odt), idx = parse_object(idx)
+        if idx >= len(tokens) or tokens[idx][0] != "qt_close":
+            raise TurtleParseError("quoted triple not closed with >>")
+        idx += 1
+        key = "\x1f".join([subj_t, pred_t, olex, okind,
+                            olang or "", odt or ""])
+        node = ("urn:graft:stmt:"
+                + _hashlib.md5(key.encode("utf-8")).hexdigest()[:16])
+        stmt = [(node, _RDF_NS + "type", _RDF_NS + "Statement",
+                 "iri", None, None),
+                (node, _RDF_NS + "subject", subj_t, "iri", None, None),
+                (node, _RDF_NS + "predicate", pred_t, "iri", None, None),
+                (node, _RDF_NS + "object", olex, okind, olang, odt)]
+        for t in stmt:
+            if t not in triples:
+                triples.append(t)
+        return node, idx
+
     def parse_predicate_objects(subj: str, idx: int, stop: str) -> int:
         """predicateObjectList for ``subj``; consumes the ``stop`` token
         (``]``) or leaves ``.`` handling to the caller (``stop="."``)."""
@@ -317,7 +357,11 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
                     raise TurtleParseError("@prefix not terminated with .")
                 i += 1
             continue
-        # subject: IRI / prefixed / labeled bnode / [ … ] / ( … )
+        # subject: IRI / prefixed / labeled bnode / [ … ] / ( … ) / << … >>
+        if kind == "qt_open":
+            subj, i = parse_quoted_triple(i)
+            i = parse_predicate_objects(subj, i, stop=".")
+            continue
         if (kind, tok) == ("punct", "["):
             subj, i = parse_anon_bnode(i)
             # `[ p o ] .` — the bracketed properties WERE the statement

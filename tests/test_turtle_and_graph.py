@@ -614,3 +614,50 @@ class TestBlankNodeSkolemization:
             "PREFIX ex: <http://e/> "
             "SELECT ?r WHERE { ex:c ex:sub ?x . ?x owl:onProperty ?r }")
         assert rows == [{"r": "http://e/p"}]
+
+
+class TestRdfStar:
+    def test_quoted_triple_reified_and_annotated(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        t, _ = parse_turtle(
+            '@prefix ex: <http://e/> .\n'
+            '<< ex:a ex:p ex:b >> ex:certainty "0.9" .\n')
+        stmt = [s for s, p, *_ in t if p == "http://e/certainty"][0]
+        assert stmt.startswith("urn:graft:stmt:")
+        props = {(p, o) for s, p, o, *_ in t if s == stmt}
+        assert (RDF + "subject", "http://e/a") in props
+        assert (RDF + "predicate", "http://e/p") in props
+        assert (RDF + "object", "http://e/b") in props
+        # embedded triple itself is NOT asserted (RDF-star semantics)
+        assert ("http://e/a", "http://e/p", "http://e/b") not in {
+            (s, p, o) for s, p, o, *_ in t}
+
+    def test_same_quoted_triple_same_node(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        t, _ = parse_turtle(
+            '@prefix ex: <http://e/> .\n'
+            '<< ex:a ex:p ex:b >> ex:c "1" .\n'
+            'ex:src ex:states << ex:a ex:p ex:b >> .\n')
+        stmt1 = [s for s, p, *_ in t if p == "http://e/c"][0]
+        stmt2 = [o for s, p, o, *_ in t if p == "http://e/states"][0]
+        assert stmt1 == stmt2  # content-derived node: referential equality
+        # reification block emitted once
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        assert sum(1 for s, p, *_ in t
+                   if s == stmt1 and p == RDF + "subject") == 1
+
+    def test_quoted_triple_as_object_and_literal_object(self):
+        from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
+
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        t, _ = parse_turtle(
+            '@prefix ex: <http://e/> .\n'
+            'ex:s ex:says << ex:a ex:score "5"^^<http://www.w3.org/2001/'
+            'XMLSchema#integer> >> .\n')
+        obj_rows = [(o, k, dt) for s, p, o, k, lg, dt in t
+                    if p == RDF + "object"]
+        assert obj_rows == [("5", "literal",
+                             "http://www.w3.org/2001/XMLSchema#integer")]
