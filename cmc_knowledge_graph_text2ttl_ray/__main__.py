@@ -196,6 +196,31 @@ def cmd_query(args) -> int:
         )
 
         source = TripleStore(args.kg)
+    elif os.path.isfile(os.path.join(args.kg, "_quadstore.json")):
+        # graph-bucketed quad store: constant-GRAPH queries prune
+        from cmc_knowledge_graph_text2ttl_ray.sources.quad_store import (
+            QuadStore,
+        )
+
+        source = QuadStore(args.kg)
+    elif (glob.glob(os.path.join(args.kg, "gen-*", "_graph_removals.json"))
+          or glob.glob(os.path.join(args.kg, "gen-*", "*.nq"))
+          or glob.glob(os.path.join(args.kg, "*.nq"))
+          or glob.glob(os.path.join(args.kg, "*.nq.gz"))):
+        # quad roots: a kg_quads generations root resolves graph
+        # retractions; a bare .nq shard dir is a plain union read
+        if glob.glob(os.path.join(args.kg, "gen-*")):
+            from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_quads import (
+                quad_read,
+            )
+
+            source = quad_read(args.kg).materialize()
+        else:
+            from cmc_knowledge_graph_text2ttl_ray.sources.nquads_src import (
+                nquads_dataset,
+            )
+
+            source = nquads_dataset(args.kg).materialize()
     elif glob.glob(os.path.join(args.kg, "gen-*", "_removals")):
         # a generations root touched by SPARQL Update carries tombstone
         # shards; the plain TTL union would show deleted triples

@@ -78,3 +78,16 @@ def test_replace_infers_graphs_distributed(ray_session, tmp_path):
     assert by_graph["urn:g0"] == {"n10", "n11", "n12"}
     assert by_graph["urn:g3"] == {"n10", "n11", "n12"}
     assert by_graph["urn:g1"] == {"v10", "v11", "v12"}
+
+
+def test_cli_query_quad_root(ray_session, tmp_path, capsys):
+    from cmc_knowledge_graph_text2ttl_ray.__main__ import main
+
+    root = str(tmp_path / "kg")
+    publish_quads(root, _quads("v1"))
+    replace_graphs(root, _quads("v2", graphs=("urn:g1",)))
+    main(["query", "--kg", root, "--sparql",
+          "SELECT ?o WHERE { GRAPH <urn:g1> { ?s <urn:p> ?o } } ORDER BY ?o",
+          "--num-cpus", "4"])
+    out = capsys.readouterr().out
+    assert "v20" in out and "v10" not in out  # replaced content only
