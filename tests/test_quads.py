@@ -393,6 +393,12 @@ class TestGraphDifferential:
         "GROUP BY ?g",
         'SELECT ?o ?g WHERE { ?o <urn:by> ?c . '
         'GRAPH ?g { ?c <urn:seg> "A" } }',
+        # GRAPH composes inside OPTIONAL and FILTER EXISTS through the
+        # recursive group evaluation on BOTH paths
+        'SELECT ?o ?s WHERE { ?o <urn:by> ?c . '
+        'OPTIONAL { GRAPH <urn:g1> { ?c <urn:seg> ?s } } }',
+        'SELECT ?o WHERE { ?o <urn:by> ?c . '
+        'FILTER EXISTS { GRAPH <urn:g2> { ?c <urn:seg> ?x } } }',
     ]
 
     def test_matches_in_memory_evaluator(self, ray_session):
@@ -426,6 +432,9 @@ class TestGraphDifferential:
                    for r in got[sorted(got.columns)].itertuples(
                        index=False, name=None)}
             want_rows = mem.query(q)
-            cols = sorted(want_rows[0].keys()) if want_rows else []
-            want = {tuple(str(r[c]) for c in cols) for r in want_rows}
+            cols = sorted({c for r in want_rows for c in r}) if want_rows \
+                else []
+            # unbound: distributed yields None, in-memory omits the key —
+            # both stringify to 'None'
+            want = {tuple(str(r.get(c)) for c in cols) for r in want_rows}
             assert got == want, q
