@@ -263,6 +263,20 @@ def apply_canonical_mapping_join(triples_ds, mapping_ds,
         from cmc_knowledge_graph_text2ttl_ray.functions.cluster import default_join_partitions
 
         num_partitions = default_join_partitions()
+    # COMPACT the mapping side first (kg_query._compact rationale): the
+    # coarse-reduce mapping build leaves EMPTY blocks for coarse
+    # partitions that held no entity keys, and Ray's hash shuffle
+    # broadcasts each side's schema from its FIRST shuffled block only —
+    # an empty first block skips the broadcast and pyarrow's join dies
+    # with "No match ... for key field iri" (seen intermittently in the
+    # full suite).  The mapping is variant-sized, far below the triple
+    # table, so the materialize is the established small-side treatment.
+    mapping_ds = mapping_ds.materialize()
+    n_map = mapping_ds.count()
+    if n_map == 0:
+        return triples_ds  # nothing to rewrite
+    mapping_ds = mapping_ds.repartition(
+        max(1, min(200, -(-n_map // 50_000))))
     if salt == "auto":
         salt = detect_entity_salt(triples_ds, hot_min_rows=hot_min_rows)
     salt = max(1, int(salt))
