@@ -205,6 +205,7 @@ def cmd_query(args) -> int:
         source = QuadStore(args.kg)
     elif (glob.glob(os.path.join(args.kg, "gen-*", "_graph_removals.json"))
           or glob.glob(os.path.join(args.kg, "gen-*", "*.nq"))
+          or glob.glob(os.path.join(args.kg, "gen-*", "*.nq.gz"))
           or glob.glob(os.path.join(args.kg, "*.nq"))
           or glob.glob(os.path.join(args.kg, "*.nq.gz"))):
         # quad roots: a kg_quads generations root resolves graph

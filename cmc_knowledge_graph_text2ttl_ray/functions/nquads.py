@@ -105,10 +105,17 @@ _RE_LINE = re.compile(
 )
 
 _UNESC = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+_RE_UNESC = re.compile(r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\.")
 
 
 def _unesc(text: str) -> str:
-    return re.sub(r"\\.", lambda m: _UNESC.get(m.group(0), m.group(0)), text)
+    def sub(m):
+        tok = m.group(0)
+        if len(tok) > 2:  # \uXXXX / \UXXXXXXXX (N-Quads UCHAR)
+            return chr(int(tok[2:], 16))
+        return _UNESC.get(tok, tok)
+
+    return _RE_UNESC.sub(sub, text)
 
 
 def parse_nquads(text: str) -> list[QuadRow]:

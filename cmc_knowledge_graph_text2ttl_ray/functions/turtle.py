@@ -152,11 +152,18 @@ _TOKEN_RE = re.compile(
 )
 
 _UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
-_RE_UNESC = re.compile(r"\\.")
+_RE_UNESC = re.compile(
+    r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}|\\.")
 
 
 def _unescape(text: str) -> str:
-    return _RE_UNESC.sub(lambda m: _UNESCAPES.get(m.group(0), m.group(0)[1]), text)
+    def sub(m):
+        tok = m.group(0)
+        if len(tok) > 2:  # \uXXXX / \UXXXXXXXX (Turtle UCHAR)
+            return chr(int(tok[2:], 16))
+        return _UNESCAPES.get(tok, tok[1])
+
+    return _RE_UNESC.sub(sub, text)
 
 
 def _tokenize(text: str) -> Iterator[tuple[str, str]]:
@@ -176,7 +183,8 @@ _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _BNODE_NS = "urn:graft:bnode:"
 
 
-def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
+def parse_turtle(text: str, bnode_scope: str = "",
+                 ) -> tuple[list[TripleRow], dict[str, str]]:
     """Parse a Turtle subset into triple rows + prefix table.
 
     Blank nodes — labeled ``_:x``, anonymous ``[ … ]`` property lists,
@@ -184,22 +192,31 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
     are SKOLEMIZED to ``urn:graft:bnode:…`` IRIs (documented deviation:
     the engine's triple schema has no bnode kind; skolem IRIs keep
     external ontologies queryable and round-trippable, at the cost of
-    graph-isomorphism-only equality with the original).  Labels are
-    document-scoped; anonymous nodes number in document order, so the
-    skolemization is deterministic for a given document.
+    graph-isomorphism-only equality with the original).  Bnode labels
+    are file-scoped by the Turtle spec, so MERGING files requires a
+    per-document component: pass ``bnode_scope`` (any stable document
+    identity — ``ttl_dataset`` passes the shard path) and skolems mint
+    under ``urn:graft:bnode:<md5(scope)[:8]>:…``; distinct documents'
+    ``_:b0`` then never collide.  Anonymous nodes number in document
+    order, so skolemization stays deterministic for a given document.
     """
+    import hashlib as _hashlib
+
     tokens = list(_tokenize(text))
     prefixes: dict[str, str] = {}
     triples: list[TripleRow] = []
     i = 0
     anon_n = 0
+    _stmt_seen: set[str] = set()
+    scope = (_hashlib.md5(bnode_scope.encode("utf-8")).hexdigest()[:8] + ":"
+             if bnode_scope else "")
 
     def skolem(label: str | None = None) -> str:
         nonlocal anon_n
         if label is None:
             anon_n += 1
-            return f"{_BNODE_NS}anon{anon_n}"
-        return f"{_BNODE_NS}{label}"
+            return f"{_BNODE_NS}{scope}anon{anon_n}"
+        return f"{_BNODE_NS}{scope}{label}"
 
     def resolve(kind: str, tok: str):
         if kind == "iri":
@@ -309,14 +326,14 @@ def parse_turtle(text: str) -> tuple[list[TripleRow], dict[str, str]]:
                             olang or "", odt or ""])
         node = ("urn:graft:stmt:"
                 + _hashlib.md5(key.encode("utf-8")).hexdigest()[:16])
-        stmt = [(node, _RDF_NS + "type", _RDF_NS + "Statement",
+        if node not in _stmt_seen:  # O(1) dedup, not a list scan
+            _stmt_seen.add(node)
+            triples.extend([
+                (node, _RDF_NS + "type", _RDF_NS + "Statement",
                  "iri", None, None),
                 (node, _RDF_NS + "subject", subj_t, "iri", None, None),
                 (node, _RDF_NS + "predicate", pred_t, "iri", None, None),
-                (node, _RDF_NS + "object", olex, okind, olang, odt)]
-        for t in stmt:
-            if t not in triples:
-                triples.append(t)
+                (node, _RDF_NS + "object", olex, okind, olang, odt)])
         return node, idx
 
     def parse_predicate_objects(subj: str, idx: int, stop: str) -> int:

@@ -128,6 +128,10 @@ def run_kg_pipeline(
     ttl_compression: str | None = None,
     output_format: str = "turtle",
 ):
+    if output_format not in ("turtle", "nquads", "trig"):
+        raise ValueError(
+            f"output_format must be turtle|nquads|trig, got "
+            f"{output_format!r}")
     """Run the full pipeline. Returns a dict with the key datasets/artifacts.
 
     With ``out_dir`` set, the extraction records are checkpointed to Parquet
@@ -301,10 +305,8 @@ def run_kg_pipeline(
                 resume=resume,
                 compression=ttl_compression,
             )
-        else:
-            raise ValueError(
-                f"output_format must be turtle|nquads|trig, got "
-                f"{output_format!r}")
+        else:  # "turtle" — validated upfront
+            raise AssertionError("unreachable")
         timings["ttl_write"] = time.perf_counter() - t0
 
     if out_dir:

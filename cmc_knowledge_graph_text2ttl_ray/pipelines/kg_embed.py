@@ -42,7 +42,7 @@ import pyarrow as pa
 __all__ = ["encode_triple_ids", "transe_train", "link_rank", "transe_score"]
 
 
-def encode_triple_ids(triples, min_entity_freq: int = 1):
+def encode_triple_ids(triples):
     """Triples → (ids_df, entities list, relations list).
 
     Vocabulary is built DISTRIBUTED (per-block distinct → one coarse
@@ -147,7 +147,14 @@ def transe_train(ids, n_entities: int, n_relations: int, dim: int = 32,
             h = (np.uint64(0x9E3779B97F4A7C15) * (s.astype(np.uint64) + 1)
                  ^ np.uint64(0xC2B2AE3D27D4EB4F) * (o.astype(np.uint64) + 3)
                  ^ np.uint64(_epoch * 2654435761 + 97))
-            o_neg = (h % np.uint64(len(Em))).astype(np.int64)
+            # never corrupt to the TRUE tail: sample from |E|-1 slots
+            # and shift past o (keeps determinism; a true-tail negative
+            # would contribute `margin` to the loss with zero gradient)
+            if len(Em) > 1:
+                o_neg = (h % np.uint64(len(Em) - 1)).astype(np.int64)
+                o_neg += (o_neg >= o)
+            else:
+                o_neg = o.copy()
             es, rp, eo, en = Em[s], Rm[p], Em[o], Em[o_neg]
             d_pos = es + rp - eo
             d_neg = es + rp - en
@@ -224,12 +231,18 @@ def transe_score(E, R, s_ids, p_ids, o_ids) -> np.ndarray:
     return (d * d).sum(1)
 
 
-def link_rank(E, R, ids_df: pd.DataFrame) -> pd.DataFrame:
-    """Filtered-rank evaluation: for each (s, p, o) row, the rank of the
-    true tail o among ALL entities by score (1 = best).  Vectorized one
-    matmul-sized pass per evaluation row batch; at scale this is the
-    brute-force baseline (the engine's ANN family provides the indexed
-    path).  Returns per-relation mean rank + hits@10."""
+def link_rank(E, R, ids_df: pd.DataFrame,
+              filter_known: pd.DataFrame | None = None) -> pd.DataFrame:
+    """FILTERED-rank evaluation (Bordes et al. protocol): for each
+    (s, p, o) row, the rank of the true tail o among all entities by
+    score (1 = best), NOT counting the OTHER known-true tails of the
+    same (s, p) — a perfect model on a many-valid-tails relation would
+    otherwise never reach rank 1.  ``filter_known`` defaults to
+    ``ids_df`` itself (train == eval in the demo); pass the full triple
+    id table when evaluating held-out rows.  Vectorized one matmul-sized
+    pass; at scale this is the brute-force baseline (the engine's ANN
+    family provides the indexed path).  Returns per-relation mean rank
+    + hits@10."""
     s = ids_df["s"].to_numpy()
     p = ids_df["p"].to_numpy()
     o = ids_df["o"].to_numpy()
@@ -239,6 +252,15 @@ def link_rank(E, R, ids_df: pd.DataFrame) -> pd.DataFrame:
     scores = (E * E).sum(1)[None, :] - 2 * cross
     true_sc = scores[np.arange(len(s)), o]
     rank = (scores < true_sc[:, None]).sum(1) + 1
+    known = filter_known if filter_known is not None else ids_df
+    tails: dict[tuple, np.ndarray] = {
+        k: g["o"].unique()
+        for k, g in known.groupby(["s", "p"], sort=False)}
+    for i in range(len(s)):
+        others = tails.get((s[i], p[i]))
+        if others is not None and len(others) > 1:
+            mask = others != o[i]
+            rank[i] -= int((scores[i, others[mask]] < true_sc[i]).sum())
     out = pd.DataFrame({"p": p, "rank": rank})
     agg = out.groupby("p").agg(
         mean_rank=("rank", "mean"),

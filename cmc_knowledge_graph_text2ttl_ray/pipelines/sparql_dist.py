@@ -681,6 +681,11 @@ def _translate_group(elements):
                         tuple(_conv_term(t) for t in pat) + (g,)
                         for pat in ipayload)
                     sources.extend([None] * len(ipayload))
+                    # SPARQL §13.3: GRAPH ?g ranges over NAMED graphs
+                    # only — default-graph rows (graph = "" / null) must
+                    # not bind; filter on the result set (cheap)
+                    filters.append(
+                        lambda b, _v=g[1:]: bool(b.get(_v)))
                 else:
                     patterns.extend(_conv_patterns(ipayload))
                     sources.extend([_graph_source(g)] * len(ipayload))

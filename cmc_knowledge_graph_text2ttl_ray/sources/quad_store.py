@@ -49,6 +49,13 @@ def write_quad_store(quads_ds, out_dir: str, num_buckets: int = 64) -> dict:
         for c in _COLS:
             cols[c] = (t[c].cast(pa.string()) if c in t.column_names
                        else pa.nulls(len(t), pa.string()))
+        # normalize missing/null graphs to "" so bucketing and
+        # scan("") agree (a null row would hash under "" but never
+        # match the equality filter)
+        cols["graph"] = pc.fill_null(
+            pa.chunked_array([cols["graph"]])
+            if not isinstance(cols["graph"], (pa.ChunkedArray, pa.Array))
+            else cols["graph"], "")
         # mint once per distinct graph in the block, then map
         graphs = cols["graph"].to_pylist()
         lut = {g: _bucket(g or "", num_buckets) for g in set(graphs)}

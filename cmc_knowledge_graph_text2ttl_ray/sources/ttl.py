@@ -38,10 +38,12 @@ TRIPLES_SCHEMA = pa.schema(
 
 
 def parse_ttl_table(text: str, src_file: str = "") -> pa.Table:
-    """Parse one Turtle document into an Arrow table in TRIPLES_SCHEMA."""
+    """Parse one Turtle document into an Arrow table in TRIPLES_SCHEMA.
+    ``src_file`` doubles as the blank-node skolem scope so distinct
+    shards' ``_:b0`` never conflate in the merged Dataset."""
     from cmc_knowledge_graph_text2ttl_ray.functions.turtle import parse_turtle
 
-    triples, _prefixes = parse_turtle(text)
+    triples, _prefixes = parse_turtle(text, bnode_scope=src_file)
     cols = {name: [] for name in
             ("subject", "predicate", "object", "object_kind",
              "object_lang", "object_datatype")}

@@ -452,7 +452,9 @@ class GraphIndex:
                 "with graphs=[...] for quad support")
 
     def graph_names(self) -> list[str]:
-        return sorted(set(self._graphs or ()))
+        # NAMED graphs only — "" is the default graph and never binds
+        # a GRAPH ?g variable (SPARQL §13.3)
+        return sorted(set(self._graphs or ()) - {""})
 
     def _graph_view(self, g: str) -> "GraphIndex":
         """Sub-index of one named graph (cached; invalidated by add)."""
