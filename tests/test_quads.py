@@ -438,3 +438,29 @@ class TestGraphDifferential:
             # both stringify to 'None'
             want = {tuple(str(r.get(c)) for c in cols) for r in want_rows}
             assert got == want, q
+
+
+def test_graph_var_excludes_default_graph(ray_session):
+    """SPARQL §13.3: GRAPH ?g ranges over NAMED graphs only — rows in
+    the default graph ("" / null) must not bind, on either path."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    df = pd.DataFrame({
+        "subject": ["urn:a", "urn:b"], "predicate": ["urn:p", "urn:p"],
+        "object": ["x", "y"], "object_kind": ["literal", "literal"],
+        "graph": ["urn:g1", ""]})
+    got = sparql_select(
+        ray.data.from_pandas(df),
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } }").to_pandas()
+    assert got.to_dict("records") == [{"g": "urn:g1", "s": "urn:a"}]
+    mem = GraphIndex(list(zip(df.subject, df.predicate, df.object)),
+                     graphs=list(df.graph))
+    assert mem.query("SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o } }") == [
+        {"g": "urn:g1", "s": "urn:a"}]
+    # the default-graph row is still reachable OUTSIDE GRAPH (union view)
+    assert sparql_select(
+        ray.data.from_pandas(df),
+        "SELECT ?s WHERE { ?s ?p ?o }").count() == 2
