@@ -2139,6 +2139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": D.exact_dedup,
         "docs_new_shard_dedup": D.new_shard_exact_dedup,
         "docs_span_dedup": D.span_exact_dedup,
+        "docs_substring_dedup": D.cdc_substring_dedup,
+        "docs_dup_span_stats": D.dup_span_stats,
         "docs_boilerplate_removal": D.boilerplate_span_removal,
         "docs_gopher_filter": _docs_gopher_filter,
         "docs_minhash_pairs": D.minhash_lsh_pairs,
@@ -3149,6 +3151,24 @@ def oracle_sql() -> dict[str, str]:
               FROM chunks)
             SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text
             FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        # MassiveText-style duplicated-span stats: per doc, how many of its
+        # 15-word spans occur more than once anywhere in the corpus
+        "docs_dup_span_stats": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, (ord-1) // 15 AS chunk_no,
+                     string_agg(w, ' ' ORDER BY ord) AS chunk
+              FROM words GROUP BY doc_id, (ord-1) // 15),
+            freq AS (
+              SELECT chunk, COUNT(*) AS c FROM chunks GROUP BY chunk)
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_spans
+            FROM chunks c JOIN freq f USING (chunk) GROUP BY c.doc_id
         """,
         # boilerplate policy: a span in >1 DISTINCT docs is dropped from
         # ALL of them (vs span_dedup's keep-first); empty docs drop

@@ -37,6 +37,8 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_verify",
     "span_exact_dedup",
+    "dup_span_stats",
+    "cdc_substring_dedup",
     "new_shard_exact_dedup",
     "new_shard_minhash_dedup",
     "hamming64_near_dup_pairs",
@@ -1215,3 +1217,423 @@ def new_shard_minhash_dedup(
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# MassiveText-style duplicated-span statistics
+# --------------------------------------------------------------------------
+
+def dup_span_stats(sf_dir: str, chunk_words: int = 15,
+                   broadcast_threshold: int = 2_000_000,
+                   num_join_partitions: int | None = None):
+    """Per-document duplicated-span statistics (MassiveText / Gopher
+    repetition-across-corpus quality signal, Rae et al. 2021 §A1.1): for
+    each document, how many of its ``chunk_words``-word spans occur more
+    than once ANYWHERE in the corpus (counting all occurrences, including
+    within the same document). Output ``(doc_id, n_spans, dup_spans)`` —
+    downstream filters divide to get the duplicate fraction.
+
+    Scale shape:
+    - stage 1 ships ``(chunk_h, partial_count)`` pairs only (per-block
+      count combiner before the coarse reduce) — span text never shuffles;
+    - the duplicated-chunk set (global count > 1) is bounded by dup
+      density; below ``broadcast_threshold`` it broadcasts via ``ray.put``
+      and stage 2 is ONE local pass (docs are row-contained, so the
+      per-doc groupby completes inside each batch — zero further shuffle);
+    - past the threshold, stage 2 left-joins the exploded hashes against
+      the dup set and coarse-reduces the per-doc sums.
+    """
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+        parquet_rows_hint,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    span_hint = parquet_rows_hint(f"{sf_dir}/documents.parquet", "text",
+                                  per_row_bytes=6 * chunk_words)
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ch = _explode_chunks(df, chunk_words)
+        h = pd.util.hash_array(
+            ch["chunk"].to_numpy(dtype=object)).astype(np.uint64)
+        out = pd.DataFrame({"chunk_h": h.astype("int64")})
+        out["cnt"] = np.int64(1)
+        return out.groupby("chunk_h", as_index=False)["cnt"].sum()
+
+    totals = coarse_group_reduce(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["chunk_h"],
+        lambda g: g.groupby("chunk_h", as_index=False)["cnt"].sum(),
+        n_rows_hint=span_hint,
+    )
+    dup = totals.filter(expr="cnt > 1").select_columns(["chunk_h"])
+    dup_n = dup.count()
+
+    def explode_h(df: pd.DataFrame) -> pd.DataFrame:
+        ch = _explode_chunks(df, chunk_words)
+        h = pd.util.hash_array(
+            ch["chunk"].to_numpy(dtype=object)).astype(np.uint64)
+        return pd.DataFrame({"chunk_h": h.astype("int64"),
+                             "doc_id": ch["doc_id"]})
+
+    if dup_n <= broadcast_threshold:
+        dup_sorted = np.sort(np.array(
+            [r["chunk_h"] for r in dup.take_all()], dtype=np.int64))
+        dup_ref = ray.put(dup_sorted)
+
+        def stats(df: pd.DataFrame) -> pd.DataFrame:
+            dup_arr = ray.get(dup_ref)
+            e = explode_h(df)
+            h = e["chunk_h"].to_numpy(np.int64)
+            if len(dup_arr):
+                pos = np.clip(np.searchsorted(dup_arr, h),
+                              0, len(dup_arr) - 1)
+                is_dup = (dup_arr[pos] == h).astype(np.int64)
+            else:
+                is_dup = np.zeros(len(h), dtype=np.int64)
+            e["dup"] = is_dup
+            g = e.groupby("doc_id", as_index=False) \
+                 .agg(n_spans=("dup", "size"), dup_spans=("dup", "sum"))
+            g["n_spans"] = g["n_spans"].astype("int64")
+            g["dup_spans"] = g["dup_spans"].astype("int64")
+            return g
+
+        return ds.map_batches(stats, batch_format="pandas")
+
+    # distributed path: one hash join on chunk_h, then per-doc coarse sums
+    if num_join_partitions is None:
+        num_join_partitions = default_join_partitions()
+    dup_parts = max(1, min(num_join_partitions, (dup_n + 49_999) // 50_000))
+    marked = ds.map_batches(explode_h, batch_format="pandas").join(
+        dup.add_column("_dup", lambda t: pa.array([1] * t.num_rows,
+                                                  pa.int64()),
+                       batch_format="pyarrow"),
+        join_type="left_outer", num_partitions=dup_parts,
+        on=("chunk_h",),
+    )
+
+    def partial_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_spans": np.int64(1),
+            "dup_spans": df["_dup"].notna().astype("int64"),
+        })
+        return out.groupby("doc_id", as_index=False).sum()
+
+    return coarse_group_reduce(
+        marked.map_batches(partial_doc, batch_format="pandas"),
+        ["doc_id"],
+        lambda g: g.groupby("doc_id", as_index=False).sum(),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup via content-defined chunking (offset-invariant)
+# --------------------------------------------------------------------------
+#
+# The scalable counterpart of suffix-array exact-substring dedup (Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+# remove every duplicated substring of length >= min_len from all but its
+# first occurrence. Fixed word windows (span_exact_dedup) miss duplicates
+# at different alignments; content-defined chunk boundaries depend only on
+# a small local window of the text, so a long substring shared by two
+# documents at DIFFERENT offsets produces identical interior chunks in
+# both — a hash-join-able signal with no global suffix sort.
+
+_CDC_WINDOW = 16          # rolling-hash window (chars)
+_CDC_SEED = 1013
+
+
+def _cdc_tables(window: int = _CDC_WINDOW):
+    rng = np.random.RandomState(_CDC_SEED)
+    gear = rng.randint(0, np.iinfo(np.uint64).max, size=256,
+                       dtype=np.uint64)
+    # odd multiplier powers: h_i = sum_k gear[c_{i-k}] * M^k (mod 2^64)
+    m, p = 0x9E3779B97F4A7C15, 1
+    mpow = np.empty(window, dtype=np.uint64)
+    for k in range(window):  # explicit mod-2^64 wrap (silences numpy's
+        mpow[k] = p          # scalar-overflow warning; the wrap is the point)
+        p = (p * m) & 0xFFFFFFFFFFFFFFFF
+    return gear, mpow
+
+
+_CDC_GEAR, _CDC_MPOW = _cdc_tables()
+
+
+def _cdc_cut_lists(texts, mask_bits: int, window: int,
+                   max_chunk: int) -> list[np.ndarray]:
+    """Per-text arrays of cut positions (exclusive chunk ends, 0 < c < len).
+
+    Fully vectorized over the whole batch: ONE utf-32 decode of the
+    concatenated texts, ``window`` shifted multiply-adds for the rolling
+    hash, then a searchsorted to map boundary hits back to their docs.
+    A position is a boundary iff the hash of the trailing ``window``-char
+    window has ``mask_bits`` low zero bits — content-defined, so identical
+    substrings cut identically regardless of their offset in the doc.
+    Hash positions whose window would cross the doc start are masked out.
+    Gaps longer than ``max_chunk`` get extra splits at fixed offsets from
+    the previous content-defined cut (content-anchored, still
+    offset-invariant past the first in-gap split).
+    """
+    texts = ["" if t is None else t for t in texts]
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    n_docs = len(texts)
+    total = int(lens.sum())
+    out: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n_docs
+    if total == 0:
+        return out
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"), dtype="<u4")
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+    g = _CDC_GEAR[(flat & np.uint32(0xFF)).astype(np.intp)]
+    h = g.copy()
+    for k in range(1, window):
+        h[k:] += g[:-k] * _CDC_MPOW[k]
+    mask = np.uint64((1 << mask_bits) - 1)
+    cand = np.nonzero((h & mask) == 0)[0]
+    di = np.searchsorted(starts, cand, side="right") - 1
+    pos = cand - starts[di]
+    ok = (pos >= window - 1) & (pos + 1 < lens[di])
+    di, cuts = di[ok], (pos[ok] + 1).astype(np.int64)
+    counts = np.bincount(di, minlength=n_docs)
+    pieces = np.split(cuts, np.cumsum(counts)[:-1])
+
+    for i in range(n_docs):
+        c, n = pieces[i], int(lens[i])
+        if n == 0:
+            continue
+        b = np.concatenate(([0], c, [n]))
+        gaps = np.diff(b)
+        k = (gaps - 1) // max_chunk
+        tot = int(k.sum())
+        if tot:
+            reps = np.repeat(np.arange(len(gaps)), k)
+            off = np.repeat(np.concatenate(([0], np.cumsum(k)[:-1])), k)
+            within = np.arange(tot, dtype=np.int64) - off + 1
+            extra = b[reps] + within * np.int64(max_chunk)
+            c = np.sort(np.concatenate([c, extra]))
+        out[i] = c
+    return out
+
+
+def _cdc_explode(df: pd.DataFrame, mask_bits: int, window: int,
+                 max_chunk: int) -> pd.DataFrame:
+    """doc -> (doc_id, chunk_no, start, end, chunk_h) via CDC cuts."""
+    texts = list(df["text"])
+    cut_lists = _cdc_cut_lists(texts, mask_bits, window, max_chunk)
+    doc_ids, chunk_nos, starts, ends, chunks = [], [], [], [], []
+    for doc_id, text, cuts in zip(df["doc_id"], texts, cut_lists):
+        text = text or ""
+        if not text:
+            continue
+        b = np.concatenate(([0], cuts, [len(text)]))
+        for j in range(len(b) - 1):
+            s, e = int(b[j]), int(b[j + 1])
+            doc_ids.append(int(doc_id))
+            chunk_nos.append(j)
+            starts.append(s)
+            ends.append(e)
+            chunks.append(text[s:e])
+    h = pd.util.hash_array(np.array(chunks, dtype=object)) \
+        .astype(np.uint64).astype(np.int64) if chunks else \
+        np.empty(0, dtype=np.int64)
+    return pd.DataFrame({
+        "doc_id": pd.Series(doc_ids, dtype="int64"),
+        "chunk_no": pd.Series(chunk_nos, dtype="int64"),
+        "start": pd.Series(starts, dtype="int64"),
+        "end": pd.Series(ends, dtype="int64"),
+        "chunk_h": pd.Series(h, dtype="int64"),
+    })
+
+
+def _splice_out(text: str, starts: np.ndarray, ends: np.ndarray,
+                min_len: int) -> str:
+    """Remove merged runs of adjacent [start,end) intervals whose merged
+    length is >= min_len; intervals must be sorted by start."""
+    removed = []
+    ms = me = None
+    for s, e in zip(starts, ends):
+        if ms is None:
+            ms, me = s, e
+        elif s == me:
+            me = e
+        else:
+            if me - ms >= min_len:
+                removed.append((ms, me))
+            ms, me = s, e
+    if ms is not None and me - ms >= min_len:
+        removed.append((ms, me))
+    if not removed:
+        return text
+    parts, prev = [], 0
+    for s, e in removed:
+        parts.append(text[prev:s])
+        prev = e
+    parts.append(text[prev:])
+    return "".join(parts)
+
+
+def cdc_substring_dedup(sf_dir: str, min_len: int = 60, mask_bits: int = 5,
+                        window: int = _CDC_WINDOW, max_chunk: int = 256,
+                        broadcast_threshold: int = 2_000_000,
+                        num_join_partitions: int | None = None):
+    """Offset-invariant exact substring dedup: every duplicated text run
+    covered by >= ``min_len`` chars of shared content-defined chunks is
+    cut from all but its FIRST occurrence (smallest ``(doc_id, chunk_no)``
+    — within-doc repeats count as duplicates too, as in the suffix-array
+    formulation). Detection granularity is the CDC chunk (mean
+    ``2**mask_bits`` chars): the removed region is the interior-chunk
+    cover of each duplicated substring, so up to one boundary chunk per
+    side survives — the standard approximation this family trades for
+    avoiding a global suffix sort.
+
+    Output ``(doc_id, text)`` for every input doc (possibly empty text).
+
+    Scale shape:
+    - stage 1 ships ``(chunk_h, order_key, partial_cnt)`` only, per-block
+      combined, coarse-reduced — chunk text never shuffles;
+    - the duplicated-chunk winner table (count > 1) is bounded by dup
+      density: below ``broadcast_threshold`` it broadcasts via ``ray.put``
+      and removal is ONE local re-chunk pass (zero joins); past it, the
+      exploded occurrences hash-join the winner table on ``chunk_h``,
+      loser intervals pack to bytes per doc, and ONE join back to the raw
+      text splices — the span_exact_dedup reassembly pattern;
+    - degenerate low-entropy docs cannot blow a chunk up past
+      ``max_chunk`` chars, and boundary candidates are content-local
+      (``window`` chars), so re-chunking is embarrassingly parallel.
+    """
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+        default_join_partitions,
+        parquet_rows_hint,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    SHIFT = np.int64(1) << np.int64(20)
+    chunk_hint = parquet_rows_hint(f"{sf_dir}/documents.parquet", "text",
+                                   per_row_bytes=1 << mask_bits)
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        ch = _cdc_explode(df, mask_bits, window, max_chunk)
+        out = pd.DataFrame({
+            "chunk_h": ch["chunk_h"],
+            "order_key": ch["doc_id"].to_numpy() * SHIFT
+            + ch["chunk_no"].to_numpy(),
+        })
+        out["cnt"] = np.int64(1)
+        return out.groupby("chunk_h", as_index=False) \
+                  .agg(order_key=("order_key", "min"), cnt=("cnt", "sum"))
+
+    winners = coarse_group_reduce(
+        ds.map_batches(sig, batch_format="pandas"),
+        ["chunk_h"],
+        lambda g: g.groupby("chunk_h", as_index=False)
+                   .agg(order_key=("order_key", "min"), cnt=("cnt", "sum")),
+        n_rows_hint=chunk_hint,
+    )
+    dup_winners = winners.filter(expr="cnt > 1") \
+                         .select_columns(["chunk_h", "order_key"])
+    dup_n = dup_winners.count()
+
+    if dup_n <= broadcast_threshold:
+        rows = dup_winners.take_all()
+        h_arr = np.array([r["chunk_h"] for r in rows], dtype=np.int64)
+        w_arr = np.array([r["order_key"] for r in rows], dtype=np.int64)
+        order = np.argsort(h_arr)
+        dup_ref = ray.put((h_arr[order], w_arr[order]))
+
+        def strip(df: pd.DataFrame) -> pd.DataFrame:
+            h_sorted, w_sorted = ray.get(dup_ref)
+            ch = _cdc_explode(df, mask_bits, window, max_chunk)
+            h = ch["chunk_h"].to_numpy(np.int64)
+            if len(h_sorted) and len(h):
+                pos = np.clip(np.searchsorted(h_sorted, h),
+                              0, len(h_sorted) - 1)
+                found = h_sorted[pos] == h
+                key = ch["doc_id"].to_numpy() * SHIFT \
+                    + ch["chunk_no"].to_numpy()
+                loser = found & (key > w_sorted[pos])
+            else:
+                loser = np.zeros(len(h), dtype=bool)
+            ch = ch[loser]
+            by_doc = {did: g for did, g in ch.groupby("doc_id")}
+            texts = []
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                text = text or ""
+                g = by_doc.get(int(doc_id))
+                if g is None:
+                    texts.append(text)
+                else:
+                    texts.append(_splice_out(
+                        text, g["start"].to_numpy(), g["end"].to_numpy(),
+                        min_len))
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": pd.Series(texts, dtype="object"),
+            })
+
+        return ds.map_batches(strip, batch_format="pandas")
+
+    # distributed path: occurrences join the winner table on chunk_h,
+    # loser intervals pack per doc, one hash join back to the raw text
+    if num_join_partitions is None:
+        num_join_partitions = default_join_partitions()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ch = _cdc_explode(df, mask_bits, window, max_chunk)
+        ch["order_key"] = ch["doc_id"].to_numpy() * SHIFT \
+            + ch["chunk_no"].to_numpy()
+        return ch[["chunk_h", "doc_id", "start", "end", "order_key"]]
+
+    dup_parts = max(1, min(num_join_partitions, (dup_n + 49_999) // 50_000))
+    marked = ds.map_batches(explode, batch_format="pandas").join(
+        dup_winners.map_batches(
+            lambda t: t.rename_columns(["chunk_h", "win_key"]),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=dup_parts, on=("chunk_h",),
+    )
+
+    def to_losers(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["order_key"].to_numpy() > df["win_key"].to_numpy()
+        return df.loc[keep, ["doc_id", "start", "end"]]
+
+    def pack_losers(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[["doc_id", "start", "end"]].to_numpy(dtype=np.int64)
+        if not len(a):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "rm": pd.Series(dtype=object)})
+        a = a[np.lexsort((a[:, 1], a[:, 0]))]
+        ids, first = np.unique(a[:, 0], return_index=True)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "rm": [c.tobytes() for c in np.split(a[:, 1:], first[1:])],
+        })
+
+    losers = coarse_group_reduce(
+        marked.map_batches(to_losers, batch_format="pandas"),
+        ["doc_id"], pack_losers,
+    )
+    joined = ds.join(losers, join_type="left_outer",
+                     num_partitions=max(
+                         1, min(num_join_partitions,
+                                (dup_n + 49_999) // 50_000)),
+                     on=("doc_id",))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for text, rm in zip(df["text"], df["rm"]):
+            text = text or ""
+            if rm is None or (isinstance(rm, float) and pd.isna(rm)):
+                texts.append(text)
+            else:
+                iv = np.frombuffer(rm, dtype=np.int64).reshape(-1, 2)
+                texts.append(_splice_out(text, iv[:, 0], iv[:, 1], min_len))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "text": pd.Series(texts, dtype="object")})
+
+    return joined.map_batches(reassemble, batch_format="pandas")

