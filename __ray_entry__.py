@@ -727,6 +727,44 @@ def _kg_fingerprint_graphs(sf_dir: str):
     return kg_fingerprint_by_graph(order_quads(sf_dir))
 
 
+def _kg_isocanonical_fingerprint(sf_dir: str):
+    """Blank-node-label-INDEPENDENT content fingerprint (no_oracle: the
+    WL-canonicalization is not SQL-expressible; invariance/sensitivity
+    are pinned by tests in test_kg_fingerprint.py).
+
+    Input: a deterministic bnode-bearing encoding of orders — each order
+    contributes an ANONYMOUS node (skolem scoped by the order key, the
+    same per-document minting functions/turtle.py::parse_turtle uses)
+    linking its customer to its order priority."""
+    import hashlib as _h
+
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        scopes = [
+            _h.md5(str(int(k)).encode()).hexdigest()[:8]
+            for k in df["o_orderkey"]]
+        bn = ["urn:graft:bnode:" + sc + ":b0" for sc in scopes]
+        cust = "cust:" + df["o_custkey"].astype(str)
+        return pd.DataFrame({
+            "subject": list(cust) + bn,
+            "predicate": ["placed"] * len(df) + ["has_priority"] * len(df),
+            "object": bn + list(df["o_orderpriority"].astype(str)),
+        })
+
+    return kg_isocanonical_fingerprint(
+        orders.map_batches(enc, batch_format="pandas"))
+
+
 def _kg_transe_link_rank(sf_dir: str):
     """Distributed TransE KG-embedding training over the IRI triples of
     the orders→customer→nation encoding, evaluated by filtered link
@@ -2071,6 +2109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_graph_counts": _kg_property_graph_counts,
         "kg_fingerprint_orders": _kg_fingerprint_orders,
         "kg_fingerprint_graphs": _kg_fingerprint_graphs,
+        "kg_isocanonical_fingerprint": _kg_isocanonical_fingerprint,
         "kg_transe_link_rank": _kg_transe_link_rank,
         "kg_void_properties": _kg_void_properties,
         "kg_void_classes": _kg_void_classes,

@@ -64,3 +64,101 @@ def test_by_graph_detects_single_graph_change(ray_session):
     merged = a.merge(b, on="graph", suffixes=("_a", "_b"))
     diff = merged[merged["fingerprint_a"] != merged["fingerprint_b"]]
     assert diff["graph"].tolist() == ["urn:g2"]
+
+
+# --------------------------------------------------------------------------
+# isomorphism-canonical fingerprint
+# --------------------------------------------------------------------------
+
+TTL = """
+@prefix ex: <http://ex.org/> .
+ex:doc ex:author [ ex:name "Ann" ; ex:org [ ex:label "ACME" ] ] .
+ex:doc ex:editor [ ex:name "Bob" ] .
+ex:a ex:p ex:b .
+"""
+
+
+def _iso_ds(ttl, scope, extra_scope=None):
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import (
+        parse_turtle,
+    )
+
+    trs, _ = parse_turtle(ttl, bnode_scope=scope)
+    if extra_scope:
+        trs = trs + parse_turtle(ttl, bnode_scope=extra_scope)[0]
+    df = pd.DataFrame([{"subject": s, "predicate": p, "object": o}
+                       for (s, p, o, *_rest) in trs])
+    return ray.data.from_pandas(df)
+
+
+def test_isocanonical_invariant_under_bnode_relabeling(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    a = kg_isocanonical_fingerprint(_iso_ds(TTL, "scopeA")).iloc[0]
+    b = kg_isocanonical_fingerprint(
+        _iso_ds(TTL, "a-totally-different-scope").repartition(3)).iloc[0]
+    assert a["fingerprint"] == b["fingerprint"]
+    assert a["n_triples"] == b["n_triples"] == 7
+    # the plain set hash is label-sensitive (sanity of the contrast)
+    pa_ = kg_fingerprint(_iso_ds(TTL, "scopeA")).iloc[0]["fingerprint"]
+    pb = kg_fingerprint(
+        _iso_ds(TTL, "a-totally-different-scope")).iloc[0]["fingerprint"]
+    assert pa_ != pb
+
+
+def test_isocanonical_detects_structure_change(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    a = kg_isocanonical_fingerprint(_iso_ds(TTL, "s")).iloc[0]
+    b = kg_isocanonical_fingerprint(
+        _iso_ds(TTL.replace('"Ann"', '"Eve"'), "s")).iloc[0]
+    assert a["fingerprint"] != b["fingerprint"]
+
+
+def test_isocanonical_isomorphic_copies_do_not_cancel(ray_session):
+    """Two isomorphic anonymous components are DISTINCT graph content —
+    the multiplicity fold keeps them from XOR-canceling."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    one = kg_isocanonical_fingerprint(_iso_ds(TTL, "s1")).iloc[0]
+    two = kg_isocanonical_fingerprint(
+        _iso_ds(TTL, "s1", extra_scope="s2")).iloc[0]
+    assert two["fingerprint"] != one["fingerprint"]
+    # ground triple ex:a ex:p ex:b dedups; bnode components count twice
+    assert two["n_triples"] == 13
+
+
+def test_isocanonical_automorphic_branches_stable(ray_session):
+    """Identical anonymous branches (an automorphism) refine to a tie —
+    individualization must still yield a scope-independent result."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    ttl = """
+    @prefix ex: <http://ex.org/> .
+    ex:doc ex:part [ ex:kind ex:K ] .
+    ex:doc ex:part [ ex:kind ex:K ] .
+    """
+    a = kg_isocanonical_fingerprint(_iso_ds(ttl, "x")).iloc[0]
+    b = kg_isocanonical_fingerprint(_iso_ds(ttl, "y-other")).iloc[0]
+    assert a["fingerprint"] == b["fingerprint"]
+    assert a["n_triples"] == 4
+
+
+def test_isocanonical_ground_only_matches_plain(ray_session):
+    """With no bnodes the canonical fingerprint IS the plain set hash."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    ds = ray.data.from_pandas(_df(ROWS))
+    assert (kg_isocanonical_fingerprint(ds).iloc[0]["fingerprint"]
+            == kg_fingerprint(ray.data.from_pandas(_df(ROWS)))
+            .iloc[0]["fingerprint"])
