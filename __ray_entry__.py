@@ -765,6 +765,51 @@ def _kg_isocanonical_fingerprint(sf_dir: str):
         orders.map_batches(enc, batch_format="pandas"))
 
 
+def _kg_triple_pr(sf_dir: str):
+    """Distributed triple-set precision/recall/F1 — the engine's
+    acceptance metric (triple P/R vs a reference set) as a first-class
+    op. got = the order_triples encoding with a deterministic
+    perturbation (placed_by rows dropped for o_orderkey % 10 == 7,
+    spurious rows injected for % 13 == 0); expected = the clean
+    encoding."""
+    import pandas as pd
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_pr,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+
+    expected = order_triples(sf_dir).select_columns(
+        ["subject", "predicate", "object"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderkey"] % 10 != 7]
+        placed = pd.DataFrame({
+            "subject": "order:" + keep["o_orderkey"].astype(str),
+            "predicate": "placed_by",
+            "object": "cust:" + keep["o_custkey"].astype(str),
+        })
+        spur_src = df[df["o_orderkey"] % 13 == 0]
+        spur = pd.DataFrame({
+            "subject": "order:" + spur_src["o_orderkey"].astype(str),
+            "predicate": "spurious_link",
+            "object": "x:" + spur_src["o_orderkey"].astype(str),
+        })
+        return pd.concat([placed, spur], ignore_index=True)
+
+    rest = order_triples(sf_dir).select_columns(
+        ["subject", "predicate", "object"]).filter(
+        expr="predicate != 'placed_by'")
+    got = orders.map_batches(perturb, batch_format="pandas").union(rest)
+    return triple_set_pr(got, expected)
+
+
 def _kg_transe_link_rank(sf_dir: str):
     """Distributed TransE KG-embedding training over the IRI triples of
     the orders→customer→nation encoding, evaluated by filtered link
@@ -2110,6 +2155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fingerprint_orders": _kg_fingerprint_orders,
         "kg_fingerprint_graphs": _kg_fingerprint_graphs,
         "kg_isocanonical_fingerprint": _kg_isocanonical_fingerprint,
+        "kg_triple_pr": _kg_triple_pr,
         "kg_transe_link_rank": _kg_transe_link_rank,
         "kg_void_properties": _kg_void_properties,
         "kg_void_classes": _kg_void_classes,
@@ -3190,6 +3236,59 @@ def oracle_sql() -> dict[str, str]:
               FROM chunks)
             SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS text
             FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        # triple-set P/R/F1 of a deterministically perturbed order-triple
+        # encoding vs the clean one (distinct-set semantics on both sides)
+        "kg_triple_pr": """
+            WITH exp AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'placed_by' AS p,
+                     'cust:' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'has_name',
+                     n_name
+              FROM nation),
+            got AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'placed_by' AS p,
+                     'cust:' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders WHERE o_orderkey % 10 <> 7
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'has_name',
+                     n_name
+              FROM nation
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'spurious_link',
+                     'x:' || CAST(o_orderkey AS VARCHAR)
+              FROM orders WHERE o_orderkey % 13 = 0),
+            gd AS (SELECT DISTINCT * FROM got),
+            ed AS (SELECT DISTINCT * FROM exp),
+            c AS (SELECT
+                    (SELECT COUNT(*) FROM gd) AS n_got,
+                    (SELECT COUNT(*) FROM ed) AS n_expected,
+                    (SELECT COUNT(*) FROM gd JOIN ed USING (s, p, o))
+                        AS n_common)
+            SELECT CAST(n_got AS BIGINT) AS n_got,
+                   CAST(n_expected AS BIGINT) AS n_expected,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   ROUND(n_common / CAST(n_got AS DOUBLE), 6) AS prec,
+                   ROUND(n_common / CAST(n_expected AS DOUBLE), 6) AS rec,
+                   ROUND(2.0 * (n_common / CAST(n_got AS DOUBLE))
+                             * (n_common / CAST(n_expected AS DOUBLE))
+                         / ((n_common / CAST(n_got AS DOUBLE))
+                            + (n_common / CAST(n_expected AS DOUBLE))), 6)
+                       AS f1
+            FROM c
         """,
         # MassiveText-style duplicated-span stats: per doc, how many of its
         # 15-word spans occur more than once anywhere in the corpus
