@@ -765,19 +765,14 @@ def _kg_isocanonical_fingerprint(sf_dir: str):
         orders.map_batches(enc, batch_format="pandas"))
 
 
-def _kg_triple_pr(sf_dir: str):
-    """Distributed triple-set precision/recall/F1 — the engine's
-    acceptance metric (triple P/R vs a reference set) as a first-class
-    op. got = the order_triples encoding with a deterministic
-    perturbation (placed_by rows dropped for o_orderkey % 10 == 7,
-    spurious rows injected for % 13 == 0); expected = the clean
-    encoding."""
+def _pr_pair(sf_dir: str):
+    """(got, expected) triple datasets for the eval-family queries:
+    expected = the clean order_triples encoding; got = the same with a
+    deterministic perturbation (placed_by rows dropped for
+    o_orderkey % 10 == 7, spurious rows injected for % 13 == 0)."""
     import pandas as pd
     import ray.data
 
-    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
-        triple_set_pr,
-    )
     from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
         order_triples,
     )
@@ -807,7 +802,31 @@ def _kg_triple_pr(sf_dir: str):
         ["subject", "predicate", "object"]).filter(
         expr="predicate != 'placed_by'")
     got = orders.map_batches(perturb, batch_format="pandas").union(rest)
+    return got, expected
+
+
+def _kg_triple_pr(sf_dir: str):
+    """Distributed triple-set precision/recall/F1 — the engine's
+    acceptance metric (triple P/R vs a reference set) as a first-class
+    op, over the deterministic perturbed/clean pair of _pr_pair."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_pr,
+    )
+
+    got, expected = _pr_pair(sf_dir)
     return triple_set_pr(got, expected)
+
+
+def _kg_triple_diff(sf_dir: str):
+    """Symmetric triple-set diff (added/removed rows) of the perturbed
+    order-triple encoding vs the clean one — the change-inspection twin
+    of kg_triple_pr (same inputs, row-level output)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_diff,
+    )
+
+    got, expected = _pr_pair(sf_dir)
+    return triple_set_diff(got, expected)
 
 
 def _kg_transe_link_rank(sf_dir: str):
@@ -2156,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fingerprint_graphs": _kg_fingerprint_graphs,
         "kg_isocanonical_fingerprint": _kg_isocanonical_fingerprint,
         "kg_triple_pr": _kg_triple_pr,
+        "kg_triple_diff": _kg_triple_diff,
         "kg_transe_link_rank": _kg_transe_link_rank,
         "kg_void_properties": _kg_void_properties,
         "kg_void_classes": _kg_void_classes,
@@ -3289,6 +3309,49 @@ def oracle_sql() -> dict[str, str]:
                             + (n_common / CAST(n_expected AS DOUBLE))), 6)
                        AS f1
             FROM c
+        """,
+        # symmetric set diff of the same perturbed-vs-clean pair: dropped
+        # placed_by rows come back 'removed', injected spurious rows 'added'
+        "kg_triple_diff": """
+            WITH exp AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'placed_by' AS p,
+                     'cust:' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'has_name',
+                     n_name
+              FROM nation),
+            got AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'placed_by' AS p,
+                     'cust:' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders WHERE o_orderkey % 10 <> 7
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'has_name',
+                     n_name
+              FROM nation
+              UNION ALL
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR),
+                     'spurious_link',
+                     'x:' || CAST(o_orderkey AS VARCHAR)
+              FROM orders WHERE o_orderkey % 13 = 0)
+            SELECT 'added' AS side, s AS subject, p AS predicate,
+                   o AS object
+            FROM (SELECT DISTINCT * FROM got
+                  EXCEPT SELECT DISTINCT * FROM exp)
+            UNION ALL
+            SELECT 'removed', s, p, o
+            FROM (SELECT DISTINCT * FROM exp
+                  EXCEPT SELECT DISTINCT * FROM got)
         """,
         # MassiveText-style duplicated-span stats: per doc, how many of its
         # 15-word spans occur more than once anywhere in the corpus

@@ -1269,7 +1269,10 @@ def dup_span_stats(sf_dir: str, chunk_words: int = 15,
         lambda g: g.groupby("chunk_h", as_index=False)["cnt"].sum(),
         n_rows_hint=span_hint,
     )
-    dup = totals.filter(expr="cnt > 1").select_columns(["chunk_h"])
+    # materialize: dup-density-bounded and consumed twice (count gate +
+    # broadcast/join) — avoids re-running the span-count exchange
+    dup = totals.filter(expr="cnt > 1").select_columns(["chunk_h"]) \
+                .materialize()
     dup_n = dup.count()
 
     def explode_h(df: pd.DataFrame) -> pd.DataFrame:
@@ -1536,8 +1539,11 @@ def cdc_substring_dedup(sf_dir: str, min_len: int = 60, mask_bits: int = 5,
                    .agg(order_key=("order_key", "min"), cnt=("cnt", "sum")),
         n_rows_hint=chunk_hint,
     )
+    # materialize: dup-density-bounded and consumed twice (count gate +
+    # broadcast/join) — avoids re-running the chunk-signature exchange
     dup_winners = winners.filter(expr="cnt > 1") \
-                         .select_columns(["chunk_h", "order_key"])
+                         .select_columns(["chunk_h", "order_key"]) \
+                         .materialize()
     dup_n = dup_winners.count()
 
     if dup_n <= broadcast_threshold:

@@ -65,3 +65,47 @@ def test_pr_block_layout_invariant(ray_session):
                       _ds(exp).repartition(3)).iloc[0]
     assert dict(a) == dict(b)
     assert (a["n_got"], a["n_expected"], a["n_common"]) == (50, 45, 25)
+
+
+def test_diff_sides_and_dedup(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_diff,
+    )
+
+    got = [("a", "p", "b"), ("a", "p", "b"),       # dup collapses
+           ("x", "p", "y"), ("new", "p", "n")]
+    exp = [("a", "p", "b"), ("x", "p", "y"), ("old", "p", "o")]
+    out = triple_set_diff(_ds(got), _ds(exp)).to_pandas()
+    rows = {(r["side"], r["subject"], r["predicate"], r["object"])
+            for _, r in out.iterrows()}
+    assert rows == {("added", "new", "p", "n"),
+                    ("removed", "old", "p", "o")}
+    assert len(out) == 2                           # no duplicate rows
+
+
+def test_diff_join_path_equivalent(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_diff,
+    )
+
+    got = [(f"s{i}", "p", f"o{i}") for i in range(40)]
+    exp = [(f"s{i}", "p", f"o{i}") for i in range(20, 55)]
+    a = triple_set_diff(_ds(got).repartition(5), _ds(exp)).to_pandas()
+    b = triple_set_diff(_ds(got).repartition(5), _ds(exp),
+                        broadcast_threshold=0).to_pandas()
+    key = ["side", "subject", "predicate", "object"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["side"] == "added").sum() == 20      # s0..s19
+    assert (a["side"] == "removed").sum() == 15    # s40..s54
+
+
+def test_diff_identical_sets_empty(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_diff,
+    )
+
+    rows = [("a", "p", "b"), ("c", "p", "d")]
+    out = triple_set_diff(_ds(rows), _ds(rows)).to_pandas()
+    assert len(out) == 0
