@@ -829,6 +829,33 @@ def _kg_triple_diff(sf_dir: str):
     return triple_set_diff(got, expected)
 
 
+def _kg_property_graph_roundtrip(sf_dir: str):
+    """Export the order-triple encoding to nodes/edges/props Parquet,
+    import it back, and score the reassembled set against the original
+    with the distributed P/R op — the lossless-round-trip invariant
+    (single-typed nodes, plain literals) as an oracle-checked row."""
+    import tempfile
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_pr,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import (
+        order_triples,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.stages.property_graph import (
+        export_property_graph,
+        import_property_graph,
+    )
+
+    triples = order_triples(sf_dir).materialize()
+    out = tempfile.mkdtemp(prefix="pg_roundtrip_", dir="/tmp")
+    export_property_graph(triples, out)
+    back = import_property_graph(out)
+    return triple_set_pr(
+        back, triples,
+        cols=("subject", "predicate", "object", "object_kind"))
+
+
 def _kg_transe_link_rank(sf_dir: str):
     """Distributed TransE KG-embedding training over the IRI triples of
     the orders→customer→nation encoding, evaluated by filtered link
@@ -2176,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_isocanonical_fingerprint": _kg_isocanonical_fingerprint,
         "kg_triple_pr": _kg_triple_pr,
         "kg_triple_diff": _kg_triple_diff,
+        "kg_property_graph_roundtrip": _kg_property_graph_roundtrip,
         "kg_transe_link_rank": _kg_transe_link_rank,
         "kg_void_properties": _kg_void_properties,
         "kg_void_classes": _kg_void_classes,
@@ -3308,6 +3336,30 @@ def oracle_sql() -> dict[str, str]:
                          / ((n_common / CAST(n_got AS DOUBLE))
                             + (n_common / CAST(n_expected AS DOUBLE))), 6)
                        AS f1
+            FROM c
+        """,
+        # lossless property-graph round-trip: the reassembled triple set
+        # equals the clean encoding, so every count is the distinct size
+        # and all three ratios are exactly 1.0
+        "kg_property_graph_roundtrip": """
+            WITH exp AS (
+              SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'placed_by' AS p,
+                     'cust:' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders
+              UNION ALL
+              SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'nation:' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'has_name',
+                     n_name
+              FROM nation),
+            c AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT * FROM exp))
+            SELECT CAST(n AS BIGINT) AS n_got, CAST(n AS BIGINT)
+                       AS n_expected,
+                   CAST(n AS BIGINT) AS n_common,
+                   1.0 AS prec, 1.0 AS rec, 1.0 AS f1
             FROM c
         """,
         # symmetric set diff of the same perturbed-vs-clean pair: dropped

@@ -315,7 +315,9 @@ def kg_isocanonical_fingerprint(
         """Partial rows: kind 'g' = XOR partial over deduped ground
         digests; kind 'b' = one canonical digest per bnode scope group."""
         rows = []
-        ground = [d for d in g["d"] if d is not None]
+        # block conversions may surface the bnode rows' None digest as
+        # NaN — select by type, not identity
+        ground = [d for d in g["d"] if isinstance(d, bytes)]
         if ground:
             d = pd.Series(ground).drop_duplicates()
             u = np.frombuffer(b"".join(d), dtype="<u8")[::2]

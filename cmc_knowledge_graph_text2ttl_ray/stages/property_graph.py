@@ -31,7 +31,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["property_graph_tables", "export_property_graph"]
+__all__ = ["property_graph_tables", "export_property_graph",
+           "property_graph_to_triples", "import_property_graph"]
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -105,3 +106,72 @@ def export_property_graph(triples, out_dir: str,
         ds.write_parquet(path)
         counts[f"n_{name}"] = ds.count()
     return counts
+
+
+def property_graph_to_triples(nodes, edges, props,
+                              type_predicate: str = _RDF_TYPE):
+    """The inverse bridge: nodes/edges/props tables → an engine triple
+    Dataset (``subject, predicate, object, object_kind``).
+
+    Pure ``map_batches`` + ``union`` — zero shuffle. Lossiness is
+    inherited from the export, not introduced here: a node keeps only its
+    MIN ``rdf:type`` (multi-typed nodes come back single-typed) and
+    literal datatype/lang annotations are gone (every prop value returns
+    as a plain literal). For single-typed, plain-literal graphs the
+    round-trip is exact — pinned by the triple_set_pr round-trip test.
+    """
+
+    def from_edges(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": t["src"], "predicate": t["rel"], "object": t["dst"],
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    def from_nodes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(pc.not_equal(t["label"], ""), False))
+        n = len(t)
+        return pa.table({
+            "subject": t["node"],
+            "predicate": pa.array([type_predicate] * n, pa.string()),
+            "object": t["label"],
+            "object_kind": pa.array(["iri"] * n, pa.string()),
+        })
+
+    def from_props(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "subject": t["node"], "predicate": t["key"],
+            "object": t["value"],
+            "object_kind": pa.array(["literal"] * n, pa.string()),
+        })
+
+    return (edges.map_batches(from_edges, batch_format="pyarrow")
+            .union(nodes.map_batches(from_nodes, batch_format="pyarrow"),
+                   props.map_batches(from_props, batch_format="pyarrow")))
+
+
+def import_property_graph(in_dir: str,
+                          type_predicate: str = _RDF_TYPE):
+    """Read the three Parquet directories an
+    :func:`export_property_graph` run wrote and reassemble triples.
+    A table that was empty at export time has no directory on disk
+    (``write_parquet`` of zero rows writes nothing) — substitute an
+    empty typed dataset."""
+    import os
+
+    import ray.data
+
+    def read_or_empty(name: str, cols):
+        path = os.path.join(in_dir, name)
+        if os.path.isdir(path) and os.listdir(path):
+            return ray.data.read_parquet(path)
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.string()) for c in cols}))
+
+    return property_graph_to_triples(
+        read_or_empty("nodes", ("node", "label")),
+        read_or_empty("edges", ("src", "rel", "dst")),
+        read_or_empty("props", ("node", "key", "value")),
+        type_predicate=type_predicate,
+    )

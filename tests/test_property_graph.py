@@ -65,3 +65,59 @@ def test_layout_invariance(ray_session):
             base = got
         else:
             pd.testing.assert_frame_equal(base, got)
+
+
+def test_property_graph_round_trip_exact(ray_session, tmp_path):
+    """Single-typed, plain-literal triples survive export → import
+    byte-exactly (P = R = F1 = 1.0 via the distributed set compare)."""
+    import pandas as pd
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_eval import (
+        triple_set_pr,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.stages.property_graph import (
+        export_property_graph,
+        import_property_graph,
+    )
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("urn:a", rdf_type, "urn:Person", "iri"),
+        ("urn:b", rdf_type, "urn:Person", "iri"),
+        ("urn:a", "urn:knows", "urn:b", "iri"),
+        ("urn:b", "urn:knows", "urn:c", "iri"),
+        ("urn:a", "urn:name", "Ann", "literal"),
+        ("urn:c", "urn:name", "Cid", "literal"),
+    ]
+    triples = ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["subject", "predicate", "object", "object_kind"]))
+    out = str(tmp_path / "pg")
+    counts = export_property_graph(triples, out)
+    assert counts["n_edges"] == 2 and counts["n_props"] == 2
+
+    back = import_property_graph(out)
+    r = triple_set_pr(back, triples,
+                      cols=("subject", "predicate", "object",
+                            "object_kind")).iloc[0]
+    assert (r["prec"], r["rec"], r["f1"]) == (1.0, 1.0, 1.0)
+    assert r["n_got"] == r["n_expected"] == len(rows)
+
+
+def test_property_graph_import_drops_untyped_labels(ray_session, tmp_path):
+    import pandas as pd
+    import ray
+
+    from cmc_knowledge_graph_text2ttl_ray.stages.property_graph import (
+        export_property_graph,
+        import_property_graph,
+    )
+
+    triples = ray.data.from_pandas(pd.DataFrame(
+        [("urn:x", "urn:knows", "urn:y", "iri")],
+        columns=["subject", "predicate", "object", "object_kind"]))
+    out = str(tmp_path / "pg2")
+    export_property_graph(triples, out)
+    back = import_property_graph(out).to_pandas()
+    # untyped nodes contribute no rdf:type rows on the way back
+    assert list(back["predicate"]) == ["urn:knows"]
