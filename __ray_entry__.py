@@ -1636,6 +1636,29 @@ def _docs_new_shard_near_dedup(sf_dir: str):
     return new_shard_minhash_dedup(sf_dir, threshold=0.6)
 
 
+def _docs_unigram_vocab(sf_dir: str):
+    """Unigram-LM tokenizer vocabulary (Kudo 2018) trained on the
+    distributed word histogram (no_oracle: Viterbi-EM is not
+    SQL-expressible; determinism/segmentation pinned in
+    test_tokenizer.py)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        train_unigram,
+    )
+
+    return train_unigram(sf_dir, vocab_size=1_000, max_words=30_000)
+
+
+def _docs_unigram_token_stats(sf_dir: str):
+    """Per-doc token counts under the learned unigram pieces (actor-pool
+    Viterbi with per-word memo; no_oracle, differential-tested vs the
+    driver-side Viterbi)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        unigram_token_counts,
+    )
+
+    return unigram_token_counts(sf_dir, vocab_size=1_000, max_words=30_000)
+
+
 def _docs_bpe_merges(sf_dir: str):
     from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import train_bpe
 
@@ -2176,6 +2199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_epoch_shuffle": _docs_epoch_shuffle,
         "docs_bpe_merges": _docs_bpe_merges,
+        "docs_unigram_vocab": _docs_unigram_vocab,
+        "docs_unigram_token_stats": _docs_unigram_token_stats,
         "docs_bpe_encoded": _docs_bpe_encoded,
         "docs_new_shard_near_dedup": _docs_new_shard_near_dedup,
         "docs_heavy_words_sketch": _docs_heavy_words_sketch,

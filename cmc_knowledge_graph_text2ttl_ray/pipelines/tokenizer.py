@@ -39,7 +39,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-__all__ = ["word_histogram", "train_bpe", "bpe_token_counts"]
+__all__ = ["word_histogram", "train_bpe", "bpe_token_counts",
+           "train_unigram", "unigram_token_counts"]
 
 END_OF_WORD = "</w>"
 
@@ -220,5 +221,164 @@ def bpe_token_counts(sf_dir: str, num_merges: int = 200,
                                columns=["doc_id", "text"])
     return ds.map_batches(
         BpeEncoder, fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM tokenizer (Kudo 2018, SentencePiece's second algorithm)
+# --------------------------------------------------------------------------
+#
+# Same distributed decomposition as BPE: the corpus contributes ONE
+# streaming word-histogram pass; training runs on the driver over the
+# bounded (word, count) table. EM here is the hard (Viterbi) variant —
+# each E-step segments every distinct histogram word once under the
+# current piece log-probs and accumulates count-weighted piece counts;
+# pruning removes the lowest-probability multi-char pieces between EM
+# rounds until the vocabulary reaches its target (single characters are
+# never pruned, so every word stays segmentable).
+
+_MAX_PIECE_LEN = 10
+
+
+def _viterbi(word: str, logp: dict[str, float],
+             max_len: int = _MAX_PIECE_LEN):
+    """Best segmentation of ``word`` under piece log-probs. Returns
+    (pieces, total_logp); unknown single chars get a large penalty so
+    any word segments."""
+    n = len(word)
+    best = [0.0] + [-1e18] * n
+    back = [0] * (n + 1)
+    unk = -1e9
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None:
+                if j - i == 1:
+                    lp = unk
+                else:
+                    continue
+            cand = best[i] + lp
+            if cand > best[j]:
+                best[j] = cand
+                back[j] = i
+    pieces = []
+    j = n
+    while j > 0:
+        i = back[j]
+        pieces.append(word[i:j])
+        j = i
+    pieces.reverse()
+    return pieces, best[n]
+
+
+def train_unigram(sf_dir: str, vocab_size: int = 2_000,
+                  max_words: int = 30_000, seed_factor: int = 6,
+                  em_iters_per_round: int = 2,
+                  prune_frac: float = 0.25) -> pd.DataFrame:
+    """Learn a unigram-LM piece vocabulary. Returns ``(piece, logp)``
+    sorted by piece — deterministic for a given corpus (the histogram is
+    block-invariant and training is a pure function of it)."""
+    import math
+
+    hist = word_histogram(sf_dir, max_words).reset_index(drop=True)
+    words = list(hist["word"])
+    counts = hist["cnt"].to_numpy(np.int64)
+
+    # seed: all substrings up to _MAX_PIECE_LEN weighted by word count,
+    # truncated to seed_factor × vocab_size (count-desc, piece-asc) —
+    # single chars always included
+    sub_counts: dict[str, int] = {}
+    for w, c in zip(words, counts):
+        c = int(c)
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(L, i + _MAX_PIECE_LEN) + 1):
+                p = w[i:j]
+                sub_counts[p] = sub_counts.get(p, 0) + c
+    chars = {p for p in sub_counts if len(p) == 1}
+    multi = sorted((p for p in sub_counts if len(p) > 1),
+                   key=lambda p: (-sub_counts[p], p))
+    seed_n = max(vocab_size, seed_factor * vocab_size) - len(chars)
+    vocab = chars | set(multi[:max(0, seed_n)])
+    total = sum(sub_counts[p] for p in vocab)
+    logp = {p: math.log(sub_counts[p] / total) for p in vocab}
+
+    def em_round(logp):
+        for _ in range(em_iters_per_round):
+            acc: dict[str, float] = {}
+            tot = 0.0
+            for w, c in zip(words, counts):
+                pieces, _ = _viterbi(w, logp)
+                for p in pieces:
+                    acc[p] = acc.get(p, 0.0) + float(c)
+                    tot += float(c)
+            # unseen pieces vanish unless protected (single chars)
+            logp = {p: math.log(max(acc.get(p, 0.0), 0.5) / tot)
+                    for p in logp}
+        return logp
+
+    logp = em_round(logp)
+    while sum(1 for p in logp if len(p) > 1) + len(chars) > vocab_size:
+        multi_sorted = sorted((p for p in logp if len(p) > 1),
+                              key=lambda p: (logp[p], p))
+        target_multi = max(0, vocab_size - len(chars))
+        n_drop = max(1, int(len(multi_sorted) * prune_frac))
+        keep_multi = multi_sorted[n_drop:] \
+            if len(multi_sorted) - n_drop > target_multi \
+            else multi_sorted[len(multi_sorted) - target_multi:]
+        logp = {p: lp for p, lp in logp.items()
+                if len(p) == 1 or p in set(keep_multi)}
+        logp = em_round(logp)
+
+    out = pd.DataFrame(sorted(logp.items()), columns=["piece", "logp"])
+    out["logp"] = out["logp"].astype("float64")
+    return out
+
+
+class UnigramEncoder:
+    """Actor-pool stage: Viterbi-segment with the learned piece LM;
+    per-word memo so each distinct word segments once per actor."""
+
+    def __init__(self, vocab_ref):
+        vocab = ray.get(vocab_ref)
+        self.logp = dict(zip(vocab["piece"], vocab["logp"]))
+        self.memo: dict[str, int] = {"": 0}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = _pretokenize(t["text"])
+        flat = pc.list_flatten(toks).to_pylist()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        memo, logp = self.memo, self.logp
+        n_tok = np.empty(len(flat), np.int64)
+        for i, w in enumerate(flat):
+            v = memo.get(w)
+            if v is None:
+                v = memo[w] = len(_viterbi(w, logp)[0])
+            n_tok[i] = v
+        ends = np.cumsum(lens)
+        starts = np.concatenate([[0], ends[:-1]])
+        if len(n_tok):
+            per_doc = np.add.reduceat(
+                n_tok, np.minimum(starts, len(n_tok) - 1))
+        else:
+            per_doc = np.zeros(len(t), np.int64)
+        per_doc = np.where(lens == 0, 0, per_doc)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_unigram_tokens": pa.array(per_doc, pa.int64())})
+
+
+def unigram_token_counts(sf_dir: str, vocab_size: int = 2_000,
+                         max_words: int = 30_000,
+                         concurrency: int | None = None):
+    """Train the unigram LM on the corpus, then one actor-pool pass
+    counting tokens per document under the learned pieces."""
+    import ray as _ray
+
+    vocab_ref = _ray.put(train_unigram(sf_dir, vocab_size, max_words))
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(
+        UnigramEncoder, fn_constructor_args=(vocab_ref,),
         batch_format="pyarrow", concurrency=concurrency or (1, 8),
     )

@@ -134,3 +134,74 @@ def test_merge_loop_matches_naive_reference():
         exp = naive_bpe(hist, num_merges=12)
         assert list(map(tuple, got.itertuples(index=False))) == exp, \
             (trial, hist.to_dict("records"))
+
+
+# --------------------------------------------------------------------------
+# unigram LM tokenizer
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def uni_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["ababab ababab cd", "ababab cd cd", "ababab ababab ababab"]
+    d = tmp_path_factory.mktemp("unidocs")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_unigram_learns_repeated_piece(ray_session, uni_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        _viterbi,
+        train_unigram,
+    )
+
+    v = train_unigram(uni_dir, vocab_size=8, max_words=100)
+    logp = dict(zip(v["piece"], v["logp"]))
+    # every corpus char survives pruning
+    assert {"a", "b", "c", "d"} <= set(logp)
+    # the dominant word segments into few pieces, not characters
+    pieces, _ = _viterbi("ababab", logp)
+    assert len(pieces) <= 3
+    assert all(p in logp for p in pieces)
+
+
+def test_unigram_block_invariant_and_deterministic(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        train_unigram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = train_unigram(sf, vocab_size=150, max_words=2000)
+    b = train_unigram(sf, vocab_size=150, max_words=2000)
+    assert a.equals(b)
+    assert len(a) == 150
+
+
+def test_unigram_token_counts_match_driver_viterbi(ray_session):
+    import duckdb
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        _pretokenize,
+        _viterbi,
+        train_unigram,
+        unigram_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = unigram_token_counts(sf, vocab_size=150, max_words=2000) \
+        .to_pandas().set_index("doc_id")["n_unigram_tokens"].to_dict()
+    v = train_unigram(sf, vocab_size=150, max_words=2000)
+    logp = dict(zip(v["piece"], v["logp"]))
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'").fetchall()
+    import pyarrow as pa
+    for doc_id, text in rows[:50]:
+        toks = _pretokenize(pa.chunked_array([pa.array([text])]))
+        words = toks.to_pylist()[0]
+        expect = sum(len(_viterbi(w, logp)[0]) for w in words)
+        assert got[doc_id] == expect
