@@ -780,7 +780,11 @@ def _pr_pair(sf_dir: str):
     expected = order_triples(sf_dir).select_columns(
         ["subject", "predicate", "object"])
 
-    orders = ray.data.read_parquet(
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        sized_read_parquet,
+    )
+
+    orders = sized_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
 
     def perturb(df: pd.DataFrame) -> pd.DataFrame:

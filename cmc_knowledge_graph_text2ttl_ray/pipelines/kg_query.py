@@ -590,14 +590,20 @@ def order_triples(sf_dir: str):
     """Deterministic triple encoding of the orders→customer→nation chain:
     ``(order:<o>, placed_by, cust:<c>)`` ∪ ``(cust:<c>, in_nation,
     nation:<n>)`` ∪ ``(nation:<n>, has_name, <n_name>)`` — a three-hop
-    KG shape over relational testdata for oracle-checked BGP joins."""
-    import ray.data
+    KG shape over relational testdata for oracle-checked BGP joins.
 
-    orders = ray.data.read_parquet(
+    Reads are metadata-sized (sized_read_parquet): the three-branch union
+    otherwise inherits Ray's ~2×CPU blocks PER read and every downstream
+    all-to-all pays per-block scheduling for hundreds of tiny tasks."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        sized_read_parquet,
+    )
+
+    orders = sized_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    cust = ray.data.read_parquet(
+    cust = sized_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nation = ray.data.read_parquet(
+    nation = sized_read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
 
     def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
