@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "kg_khop_nation",
     "kg_shacl_violations",
     "kg_sameas_merge_orders",
+    "docs_substring_dedup",
+    "kg_triple_diff",
+    "docs_unigram_token_stats",
     "kg_profile_events",
     "kg_update_relabel_clicks",
     "kg_rdfs_closure",
