@@ -1,16 +1,18 @@
 """Triple-set evaluation: distributed precision / recall / F1 between an
-emitted triple set and a reference set.
+emitted triple set and a reference set, plus the row-level set diff.
 
 The engine's acceptance metric is triple P/R vs the reference
 implementation's output (see the repo north rule; the reference itself is
 evaluated file-by-file, ``/root/reference`` has no set-level comparator).
 This op makes that check a first-class distributed primitive: both sides
 digest per block (md5 of the joined identity columns — the
-``kg_fingerprint`` key), the 16-byte digests exchange ONCE co-located by
-digest, and each partition counts its distinct-left / distinct-right /
-intersection locally; the driver folds P partial count rows. Triple text
-never shuffles, skew is impossible (digests are uniform), and the cost is
-one pass over each side + one small exchange.
+``kg_fingerprint`` key — carried as TWO int64 columns, so every groupby
+and join downstream runs numpy/arrow-fast instead of hashing Python
+bytes), the digests exchange ONCE co-located by digest, and each
+partition counts its distinct-left / distinct-right / intersection
+locally; the driver folds P partial count rows. Triple text never
+shuffles, skew is impossible (digests are uniform), and the cost is one
+pass over each side + one small exchange.
 """
 
 from __future__ import annotations
@@ -19,24 +21,46 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 __all__ = ["triple_set_pr", "triple_set_diff"]
 
 _SEP = "\x1f"
 
 
-def _digest_side(ds, cols, side: str):
+def _digest_pairs(df: pd.DataFrame, cols) -> np.ndarray:
+    """(n, 2) int64 array: the md5 of each row's joined identity cols."""
+    keys = df[cols[0]].astype(str)
+    for c in cols[1:]:
+        keys = keys + _SEP + df[c].astype(str)
+    if not len(keys):
+        return np.empty((0, 2), dtype=np.int64)
+    buf = b"".join(hashlib.md5(k.encode("utf-8")).digest() for k in keys)
+    return np.frombuffer(buf, dtype="<i8").reshape(-1, 2)
+
+
+def _digest_side(ds, cols, is_got: bool):
     def pre(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df[cols[0]].astype(str)
-        for c in cols[1:]:
-            keys = keys + _SEP + df[c].astype(str)
-        dig = pd.Series([hashlib.md5(k.encode("utf-8")).digest()
-                         for k in keys], dtype="object")
-        out = pd.DataFrame({"d": dig}).drop_duplicates()
-        out["side"] = side
+        d = _digest_pairs(df, cols)
+        out = pd.DataFrame({"d1": d[:, 0], "d2": d[:, 1]})
+        out = out.drop_duplicates()
+        out["g"] = np.int64(1 if is_got else 0)
         return out
 
     return ds.map_batches(pre, batch_format="pandas")
+
+
+def _side_counts(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-digest (rows, got-rows) over deduped (d1, d2, g) rows —
+    ``size`` ∈ {1, 2}: 2 means the digest is on both sides."""
+    g2 = g.drop_duplicates()
+    if not len(g2):  # empty groupby loses the key columns on reset_index
+        return pd.DataFrame({"d1": pd.Series(dtype="int64"),
+                             "d2": pd.Series(dtype="int64"),
+                             "size": pd.Series(dtype="int64"),
+                             "got": pd.Series(dtype="int64")})
+    return g2.groupby(["d1", "d2"], sort=False)["g"] \
+        .agg(size="size", got="sum").reset_index()
 
 
 def triple_set_pr(got, expected,
@@ -58,18 +82,18 @@ def triple_set_pr(got, expected,
     )
 
     cols = list(cols)
-    both = _digest_side(got, cols, "g").union(
-        _digest_side(expected, cols, "e"))
+    both = _digest_side(got, cols, True).union(
+        _digest_side(expected, cols, False))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        piv = g.drop_duplicates().groupby("d")["side"].agg(frozenset)
-        n_g = sum(1 for s in piv if "g" in s)
-        n_e = sum(1 for s in piv if "e" in s)
-        n_c = sum(1 for s in piv if len(s) == 2)
-        return pd.DataFrame({"n_got": [n_g], "n_expected": [n_e],
-                             "n_common": [n_c]})
+        agg = _side_counts(g)
+        on_g = agg["got"].to_numpy() >= 1
+        on_e = agg["size"].to_numpy() - agg["got"].to_numpy() >= 1
+        return pd.DataFrame({"n_got": [int(on_g.sum())],
+                             "n_expected": [int(on_e.sum())],
+                             "n_common": [int((on_g & on_e).sum())]})
 
-    parts = coarse_group_reduce(both, ["d"], combine,
+    parts = coarse_group_reduce(both, ["d1", "d2"], combine,
                                 num_coarse=num_coarse).to_pandas()
     n_g = int(parts["n_got"].sum())
     n_e = int(parts["n_expected"].sum())
@@ -84,6 +108,16 @@ def triple_set_pr(got, expected,
     }])
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pack_keys(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """Fold the digest pair to one uint64 lookup key (collision odds
+    2^-64 on change-sized sets; the authoritative identity stays the
+    full pair in the joins)."""
+    return (d1.astype(np.uint64) ^ (d2.astype(np.uint64) * _MIX))
+
+
 def triple_set_diff(got, expected,
                     cols=("subject", "predicate", "object"),
                     broadcast_threshold: int = 2_000_000,
@@ -93,14 +127,17 @@ def triple_set_diff(got, expected,
     with ``side='removed'`` (distinct-set semantics on both sides).
 
     Scale shape: stage 1 is the :func:`triple_set_pr` digest exchange —
-    16-byte digests only, never triple text. The diff digest set is
-    bounded by the CHANGE size, not the corpus: below
+    two int64 digest columns only, never triple text. The diff digest
+    set is bounded by the CHANGE size, not the corpus: below
     ``broadcast_threshold`` it broadcasts via ``ray.put`` and each side
     re-digests locally to emit its members (zero joins); past it, each
-    side inner-joins the diff table on the digest hex.
+    side inner-joins the diff table on the digest pair. Both paths
+    finish with ONE change-sized dedup exchange (the same distinct
+    triple may sit in several input blocks). All UDF outputs are typed
+    arrow tables — 0-row pandas object blocks trip Ray's size estimator
+    into noisy per-block error logs.
     """
     import ray
-    import ray.data
 
     from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
         coarse_group_reduce,
@@ -108,56 +145,85 @@ def triple_set_diff(got, expected,
     )
 
     cols = list(cols)
-    both = _digest_side(got, cols, "g").union(
-        _digest_side(expected, cols, "e"))
+    both = _digest_side(got, cols, True).union(
+        _digest_side(expected, cols, False))
 
-    def only_one_side(g: pd.DataFrame) -> pd.DataFrame:
-        piv = g.drop_duplicates().groupby("d")["side"].agg(frozenset)
-        solo = piv[piv.map(len) == 1]
-        return pd.DataFrame({
-            "k": [d.hex() for d in solo.index],
-            "side": ["added" if "g" in s else "removed"
-                     for s in solo.values],
+    def only_one_side(g: pd.DataFrame):
+        agg = _side_counts(g)
+        solo = agg[agg["size"] == 1]
+        return pa.table({
+            "d1": pa.array(solo["d1"].to_numpy(np.int64), pa.int64()),
+            "d2": pa.array(solo["d2"].to_numpy(np.int64), pa.int64()),
+            "side": pa.array(np.where(solo["got"].to_numpy() == 1,
+                                      "added", "removed")),
         })
 
     # materialize: the diff table is CHANGE-sized and is consumed twice
     # (count gate + broadcast/join) — without the pin the whole digest
     # exchange would re-execute per consumer
-    diff = coarse_group_reduce(both, ["d"], only_one_side,
+    diff = coarse_group_reduce(both, ["d1", "d2"], only_one_side,
                                num_coarse=num_coarse).materialize()
     diff_n = diff.count()
 
-    def redigest(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df[cols[0]].astype(str)
-        for c in cols[1:]:
-            keys = keys + _SEP + df[c].astype(str)
-        out = df[cols].copy()
-        out["k"] = [hashlib.md5(x.encode("utf-8")).hexdigest()
-                    for x in keys]
-        return out.drop_duplicates(subset=["k"])
+    out_schema = pa.schema([("side", pa.string())]
+                           + [(c, pa.string()) for c in cols])
+    key_schema = pa.schema(list(out_schema)
+                           + [("d1", pa.int64()), ("d2", pa.int64())])
 
-    # both paths finish with ONE diff-sized dedup exchange on the digest:
-    # the same distinct triple may sit in several input blocks, and the
-    # per-block dedup in redigest cannot see across them
+    def _arrow(df: pd.DataFrame, schema):
+        return pa.table({
+            f.name: pa.array(df[f.name].to_numpy(np.int64), f.type)
+            if pa.types.is_integer(f.type)
+            else pa.array(df[f.name].astype(str) if len(df) else [],
+                          f.type)
+            for f in schema})
+
+    def redigest(df: pd.DataFrame) -> pd.DataFrame:
+        d = _digest_pairs(df, cols)
+        out = df[cols].copy()
+        out["d1"] = d[:, 0]
+        out["d2"] = d[:, 1]
+        return out.drop_duplicates(subset=["d1", "d2"])
+
     def _dedup_out(rows):
         return coarse_group_reduce(
-            rows, ["k"],
-            lambda g: g.drop_duplicates(subset=["k"])
-                       .drop(columns=["k"]),
+            rows, ["d1", "d2"],
+            lambda g: _arrow(g.drop_duplicates(subset=["d1", "d2"]),
+                             out_schema),
         )
 
+    if diff_n == 0:
+        # identical sets: to_pandas() of the empty diff loses its columns
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
+
     if diff_n <= broadcast_threshold:
-        want = {r["k"]: r["side"] for r in diff.take_all()}
-        want_ref = ray.put(want)
+        tbl = diff.to_pandas()
+        packed = _pack_keys(tbl["d1"].to_numpy(np.int64),
+                            tbl["d2"].to_numpy(np.int64))
+        order = np.argsort(packed)
+        want_ref = ray.put((packed[order],
+                            (tbl["side"].to_numpy() == "added")[order]))
 
         def pick(side_label):
-            def fn(df: pd.DataFrame) -> pd.DataFrame:
-                w = ray.get(want_ref)
+            want_added = side_label == "added"
+
+            def fn(df: pd.DataFrame):
+                keys_sorted, added_sorted = ray.get(want_ref)
                 out = redigest(df)
-                sides = out["k"].map(w)
-                out = out[sides == side_label]
+                k = _pack_keys(out["d1"].to_numpy(np.int64),
+                               out["d2"].to_numpy(np.int64))
+                if len(keys_sorted) and len(k):
+                    pos = np.clip(np.searchsorted(keys_sorted, k),
+                                  0, len(keys_sorted) - 1)
+                    hit = (keys_sorted[pos] == k) & \
+                        (added_sorted[pos] == want_added)
+                else:
+                    hit = np.zeros(len(k), dtype=bool)
+                out = out[hit]
                 out.insert(0, "side", side_label)
-                return out
+                return _arrow(out, key_schema)
             return fn
 
         rows = got.map_batches(pick("added"), batch_format="pandas") \
@@ -169,21 +235,25 @@ def triple_set_diff(got, expected,
         num_join_partitions = default_join_partitions()
     nparts = max(1, min(num_join_partitions, (diff_n + 49_999) // 50_000))
 
+    lbl_schema = pa.schema([(c, pa.string()) for c in cols]
+                           + [("d1", pa.int64()), ("d2", pa.int64()),
+                              ("src", pa.string())])
+
     def labeled(side_label):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def fn(df: pd.DataFrame):
             out = redigest(df)
             out["src"] = side_label
-            return out
+            return _arrow(out, lbl_schema)
         return fn
 
     rows = got.map_batches(labeled("added"), batch_format="pandas").union(
         expected.map_batches(labeled("removed"), batch_format="pandas"))
     joined = rows.join(diff, join_type="inner",
-                       num_partitions=nparts, on=("k",))
+                       num_partitions=nparts, on=("d1", "d2"))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame):
         # a digest can only match its own side's diff row; keep the label
         df = df[df["src"] == df["side"]]
-        return df[["side"] + cols + ["k"]].copy()
+        return _arrow(df, key_schema)
 
     return _dedup_out(joined.map_batches(finish, batch_format="pandas"))
