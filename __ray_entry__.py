@@ -860,6 +860,18 @@ def _kg_property_graph_roundtrip(sf_dir: str):
         cols=("subject", "predicate", "object", "object_kind"))
 
 
+def _parts_bfs_reach(sf_dir: str):
+    """Hop distances (<=3) from part 0 through the co-purchase sequence
+    graph (multi-source BFS primitive; driver path under the edge
+    threshold, broadcast-frontier distributed path above, equivalence-
+    tested)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        parts_bfs_reach,
+    )
+
+    return parts_bfs_reach(sf_dir, seed_part=0, max_hops=3)
+
+
 def _kg_transe_link_rank(sf_dir: str):
     """Distributed TransE KG-embedding training over the IRI triples of
     the orders→customer→nation encoding, evaluated by filtered link
@@ -2311,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _docs_ngram_jaccard,
         "docs_cc_clusters": _docs_cc_clusters,
         "parts_pagerank": _parts_pagerank,
+        "parts_bfs_reach": _parts_bfs_reach,
         "parts_triangles": _parts_triangles,
         "parts_degree_histogram": _parts_degree_histogram,
         "docs_fuzzy_dedup": _docs_fuzzy_dedup,
@@ -3366,6 +3379,25 @@ def oracle_sql() -> dict[str, str]:
                             + (n_common / CAST(n_expected AS DOUBLE))), 6)
                        AS f1
             FROM c
+        """,
+        # min hop distance from part 0 over the co-purchase graph,
+        # undirected, capped at 3 hops (recursive CTE enumerates paths;
+        # MIN collapses to the BFS distance)
+        "parts_bfs_reach": """
+            WITH RECURSIVE e AS (
+              SELECT a.l_partkey AS src, b.l_partkey AS dst
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND b.l_linenumber = a.l_linenumber + 1),
+            ue AS (SELECT src, dst FROM e
+                   UNION ALL SELECT dst, src FROM e),
+            bfs AS (
+              SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+              UNION ALL
+              SELECT ue.dst, bfs.dist + 1
+              FROM bfs JOIN ue ON ue.src = bfs.node WHERE bfs.dist < 3)
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY node
         """,
         # lossless property-graph round-trip: the reassembled triple set
         # equals the clean encoding, so every count is the distinct size

@@ -1006,3 +1006,124 @@ def fuzzy_dedup_best_quality(
             "quality": df["quality"],
             "keep": (df["doc_id"] == df["winner"]).to_numpy()}),
         batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS hop distances
+# --------------------------------------------------------------------------
+
+def _bfs_numpy(src: np.ndarray, dst: np.ndarray, seeds,
+               directed: bool, max_hops) -> pd.DataFrame:
+    if not directed:
+        src, dst = (np.concatenate([src, dst]),
+                    np.concatenate([dst, src]))
+    dist = {int(s): 0 for s in seeds}
+    frontier = set(dist)
+    hop = 0
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    while frontier and (max_hops is None or hop < max_hops):
+        hop += 1
+        f = np.fromiter(frontier, dtype=np.int64)
+        lo = np.searchsorted(s_sorted, f, side="left")
+        hi = np.searchsorted(s_sorted, f, side="right")
+        nxt = set()
+        for a, b in zip(lo, hi):
+            for v in d_sorted[a:b]:
+                v = int(v)
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.add(v)
+        frontier = nxt
+    items = sorted(dist.items())
+    return pd.DataFrame({
+        "node": pd.Series([k for k, _ in items], dtype="int64"),
+        "dist": pd.Series([v for _, v in items], dtype="int64"),
+    })
+
+
+def bfs_distances(edges, seeds, directed: bool = False,
+                  max_hops: int | None = None,
+                  num_join_partitions: int | None = None,
+                  driver_threshold: int = 2_000_000,
+                  force_distributed: bool = False):
+    """Minimum hop distance from a seed set over an (src, dst) edge-list
+    Dataset → ``(node, dist)`` for every reachable node (seeds at 0).
+
+    Scale shape (the textbook distributed BFS): per hop, the frontier —
+    never the visited set — drives the work. Below a frontier threshold
+    the hop is ONE broadcast ``is_in`` scan of the edge list (the
+    khop_subgraph pattern); the visited set needed for termination is
+    itself frontier-bounded per hop because a node enters a frontier at
+    most once, and membership tests run against a sorted int64 array.
+    Graphs under ``driver_threshold`` edges solve in numpy for the same
+    reason pagerank's driver path exists (per-hop join fixed costs dwarf
+    the math on small graphs); the distributed path is the 100-TB shape
+    and is equivalence-tested against it.
+    """
+    import ray
+    import ray.data
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold and not force_distributed:
+        df = edges.to_pandas()
+        if df.empty:
+            items = sorted(int(s) for s in seeds)
+            return ray.data.from_pandas(pd.DataFrame({
+                "node": pd.Series(items, dtype="int64"),
+                "dist": pd.Series([0] * len(items), dtype="int64")}))
+        return ray.data.from_pandas(_bfs_numpy(
+            df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64),
+            seeds, directed, max_hops))
+
+    # distributed path: broadcast-frontier hops. Each hop scans the edge
+    # list once with a vectorized membership test and returns only NEW
+    # nodes; `visited` grows by the frontier each hop and stays a sorted
+    # int64 array in the object store (ray.put per hop).
+    visited = np.array(sorted({int(s) for s in seeds}), dtype=np.int64)
+    dist_frames = [pd.DataFrame({"node": visited,
+                                 "dist": np.int64(0)})]
+    frontier = visited
+    hop = 0
+    while len(frontier) and (max_hops is None or hop < max_hops):
+        hop += 1
+        f_ref = ray.put(frontier)
+        v_ref = ray.put(visited)
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(f_ref)
+            v = ray.get(v_ref)
+            s = df["src"].to_numpy(np.int64)
+            d = df["dst"].to_numpy(np.int64)
+            if not directed:
+                s, d = np.concatenate([s, d]), np.concatenate([d, s])
+            pos = np.clip(np.searchsorted(f, s), 0, len(f) - 1)
+            hit = f[pos] == s
+            cand = np.unique(d[hit])
+            if len(v) and len(cand):
+                p2 = np.clip(np.searchsorted(v, cand), 0, len(v) - 1)
+                cand = cand[v[p2] != cand]
+            return pd.DataFrame({"node": pd.Series(cand, dtype="int64")})
+
+        new_nodes = (edges.map_batches(expand, batch_format="pandas")
+                     .groupby("node").count().select_columns(["node"])
+                     .to_pandas()["node"].to_numpy(np.int64))
+        frontier = np.sort(new_nodes)
+        if len(frontier):
+            dist_frames.append(pd.DataFrame({
+                "node": frontier, "dist": np.int64(hop)}))
+            visited = np.union1d(visited, frontier)
+
+    out = pd.concat(dist_frames, ignore_index=True) \
+        .sort_values("node").reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+def parts_bfs_reach(sf_dir: str, seed_part: int = 0,
+                    max_hops: int = 3, **kw):
+    """Hop distances (≤ ``max_hops``) from one part through the
+    co-purchase sequence graph, undirected — 'how far does a product
+    sit from the seed in bought-together space'."""
+    return bfs_distances(copurchase_edges(sf_dir), [seed_part],
+                         directed=False, max_hops=max_hops, **kw)

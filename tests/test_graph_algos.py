@@ -228,3 +228,69 @@ def test_pagerank_driver_path_matches_distributed(ray_session):
     b = pagerank(ds, iters=5, force_distributed=True).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# multi-source BFS hop distances
+# --------------------------------------------------------------------------
+
+def _edge_ds(pairs):
+    import pandas as pd
+    import ray
+
+    return ray.data.from_pandas(pd.DataFrame(
+        pairs, columns=["src", "dst"]).astype("int64"))
+
+
+def test_bfs_planted_chain_and_branch(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        bfs_distances,
+    )
+
+    #  0 -> 1 -> 2 -> 3 ;  1 -> 4 ;  5 -> 6 (unreachable from 0, directed)
+    edges = [(0, 1), (1, 2), (2, 3), (1, 4), (5, 6)]
+    got = bfs_distances(_edge_ds(edges), [0], directed=True) \
+        .to_pandas().set_index("node")["dist"].to_dict()
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+    # undirected pulls in nothing new here except by symmetry
+    got_u = bfs_distances(_edge_ds(edges), [0], directed=False) \
+        .to_pandas().set_index("node")["dist"].to_dict()
+    assert got_u == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+    # hop cap
+    capped = bfs_distances(_edge_ds(edges), [0], directed=True,
+                           max_hops=1).to_pandas()
+    assert set(capped["node"]) == {0, 1}
+
+
+def test_bfs_multi_seed_min_distance(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        bfs_distances,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    got = bfs_distances(_edge_ds(edges), [0, 4], directed=False) \
+        .to_pandas().set_index("node")["dist"].to_dict()
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_distributed_path_equivalent(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        bfs_distances,
+        copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = bfs_distances(copurchase_edges(sf), [0], max_hops=3).to_pandas()
+    b = bfs_distances(copurchase_edges(sf), [0], max_hops=3,
+                      force_distributed=True).to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert (a["dist"] == 0).sum() == 1 and len(a) > 1
+
+
+def test_bfs_isolated_seed(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        bfs_distances,
+    )
+
+    got = bfs_distances(_edge_ds([(7, 8)]), [99]).to_pandas()
+    assert got.to_dict("records") == [{"node": 99, "dist": 0}]
