@@ -860,6 +860,20 @@ def _kg_property_graph_roundtrip(sf_dir: str):
         cols=("subject", "predicate", "object", "object_kind"))
 
 
+def _parts_closeness(sf_dir: str):
+    """Approximate closeness centrality over the co-purchase graph
+    (Eppstein-Wang sampling, k=8 deterministic md5-ranked sources;
+    no_oracle: sampling estimator, pinned by exact-star + determinism
+    tests in test_graph_algos.py)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        approx_closeness,
+        copurchase_edges,
+    )
+
+    return approx_closeness(copurchase_edges(sf_dir), k_sources=8,
+                            max_hops=6)
+
+
 def _parts_bfs_reach(sf_dir: str):
     """Hop distances (<=3) from part 0 through the co-purchase sequence
     graph (multi-source BFS primitive; driver path under the edge
@@ -2324,6 +2338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cc_clusters": _docs_cc_clusters,
         "parts_pagerank": _parts_pagerank,
         "parts_bfs_reach": _parts_bfs_reach,
+        "parts_closeness": _parts_closeness,
         "parts_triangles": _parts_triangles,
         "parts_degree_histogram": _parts_degree_histogram,
         "docs_fuzzy_dedup": _docs_fuzzy_dedup,

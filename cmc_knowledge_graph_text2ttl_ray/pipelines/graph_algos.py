@@ -1127,3 +1127,81 @@ def parts_bfs_reach(sf_dir: str, seed_part: int = 0,
     sit from the seed in bought-together space'."""
     return bfs_distances(copurchase_edges(sf_dir), [seed_part],
                          directed=False, max_hops=max_hops, **kw)
+
+
+def approx_closeness(edges, k_sources: int = 16, seed: int = 11,
+                     directed: bool = False, max_hops: int | None = None,
+                     **bfs_kw):
+    """Approximate closeness centrality (Eppstein-Wang style sampling):
+    run BFS from ``k_sources`` deterministically sampled nodes and
+    estimate closeness(v) = (n - 1) / (n/k · Σ_s d(s, v)) over the
+    sources that reach v. Returns ``(node, closeness, n_reached)`` —
+    nodes reached by no sampled source are absent.
+
+    Scale shape: k sequential :func:`bfs_distances` sweeps (each
+    frontier-broadcast, edge-list-scan bounded), then ONE coarse
+    exchange summing per-node distances. Sources are the k smallest
+    ``md5(node || seed)`` values — deterministic and layout-independent
+    — computed with one distinct-node pass.
+    """
+    import hashlib
+
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    edges = edges.materialize()
+
+    def node_col(name):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df[name].astype("int64")})
+        return f
+
+    nodes = (edges.map_batches(node_col("src"), batch_format="pandas")
+             .union(edges.map_batches(node_col("dst"),
+                                      batch_format="pandas")))
+
+    def rank_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates()
+        h = [hashlib.md5(f"{int(n)}|{seed}".encode()).hexdigest()
+             for n in u["node"]]
+        out = pd.DataFrame({"node": u["node"].astype("int64"), "h": h})
+        return out.sort_values("h").head(k_sources)  # block top-k combiner
+
+    cand = coarse_group_reduce(
+        nodes.map_batches(rank_partial, batch_format="pandas"),
+        ["node"],
+        lambda g: g.drop_duplicates(subset=["node"]),
+    ).to_pandas()
+    cand = cand.sort_values("h").head(k_sources)
+    sources = [int(n) for n in cand["node"]]
+    n_nodes = int(nodes.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas")
+        .groupby("node").count().count())
+
+    partials = []
+    for s in sources:
+        d = bfs_distances(edges, [s], directed=directed,
+                          max_hops=max_hops, **bfs_kw)
+        partials.append(d)
+    all_d = partials[0]
+    for d in partials[1:]:
+        all_d = all_d.union(d)
+
+    k = len(sources)
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node", as_index=False) \
+            .agg(total=("dist", "sum"), n_reached=("dist", "size"))
+        tot = agg["total"].to_numpy(np.float64)
+        scaled = np.where(tot > 0,
+                          (n_nodes - 1) / (tot * (n_nodes / k)), 0.0)
+        return pd.DataFrame({
+            "node": agg["node"].astype("int64"),
+            "closeness": np.round(scaled, 6),
+            "n_reached": agg["n_reached"].astype("int64"),
+        })
+
+    return coarse_group_reduce(all_d, ["node"], fin)

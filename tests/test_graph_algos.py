@@ -294,3 +294,37 @@ def test_bfs_isolated_seed(ray_session):
 
     got = bfs_distances(_edge_ds([(7, 8)]), [99]).to_pandas()
     assert got.to_dict("records") == [{"node": 99, "dist": 0}]
+
+
+def test_approx_closeness_star_center_highest(ray_session):
+    """On a star graph the hub has max closeness; exact when every node
+    is a source (k >= n)."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        approx_closeness,
+    )
+
+    star = [(0, i) for i in range(1, 8)]
+    got = approx_closeness(_edge_ds(star), k_sources=8) \
+        .to_pandas().set_index("node")
+    assert got["closeness"].idxmax() == 0
+    # all leaves symmetric
+    leaf_vals = got.drop(index=0)["closeness"].round(6).unique()
+    assert len(leaf_vals) == 1
+    # with k = n the estimator is exact: hub closeness = (n-1)/sum(d)
+    assert abs(got.loc[0, "closeness"] - 7 / 7) < 1e-6
+    assert abs(leaf_vals[0] - 7 / (1 + 2 * 6)) < 1e-6
+
+
+def test_approx_closeness_deterministic(ray_session):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.graph_algos import (
+        approx_closeness,
+        copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = approx_closeness(copurchase_edges(sf), k_sources=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = approx_closeness(copurchase_edges(sf), k_sources=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
