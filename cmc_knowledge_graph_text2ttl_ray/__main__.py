@@ -302,10 +302,11 @@ def main(argv=None) -> int:
                        choices=["auto", "broadcast", "join"],
                        default="auto", dest="canonical_mode")
     p_run.add_argument("--output-format",
-                       choices=["turtle", "nquads", "trig"],
+                       choices=["turtle", "nquads", "trig", "jsonld"],
                        default="turtle", dest="output_format",
                        help="turtle = bucketed TTL shards; nquads/trig = "
-                            "named-graph-per-document quad shards")
+                            "named-graph-per-document quad shards; "
+                            "jsonld = expanded-JSON-LD shards")
     p_run.set_defaults(fn=cmd_run)
 
     p_q = sub.add_parser(

@@ -128,9 +128,9 @@ def run_kg_pipeline(
     ttl_compression: str | None = None,
     output_format: str = "turtle",
 ):
-    if output_format not in ("turtle", "nquads", "trig"):
+    if output_format not in ("turtle", "nquads", "trig", "jsonld"):
         raise ValueError(
-            f"output_format must be turtle|nquads|trig, got "
+            f"output_format must be turtle|nquads|trig|jsonld, got "
             f"{output_format!r}")
     """Run the full pipeline. Returns a dict with the key datasets/artifacts.
 
@@ -296,6 +296,17 @@ def run_kg_pipeline(
                 resume=resume,
                 compression=ttl_compression,
             )
+        elif output_format == "jsonld":
+            from cmc_knowledge_graph_text2ttl_ray.stages.sinks import (
+                write_jsonld_partitions,
+            )
+
+            manifest = write_jsonld_partitions(
+                canonical,
+                os.path.join(out_dir, "jsonld"),
+                num_buckets=num_buckets,
+                resume=resume,
+            )
         elif output_format == "turtle":
             manifest = write_ttl_partitions(
                 canonical,
@@ -305,7 +316,7 @@ def run_kg_pipeline(
                 resume=resume,
                 compression=ttl_compression,
             )
-        else:  # "turtle" — validated upfront
+        else:  # validated upfront
             raise AssertionError("unreachable")
         timings["ttl_write"] = time.perf_counter() - t0
 

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["TRIPLES_SCHEMA", "ttl_dataset", "parse_ttl_table", "kg_diff"]
+__all__ = ["TRIPLES_SCHEMA", "ttl_dataset", "jsonld_dataset",
+           "parse_ttl_table", "kg_diff"]
 
 TRIPLES_SCHEMA = pa.schema(
     [
@@ -186,3 +187,39 @@ def kg_diff(old_path: str, new_path: str, num_partitions: int | None = None):
 
     return (both.groupby("part")
             .map_groups(diff_group, batch_format="pandas"))
+
+
+def jsonld_dataset(path: str):
+    """Read ``.jsonld`` shards (the :func:`write_jsonld_partitions`
+    layout, or any expanded/flat JSON-LD files) as a triples Dataset —
+    one read task per file, same fail-fast contract as
+    :func:`ttl_dataset`."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.jsonld import (
+        parse_jsonld,
+    )
+
+    ds = ray.data.read_binary_files(
+        path, include_paths=True, file_extensions=["jsonld"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tables = []
+        for data in batch["bytes"].to_pylist():
+            rows = parse_jsonld(data.decode("utf-8"))
+            tables.append(pa.table({
+                "subject": pa.array([r[0] for r in rows], pa.string()),
+                "predicate": pa.array([r[1] for r in rows], pa.string()),
+                "object": pa.array([r[2] for r in rows], pa.string()),
+                "object_kind": pa.array([r[3] for r in rows],
+                                        pa.string()),
+                "object_lang": pa.array([r[4] for r in rows],
+                                        pa.string()),
+                "object_datatype": pa.array([r[5] for r in rows],
+                                            pa.string()),
+            }))
+        if not tables:
+            return TRIPLES_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -364,3 +364,66 @@ def write_quad_partitions(
     fsio.replace_text(fs, fsio.fs_join(base, "manifest.json"),
                       json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
+
+
+def write_jsonld_partitions(
+    triples_ds,
+    out_dir: str,
+    num_buckets: int = 64,
+    resume: bool = True,
+    filesystem=None,
+) -> dict:
+    """Bucketed, exactly-deduped expanded-JSON-LD shards — the third
+    sink format beside TTL and N-Quads/TriG, same manifest-resume and
+    pyarrow.fs contracts as :func:`write_ttl_partitions` (expanded form
+    is context-free, so shards concatenate into one dataset by simple
+    union)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.jsonld import (
+        serialize_jsonld,
+    )
+
+    fs, base = fsio.resolve_fs(out_dir, filesystem)
+    fsio.makedirs(fs, base)
+    manifest = read_manifest(out_dir, filesystem) if resume \
+        else {"buckets": {}}
+    manifest.setdefault("format", "jsonld")
+    done = set(manifest["buckets"]) if resume else set()
+
+    def pre(batch: pa.Table) -> pd.DataFrame:
+        df = add_identity_hash(batch, keep_cols=IDENTITY_COLS)
+        df["bucket"] = (df["h"] % num_buckets).astype("int64")
+        return df.drop(columns=["h"])
+
+    bucketed = triples_ds.map_batches(pre, batch_format="pyarrow")
+
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(group["bucket"].iloc[0])
+        if str(bucket) in done:
+            return pd.DataFrame({"bucket": [bucket], "n_triples": [-1],
+                                 "path": ["<skipped>"]})
+        group = group.drop_duplicates(subset=IDENTITY_COLS)
+        lg = group["object_lang"].astype(object).where(
+            group["object_lang"].notna(), None)
+        dt = group["object_datatype"].astype(object).where(
+            group["object_datatype"].notna(), None)
+        rows = list(zip(group["subject"].to_numpy(),
+                        group["predicate"].to_numpy(),
+                        group["object"].to_numpy(),
+                        group["object_kind"].to_numpy(),
+                        lg.to_numpy(), dt.to_numpy()))
+        text = serialize_jsonld(rows)
+        path = fsio.fs_join(base, f"part-{bucket:05d}.jsonld")
+        fsio.replace_text(fs, path, text)
+        return pd.DataFrame({"bucket": [bucket], "n_triples": [len(rows)],
+                             "path": [path]})
+
+    written = (bucketed.groupby("bucket")
+               .map_groups(write_group, batch_format="pandas").to_pandas())
+    for r in written.itertuples():
+        if r.path != "<skipped>":
+            manifest["buckets"][str(int(r.bucket))] = {
+                "n_triples": int(r.n_triples), "path": r.path,
+            }
+    fsio.replace_text(fs, fsio.fs_join(base, "manifest.json"),
+                      json.dumps(manifest, indent=1, sort_keys=True))
+    return manifest
