@@ -510,6 +510,35 @@ class GraphIndex:
             prefixes.update(_base_prefixes)  # subquery inherits outer scope
         for m in _RE_PREFIX_DECL.finditer(sparql):
             prefixes[m.group(1)] = m.group(2)
+
+        # non-SELECT forms (parity with the distributed dispatcher,
+        # pipelines/sparql_dist.py::sparql_query):
+        # ASK → [{'ask': 'true'|'false'}]; DESCRIBE <iri…> → the seeds'
+        # 1-hop subgraph as subject/predicate/object rows (the pragmatic
+        # DESCRIBE most stores implement).
+        stripped = _RE_PREFIX_DECL.sub("", sparql).lstrip()
+        form = stripped.split(None, 1)[0].upper() if stripped else ""
+        if form == "ASK":
+            body_query = re.sub(r"\bASK\b", "SELECT *", sparql, count=1,
+                                flags=re.IGNORECASE)
+            any_row = self.query(body_query, _base_prefixes)
+            return [{"ask": "true" if any_row else "false"}]
+        if form == "DESCRIBE":
+            rest = re.split(r"\bWHERE\b|\{", stripped[len("DESCRIBE"):],
+                            maxsplit=1, flags=re.IGNORECASE)[0]
+            seeds = set(re.findall(r"<([^>]+)>", rest))
+            for m in re.finditer(r"(?<![<\w:])(\w*):([\w\-.]+)", rest):
+                if m.group(1) in prefixes:
+                    seeds.add(prefixes[m.group(1)] + m.group(2))
+            if not seeds:
+                raise QueryError("DESCRIBE needs at least one IRI")
+            rows = [{"subject": t[0], "predicate": t[1], "object": t[2]}
+                    for t in self._triples
+                    if t[0] in seeds or t[2] in seeds]
+            return sorted(rows, key=lambda r: (r["subject"],
+                                               r["predicate"],
+                                               r["object"]))
+
         start = sparql.find("{")
         if start < 0:
             raise QueryError(f"No {{...}} body found in query: {sparql[:120]}")

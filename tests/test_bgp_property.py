@@ -133,3 +133,64 @@ def test_random_minus_matches_setdiff(graph, pats, minus):
     want = {r for r in base
             if tuple(r[i] for i in key_idx) not in mkeys}
     assert got_set == want
+
+
+class TestAskDescribeInMemory:
+    """ASK / DESCRIBE parity with the distributed dispatcher."""
+
+    def _g(self):
+        from cmc_knowledge_graph_text2ttl_ray.state.graph_index import (
+            GraphIndex,
+        )
+
+        return GraphIndex.from_turtle("""
+        @prefix ex: <http://ex.org/> .
+        ex:a ex:knows ex:b .
+        ex:b ex:knows ex:c .
+        ex:b ex:name "Bee" .
+        """)
+
+    def test_ask_true_false(self):
+        g = self._g()
+        q = "PREFIX ex: <http://ex.org/>\nASK { ex:a ex:knows ?x . }"
+        assert g.query(q) == [{"ask": "true"}]
+        q2 = "PREFIX ex: <http://ex.org/>\nASK { ex:c ex:knows ?x . }"
+        assert g.query(q2) == [{"ask": "false"}]
+
+    def test_describe_one_hop(self):
+        g = self._g()
+        rows = g.query("PREFIX ex: <http://ex.org/>\nDESCRIBE ex:b")
+        got = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+        assert got == {
+            ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b"),
+            ("http://ex.org/b", "http://ex.org/knows", "http://ex.org/c"),
+            ("http://ex.org/b", "http://ex.org/name", "Bee"),
+        }
+
+    def test_describe_needs_iri(self):
+        import pytest
+
+        from cmc_knowledge_graph_text2ttl_ray.state.graph_index import (
+            QueryError,
+        )
+
+        with pytest.raises(QueryError):
+            self._g().query("DESCRIBE ?x WHERE { ?x ?p ?o }")
+
+    def test_ask_matches_distributed(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+            sparql_query,
+        )
+
+        g = self._g()
+        ds = ray.data.from_pandas(pd.DataFrame(
+            [(t[0], t[1], t[2], "iri" if t[2].startswith("http") else
+              "literal", None, None) for t in g._triples],
+            columns=["subject", "predicate", "object", "object_kind",
+                     "object_lang", "object_datatype"]))
+        q = "PREFIX ex: <http://ex.org/>\nASK { ex:a ex:knows ?x . }"
+        dist = sparql_query(ds, q).to_pandas()["ask"].iloc[0]
+        assert (g.query(q)[0]["ask"] == "true") == bool(dist)
