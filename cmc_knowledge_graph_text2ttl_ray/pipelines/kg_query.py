@@ -54,6 +54,18 @@ _POS_COLS = ("subject", "predicate", "object")
 _QUAD_COLS = ("subject", "predicate", "object", "graph")
 
 
+def _sized_read(path: str, columns=None):
+    """Metadata-sized read (functions/cluster.py::sized_read_parquet):
+    the KG encodings union several small-table reads, and Ray's default
+    ~2xCPU blocks per read turn their first all-to-all into hundreds of
+    sub-millisecond tasks (see order_triples)."""
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        sized_read_parquet,
+    )
+
+    return sized_read_parquet(path, columns=columns)
+
+
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
@@ -569,7 +581,7 @@ def event_triples(sf_dir: str):
     oracle (the SQL side encodes the same strings from the same rows)."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _sized_read(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"])
 
     def enc(t: pa.Table) -> pa.Table:
@@ -658,15 +670,15 @@ def rdfs_demo_triples(sf_dir: str):
     ``oracle_sql()['kg_rdfs_closure']``."""
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = _sized_read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    cust = ray.data.read_parquet(
+    cust = _sized_read(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey", "c_name"])
-    nation = ray.data.read_parquet(
+    nation = _sized_read(
         f"{sf_dir}/nation.parquet",
         columns=["n_nationkey", "n_regionkey"])
-    region = ray.data.read_parquet(
+    region = _sized_read(
         f"{sf_dir}/region.parquet", columns=["r_regionkey"])
 
     def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -749,9 +761,9 @@ def owl_demo_triples(sf_dir: str):
     import ray.data
     import pyarrow.parquet as pq
 
-    cust = ray.data.read_parquet(
+    cust = _sized_read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    supp = ray.data.read_parquet(
+    supp = _sized_read(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
 
     def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -838,9 +850,9 @@ def sameas_demo_triples(sf_dir: str):
     see ``oracle_sql()['kg_sameas_pairs' / 'kg_sameas_canonical']``."""
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = _sized_read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    cust = ray.data.read_parquet(
+    cust = _sized_read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -895,9 +907,9 @@ def eq_demo_triples(sf_dir: str):
     ``oracle_sql()['kg_eq_closure']``."""
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = _sized_read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    cust = ray.data.read_parquet(
+    cust = _sized_read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def _iri(prefix: str, col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -961,16 +973,16 @@ def order_quads(sf_dir: str):
         default_join_partitions,
     )
 
-    nation = ray.data.read_parquet(
+    nation = _sized_read(
         f"{sf_dir}/nation.parquet",
         columns=["n_nationkey", "n_name"]).to_pandas()
     ndict = {int(k): "urn:g:" + str(v).replace(" ", "_")
              for k, v in zip(nation["n_nationkey"], nation["n_name"])}
 
-    cust = ray.data.read_parquet(
+    cust = _sized_read(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey", "c_mktsegment"])
-    orders = ray.data.read_parquet(
+    orders = _sized_read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderpriority"])
 
