@@ -89,13 +89,20 @@ def sized_read_parquet(path: str, columns=None,
     reads put 336 blocks into one Sort — 11.5 s wall for 2 s of task
     time). Deriving the block count from the data keeps small inputs to
     a handful of tasks while big inputs still split by rows."""
+    import ray
     import ray.data
 
     try:
-        n = parquet_rows_hint(path)
+        n = int(parquet_rows_hint(path))
     except Exception:
         return ray.data.read_parquet(path, columns=columns)
-    blocks = max(1, -(-int(n) // rows_per_block))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    # small tables: one block per ~2k rows up to the default ~2xCPU;
+    # large tables: never fewer than ceil(rows / rows_per_block), so the
+    # 100-TB read still splits by data volume, not cluster size
+    blocks = max(-(-n // rows_per_block),
+                 min(2 * cpus, max(1, -(-n // 2_000))))
     return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks)
 

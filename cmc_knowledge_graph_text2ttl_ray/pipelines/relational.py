@@ -38,7 +38,14 @@ __all__ = [
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # metadata-sized block count: dimension tables (region=5 rows) no
+    # longer split into ~2xCPU sub-millisecond blocks that every join
+    # and all-to-all downstream pays scheduling for
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        sized_read_parquet,
+    )
+
+    return sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round2(col):
