@@ -623,6 +623,11 @@ def _explode_chunks(df: pd.DataFrame, chunk_words: int) -> pd.DataFrame:
     ordinal = np.arange(lens.sum(), dtype=np.int64) - np.repeat(off, lens)
     flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
     chunk_no = ordinal // chunk_words
+    if chunk_no.max() >= (1 << 20):
+        # callers pack chunk_no into the low 20 bits of an int64 order key
+        raise ValueError(
+            f"a document produced {int(chunk_no.max()) + 1} spans "
+            f"(limit 2^20); raise chunk_words for huge docs")
     s = pd.Series(flat)
     chunks = s.groupby([doc_ids, chunk_no]).agg(" ".join)
     idx = chunks.index
@@ -1433,6 +1438,12 @@ def _cdc_explode(df: pd.DataFrame, mask_bits: int, window: int,
         if not text:
             continue
         b = np.concatenate(([0], cuts, [len(text)]))
+        if len(b) - 1 > (1 << 20):
+            # order_key packs chunk_no into the low 20 bits of an int64;
+            # overflow would silently corrupt first-occurrence selection
+            raise ValueError(
+                f"document {doc_id} produced {len(b) - 1} CDC chunks "
+                f"(limit 2^20); raise mask_bits/max_chunk for huge docs")
         for j in range(len(b) - 1):
             s, e = int(b[j]), int(b[j + 1])
             doc_ids.append(int(doc_id))

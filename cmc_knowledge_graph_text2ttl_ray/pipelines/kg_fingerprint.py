@@ -172,17 +172,22 @@ def _refine(triples, bnodes, color):
     return color
 
 
-def _canonical_digests(triples, prefix: str, _budget=None) -> list[bytes]:
+def _canonical_digests(triples, prefix: str, _budget=None,
+                       _exhausted=None) -> list[bytes]:
     """md5 digests of the group's triples with bnodes canonically
     relabeled ``_:c<rank>``. Ties after refinement are resolved by
     individualizing each candidate of the smallest tied class and keeping
     the lexicographically least serialization (bounded: past ``_budget``
     leaf evaluations the first deterministic choice stands — still
-    deterministic for a given input, just not proven canonical)."""
+    deterministic for a given input, just not proven canonical; when that
+    happens ``_exhausted[0]`` is set so callers can surface that the
+    relabel-invariance guarantee is unproven for this group)."""
     import hashlib as _h
 
     if _budget is None:
         _budget = [64]
+    if _exhausted is None:
+        _exhausted = [False]
     bnodes = sorted({t for s, _, o in triples for t in (s, o)
                      if isinstance(t, str) and t.startswith(prefix)})
     color = {b: "" for b in bnodes}
@@ -206,30 +211,39 @@ def _canonical_digests(triples, prefix: str, _budget=None) -> list[bytes]:
         best = None
         for b in bs:
             if _budget[0] <= 0:
+                _exhausted[0] = True  # class not fully explored
                 break
             _budget[0] -= 1
             c2 = dict(color)
             c2[b] = _h.md5(("ind\x1e" + c2[b]).encode()).hexdigest()
             c2 = _refine(triples, bnodes, c2)
-            rows = _canonical_rows(triples, bnodes, c2, prefix, _budget)
+            rows = _canonical_rows(triples, bnodes, c2, prefix, _budget,
+                                   _exhausted)
             if best is None or rows < best:
                 best = rows
         rows = best
     else:
+        if tied:
+            _exhausted[0] = True
         rows = serialize(color)
     return [_h.md5(r.encode("utf-8")).digest() for r in rows]
 
 
-def _canonical_rows(triples, bnodes, color, prefix, _budget):
+def _canonical_rows(triples, bnodes, color, prefix, _budget,
+                    _exhausted=None):
     """Recursive helper: resolve remaining ties under ``color``."""
     import hashlib as _h
 
+    if _exhausted is None:
+        _exhausted = [False]
     groups = {}
     for b in bnodes:
         groups.setdefault(color[b], []).append(b)
     tied = sorted((c, sorted(bs)) for c, bs in groups.items()
                   if len(bs) > 1)
     if not tied or _budget[0] <= 0:
+        if tied:
+            _exhausted[0] = True  # ties remain but budget is spent
         by_color = sorted(color.items(), key=lambda kv: (kv[1], kv[0]))
         label = {b: f"_:c{i}" for i, (b, _) in enumerate(by_color)}
         return sorted(
@@ -239,12 +253,14 @@ def _canonical_rows(triples, bnodes, color, prefix, _budget):
     best = None
     for b in bs:
         if _budget[0] <= 0:
+            _exhausted[0] = True
             break
         _budget[0] -= 1
         c2 = dict(color)
         c2[b] = _h.md5(("ind\x1e" + c2[b]).encode()).hexdigest()
         c2 = _refine(triples, bnodes, c2)
-        rows = _canonical_rows(triples, bnodes, c2, prefix, _budget)
+        rows = _canonical_rows(triples, bnodes, c2, prefix, _budget,
+                               _exhausted)
         if best is None or rows < best:
             best = rows
     return best
@@ -252,7 +268,8 @@ def _canonical_rows(triples, bnodes, color, prefix, _budget):
 
 def kg_isocanonical_fingerprint(
         triples, cols=("subject", "predicate", "object"),
-        bnode_prefix: str = _BNODE_PREFIX, num_coarse=None) -> pd.DataFrame:
+        bnode_prefix: str = _BNODE_PREFIX, num_coarse=None,
+        object_kind_col: str | None = None) -> pd.DataFrame:
     """One-row ``(n_triples, fingerprint)`` like :func:`kg_fingerprint`,
     but INVARIANT under blank-node relabeling: re-reading the same
     document under a different skolem ``bnode_scope`` yields the same
@@ -269,6 +286,15 @@ def kg_isocanonical_fingerprint(
     one row per document, not per triple. Cross-scope bnode links cannot
     exist by construction (per-document minting); a bnode triple's group
     key is its subject's scope, falling back to the object's.
+
+    ``object_kind_col`` (if given, e.g. ``"object_kind"``) restricts
+    object-side bnode detection to rows whose kind is ``"iri"`` — a
+    LITERAL whose text happens to start with the skolem prefix is then
+    treated as ground instead of being mis-routed into a scope group.
+    The output's ``tiebreak_exhausted`` column counts scope groups whose
+    individualization budget ran out with ties unresolved: for those
+    groups the fingerprint is deterministic but relabel-invariance is
+    unproven (very-high-automorphism subgraphs).
     """
     import hashlib as _h
 
@@ -283,6 +309,8 @@ def kg_isocanonical_fingerprint(
         o = df[o_col].astype(str)
         sb = s.str.startswith(bnode_prefix)
         ob = o.str.startswith(bnode_prefix)
+        if object_kind_col is not None and object_kind_col in df.columns:
+            ob = ob & (df[object_kind_col].astype(str) == "iri")
         has_b = (sb | ob).to_numpy()
         ground = df.loc[~has_b]
         gd = _digests(ground, list(cols)) if len(ground) else \
@@ -296,17 +324,27 @@ def kg_isocanonical_fingerprint(
         gd["o"] = None
         bt = df.loc[has_b]
         if len(bt):
+            o_b = o[has_b]
+            if object_kind_col is not None and object_kind_col in df.columns:
+                # a LITERAL in a bnode row whose text starts with the
+                # skolem prefix must not be relabeled by the
+                # canonicalizer — escape it out of the prefix space
+                kind_b = df.loc[has_b, object_kind_col].astype(str)
+                lit_like = o_b.str.startswith(bnode_prefix) \
+                    & (kind_b != "iri")
+                if lit_like.any():
+                    o_b = o_b.where(~lit_like, "\x00lit\x1f" + o_b)
             scope = [
                 _bnode_scope(sv, bnode_prefix)
                 if sv.startswith(bnode_prefix)
                 else _bnode_scope(ov, bnode_prefix)
-                for sv, ov in zip(s[has_b], o[has_b])]
+                for sv, ov in zip(s[has_b], o_b)]
             bd = pd.DataFrame({
                 "d": None,
                 "k": pd.Series(["b:" + x for x in scope], dtype="object"),
                 "s": s[has_b].to_numpy(),
                 "p": bt[p_col].astype(str).to_numpy(),
-                "o": o[has_b].to_numpy(),
+                "o": o_b.to_numpy(),
             })
             gd = pd.concat([gd, bd], ignore_index=True)
         return gd
@@ -322,16 +360,20 @@ def kg_isocanonical_fingerprint(
             d = pd.Series(ground).drop_duplicates()
             u = np.frombuffer(b"".join(d), dtype="<u8")[::2]
             rows.append({"kind": "g", "x": f"{_xor_fold(u):016x}",
-                         "n": len(d)})
+                         "n": len(d), "ex": 0})
         bmask = g["d"].isna()
         if bmask.any():
             for scope, grp in g[bmask].groupby("scope_k", sort=False):
                 trs = sorted(set(zip(grp["s"], grp["p"], grp["o"])))
-                digs = _canonical_digests(trs, bnode_prefix)
+                exhausted = [False]
+                digs = _canonical_digests(trs, bnode_prefix,
+                                          _exhausted=exhausted)
                 gd = _h.md5(b"".join(sorted(digs))).hexdigest()
-                rows.append({"kind": "b", "x": gd, "n": len(trs)})
-        out = pd.DataFrame(rows, columns=["kind", "x", "n"])
-        return out.astype({"kind": "object", "x": "object", "n": "int64"})
+                rows.append({"kind": "b", "x": gd, "n": len(trs),
+                             "ex": int(exhausted[0])})
+        out = pd.DataFrame(rows, columns=["kind", "x", "n", "ex"])
+        return out.astype({"kind": "object", "x": "object", "n": "int64",
+                           "ex": "int64"})
 
     def combine_keyed(g: pd.DataFrame) -> pd.DataFrame:
         g = g.rename(columns={"k": "scope_k"})
@@ -342,7 +384,7 @@ def kg_isocanonical_fingerprint(
         ["k"], combine_keyed,
         num_coarse=num_coarse).materialize()
 
-    fp, n = 0, 0
+    fp, n, n_ex = 0, 0, 0
     for r in parts.filter(expr="kind == 'g'").take_all():
         fp ^= int(r["x"], 16)
         n += int(r["n"])
@@ -350,22 +392,26 @@ def kg_isocanonical_fingerprint(
     groups = parts.filter(expr="kind == 'b'")
     if groups.count():
         def fold_groups(g: pd.DataFrame) -> pd.DataFrame:
-            out_x, out_n = 0, 0
+            out_x, out_n, out_ex = 0, 0, 0
             for gd, grp in g.groupby("x", sort=False):
                 m = len(grp)  # multiplicity of this isomorphism class
                 h = _h.md5(f"{gd}\x1e{m}".encode()).digest()
                 out_x ^= int.from_bytes(h[:8], "little")
                 out_n += int(grp["n"].sum())
-            return pd.DataFrame({"x": [f"{out_x:016x}"], "n": [out_n]})
+                out_ex += int(grp["ex"].sum())
+            return pd.DataFrame({"x": [f"{out_x:016x}"], "n": [out_n],
+                                 "ex": [out_ex]})
 
         gparts = coarse_group_reduce(
-            groups.select_columns(["x", "n"]), ["x"], fold_groups,
+            groups.select_columns(["x", "n", "ex"]), ["x"], fold_groups,
         ).to_pandas()
         for x in gparts["x"]:
             fp ^= int(x, 16)
         n += int(gparts["n"].sum())
+        n_ex = int(gparts["ex"].sum())
 
     return pd.DataFrame([{
         "n_triples": int(n),
         "fingerprint": f"{fp:016x}",
+        "tiebreak_exhausted": n_ex,
     }])

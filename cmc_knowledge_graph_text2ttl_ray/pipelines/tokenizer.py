@@ -198,14 +198,10 @@ class BpeEncoder:
             n_tok[i] = v
         ends = np.cumsum(lens)
         starts = np.concatenate([[0], ends[:-1]])
-        if len(n_tok):
-            # reduceat needs in-bounds indices; empty segments (clipped or
-            # zero-length) are overwritten by the lens==0 mask below
-            per_doc = np.add.reduceat(
-                n_tok, np.minimum(starts, len(n_tok) - 1))
-        else:
-            per_doc = np.zeros(len(t), np.int64)
-        per_doc = np.where(lens == 0, 0, per_doc)
+        # prefix-sum difference: robust when trailing docs are empty
+        # (reduceat with clamped indices truncates the preceding doc)
+        cs = np.concatenate([[0], np.cumsum(n_tok)])
+        per_doc = cs[ends] - cs[starts]
         return pa.table({"doc_id": t["doc_id"],
                          "n_bpe_tokens": pa.array(per_doc, pa.int64())})
 
@@ -297,6 +293,12 @@ def train_unigram(sf_dir: str, vocab_size: int = 2_000,
                 p = w[i:j]
                 sub_counts[p] = sub_counts.get(p, 0) + c
     chars = {p for p in sub_counts if len(p) == 1}
+    if vocab_size <= len(chars):
+        # single chars are never pruned, so a smaller target can never be
+        # reached — the prune loop below would spin forever
+        raise ValueError(
+            f"vocab_size={vocab_size} must exceed the number of distinct "
+            f"single characters in the corpus ({len(chars)})")
     multi = sorted((p for p in sub_counts if len(p) > 1),
                    key=lambda p: (-sub_counts[p], p))
     seed_n = max(vocab_size, seed_factor * vocab_size) - len(chars)
@@ -358,12 +360,10 @@ class UnigramEncoder:
             n_tok[i] = v
         ends = np.cumsum(lens)
         starts = np.concatenate([[0], ends[:-1]])
-        if len(n_tok):
-            per_doc = np.add.reduceat(
-                n_tok, np.minimum(starts, len(n_tok) - 1))
-        else:
-            per_doc = np.zeros(len(t), np.int64)
-        per_doc = np.where(lens == 0, 0, per_doc)
+        # prefix-sum difference: robust when trailing docs are empty
+        # (reduceat with clamped indices truncates the preceding doc)
+        cs = np.concatenate([[0], np.cumsum(n_tok)])
+        per_doc = cs[ends] - cs[starts]
         return pa.table({"doc_id": t["doc_id"],
                          "n_unigram_tokens": pa.array(per_doc, pa.int64())})
 

@@ -519,8 +519,12 @@ class GraphIndex:
         stripped = _RE_PREFIX_DECL.sub("", sparql).lstrip()
         form = stripped.split(None, 1)[0].upper() if stripped else ""
         if form == "ASK":
-            body_query = re.sub(r"\bASK\b", "SELECT *", sparql, count=1,
-                                flags=re.IGNORECASE)
+            # rewrite on the prefix-stripped text: substituting over the
+            # raw query could hit an 'ask' token inside a PREFIX IRI
+            decls = "\n".join(m.group(0)
+                              for m in _RE_PREFIX_DECL.finditer(sparql))
+            token_len = len(stripped.split(None, 1)[0])
+            body_query = decls + "\nSELECT *" + stripped[token_len:]
             any_row = self.query(body_query, _base_prefixes)
             return [{"ask": "true" if any_row else "false"}]
         if form == "DESCRIBE":

@@ -186,3 +186,19 @@ def test_dup_span_stats_join_path_equivalent(ray_session, cdc_dir):
     b = dup_span_stats(d, chunk_words=5, broadcast_threshold=0) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_span_chunk_ordinal_overflow_raises():
+    """Round-5 advisor fix: chunk_no packs into the low 20 bits of the
+    int64 order key — overflow must fail loudly, not corrupt winners."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.dedup import (
+        _explode_chunks,
+    )
+
+    huge = pd.DataFrame({"doc_id": [1], "text": ["a " * ((1 << 20) + 1)]})
+    with pytest.raises(ValueError, match="2\\^20"):
+        _explode_chunks(huge, chunk_words=1)

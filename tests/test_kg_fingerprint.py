@@ -162,3 +162,61 @@ def test_isocanonical_ground_only_matches_plain(ray_session):
     assert (kg_isocanonical_fingerprint(ds).iloc[0]["fingerprint"]
             == kg_fingerprint(ray.data.from_pandas(_df(ROWS)))
             .iloc[0]["fingerprint"])
+
+
+def test_isocanonical_object_kind_guards_literal_lookalikes(ray_session):
+    """Round-5 advisor fix: a LITERAL whose text starts with the skolem
+    prefix must not be routed into a scope group / relabeled as a bnode
+    when an object_kind column is available."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    lit = "urn:graft:bnode:looks:like_a_bnode"
+    rows_a = pd.DataFrame({
+        "subject": ["urn:graft:bnode:sc1:b0", "urn:s"],
+        "predicate": ["urn:p", "urn:q"],
+        "object": ["val", lit],
+        "object_kind": ["literal", "literal"],
+    })
+    # same graph, different skolem scope for the REAL bnode; the literal
+    # lookalike is unchanged (it is content, not a label)
+    rows_b = rows_a.copy()
+    rows_b.loc[0, "subject"] = "urn:graft:bnode:other:b0"
+
+    fa = kg_isocanonical_fingerprint(
+        ray.data.from_pandas(rows_a), object_kind_col="object_kind").iloc[0]
+    fb = kg_isocanonical_fingerprint(
+        ray.data.from_pandas(rows_b), object_kind_col="object_kind").iloc[0]
+    assert fa["fingerprint"] == fb["fingerprint"]
+    assert fa["n_triples"] == 2
+
+    # and changing the literal's TEXT must change the fingerprint
+    rows_c = rows_a.copy()
+    rows_c.loc[1, "object"] = lit + "-changed"
+    fc = kg_isocanonical_fingerprint(
+        ray.data.from_pandas(rows_c), object_kind_col="object_kind").iloc[0]
+    assert fc["fingerprint"] != fa["fingerprint"]
+
+
+def test_isocanonical_reports_tiebreak_exhaustion(ray_session):
+    """High-automorphism scope exhausts the individualization budget →
+    the tiebreak_exhausted column surfaces it; a small graph reports 0."""
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_fingerprint import (
+        kg_isocanonical_fingerprint,
+    )
+
+    small = kg_isocanonical_fingerprint(_iso_ds(TTL, "s")).iloc[0]
+    assert small["tiebreak_exhausted"] == 0
+
+    # 40 indistinguishable bnodes in one scope: WL refinement cannot
+    # split them and the 64-leaf budget cannot individualize 40! orders
+    n = 40
+    bns = [f"urn:graft:bnode:auto:b{i}" for i in range(n)]
+    clique = pd.DataFrame({
+        "subject": ["urn:root"] * n,
+        "predicate": ["urn:member"] * n,
+        "object": bns,
+    })
+    big = kg_isocanonical_fingerprint(ray.data.from_pandas(clique)).iloc[0]
+    assert big["tiebreak_exhausted"] >= 1

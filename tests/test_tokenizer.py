@@ -205,3 +205,47 @@ def test_unigram_token_counts_match_driver_viterbi(ray_session):
         words = toks.to_pylist()[0]
         expect = sum(len(_viterbi(w, logp)[0]) for w in words)
         assert got[doc_id] == expect
+
+
+def test_encoders_handle_trailing_empty_docs(ray_session, corpus_dir,
+                                             uni_dir):
+    """Round-5 advisor fix: a batch whose LAST doc(s) are empty used to
+    truncate the preceding non-empty doc's token count (clamped reduceat
+    indices). The prefix-sum-difference form is exact."""
+    import ray as _ray
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        BpeEncoder,
+        UnigramEncoder,
+        train_bpe,
+        train_unigram,
+    )
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["aaab aaab", "", "xy zq", ""], pa.string()),
+    })
+
+    enc = BpeEncoder(_ray.put(train_bpe(corpus_dir, 3, 100)))
+    got = dict(zip(*enc(batch).to_pydict().values()))
+    # merges [aa, ab, xy]: 'aaab'→3 tokens ×2; 'xy'→2; 'zq'→3
+    assert got == {0: 6, 1: 0, 2: 5, 3: 0}
+
+    uenc = UnigramEncoder(_ray.put(train_unigram(uni_dir, 8, 100)))
+    ugot = dict(zip(*uenc(batch).to_pydict().values()))
+    assert ugot[1] == 0 and ugot[3] == 0
+    # the non-empty docs keep their full (independent) counts
+    solo = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["aaab aaab"], pa.string())})
+    assert ugot[0] == uenc(solo).to_pydict()["n_unigram_tokens"][0]
+
+
+def test_train_unigram_rejects_unreachable_vocab_size(ray_session, uni_dir):
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.tokenizer import (
+        train_unigram,
+    )
+
+    # corpus has 4 distinct chars (a b c d); target below that can never
+    # be reached (single chars are unprunable) — must raise, not spin
+    with pytest.raises(ValueError, match="single characters"):
+        train_unigram(uni_dir, vocab_size=3, max_words=100)

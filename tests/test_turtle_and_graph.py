@@ -661,3 +661,20 @@ class TestRdfStar:
                     if p == RDF + "object"]
         assert obj_rows == [("5", "literal",
                              "http://www.w3.org/2001/XMLSchema#integer")]
+
+
+def test_ask_with_ask_token_in_prefix_iri():
+    """Round-5 advisor fix: the ASK→SELECT rewrite used to run over the
+    RAW query, so an 'ask' token inside an earlier PREFIX IRI was
+    replaced instead of the real ASK keyword."""
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    g = GraphIndex()
+    g.add(("http://ex/ask#s", "http://ex/ask#p", "http://ex/ask#o",
+           "iri", None, None))
+    q = ("PREFIX x: <http://ex/ask#>\n"
+         "ASK { x:s x:p x:o . }")
+    assert g.query(q) == [{"ask": "true"}]
+    q2 = ("PREFIX x: <http://ex/ask#>\n"
+          "ASK { x:s x:p x:missing . }")
+    assert g.query(q2) == [{"ask": "false"}]
