@@ -646,13 +646,13 @@ def forward_chain(triples, rules: list[Rule], max_rounds: int = 12,
     spill_base = None
     if spilling:
         import os
-        import tempfile
 
         from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+            scratch_dir,
             spill_roundtrip,
         )
 
-        spill_base = spill_dir or tempfile.mkdtemp(prefix="graft_fchain_")
+        spill_base = spill_dir or scratch_dir("graft_fchain_")
         # one execution-free write from the already-materialized blocks,
         # then the pin is released and every consumer streams from disk
         full = spill_roundtrip(full, os.path.join(spill_base, "base"),
@@ -785,13 +785,13 @@ def _prepare_base(triples, num_partitions, spill_rows: int,
             base = base.repartition(target).materialize()
     else:
         import os
-        import tempfile
 
         from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+            scratch_dir,
             spill_roundtrip,
         )
 
-        spill_base = spill_dir or tempfile.mkdtemp(prefix=prefix)
+        spill_base = spill_dir or scratch_dir(prefix)
         base = spill_roundtrip(base, os.path.join(spill_base, "base"),
                                _TRIPLES_SCHEMA)
     return base, n_base, num_partitions, spill_base
@@ -1061,15 +1061,14 @@ def rdfs_closure(triples, vocab: dict[str, str] | None = None,
         ds = ds.materialize()
         if ds.count() > spill_rows:
             import os
-            import tempfile
 
             from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+                scratch_dir,
                 spill_roundtrip,
             )
 
             if spill_base is None:
-                spill_base = spill_dir or tempfile.mkdtemp(
-                    prefix="graft_rdfs_")
+                spill_base = spill_dir or scratch_dir("graft_rdfs_")
             return spill_roundtrip(ds, os.path.join(spill_base, name),
                                    _TRIPLES_SCHEMA)
         return ds

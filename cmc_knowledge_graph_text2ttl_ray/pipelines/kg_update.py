@@ -794,10 +794,10 @@ def _apply_one_update(kg_root: str, body: str, pfx: dict,
         where_block, _ = block_after(m_w)
 
     import os
-    import shutil
-    import tempfile
 
     from cmc_knowledge_graph_text2ttl_ray.functions.checkpoint import (
+        scratch_cleanup,
+        scratch_dir,
         spill_roundtrip,
     )
     from cmc_knowledge_graph_text2ttl_ray.sources.ttl import _est_ttl_rows
@@ -806,8 +806,7 @@ def _apply_one_update(kg_root: str, body: str, pfx: dict,
     )
 
     spill = _est_ttl_rows(kg_root) > spill_rows
-    scratch = tempfile.mkdtemp(prefix="graft_sparql_update_") if spill \
-        else None
+    scratch = scratch_dir("graft_sparql_update_") if spill else None
     try:
         if spill:
             kg = spill_roundtrip(
@@ -853,5 +852,5 @@ def _apply_one_update(kg_root: str, body: str, pfx: dict,
                              compression=compression)
     finally:
         if scratch is not None:
-            shutil.rmtree(scratch, ignore_errors=True)
+            scratch_cleanup(scratch)
     return {"op": "modify" if ins_tmpls else "delete_where", **pub}
