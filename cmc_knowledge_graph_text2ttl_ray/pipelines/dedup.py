@@ -816,29 +816,33 @@ def boilerplate_span_removal(sf_dir: str, chunk_words: int = 15,
         bad_ref = ray.put(bad_sorted)
 
         def strip(df: pd.DataFrame) -> pd.DataFrame:
+            # fully vectorized (round-4 verdict #5): ONE explode pass for
+            # the whole batch (same kernel as the signature stage), one
+            # batch-wide hash + sorted-membership probe, one groupby-join
+            # reassembly — no per-doc Python loop
             bad_arr = ray.get(bad_ref)
-            doc_ids, texts = [], []
-            for doc_id, text in zip(df["doc_id"], df["text"]):
-                w = text.split(" ")
-                n_chunks = (len(w) + chunk_words - 1) // chunk_words
-                chunks = [" ".join(w[i * chunk_words:(i + 1) * chunk_words])
-                          for i in range(n_chunks)]
-                h = pd.util.hash_array(
-                    np.array(chunks, dtype=object)).astype(np.uint64) \
-                    .astype(np.int64)
-                if len(bad_arr):
-                    pos = np.clip(np.searchsorted(bad_arr, h),
-                                  0, len(bad_arr) - 1)
-                    is_bad = bad_arr[pos] == h
-                else:
-                    is_bad = np.zeros(len(h), dtype=bool)
-                kept = [c for c, b in zip(chunks, is_bad) if not b]
-                if kept:
-                    doc_ids.append(int(doc_id))
-                    texts.append(" ".join(kept))
+            ch = _explode_chunks(df, chunk_words)
+            h = pd.util.hash_array(
+                ch["chunk"].to_numpy(dtype=object)).astype(np.uint64) \
+                .astype(np.int64)
+            if len(bad_arr) and len(h):
+                pos = np.clip(np.searchsorted(bad_arr, h),
+                              0, len(bad_arr) - 1)
+                keep_mask = bad_arr[pos] != h
+            else:
+                keep_mask = np.ones(len(h), dtype=bool)
+            kept = ch.loc[keep_mask]
+            if not len(kept):
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "text": pd.Series(dtype="object"),
+                })
+            # rows arrive (doc_id, chunk_no)-sorted from _explode_chunks,
+            # so the within-doc chunk order survives the groupby
+            out = kept.groupby("doc_id", sort=True)["chunk"].agg(" ".join)
             return pd.DataFrame({
-                "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "text": pd.Series(texts, dtype="object"),
+                "doc_id": out.index.to_numpy(dtype=np.int64),
+                "text": out.to_numpy(),
             })
 
         return ds.map_batches(strip, batch_format="pandas")

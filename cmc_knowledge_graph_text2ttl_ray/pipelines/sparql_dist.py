@@ -16,11 +16,13 @@ answers):
 - any number of ``OPTIONAL { … }`` groups, applied in syntactic
   order with full SPARQL LeftJoin per-binding semantics: groups
   containing property paths / FILTER / UNION evaluate recursively; a
-  group correlated through a previous OPTIONAL's possibly-null vars
-  is joined via bound-var STRATA (one left-outer join per observed
-  null bitmask; an all-unbound stratum crosses with the
-  compatible-with-anything optional side).  One ``MINUS { … }``
-  group (plain/rich split)
+  group correlated through a previous OPTIONAL's possibly-null vars —
+  even when the optional side itself carries unbound shared vars —
+  joins via BOTH-SIDES bound-var strata (one inner join per observed
+  (left, right) null-bitmask pair; unmatched solutions survive
+  unextended).  Any number of ``MINUS { … }`` groups (plain/rich
+  split; the first plain one fuses into the BGP planner, the rest
+  apply as sequential left_anti joins in syntactic order)
 - ``FILTER(...)`` — the parser's compiled closures applied per solution
   row (solutions are the post-join RESULT set, orders of magnitude
   smaller than the triple table; a vectorized translation would cover
@@ -68,10 +70,9 @@ answers):
   derived sort-key columns, ``OFFSET`` (a distributed ordered split;
   bounded by OFFSET+LIMIT when LIMIT is present) and ``LIMIT``.
 
-NOT supported distributed: an OPTIONAL whose own solutions carry
-unbound SHARED variables while correlating through nullable vars
-(null-wildcard compatibility on both sides), and MINUS over
-possibly-null shared variables — both rejected by name.
+NOT supported distributed: MINUS over possibly-null shared
+variables, and property paths under ``GRAPH ?var`` (constant
+``GRAPH <iri>`` paths are supported) — rejected by name.
 """
 
 from __future__ import annotations
@@ -131,6 +132,21 @@ def _graph_source(graph_iri: str):
             return t.filter(pc.fill_null(pc.equal(t["graph"], _g), False))
 
         return base.map_batches(pick, batch_format="pyarrow")
+
+    return factory
+
+
+def _compose_graph_source(src, graph_iri: str):
+    """Compose a path-arm source factory with a constant-GRAPH filter:
+    the arm (plain scan, predicate closure, zero-length reflexive set)
+    evaluates over ONLY that graph's quads — per-graph path semantics
+    under ``GRAPH <iri> { … path … }``."""
+    gsrc = _graph_source(graph_iri)
+    if src is None:
+        return gsrc
+
+    def factory(triples, _s=src, _g=gsrc):
+        return _s(_g(triples))
 
     return factory
 
@@ -442,18 +458,19 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
     variables bound in BOTH), or keep μ1 unextended when none matches.
     Returns ``(joined, vars-made-nullable)``.
 
-    When no shared variable is nullable in ``acc`` this is one
+    When no shared variable can be null on EITHER side this is one
     left-outer hash join.  Otherwise — the OPTIONAL correlates through
-    a previous OPTIONAL's possibly-null vars — the left side is
-    STRATIFIED by which nullable shared vars are actually bound (at
-    most 2^k strata, each a real bitmask observed in the data): every
-    stratum left-outer joins on its bound keys only, unbound shared
-    vars take the optional side's value, and the strata union back.
-    An all-unbound stratum crosses with the (compatible-with-anything)
-    optional side — bounded by |stratum| × |opt|, and such rows only
-    exist when an earlier OPTIONAL matched nothing.  The optional side
-    must be fully bound on the shared vars (nulls there would need
-    null-wildcard compatibility on BOTH sides — rejected by name)."""
+    a previous OPTIONAL's possibly-null vars, and/or the OPTIONAL side
+    itself carries unbound shared vars (nested OPTIONAL / UNION inside
+    the group) — BOTH sides are STRATIFIED by which shared vars are
+    actually bound (observed null bitmasks, at most 2^k each): every
+    (left-stratum, right-stratum) pair inner-joins on the vars bound in
+    both (an all-unbound pair crosses — compatible with anything), the
+    pairs union into the matched rows, and μ1 rows matching NO pair
+    survive unextended.  Unmatched detection keys on a content hash of
+    the full left row (identical rows have identical match status, so
+    bag multiplicities are preserved; 64-bit hash, collision odds
+    negligible at solution-set size)."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -496,7 +513,13 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
     np_join = max(1, min(default_join_partitions(),
                          -(-min(n_l, n_r) // 50_000)))
 
-    if not null_shared:
+    n_right_nulls = int(right.map_batches(
+        lambda t, _sh=tuple(shared): pa.table(
+            {"n": pa.array([sum(t[c].null_count for c in _sh)],
+                           pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0)
+
+    if not null_shared and not n_right_nulls:
         r2 = right.rename_columns({c: c + "__r" for c in shared})
         j = left.join(r2, join_type="left_outer",
                       num_partitions=np_join,
@@ -504,91 +527,149 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
                       right_on=tuple(c + "__r" for c in shared))
         return j.select_columns(out_cols), set(extra)
 
-    # ---- per-binding substitution strata ----
-    n_right_nulls = right.map_batches(
-        lambda t, _sh=tuple(shared): pa.table(
-            {"n": pa.array([sum(t[c].null_count for c in _sh)],
-                           pa.int64())}),
-        batch_format="pyarrow").sum("n")
-    if n_right_nulls:
-        raise NotImplementedError(
-            "distributed SPARQL: OPTIONAL correlated through nullable "
-            "variables where the OPTIONAL side itself has unbound "
-            "shared variables (null-wildcard compatibility on both "
-            "sides)")
-
-    def add_mask(t: pa.Table, _ns=tuple(null_shared)) -> pa.Table:
+    # ---- general per-binding compatibility (nulls on EITHER side) ----
+    def add_mask(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
         import numpy as np
 
         mask = np.zeros(len(t), dtype="int64")
-        for i, c in enumerate(_ns):
+        for i, c in enumerate(_sh):
             isnull = pc.is_null(t[c]).to_numpy(zero_copy_only=False)
             mask |= isnull.astype("int64") << i
         return t.append_column("__stratum", pa.array(mask, pa.int64()))
 
+    def add_lid(df, _=None):
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(df, index=False) \
+            .astype("uint64").astype("int64")
+        df = df.copy()
+        df["__lid"] = h
+        return df
+
     lm = left.map_batches(_str_cols, batch_format="pyarrow") \
+             .map_batches(add_lid, batch_format="pandas") \
              .map_batches(add_mask, batch_format="pyarrow") \
              .materialize()
-    masks = sorted(lm.unique("__stratum"))
-    r_all = right.rename_columns({c: c + "__r" for c in opt_cols})
-    parts = []
-    for mask in masks:
-        unbound = {c for i, c in enumerate(null_shared)
-                   if (mask >> i) & 1}
-        join_on = [c for c in shared if c not in unbound]
+    rm = right.map_batches(add_mask, batch_format="pyarrow") \
+              .materialize()
+    l_masks = sorted(lm.unique("__stratum"))
+    r_masks = sorted(rm.unique("__stratum"))
 
-        def pick(t: pa.Table, _m=mask) -> pa.Table:
+    def pick(src, mask):
+        def fn(t: pa.Table, _m=mask) -> pa.Table:
             t = t.filter(pc.equal(t["__stratum"], _m))
             return t.select([c for c in t.column_names
                              if c != "__stratum"])
 
-        stratum, n_s = _compact(lm.map_batches(pick,
-                                               batch_format="pyarrow"))
+        return _compact(src.map_batches(fn, batch_format="pyarrow"))[0]
+
+    parts = []
+    for ml in l_masks:
+        l_unbound = {c for i, c in enumerate(shared) if (ml >> i) & 1}
+        stratum = pick(lm, ml)
         if stratum is None:
             continue
-        if join_on:
-            j = stratum.join(
-                r_all, join_type="left_outer",
-                num_partitions=np_join,
-                on=tuple(join_on),
-                right_on=tuple(c + "__r" for c in join_on))
+        for mr in r_masks:
+            r_unbound = {c for i, c in enumerate(shared)
+                         if (mr >> i) & 1}
+            rstr = pick(rm, mr)
+            if rstr is None:
+                continue
+            r_all = rstr.rename_columns(
+                {c: c + "__r" for c in rstr.schema().names})
+            join_on = [c for c in shared
+                       if c not in l_unbound and c not in r_unbound]
+            if join_on:
+                j = stratum.join(
+                    r_all, join_type="inner",
+                    num_partitions=np_join,
+                    on=tuple(join_on),
+                    right_on=tuple(c + "__r" for c in join_on))
+            else:
+                # no var bound on both sides: everything compatible
+                s2 = stratum.map_batches(
+                    lambda t: t.append_column(
+                        "__x", pa.array(["_"] * len(t), pa.string())),
+                    batch_format="pyarrow")
+                r3 = r_all.map_batches(
+                    lambda t: t.append_column(
+                        "__x__r", pa.array(["_"] * len(t), pa.string())),
+                    batch_format="pyarrow")
+                j = s2.join(r3, join_type="inner",
+                            num_partitions=np_join,
+                            on=("__x",), right_on=("__x__r",))
+
+            def project(t: pa.Table,
+                        _lu=frozenset(l_unbound),
+                        _oc=tuple(out_cols + ["__lid"])) -> pa.Table:
+                cols = {}
+                for c in _oc:
+                    # a shared var unbound on the left takes the
+                    # optional side's value (may itself be null);
+                    # right-only vars come from the right
+                    src = c
+                    if c in _lu or (c + "__r" in t.column_names
+                                    and c not in t.column_names):
+                        src = c + "__r"
+                    cols[c] = (t[src].cast(
+                        pa.string() if c != "__lid" else pa.int64())
+                        if src in t.column_names
+                        else pa.nulls(len(t), pa.string()))
+                return pa.table(cols, schema=pa.schema(
+                    [(c, pa.string() if c != "__lid" else pa.int64())
+                     for c in _oc]))
+
+            parts.append(j.map_batches(project, batch_format="pyarrow"))
+
+    import ray.data as _rd
+
+    lid_schema = pa.schema([(c, pa.string()) for c in out_cols]
+                           + [("__lid", pa.int64())])
+    if parts:
+        matches = parts[0]
+        for other in parts[1:]:
+            matches = matches.union(other)
+        matches = matches.materialize()
+
+        def dedup_ids(t: pa.Table) -> pa.Table:
+            # empty filter outputs can arrive as schema-less blocks;
+            # emit a stable one-column __mid schema either way
+            if "__lid" not in t.column_names:
+                return pa.table({"__mid": pa.array([], pa.int64())})
+            return pa.table({"__mid": t["__lid"]}) \
+                     .group_by(["__mid"]).aggregate([])
+
+        matched_ids = matches.map_batches(
+            dedup_ids, batch_format="pyarrow").materialize()
+        if matched_ids.count() == 0:
+            # a fully-empty materialized dataset loses its schema and
+            # the anti-join would fail resolving __mid; nothing matched
+            unmatched = lm
         else:
-            # every shared var unbound here: all opt rows compatible
-            # (right is non-empty) → constant-key cross join
-            s2 = stratum.map_batches(
-                lambda t: t.append_column(
-                    "__x", pa.array(["_"] * len(t), pa.string())),
-                batch_format="pyarrow")
-            r3 = r_all.map_batches(
-                lambda t: t.append_column(
-                    "__x__r", pa.array(["_"] * len(t), pa.string())),
-                batch_format="pyarrow")
-            j = s2.join(r3, join_type="inner",
-                        num_partitions=np_join,
-                        on=("__x",), right_on=("__x__r",))
+            unmatched = lm.join(
+                matched_ids, join_type="left_anti",
+                num_partitions=np_join,
+                on=("__lid",), right_on=("__mid",))
+    else:
+        matches = _rd.from_arrow(lid_schema.empty_table())
+        unmatched = lm
 
-        def project(t: pa.Table, _ub=frozenset(unbound | set(extra)),
-                    _oc=tuple(out_cols)) -> pa.Table:
-            cols = {}
-            for c in _oc:
-                src = c + "__r" if c in _ub else c
-                cols[c] = (t[src].cast(pa.string())
-                           if src in t.column_names
-                           else pa.nulls(len(t), pa.string()))
-            return pa.table(cols, schema=pa.schema(
-                [(c, pa.string()) for c in _oc]))
+    def pad_left(t: pa.Table, _oc=tuple(out_cols)) -> pa.Table:
+        cols = {}
+        for c in _oc:
+            cols[c] = (t[c].cast(pa.string()) if c in t.column_names
+                       else pa.nulls(len(t), pa.string()))
+        return pa.table(cols, schema=pa.schema(
+            [(c, pa.string()) for c in _oc]))
 
-        parts.append(j.map_batches(project, batch_format="pyarrow"))
-    if not parts:
-        return ray.data.from_arrow(out_schema.empty_table()), set(extra)
-    acc2 = parts[0]
-    for other in parts[1:]:
-        acc2 = acc2.union(other)
-    return acc2, set(extra)
+    out = matches.map_batches(pad_left, batch_format="pyarrow") \
+                 .union(unmatched.map_batches(pad_left,
+                                              batch_format="pyarrow"))
+    return out, set(extra)
 
 
 def _translate_group(elements):
-    patterns, optionals, minus, filters, unions = [], [], None, [], []
+    patterns, optionals, minuses, filters, unions = [], [], [], [], []
     binds, values_blocks, exists_groups, subqueries = [], [], [], []
     sources = []  # per-pattern source factories (aligned with patterns)
     fresh = _Fresh()
@@ -634,13 +715,12 @@ def _translate_group(elements):
             except NotImplementedError:
                 optionals.append(("rich", payload))
         elif kind == "minus":
-            if minus is not None:
-                raise NotImplementedError(
-                    "distributed SPARQL: only one MINUS group")
+            # any number of MINUS groups, applied in syntactic order
+            # (Minus(Minus(acc, m1), m2) — sequential left_anti)
             try:
-                minus = ("plain", _bgp_only(payload, "MINUS"))
+                minuses.append(("plain", _bgp_only(payload, "MINUS")))
             except NotImplementedError:
-                minus = ("rich", payload)
+                minuses.append(("rich", payload))
         elif kind == "filter":
             filters.append(payload)
         elif kind == "union":
@@ -662,6 +742,7 @@ def _translate_group(elements):
             # rdflib-Dataset default_union / Virtuoso convention),
             # documented deviation from the SPARQL dataset model.
             gterm, inner = payload
+            g = _conv_term(gterm)
             for ikind, ipayload in inner:
                 if ikind == "filter":
                     filters.append(ipayload)
@@ -670,29 +751,56 @@ def _translate_group(elements):
                     raise NotImplementedError(
                         f"distributed SPARQL: {ikind.upper()} inside "
                         "GRAPH is not supported")
+                plain_pats, path_pats = [], []
                 for pat in ipayload:
                     if isinstance(pat[1], tuple) and pat[1][0] == "path":
+                        path_pats.append(pat)
+                    else:
+                        plain_pats.append(pat)
+                if g.startswith("?"):
+                    if path_pats:
+                        # per-graph path closures with a VARIABLE graph
+                        # would need one closure per named graph
                         raise NotImplementedError(
                             "distributed SPARQL: property paths inside "
-                            "GRAPH are not supported")
-                g = _conv_term(gterm)
-                if g.startswith("?"):
+                            "GRAPH ?var are not supported (constant "
+                            "GRAPH <iri> is)")
                     patterns.extend(
                         tuple(_conv_term(t) for t in pat) + (g,)
-                        for pat in ipayload)
-                    sources.extend([None] * len(ipayload))
+                        for pat in plain_pats)
+                    sources.extend([None] * len(plain_pats))
                     # SPARQL §13.3: GRAPH ?g ranges over NAMED graphs
                     # only — default-graph rows (graph = "" / null) must
                     # not bind; filter on the result set (cheap)
                     filters.append(
                         lambda b, _v=g[1:]: bool(b.get(_v)))
                 else:
-                    patterns.extend(_conv_patterns(ipayload))
-                    sources.extend([_graph_source(g)] * len(ipayload))
+                    patterns.extend(_conv_patterns(plain_pats))
+                    sources.extend([_graph_source(g)] * len(plain_pats))
+                    # property paths under a CONSTANT graph: lower as
+                    # usual, then compose every arm source (including
+                    # the default triple scan) with the graph filter so
+                    # closures / zero-length arms see ONLY that graph
+                    for pat in path_pats:
+                        ps, pp, po = pat
+                        alts = _lower_path(ps, pp[1], po, fresh)
+                        alts = [(pats_, fils_,
+                                 [_compose_graph_source(src_, g)
+                                  for src_ in srcs_])
+                                for pats_, fils_, srcs_ in alts]
+                        if len(alts) == 1:
+                            pats_, fils_, srcs_ = alts[0]
+                            patterns.extend(_conv_patterns(pats_))
+                            filters.extend(fils_)
+                            sources.extend(srcs_)
+                        else:
+                            unions.append(
+                                [[("bgp_lowered", (pats_, fils_, srcs_))]
+                                 for pats_, fils_, srcs_ in alts])
         else:
             raise NotImplementedError(
                 f"distributed SPARQL: {kind.upper()} is not supported")
-    return (patterns, optionals, minus, filters, unions, binds,
+    return (patterns, optionals, minuses, filters, unions, binds,
             values_blocks, exists_groups, subqueries, sources)
 
 
@@ -707,12 +815,17 @@ def _group_dataset(triples, elements, num_partitions):
         bgp_query,
     )
 
-    (patterns, optionals, minus, filters, unions, binds,
+    (patterns, optionals, minuses, filters, unions, binds,
      values_blocks, exists_groups, subqueries,
      sources) = _translate_group(elements)
 
-    plain_minus = minus[1] if minus and minus[0] == "plain" else None
-    rich_minus = minus[1] if minus and minus[0] == "rich" else None
+    # the FIRST plain MINUS fuses into bgp_query's planner (one pass);
+    # every further group applies as a sequential left_anti below
+    plain_minus = None
+    rest_minuses = minuses
+    if minuses and minuses[0][0] == "plain":
+        plain_minus = minuses[0][1]
+        rest_minuses = minuses[1:]
     # vars that may be NULL in acc (introduced by an OPTIONAL or by a
     # UNION arm that lacks them) — a later OPTIONAL correlated through
     # these takes the per-binding-substitution LeftJoin path
@@ -727,7 +840,7 @@ def _group_dataset(triples, elements, num_partitions):
                         minus_patterns=plain_minus or None,
                         num_partitions=num_partitions,
                         pattern_sources=resolved)
-    elif optionals or minus:
+    elif optionals or minuses:
         raise NotImplementedError(
             "distributed SPARQL: OPTIONAL/MINUS need required patterns")
 
@@ -803,10 +916,15 @@ def _group_dataset(triples, elements, num_partitions):
                                        num_partitions)
         nullable |= new_nullable
 
-    # rich MINUS: remove solutions with a compatible row in the group
-    # (left_anti on the shared vars; sharing none removes nothing)
-    if rich_minus is not None:
-        min_ds = _group_dataset(triples, rich_minus, num_partitions)
+    # remaining MINUS groups, in order: remove solutions with a
+    # compatible row in the group (left_anti on the shared vars;
+    # sharing none removes nothing)
+    for min_kind, min_payload in rest_minuses:
+        if min_kind == "plain":
+            min_ds = bgp_query(triples, min_payload,
+                               num_partitions=num_partitions)
+        else:
+            min_ds = _group_dataset(triples, min_payload, num_partitions)
         min_cols = [c for c in min_ds.schema().names
                     if not c.startswith("__p")]
         shared = sorted(set(acc.schema().names) & set(min_cols))

