@@ -70,9 +70,13 @@ answers):
   derived sort-key columns, ``OFFSET`` (a distributed ordered split;
   bounded by OFFSET+LIMIT when LIMIT is present) and ``LIMIT``.
 
-NOT supported distributed: MINUS over possibly-null shared
-variables, and property paths under ``GRAPH ?var`` (constant
-``GRAPH <iri>`` paths are supported) — rejected by name.
+MINUS over possibly-null shared variables (on either side) applies
+full per-binding §18.5 semantics through the same both-sides strata:
+a solution is removed only by a group row agreeing on every var bound
+in both with at least one var bound in both.
+
+NOT supported distributed: property paths under ``GRAPH ?var``
+(constant ``GRAPH <iri>`` paths are supported) — rejected by name.
 """
 
 from __future__ import annotations
@@ -668,6 +672,109 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
     return out, set(extra)
 
 
+def _minus_nullable(left, right, shared, np_join):
+    """SPARQL §18.5 Minus with possibly-null shared vars on either
+    side: stratify BOTH sides by which shared vars are bound; a
+    (left-stratum, right-stratum) pair with NO var bound on both sides
+    removes nothing (the disjoint-domain guard); otherwise an inner
+    semi-join on the commonly-bound vars marks the left rows removed.
+    Identified by the same full-row content hash as ``_left_join``."""
+    import pyarrow.compute as pc
+
+    def _str_cols(t: pa.Table) -> pa.Table:
+        return pa.table({c: t[c].cast(pa.string())
+                         for c in t.column_names})
+
+    def add_mask(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
+        import numpy as np
+
+        mask = np.zeros(len(t), dtype="int64")
+        for i, c in enumerate(_sh):
+            isnull = pc.is_null(t[c]).to_numpy(zero_copy_only=False)
+            mask |= isnull.astype("int64") << i
+        return t.append_column("__stratum", pa.array(mask, pa.int64()))
+
+    def add_lid(df, _=None):
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(df, index=False) \
+            .astype("uint64").astype("int64")
+        df = df.copy()
+        df["__lid"] = h
+        return df
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import _compact
+
+    out_cols = list(left.schema().names)
+    lm = left.map_batches(_str_cols, batch_format="pyarrow") \
+             .map_batches(add_lid, batch_format="pandas") \
+             .map_batches(add_mask, batch_format="pyarrow") \
+             .materialize()
+    rm = right.map_batches(_str_cols, batch_format="pyarrow") \
+              .map_batches(add_mask, batch_format="pyarrow") \
+              .materialize()
+
+    def pick(src, mask):
+        def fn(t: pa.Table, _m=mask) -> pa.Table:
+            t = t.filter(pc.equal(t["__stratum"], _m))
+            return t.select([c for c in t.column_names
+                             if c != "__stratum"])
+
+        return _compact(src.map_batches(fn, batch_format="pyarrow"))[0]
+
+    removed_parts = []
+    for ml in sorted(lm.unique("__stratum")):
+        l_unbound = {c for i, c in enumerate(shared) if (ml >> i) & 1}
+        stratum = pick(lm, ml)
+        if stratum is None:
+            continue
+        for mr in sorted(rm.unique("__stratum")):
+            r_unbound = {c for i, c in enumerate(shared)
+                         if (mr >> i) & 1}
+            join_on = [c for c in shared
+                       if c not in l_unbound and c not in r_unbound]
+            if not join_on:
+                continue  # disjoint domains: removes nothing
+            rstr = pick(rm, mr)
+            if rstr is None:
+                continue
+
+            def keys_only(t: pa.Table, _jo=tuple(join_on)) -> pa.Table:
+                sub = pa.table({c + "__r": t[c] for c in _jo})
+                return sub.group_by(list(sub.column_names)).aggregate([])
+
+            rk = rstr.map_batches(keys_only, batch_format="pyarrow")
+            j = stratum.join(rk, join_type="inner",
+                             num_partitions=np_join,
+                             on=tuple(join_on),
+                             right_on=tuple(c + "__r" for c in join_on))
+            removed_parts.append(j.select_columns(["__lid"]))
+
+    def drop_helpers(t: pa.Table, _oc=tuple(out_cols)) -> pa.Table:
+        return pa.table({c: t[c] for c in _oc})
+
+    if not removed_parts:
+        return lm.map_batches(drop_helpers, batch_format="pyarrow")
+    removed = removed_parts[0]
+    for other in removed_parts[1:]:
+        removed = removed.union(other)
+
+    def dedup_ids(t: pa.Table) -> pa.Table:
+        if "__lid" not in t.column_names:
+            return pa.table({"__mid": pa.array([], pa.int64())})
+        return pa.table({"__mid": t["__lid"]}) \
+                 .group_by(["__mid"]).aggregate([])
+
+    removed_ids = removed.map_batches(
+        dedup_ids, batch_format="pyarrow").materialize()
+    if removed_ids.count() == 0:
+        return lm.map_batches(drop_helpers, batch_format="pyarrow")
+    kept = lm.join(removed_ids, join_type="left_anti",
+                   num_partitions=np_join,
+                   on=("__lid",), right_on=("__mid",))
+    return kept.map_batches(drop_helpers, batch_format="pyarrow")
+
+
 def _translate_group(elements):
     patterns, optionals, minuses, filters, unions = [], [], [], [], []
     binds, values_blocks, exists_groups, subqueries = [], [], [], []
@@ -819,13 +926,23 @@ def _group_dataset(triples, elements, num_partitions):
      values_blocks, exists_groups, subqueries,
      sources) = _translate_group(elements)
 
-    # the FIRST plain MINUS fuses into bgp_query's planner (one pass);
-    # every further group applies as a sequential left_anti below
+    # the FIRST plain MINUS fuses into bgp_query's planner (one pass) —
+    # but only over a PURE BGP group: with OPTIONAL/UNION/subquery
+    # elements the subtraction must apply AFTER those joins (syntactic
+    # order, §18.5), and it must share a var with the required patterns
+    # (else bgp_query's cross-product guard fires where the spec says
+    # "removes nothing").  Every other group applies sequentially below.
     plain_minus = None
     rest_minuses = minuses
-    if minuses and minuses[0][0] == "plain":
-        plain_minus = minuses[0][1]
-        rest_minuses = minuses[1:]
+    if (minuses and minuses[0][0] == "plain"
+            and not optionals and not unions and not subqueries):
+        m_vars = {t for pat in minuses[0][1] for t in pat
+                  if isinstance(t, str) and t.startswith("?")}
+        req_vars = {t for pat in patterns for t in pat
+                    if isinstance(t, str) and t.startswith("?")}
+        if m_vars & req_vars:
+            plain_minus = minuses[0][1]
+            rest_minuses = minuses[1:]
     # vars that may be NULL in acc (introduced by an OPTIONAL or by a
     # UNION arm that lacks them) — a later OPTIONAL correlated through
     # these takes the per-binding-substitution LeftJoin path
@@ -928,35 +1045,46 @@ def _group_dataset(triples, elements, num_partitions):
         min_cols = [c for c in min_ds.schema().names
                     if not c.startswith("__p")]
         shared = sorted(set(acc.schema().names) & set(min_cols))
-        if shared and not (set(shared) & nullable):
-            left, n_l = _compact(acc)
-            right, n_r = _compact(min_ds.select_columns(shared))
-            if left is not None and right is not None:
-                def _min_keys(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
-                    sub = pa.table({c + "__r": t[c].cast(pa.string())
-                                    for c in _sh})
-                    return sub.group_by(
-                        list(sub.column_names)).aggregate([])
+        if not shared:
+            continue  # disjoint domains remove nothing (§18.5 guard)
+        left, n_l = _compact(acc)
+        right, n_r = _compact(min_ds.select_columns(shared))
+        if left is None:
+            import ray.data
 
-                right = right.map_batches(_min_keys,
-                                          batch_format="pyarrow")
-                np_join = max(1, min(default_join_partitions(),
-                                     -(-min(n_l, n_r) // 50_000)))
-                acc = left.join(
-                    right, join_type="left_anti",
-                    num_partitions=np_join,
-                    on=tuple(shared),
-                    right_on=tuple(c + "__r" for c in shared))
-            elif left is None:
-                import ray.data
+            sch = pa.schema([(c, pa.string())
+                             for c in acc.schema().names])
+            acc = ray.data.from_arrow(sch.empty_table())
+            continue
+        if right is None:
+            continue
+        n_right_nulls = int(right.map_batches(
+            lambda t, _sh=tuple(shared): pa.table(
+                {"n": pa.array([sum(t[c].null_count for c in _sh)],
+                               pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+        np_join = max(1, min(default_join_partitions(),
+                             -(-min(n_l, n_r) // 50_000)))
+        if not (set(shared) & nullable) and not n_right_nulls:
+            def _min_keys(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
+                sub = pa.table({c + "__r": t[c].cast(pa.string())
+                                for c in _sh})
+                return sub.group_by(
+                    list(sub.column_names)).aggregate([])
 
-                sch = pa.schema([(c, pa.string())
-                                 for c in acc.schema().names])
-                acc = ray.data.from_arrow(sch.empty_table())
-        elif set(shared) & nullable:
-            raise NotImplementedError(
-                "distributed SPARQL: MINUS over possibly-null shared "
-                "variables needs per-binding compatibility semantics")
+            right = right.map_batches(_min_keys,
+                                      batch_format="pyarrow")
+            acc = left.join(
+                right, join_type="left_anti",
+                num_partitions=np_join,
+                on=tuple(shared),
+                right_on=tuple(c + "__r" for c in shared))
+        else:
+            # per-binding MINUS (§18.5): μ1 removed iff some μ2 agrees
+            # on every var bound in BOTH and they share at least one
+            # bound var — the same both-sides strata machinery as
+            # _left_join, collecting REMOVED ids instead of matches
+            acc = _minus_nullable(left, right, shared, np_join)
 
     # subqueries: evaluated in their own scope, natural-joined back on
     # the shared variables (SPARQL 1.1 §12 bottom-up evaluation)

@@ -652,3 +652,36 @@ def test_path_inside_graph_var_raises(ray_session):
     with pytest.raises(NotImplementedError, match="GRAPH"):
         sparql_select(ds, PFX + "SELECT ?g ?x ?k WHERE { GRAPH ?g { "
                       "?x ex:hq_in/ex:in_country ?k } }").to_pandas()
+
+
+def test_minus_after_optional_nullable_left(ray_session):
+    # MINUS over a var the earlier OPTIONAL left possibly-null: rows
+    # whose ?c is unbound share no bound var with the group → survive
+    _assert_same(PFX + """
+        SELECT ?d ?c WHERE {
+            ?d ex:mentions ?m .
+            OPTIONAL { ?m ex:hq_in ?c }
+            MINUS { ?x ex:hq_in ?c . ?x ex:employees ?e .
+                    FILTER(?e > 1000) }
+        }""")
+
+
+def test_minus_group_with_optional_inside(ray_session):
+    # the MINUS group itself carries a possibly-null shared var
+    _assert_same(PFX + """
+        SELECT ?m ?e WHERE {
+            ?m ex:employees ?e .
+            MINUS { ?m ex:hq_in ?h
+                    OPTIONAL { ?m ex:employees ?e } }
+        }""")
+
+
+def test_minus_disjoint_domain_removes_nothing(ray_session):
+    # §18.5 guard: a MINUS row binding ONLY vars unbound in the
+    # solution is not compatible — differential pin
+    _assert_same(PFX + """
+        SELECT ?d ?c WHERE {
+            ?d ex:mentions ?m .
+            OPTIONAL { ?m ex:hq_in ?c }
+            MINUS { ?c ex:in_country ex:germany }
+        }""")
