@@ -778,6 +778,7 @@ def _minus_nullable(left, right, shared, np_join):
 def _translate_group(elements):
     patterns, optionals, minuses, filters, unions = [], [], [], [], []
     binds, values_blocks, exists_groups, subqueries = [], [], [], []
+    graph_groups = []  # (graph_iri, inner elements) — rich constant-GRAPH
     sources = []  # per-pattern source factories (aligned with patterns)
     fresh = _Fresh()
     for kind, payload in elements:
@@ -850,6 +851,15 @@ def _translate_group(elements):
             # documented deviation from the SPARQL dataset model.
             gterm, inner = payload
             g = _conv_term(gterm)
+            if not g.startswith("?") and any(
+                    k not in ("bgp", "filter") for k, _ in inner):
+                # rich group under a CONSTANT graph: evaluate the whole
+                # inner group recursively over the graph-filtered source
+                # and join back on the shared vars (same shape as a
+                # subquery) — full OPTIONAL/UNION/MINUS semantics per
+                # graph for free
+                graph_groups.append((g, inner))
+                continue
             for ikind, ipayload in inner:
                 if ikind == "filter":
                     filters.append(ipayload)
@@ -857,7 +867,8 @@ def _translate_group(elements):
                 if ikind != "bgp":
                     raise NotImplementedError(
                         f"distributed SPARQL: {ikind.upper()} inside "
-                        "GRAPH is not supported")
+                        "GRAPH ?var is not supported (constant "
+                        "GRAPH <iri> is)")
                 plain_pats, path_pats = [], []
                 for pat in ipayload:
                     if isinstance(pat[1], tuple) and pat[1][0] == "path":
@@ -908,7 +919,8 @@ def _translate_group(elements):
             raise NotImplementedError(
                 f"distributed SPARQL: {kind.upper()} is not supported")
     return (patterns, optionals, minuses, filters, unions, binds,
-            values_blocks, exists_groups, subqueries, sources)
+            values_blocks, exists_groups, subqueries, sources,
+            graph_groups)
 
 
 def _group_dataset(triples, elements, num_partitions):
@@ -923,8 +935,8 @@ def _group_dataset(triples, elements, num_partitions):
     )
 
     (patterns, optionals, minuses, filters, unions, binds,
-     values_blocks, exists_groups, subqueries,
-     sources) = _translate_group(elements)
+     values_blocks, exists_groups, subqueries, sources,
+     graph_groups) = _translate_group(elements)
 
     # the FIRST plain MINUS fuses into bgp_query's planner (one pass) —
     # but only over a PURE BGP group: with OPTIONAL/UNION/subquery
@@ -1014,6 +1026,61 @@ def _group_dataset(triples, elements, num_partitions):
                 right_on=tuple(c + "__r" for c in shared))
             acc = acc.select_columns(sorted(
                 set(left.schema().names) | set(all_cols)))
+
+    # rich constant-GRAPH groups: each evaluates recursively over the
+    # graph-filtered source, then joins back on the shared vars
+    for g_iri, g_inner in graph_groups:
+        gds = _group_dataset(_graph_source(g_iri)(triples),
+                             g_inner, num_partitions)
+        g_cols = [c for c in gds.schema().names
+                  if not c.startswith("__p")]
+        gds = gds.select_columns(g_cols)
+        if acc is None:
+            acc = gds
+            # the recursive evaluation's own nullable set is not
+            # plumbed out; mark every var conservatively (only routes
+            # later joins to the general per-binding path)
+            nullable |= set(g_cols)
+            continue
+        shared = sorted(set(acc.schema().names) & set(g_cols))
+        if not shared:
+            raise NotImplementedError(
+                "distributed SPARQL: GRAPH group sharing no variable "
+                "with the rest of the WHERE clause (cross product)")
+        left, n_l = _compact(acc)
+        right, n_r = _compact(gds)
+        if left is None or right is None:
+            import ray.data
+
+            sch = pa.schema([(c, pa.string()) for c in sorted(
+                set(acc.schema().names) | set(g_cols))])
+            return ray.data.from_arrow(sch.empty_table())
+        n_gnulls = int(right.map_batches(
+            lambda t, _sh=tuple(shared): pa.table(
+                {"n": pa.array([sum(t[c].null_count for c in _sh)],
+                               pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+        if n_gnulls:
+            raise NotImplementedError(
+                "distributed SPARQL: GRAPH group whose shared "
+                "variables may be unbound (null-wildcard join)")
+
+        def _str_cols_g(t: pa.Table) -> pa.Table:
+            return pa.table({c: t[c].cast(pa.string())
+                             for c in t.column_names})
+
+        right = right.map_batches(_str_cols_g, batch_format="pyarrow") \
+                     .rename_columns({c: c + "__r" for c in shared})
+        np_join = max(1, min(default_join_partitions(),
+                             -(-min(n_l, n_r) // 50_000)))
+        acc = left.join(right, join_type="inner",
+                        num_partitions=np_join,
+                        on=tuple(shared),
+                        right_on=tuple(c + "__r" for c in shared))
+        acc = acc.select_columns(sorted(
+            set(left.schema().names) | set(g_cols)))
+        # vars the GRAPH group introduced may be null (inner OPTIONAL)
+        nullable |= set(g_cols) - set(shared)
 
     if acc is None:
         raise NotImplementedError("distributed SPARQL: empty WHERE body")

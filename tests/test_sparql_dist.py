@@ -685,3 +685,36 @@ def test_minus_disjoint_domain_removes_nothing(ray_session):
             OPTIONAL { ?m ex:hq_in ?c }
             MINUS { ?c ex:in_country ex:germany }
         }""")
+
+
+def test_optional_inside_constant_graph(ray_session):
+    # rich (OPTIONAL-bearing) group under GRAPH <iri> evaluates over
+    # that graph only and joins back — g2 has no in_country for berlin
+    _assert_same_quads(PFX + """
+        SELECT ?x ?c ?k WHERE {
+            GRAPH <urn:g1> {
+                ?x ex:hq_in ?c
+                OPTIONAL { ?c ex:in_country ?k }
+            }
+        }""")
+
+
+def test_union_inside_constant_graph(ray_session):
+    _assert_same_quads(PFX + """
+        SELECT ?s ?v WHERE {
+            GRAPH <urn:g2> {
+                { ?s ex:hq_in ?v } UNION { ?s ex:in_country ?v }
+            }
+        }""")
+
+
+def test_graph_group_joins_with_outer_patterns(ray_session):
+    # the GRAPH group's solutions join the default-graph patterns on ?m
+    _assert_same_quads(PFX + """
+        SELECT ?d ?m ?c WHERE {
+            ?d ex:mentions ?m .
+            GRAPH <urn:g2> {
+                ?m ex:hq_in ?c
+                OPTIONAL { ?c ex:in_country ?k }
+            }
+        }""")
