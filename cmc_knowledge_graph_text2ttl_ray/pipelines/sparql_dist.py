@@ -456,6 +456,165 @@ def _apply_values(ds, vars_, rows):
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def _strata_prep(ds, shared, with_lid):
+    """String-cast + (optionally) full-row content hash ``__lid`` +
+    observed null-bitmask ``__stratum`` over ``shared``; materialized
+    so the per-stratum picks below reuse one execution."""
+    import pyarrow.compute as pc
+
+    def _str_cols(t: pa.Table) -> pa.Table:
+        return pa.table({c: t[c].cast(pa.string())
+                         for c in t.column_names})
+
+    def add_lid(df, _=None):
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(df, index=False) \
+            .astype("uint64").astype("int64")
+        df = df.copy()
+        df["__lid"] = h
+        return df
+
+    def add_mask(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
+        import numpy as np
+
+        mask = np.zeros(len(t), dtype="int64")
+        for i, c in enumerate(_sh):
+            isnull = pc.is_null(t[c]).to_numpy(zero_copy_only=False)
+            mask |= isnull.astype("int64") << i
+        return t.append_column("__stratum", pa.array(mask, pa.int64()))
+
+    out = ds.map_batches(_str_cols, batch_format="pyarrow")
+    if with_lid:
+        out = out.map_batches(add_lid, batch_format="pandas")
+    return out.map_batches(add_mask, batch_format="pyarrow").materialize()
+
+
+def _compat_matches(lm, rm, shared, out_cols, np_join,
+                    cross_on_disjoint=True, with_lid=True):
+    """Per-binding-compatible matches of two solution sets (§18.5
+    compatibility: agree on every var bound in BOTH; a null shared var
+    is a wildcard).  ``lm``/``rm`` come from :func:`_strata_prep`.
+    Returns the list of per-(left-stratum, right-stratum) projected
+    match datasets — the shared core of LeftJoin (crossing pairs with
+    no commonly-bound var), MINUS (skipping them — the disjoint-domain
+    guard) and plain Join over nullable solutions."""
+    import pyarrow.compute as pc
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import _compact
+
+    def pick(src, mask):
+        def fn(t: pa.Table, _m=mask) -> pa.Table:
+            t = t.filter(pc.equal(t["__stratum"], _m))
+            return t.select([c for c in t.column_names
+                             if c != "__stratum"])
+
+        return _compact(src.map_batches(fn, batch_format="pyarrow"))[0]
+
+    proj_cols = list(out_cols) + (["__lid"] if with_lid else [])
+    parts = []
+    for ml in sorted(lm.unique("__stratum")):
+        l_unbound = {c for i, c in enumerate(shared) if (ml >> i) & 1}
+        stratum = pick(lm, ml)
+        if stratum is None:
+            continue
+        for mr in sorted(rm.unique("__stratum")):
+            r_unbound = {c for i, c in enumerate(shared)
+                         if (mr >> i) & 1}
+            join_on = [c for c in shared
+                       if c not in l_unbound and c not in r_unbound]
+            if not join_on and not cross_on_disjoint:
+                continue  # MINUS: disjoint domains remove nothing
+            rstr = pick(rm, mr)
+            if rstr is None:
+                continue
+            r_all = rstr.rename_columns(
+                {c: c + "__r" for c in rstr.schema().names})
+            if join_on:
+                j = stratum.join(
+                    r_all, join_type="inner",
+                    num_partitions=np_join,
+                    on=tuple(join_on),
+                    right_on=tuple(c + "__r" for c in join_on))
+            else:
+                # no var bound on both sides: everything compatible
+                s2 = stratum.map_batches(
+                    lambda t: t.append_column(
+                        "__x", pa.array(["_"] * len(t), pa.string())),
+                    batch_format="pyarrow")
+                r3 = r_all.map_batches(
+                    lambda t: t.append_column(
+                        "__x__r", pa.array(["_"] * len(t), pa.string())),
+                    batch_format="pyarrow")
+                j = s2.join(r3, join_type="inner",
+                            num_partitions=np_join,
+                            on=("__x",), right_on=("__x__r",))
+
+            def project(t: pa.Table,
+                        _lu=frozenset(l_unbound),
+                        _oc=tuple(proj_cols)) -> pa.Table:
+                cols = {}
+                for c in _oc:
+                    # a shared var unbound on the left takes the right
+                    # side's value (may itself be null); right-only
+                    # vars come from the right
+                    src = c
+                    if c in _lu or (c + "__r" in t.column_names
+                                    and c not in t.column_names):
+                        src = c + "__r"
+                    cols[c] = (t[src].cast(
+                        pa.string() if c != "__lid" else pa.int64())
+                        if src in t.column_names
+                        else pa.nulls(len(t), pa.string()))
+                return pa.table(cols, schema=pa.schema(
+                    [(c, pa.string() if c != "__lid" else pa.int64())
+                     for c in _oc]))
+
+            parts.append(j.map_batches(project, batch_format="pyarrow"))
+    return parts
+
+
+def _matched_lid_anti(lm, matches, np_join):
+    """``lm`` rows whose ``__lid`` appears in no match row."""
+    def dedup_ids(t: pa.Table) -> pa.Table:
+        # empty filter outputs can arrive as schema-less blocks;
+        # emit a stable one-column __mid schema either way
+        if "__lid" not in t.column_names:
+            return pa.table({"__mid": pa.array([], pa.int64())})
+        return pa.table({"__mid": t["__lid"]}) \
+                 .group_by(["__mid"]).aggregate([])
+
+    matched_ids = matches.map_batches(
+        dedup_ids, batch_format="pyarrow").materialize()
+    if matched_ids.count() == 0:
+        # a fully-empty materialized dataset loses its schema and the
+        # anti-join would fail resolving __mid; nothing matched
+        return lm
+    return lm.join(matched_ids, join_type="left_anti",
+                   num_partitions=np_join,
+                   on=("__lid",), right_on=("__mid",))
+
+
+def _compat_inner_join(left, right, shared, out_cols, np_join):
+    """SPARQL Join over two solution sets where shared vars may be
+    null on either side (per-binding compatibility; null = wildcard).
+    Union of :func:`_compat_matches` with crossing pairs kept (Join,
+    unlike MINUS, has no disjoint-domain guard)."""
+    import ray.data as _rd
+
+    lm = _strata_prep(left, shared, with_lid=False)
+    rm = _strata_prep(right, shared, with_lid=False)
+    parts = _compat_matches(lm, rm, shared, out_cols, np_join,
+                            cross_on_disjoint=True, with_lid=False)
+    if not parts:
+        sch = pa.schema([(c, pa.string()) for c in out_cols])
+        return _rd.from_arrow(sch.empty_table())
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.union(other)
+    return out
+
+
 def _left_join(acc, opt_ds, nullable, num_partitions):
     """SPARQL algebra ``LeftJoin(acc, opt)`` (§18.5): for each solution
     μ1, extend by every COMPATIBLE optional solution μ2 (agree on the
@@ -532,98 +691,10 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
         return j.select_columns(out_cols), set(extra)
 
     # ---- general per-binding compatibility (nulls on EITHER side) ----
-    def add_mask(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
-        import numpy as np
-
-        mask = np.zeros(len(t), dtype="int64")
-        for i, c in enumerate(_sh):
-            isnull = pc.is_null(t[c]).to_numpy(zero_copy_only=False)
-            mask |= isnull.astype("int64") << i
-        return t.append_column("__stratum", pa.array(mask, pa.int64()))
-
-    def add_lid(df, _=None):
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(df, index=False) \
-            .astype("uint64").astype("int64")
-        df = df.copy()
-        df["__lid"] = h
-        return df
-
-    lm = left.map_batches(_str_cols, batch_format="pyarrow") \
-             .map_batches(add_lid, batch_format="pandas") \
-             .map_batches(add_mask, batch_format="pyarrow") \
-             .materialize()
-    rm = right.map_batches(add_mask, batch_format="pyarrow") \
-              .materialize()
-    l_masks = sorted(lm.unique("__stratum"))
-    r_masks = sorted(rm.unique("__stratum"))
-
-    def pick(src, mask):
-        def fn(t: pa.Table, _m=mask) -> pa.Table:
-            t = t.filter(pc.equal(t["__stratum"], _m))
-            return t.select([c for c in t.column_names
-                             if c != "__stratum"])
-
-        return _compact(src.map_batches(fn, batch_format="pyarrow"))[0]
-
-    parts = []
-    for ml in l_masks:
-        l_unbound = {c for i, c in enumerate(shared) if (ml >> i) & 1}
-        stratum = pick(lm, ml)
-        if stratum is None:
-            continue
-        for mr in r_masks:
-            r_unbound = {c for i, c in enumerate(shared)
-                         if (mr >> i) & 1}
-            rstr = pick(rm, mr)
-            if rstr is None:
-                continue
-            r_all = rstr.rename_columns(
-                {c: c + "__r" for c in rstr.schema().names})
-            join_on = [c for c in shared
-                       if c not in l_unbound and c not in r_unbound]
-            if join_on:
-                j = stratum.join(
-                    r_all, join_type="inner",
-                    num_partitions=np_join,
-                    on=tuple(join_on),
-                    right_on=tuple(c + "__r" for c in join_on))
-            else:
-                # no var bound on both sides: everything compatible
-                s2 = stratum.map_batches(
-                    lambda t: t.append_column(
-                        "__x", pa.array(["_"] * len(t), pa.string())),
-                    batch_format="pyarrow")
-                r3 = r_all.map_batches(
-                    lambda t: t.append_column(
-                        "__x__r", pa.array(["_"] * len(t), pa.string())),
-                    batch_format="pyarrow")
-                j = s2.join(r3, join_type="inner",
-                            num_partitions=np_join,
-                            on=("__x",), right_on=("__x__r",))
-
-            def project(t: pa.Table,
-                        _lu=frozenset(l_unbound),
-                        _oc=tuple(out_cols + ["__lid"])) -> pa.Table:
-                cols = {}
-                for c in _oc:
-                    # a shared var unbound on the left takes the
-                    # optional side's value (may itself be null);
-                    # right-only vars come from the right
-                    src = c
-                    if c in _lu or (c + "__r" in t.column_names
-                                    and c not in t.column_names):
-                        src = c + "__r"
-                    cols[c] = (t[src].cast(
-                        pa.string() if c != "__lid" else pa.int64())
-                        if src in t.column_names
-                        else pa.nulls(len(t), pa.string()))
-                return pa.table(cols, schema=pa.schema(
-                    [(c, pa.string() if c != "__lid" else pa.int64())
-                     for c in _oc]))
-
-            parts.append(j.map_batches(project, batch_format="pyarrow"))
+    lm = _strata_prep(left, shared, with_lid=True)
+    rm = _strata_prep(right, shared, with_lid=False)
+    parts = _compat_matches(lm, rm, shared, out_cols, np_join,
+                            cross_on_disjoint=True, with_lid=True)
 
     import ray.data as _rd
 
@@ -634,26 +705,7 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
         for other in parts[1:]:
             matches = matches.union(other)
         matches = matches.materialize()
-
-        def dedup_ids(t: pa.Table) -> pa.Table:
-            # empty filter outputs can arrive as schema-less blocks;
-            # emit a stable one-column __mid schema either way
-            if "__lid" not in t.column_names:
-                return pa.table({"__mid": pa.array([], pa.int64())})
-            return pa.table({"__mid": t["__lid"]}) \
-                     .group_by(["__mid"]).aggregate([])
-
-        matched_ids = matches.map_batches(
-            dedup_ids, batch_format="pyarrow").materialize()
-        if matched_ids.count() == 0:
-            # a fully-empty materialized dataset loses its schema and
-            # the anti-join would fail resolving __mid; nothing matched
-            unmatched = lm
-        else:
-            unmatched = lm.join(
-                matched_ids, join_type="left_anti",
-                num_partitions=np_join,
-                on=("__lid",), right_on=("__mid",))
+        unmatched = _matched_lid_anti(lm, matches, np_join)
     else:
         matches = _rd.from_arrow(lid_schema.empty_table())
         unmatched = lm
@@ -674,106 +726,25 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
 
 def _minus_nullable(left, right, shared, np_join):
     """SPARQL §18.5 Minus with possibly-null shared vars on either
-    side: stratify BOTH sides by which shared vars are bound; a
-    (left-stratum, right-stratum) pair with NO var bound on both sides
-    removes nothing (the disjoint-domain guard); otherwise an inner
-    semi-join on the commonly-bound vars marks the left rows removed.
-    Identified by the same full-row content hash as ``_left_join``."""
-    import pyarrow.compute as pc
-
-    def _str_cols(t: pa.Table) -> pa.Table:
-        return pa.table({c: t[c].cast(pa.string())
-                         for c in t.column_names})
-
-    def add_mask(t: pa.Table, _sh=tuple(shared)) -> pa.Table:
-        import numpy as np
-
-        mask = np.zeros(len(t), dtype="int64")
-        for i, c in enumerate(_sh):
-            isnull = pc.is_null(t[c]).to_numpy(zero_copy_only=False)
-            mask |= isnull.astype("int64") << i
-        return t.append_column("__stratum", pa.array(mask, pa.int64()))
-
-    def add_lid(df, _=None):
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(df, index=False) \
-            .astype("uint64").astype("int64")
-        df = df.copy()
-        df["__lid"] = h
-        return df
-
-    from cmc_knowledge_graph_text2ttl_ray.pipelines.kg_query import _compact
-
+    side: :func:`_compat_matches` with the disjoint-domain guard
+    (pairs sharing no bound var remove nothing) marks removed left
+    rows by content hash; the survivors anti-join back."""
     out_cols = list(left.schema().names)
-    lm = left.map_batches(_str_cols, batch_format="pyarrow") \
-             .map_batches(add_lid, batch_format="pandas") \
-             .map_batches(add_mask, batch_format="pyarrow") \
-             .materialize()
-    rm = right.map_batches(_str_cols, batch_format="pyarrow") \
-              .map_batches(add_mask, batch_format="pyarrow") \
-              .materialize()
-
-    def pick(src, mask):
-        def fn(t: pa.Table, _m=mask) -> pa.Table:
-            t = t.filter(pc.equal(t["__stratum"], _m))
-            return t.select([c for c in t.column_names
-                             if c != "__stratum"])
-
-        return _compact(src.map_batches(fn, batch_format="pyarrow"))[0]
-
-    removed_parts = []
-    for ml in sorted(lm.unique("__stratum")):
-        l_unbound = {c for i, c in enumerate(shared) if (ml >> i) & 1}
-        stratum = pick(lm, ml)
-        if stratum is None:
-            continue
-        for mr in sorted(rm.unique("__stratum")):
-            r_unbound = {c for i, c in enumerate(shared)
-                         if (mr >> i) & 1}
-            join_on = [c for c in shared
-                       if c not in l_unbound and c not in r_unbound]
-            if not join_on:
-                continue  # disjoint domains: removes nothing
-            rstr = pick(rm, mr)
-            if rstr is None:
-                continue
-
-            def keys_only(t: pa.Table, _jo=tuple(join_on)) -> pa.Table:
-                sub = pa.table({c + "__r": t[c] for c in _jo})
-                return sub.group_by(list(sub.column_names)).aggregate([])
-
-            rk = rstr.map_batches(keys_only, batch_format="pyarrow")
-            j = stratum.join(rk, join_type="inner",
-                             num_partitions=np_join,
-                             on=tuple(join_on),
-                             right_on=tuple(c + "__r" for c in join_on))
-            removed_parts.append(j.select_columns(["__lid"]))
+    lm = _strata_prep(left, shared, with_lid=True)
+    rm = _strata_prep(right, shared, with_lid=False)
+    parts = _compat_matches(lm, rm, shared, [], np_join,
+                            cross_on_disjoint=False, with_lid=True)
 
     def drop_helpers(t: pa.Table, _oc=tuple(out_cols)) -> pa.Table:
         return pa.table({c: t[c] for c in _oc})
 
-    if not removed_parts:
+    if not parts:
         return lm.map_batches(drop_helpers, batch_format="pyarrow")
-    removed = removed_parts[0]
-    for other in removed_parts[1:]:
+    removed = parts[0]
+    for other in parts[1:]:
         removed = removed.union(other)
-
-    def dedup_ids(t: pa.Table) -> pa.Table:
-        if "__lid" not in t.column_names:
-            return pa.table({"__mid": pa.array([], pa.int64())})
-        return pa.table({"__mid": t["__lid"]}) \
-                 .group_by(["__mid"]).aggregate([])
-
-    removed_ids = removed.map_batches(
-        dedup_ids, batch_format="pyarrow").materialize()
-    if removed_ids.count() == 0:
-        return lm.map_batches(drop_helpers, batch_format="pyarrow")
-    kept = lm.join(removed_ids, join_type="left_anti",
-                   num_partitions=np_join,
-                   on=("__lid",), right_on=("__mid",))
+    kept = _matched_lid_anti(lm, removed.materialize(), np_join)
     return kept.map_batches(drop_helpers, batch_format="pyarrow")
-
 
 def _translate_group(elements):
     patterns, optionals, minuses, filters, unions = [], [], [], [], []
@@ -1017,15 +988,30 @@ def _group_dataset(triples, elements, num_partitions):
                 import ray.data
 
                 return ray.data.from_arrow(sch.empty_table())
-            right = right.rename_columns({c: c + "__r" for c in shared})
             np_join = max(1, min(default_join_partitions(),
                                  -(-min(n_l, n_r) // 50_000)))
-            acc = left.join(
-                right, join_type="inner", num_partitions=np_join,
-                on=tuple(shared),
-                right_on=tuple(c + "__r" for c in shared))
-            acc = acc.select_columns(sorted(
-                set(left.schema().names) | set(all_cols)))
+            u_out = sorted(set(left.schema().names) | set(all_cols))
+            n_unulls = int(right.map_batches(
+                lambda t, _sh=tuple(shared): pa.table(
+                    {"n": pa.array([sum(t[c].null_count
+                                        for c in _sh
+                                        if c in t.column_names)],
+                                   pa.int64())}),
+                batch_format="pyarrow").sum("n") or 0)
+            if n_unulls or (set(shared) & nullable):
+                # a UNION arm lacking a shared var (or a nullable acc
+                # var) makes the strict hash join drop rows the spec
+                # keeps: per-binding Join via the strata helper
+                acc = _compat_inner_join(left, right, shared, u_out,
+                                         np_join)
+            else:
+                right = right.rename_columns(
+                    {c: c + "__r" for c in shared})
+                acc = left.join(
+                    right, join_type="inner", num_partitions=np_join,
+                    on=tuple(shared),
+                    right_on=tuple(c + "__r" for c in shared))
+                acc = acc.select_columns(u_out)
 
     # rich constant-GRAPH groups: each evaluates recursively over the
     # graph-filtered source, then joins back on the shared vars
@@ -1060,25 +1046,28 @@ def _group_dataset(triples, elements, num_partitions):
                 {"n": pa.array([sum(t[c].null_count for c in _sh)],
                                pa.int64())}),
             batch_format="pyarrow").sum("n") or 0)
-        if n_gnulls:
-            raise NotImplementedError(
-                "distributed SPARQL: GRAPH group whose shared "
-                "variables may be unbound (null-wildcard join)")
-
-        def _str_cols_g(t: pa.Table) -> pa.Table:
-            return pa.table({c: t[c].cast(pa.string())
-                             for c in t.column_names})
-
-        right = right.map_batches(_str_cols_g, batch_format="pyarrow") \
-                     .rename_columns({c: c + "__r" for c in shared})
         np_join = max(1, min(default_join_partitions(),
                              -(-min(n_l, n_r) // 50_000)))
-        acc = left.join(right, join_type="inner",
-                        num_partitions=np_join,
-                        on=tuple(shared),
-                        right_on=tuple(c + "__r" for c in shared))
-        acc = acc.select_columns(sorted(
-            set(left.schema().names) | set(g_cols)))
+        g_out = sorted(set(left.schema().names) | set(g_cols))
+        if n_gnulls or (set(shared) & nullable):
+            # shared vars may be unbound on either side: per-binding
+            # Join via the both-sides strata helper
+            acc = _compat_inner_join(left, right, shared, g_out,
+                                     np_join)
+        else:
+            def _str_cols_g(t: pa.Table) -> pa.Table:
+                return pa.table({c: t[c].cast(pa.string())
+                                 for c in t.column_names})
+
+            right = right.map_batches(_str_cols_g,
+                                      batch_format="pyarrow") \
+                         .rename_columns(
+                             {c: c + "__r" for c in shared})
+            acc = left.join(right, join_type="inner",
+                            num_partitions=np_join,
+                            on=tuple(shared),
+                            right_on=tuple(c + "__r" for c in shared))
+            acc = acc.select_columns(g_out)
         # vars the GRAPH group introduced may be null (inner OPTIONAL)
         nullable |= set(g_cols) - set(shared)
 
@@ -1173,20 +1162,34 @@ def _group_dataset(triples, elements, num_partitions):
 
             return ray.data.from_arrow(sch.empty_table())
 
-        def _str_cols(t: pa.Table) -> pa.Table:
-            return pa.table({c: t[c].cast(pa.string())
-                             for c in t.column_names})
-
-        right = right.map_batches(_str_cols, batch_format="pyarrow") \
-                     .rename_columns({c: c + "__r" for c in shared})
         np_join = max(1, min(default_join_partitions(),
                              -(-min(n_l, n_r) // 50_000)))
-        acc = left.join(right, join_type="inner",
-                        num_partitions=np_join,
-                        on=tuple(shared),
-                        right_on=tuple(c + "__r" for c in shared))
-        acc = acc.select_columns(sorted(
-            set(left.schema().names) | sub_cols))
+        sq_out = sorted(set(left.schema().names) | sub_cols)
+        n_snulls = int(right.map_batches(
+            lambda t, _sh=tuple(shared): pa.table(
+                {"n": pa.array([sum(t[c].null_count for c in _sh)],
+                               pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+        if n_snulls or (set(shared) & nullable):
+            # subquery projections (or the outer acc) may be null on a
+            # shared var: per-binding Join via the strata helper
+            acc = _compat_inner_join(left, right, shared, sq_out,
+                                     np_join)
+        else:
+            def _str_cols(t: pa.Table) -> pa.Table:
+                return pa.table({c: t[c].cast(pa.string())
+                                 for c in t.column_names})
+
+            right = right.map_batches(_str_cols,
+                                      batch_format="pyarrow") \
+                         .rename_columns(
+                             {c: c + "__r" for c in shared})
+            acc = left.join(right, join_type="inner",
+                            num_partitions=np_join,
+                            on=tuple(shared),
+                            right_on=tuple(c + "__r" for c in shared))
+            acc = acc.select_columns(sq_out)
+        nullable |= sub_cols - set(shared)
 
     # evaluation order for the supported subset: VALUES (inline joins) →
     # BIND (derived vars) → EXISTS/FILTER (SPARQL applies filters at

@@ -718,3 +718,30 @@ def test_graph_group_joins_with_outer_patterns(ray_session):
                 OPTIONAL { ?c ex:in_country ?k }
             }
         }""")
+
+
+def test_union_arm_missing_shared_var_wildcard_join(ray_session):
+    # one UNION arm binds ?c, the other doesn't — arm-2 rows are
+    # null on the shared var and must join as wildcards (per-binding
+    # Join), not be dropped by a strict hash join
+    _assert_same(PFX + """
+        SELECT ?m ?c ?k ?e WHERE {
+            ?m ex:hq_in ?c .
+            { ?c ex:in_country ?k }
+            UNION
+            { ?m ex:employees ?e }
+        }""")
+
+
+def test_graph_group_nullable_shared_join(ray_session):
+    # the GRAPH group's OPTIONAL leaves ?k possibly-null; joining it
+    # with an outer pattern that also binds ?k must treat null as a
+    # wildcard
+    _assert_same_quads(PFX + """
+        SELECT ?m ?c ?k WHERE {
+            GRAPH <urn:g1> { ?c ex:in_country ?k }
+            GRAPH <urn:g2> {
+                ?m ex:hq_in ?c
+                OPTIONAL { ?c ex:in_country ?k }
+            }
+        }""")
