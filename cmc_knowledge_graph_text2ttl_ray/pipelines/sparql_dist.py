@@ -75,8 +75,11 @@ full per-binding §18.5 semantics through the same both-sides strata:
 a solution is removed only by a group row agreeing on every var bound
 in both with at least one var bound in both.
 
-NOT supported distributed: property paths under ``GRAPH ?var``
-(constant ``GRAPH <iri>`` paths are supported) — rejected by name.
+Property paths / rich groups under ``GRAPH ?var`` evaluate once per
+ENUMERATED named graph (bounded at 64 graphs — per-graph closures do
+not scale to per-document graphs; beyond the bound it rejects by
+name, the one remaining rejection).  Plain BGPs under ``GRAPH ?var``
+lower to quad patterns (graph var as a join term) and carry no bound.
 """
 
 from __future__ import annotations
@@ -746,10 +749,83 @@ def _minus_nullable(left, right, shared, np_join):
     kept = _matched_lid_anti(lm, removed.materialize(), np_join)
     return kept.map_batches(drop_helpers, batch_format="pyarrow")
 
+_MAX_ENUM_GRAPHS = 64
+
+
+def _eval_var_graph_group(triples, gvar, inner, num_partitions):
+    """``GRAPH ?var { … paths / rich elements … }``: enumerate the
+    NAMED graphs (one distinct scan over the graph column), evaluate
+    the inner group once per graph through the constant-graph
+    machinery, bind ``?var`` to the graph name, union.
+
+    Partitioning assumption, documented: per-graph path closures are
+    inherently one evaluation per graph, so this path is bounded to
+    ``_MAX_ENUM_GRAPHS`` named graphs — beyond that (e.g. per-document
+    graphs at corpus scale) it raises by name rather than launching an
+    unbounded driver loop.  Plain BGPs under ``GRAPH ?var`` do NOT take
+    this path (they lower to quad patterns with the graph var as a
+    join term — unbounded-graph safe)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.functions.cluster import (
+        coarse_group_reduce,
+    )
+
+    base = (triples.scan_for_graph(None)
+            if hasattr(triples, "scan_for_graph")
+            else triples.scan_for_predicate(None)
+            if hasattr(triples, "scan_for_predicate") else triples)
+
+    def names(t: pa.Table) -> pa.Table:
+        if "graph" not in t.column_names:
+            raise ValueError(
+                "GRAPH requires a quad source (a 'graph' column); "
+                "this dataset is triple-only")
+        g = pc.unique(pa.chunked_array([t["graph"].cast(pa.string())])
+                      .combine_chunks())
+        return pa.table({"g": g})
+
+    distinct = coarse_group_reduce(
+        base.map_batches(names, batch_format="pyarrow"),
+        ["g"], lambda df: df.drop_duplicates()).materialize()
+    n_graphs = distinct.count()
+    if n_graphs > _MAX_ENUM_GRAPHS:
+        raise NotImplementedError(
+            f"distributed SPARQL: GRAPH ?var with property paths / "
+            f"rich groups enumerates named graphs — {n_graphs} exceed "
+            f"the {_MAX_ENUM_GRAPHS} bound (per-graph closures do not "
+            f"scale to per-document graphs)")
+    graphs = sorted(r["g"] for r in distinct.take_all() if r["g"])
+
+    parts = []
+    for gname in graphs:
+        sub = _group_dataset(_graph_source(gname)(triples), inner,
+                             num_partitions)
+
+        def bind_graph(t: pa.Table, _g=gname, _v=gvar) -> pa.Table:
+            cols = {c: t[c].cast(pa.string()) for c in t.column_names}
+            cols[_v] = pa.array([_g] * len(t), pa.string())
+            names_ = sorted(cols)
+            return pa.table({c: cols[c] for c in names_},
+                            schema=pa.schema([(c, pa.string())
+                                              for c in names_]))
+
+        parts.append(sub.map_batches(bind_graph, batch_format="pyarrow"))
+    if not parts:
+        return ray.data.from_arrow(
+            pa.schema([(gvar, pa.string())]).empty_table())
+    out = parts[0]
+    for other in parts[1:]:
+        out = out.union(other)
+    return out
+
+
 def _translate_group(elements):
     patterns, optionals, minuses, filters, unions = [], [], [], [], []
     binds, values_blocks, exists_groups, subqueries = [], [], [], []
     graph_groups = []  # (graph_iri, inner elements) — rich constant-GRAPH
+    var_graph_groups = []  # (var name, inner elements) — rich GRAPH ?var
     sources = []  # per-pattern source factories (aligned with patterns)
     fresh = _Fresh()
     for kind, payload in elements:
@@ -822,6 +898,18 @@ def _translate_group(elements):
             # documented deviation from the SPARQL dataset model.
             gterm, inner = payload
             g = _conv_term(gterm)
+            if g.startswith("?") and (
+                    any(k not in ("bgp", "filter") for k, _ in inner)
+                    or any(isinstance(pat[1], tuple)
+                           and pat[1][0] == "path"
+                           for k, pl in inner if k == "bgp"
+                           for pat in pl)):
+                # paths / rich elements under a VARIABLE graph: evaluate
+                # once per ENUMERATED named graph (bounded — see
+                # _eval_var_graph_group) through the constant-graph
+                # machinery, binding the var to each graph name
+                var_graph_groups.append((g[1:], inner))
+                continue
             if not g.startswith("?") and any(
                     k not in ("bgp", "filter") for k, _ in inner):
                 # rich group under a CONSTANT graph: evaluate the whole
@@ -891,7 +979,7 @@ def _translate_group(elements):
                 f"distributed SPARQL: {kind.upper()} is not supported")
     return (patterns, optionals, minuses, filters, unions, binds,
             values_blocks, exists_groups, subqueries, sources,
-            graph_groups)
+            graph_groups, var_graph_groups)
 
 
 def _group_dataset(triples, elements, num_partitions):
@@ -907,7 +995,7 @@ def _group_dataset(triples, elements, num_partitions):
 
     (patterns, optionals, minuses, filters, unions, binds,
      values_blocks, exists_groups, subqueries, sources,
-     graph_groups) = _translate_group(elements)
+     graph_groups, var_graph_groups) = _translate_group(elements)
 
     # the FIRST plain MINUS fuses into bgp_query's planner (one pass) —
     # but only over a PURE BGP group: with OPTIONAL/UNION/subquery
@@ -1015,9 +1103,15 @@ def _group_dataset(triples, elements, num_partitions):
 
     # rich constant-GRAPH groups: each evaluates recursively over the
     # graph-filtered source, then joins back on the shared vars
-    for g_iri, g_inner in graph_groups:
-        gds = _group_dataset(_graph_source(g_iri)(triples),
-                             g_inner, num_partitions)
+    all_graph_groups = ([("const", k, i) for k, i in graph_groups]
+                        + [("var", k, i) for k, i in var_graph_groups])
+    for gg_kind, gg_key, g_inner in all_graph_groups:
+        if gg_kind == "const":
+            gds = _group_dataset(_graph_source(gg_key)(triples),
+                                 g_inner, num_partitions)
+        else:
+            gds = _eval_var_graph_group(triples, gg_key, g_inner,
+                                        num_partitions)
         g_cols = [c for c in gds.schema().names
                   if not c.startswith("__p")]
         gds = gds.select_columns(g_cols)

@@ -647,11 +647,19 @@ def test_star_path_inside_constant_graph(ray_session):
         "ex:acme (ex:hq_in/ex:in_country)* ?k } }")
 
 
-def test_path_inside_graph_var_raises(ray_session):
-    ds, _ = _quad_setup()
-    with pytest.raises(NotImplementedError, match="GRAPH"):
-        sparql_select(ds, PFX + "SELECT ?g ?x ?k WHERE { GRAPH ?g { "
-                      "?x ex:hq_in/ex:in_country ?k } }").to_pandas()
+def test_path_inside_graph_var_enumerates(ray_session):
+    # round-5: paths under GRAPH ?var evaluate per enumerated named
+    # graph (bounded) — differential vs the in-memory evaluator; the
+    # two graphs give DIFFERENT chains for acme
+    _assert_same_quads(
+        PFX + "SELECT ?g ?x ?k WHERE { GRAPH ?g { "
+        "?x ex:hq_in/ex:in_country ?k } }")
+
+
+def test_optional_inside_graph_var(ray_session):
+    _assert_same_quads(
+        PFX + "SELECT ?g ?x ?c ?k WHERE { GRAPH ?g { "
+        "?x ex:hq_in ?c OPTIONAL { ?c ex:in_country ?k } } }")
 
 
 def test_minus_after_optional_nullable_left(ray_session):
