@@ -262,15 +262,21 @@ class TestGraphClause:
         with pytest.raises(QueryError, match="GRAPH"):
             g.query("SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }")
 
-    def test_paths_inside_graph_rejected_by_name(self, ray_session):
+    def test_paths_inside_graph_var_enumerate(self, ray_session):
+        # round-5: paths under GRAPH ?var evaluate per enumerated
+        # named graph — closures stay within each graph
         from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
             sparql_select,
         )
 
         ds = ray.data.from_pandas(_demo_quads())
-        with pytest.raises(NotImplementedError, match="paths inside"):
-            sparql_select(
-                ds, "SELECT ?a WHERE { GRAPH ?g { ?a <urn:p:by>+ ?b } }")
+        out = sparql_select(
+            ds, "SELECT ?g ?a ?b WHERE { GRAPH ?g { "
+                "?a <urn:p:by>+ ?b } }").to_pandas()
+        got = sorted(map(tuple, out[["g", "a", "b"]].values.tolist()))
+        assert got == [("urn:g:DE", "urn:o1", "urn:c1"),
+                       ("urn:g:DE", "urn:o3", "urn:c3"),
+                       ("urn:g:FR", "urn:o2", "urn:c2")]
 
 
 class TestPipelineQuadOutput:
