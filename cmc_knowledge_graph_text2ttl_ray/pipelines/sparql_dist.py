@@ -487,9 +487,18 @@ def _strata_prep(ds, shared, with_lid):
             mask |= isnull.astype("int64") << i
         return t.append_column("__stratum", pa.array(mask, pa.int64()))
 
+    def fix_types(t: pa.Table) -> pa.Table:
+        # the pandas hop in add_lid re-infers an ALL-NULL column as
+        # Arrow `null` type; joins reject null-typed non-key fields —
+        # force every non-lid column back to string
+        return pa.table({c: (t[c].cast(pa.int64()) if c == "__lid"
+                             else t[c].cast(pa.string()))
+                         for c in t.column_names})
+
     out = ds.map_batches(_str_cols, batch_format="pyarrow")
     if with_lid:
-        out = out.map_batches(add_lid, batch_format="pandas")
+        out = out.map_batches(add_lid, batch_format="pandas") \
+                 .map_batches(fix_types, batch_format="pyarrow")
     return out.map_batches(add_mask, batch_format="pyarrow").materialize()
 
 
@@ -609,12 +618,14 @@ def _compat_inner_join(left, right, shared, out_cols, np_join):
     rm = _strata_prep(right, shared, with_lid=False)
     parts = _compat_matches(lm, rm, shared, out_cols, np_join,
                             cross_on_disjoint=True, with_lid=False)
+    sch = pa.schema([(c, pa.string()) for c in out_cols])
     if not parts:
-        sch = pa.schema([(c, pa.string()) for c in out_cols])
         return _rd.from_arrow(sch.empty_table())
     out = parts[0]
     for other in parts[1:]:
         out = out.union(other)
+    if out.schema() is None:  # zero blocks → schema lost; pin it
+        return _rd.from_arrow(sch.empty_table())
     return out
 
 
@@ -724,6 +735,8 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
     out = matches.map_batches(pad_left, batch_format="pyarrow") \
                  .union(unmatched.map_batches(pad_left,
                                               batch_format="pyarrow"))
+    if out.schema() is None:  # zero blocks → schema lost; pin it
+        out = ray.data.from_arrow(out_schema.empty_table())
     return out, set(extra)
 
 
@@ -741,13 +754,23 @@ def _minus_nullable(left, right, shared, np_join):
     def drop_helpers(t: pa.Table, _oc=tuple(out_cols)) -> pa.Table:
         return pa.table({c: t[c] for c in _oc})
 
+    def pin_schema(ds):
+        import ray.data as _rd
+
+        if ds.schema() is None:  # zero blocks → schema lost; pin it
+            return _rd.from_arrow(pa.schema(
+                [(c, pa.string()) for c in out_cols]).empty_table())
+        return ds
+
     if not parts:
-        return lm.map_batches(drop_helpers, batch_format="pyarrow")
+        return pin_schema(
+            lm.map_batches(drop_helpers, batch_format="pyarrow"))
     removed = parts[0]
     for other in parts[1:]:
         removed = removed.union(other)
     kept = _matched_lid_anti(lm, removed.materialize(), np_join)
-    return kept.map_batches(drop_helpers, batch_format="pyarrow")
+    return pin_schema(
+        kept.map_batches(drop_helpers, batch_format="pyarrow"))
 
 _MAX_ENUM_GRAPHS = 64
 

@@ -194,3 +194,78 @@ class TestAskDescribeInMemory:
         q = "PREFIX ex: <http://ex.org/>\nASK { ex:a ex:knows ?x . }"
         dist = sparql_query(ds, q).to_pandas()["ask"].iloc[0]
         assert (g.query(q)[0]["ask"] == "true") == bool(dist)
+
+
+# ---- round-5: randomized OPTIONAL/MINUS chains through full SPARQL ----
+
+def _iri(t):
+    return t if t.startswith("?") else f"<urn:{t}>"
+
+
+def _pat_txt(p):
+    return f"{_iri(p[0])} {_iri(p[1])} {_iri(p[2])} ."
+
+
+def _pat_vars(p):
+    return {t for t in p if t.startswith("?")}
+
+
+@pytest.mark.usefixtures("ray_session")
+@given(graphs, st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_random_optional_chain_matches_inmemory(graph, data):
+    """Random OPTIONAL chains (incl. correlation through an earlier
+    OPTIONAL's nullable vars) + an optional trailing MINUS, evaluated
+    through the FULL SPARQL front ends: distributed ``sparql_select``
+    vs the in-memory evaluator. Exercises the round-5 both-sides
+    strata machinery under randomized structure."""
+    from collections import Counter
+
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    pat = st.tuples(st.sampled_from(VARS + NODES),
+                    st.sampled_from(PREDS),  # constant preds: keeps the
+                    st.sampled_from(VARS + NODES))  # chains connected
+
+    req = data.draw(pat.filter(lambda p: _pat_vars(p)))
+    bound = _pat_vars(req)
+    opts = []
+    for _ in range(data.draw(st.integers(1, 2))):
+        o = data.draw(pat.filter(
+            lambda p, _b=frozenset(bound): _pat_vars(p) & _b))
+        opts.append(o)
+        bound |= _pat_vars(o)
+    minus = None
+    if data.draw(st.booleans()):
+        minus = data.draw(pat.filter(
+            lambda p, _b=frozenset(bound): _pat_vars(p) & _b))
+
+    proj = sorted(bound)
+    text = ("SELECT " + " ".join(proj) + " WHERE { " + _pat_txt(req)
+            + " " + " ".join(f"OPTIONAL {{ {_pat_txt(o)} }}"
+                             for o in opts)
+            + (f" MINUS {{ {_pat_txt(minus)} }}" if minus else "")
+            + " }")
+
+    gi = GraphIndex([("urn:" + s, "urn:" + p, "urn:" + o,
+                      "iri", None, None) for s, p, o in graph])
+    local = Counter(
+        frozenset(r.items()) for r in gi.query(text))
+
+    ds = ray.data.from_arrow(__import__("pyarrow").table({
+        "subject": ["urn:" + t[0] for t in graph],
+        "predicate": ["urn:" + t[1] for t in graph],
+        "object": ["urn:" + t[2] for t in graph],
+    })).repartition(3)
+    df = sparql_select(ds, text).to_pandas()
+    dist = Counter(
+        frozenset((k, v) for k, v in r.items()
+                  if v is not None and v == v)
+        for r in df.to_dict(orient="records"))
+    assert local == dist, f"query: {text}"
