@@ -508,6 +508,11 @@ def _pd_forward_chain(facts: pd.DataFrame, rules: list[Rule],
     typing = ["object_kind", "object_lang", "object_datatype"]
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty and not set(cols) <= set(df.columns):
+            # a zero-BLOCK dataset to_pandas()-es to a column-less
+            # frame (the upstream filter emptied every block)
+            df = pd.DataFrame({c: pd.Series(dtype="object")
+                               for c in cols})
         out = df[cols].copy()
         for c in typing:
             out[c] = out[c].fillna(_PD_NULL)

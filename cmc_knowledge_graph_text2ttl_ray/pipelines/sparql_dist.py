@@ -158,6 +158,21 @@ def _compose_graph_source(src, graph_iri: str):
     return factory
 
 
+def _pin_triple_schema(ds):
+    """Zero-block datasets (a filter emptied every block) lose their
+    schema; downstream pandas kernels then KeyError on the missing
+    triple columns — pin the canonical (subject, predicate, object)
+    empty table instead."""
+    sch = ds.schema()
+    if sch is None or not list(sch.names):
+        import ray.data
+
+        return ray.data.from_arrow(pa.schema(
+            [("subject", pa.string()), ("predicate", pa.string()),
+             ("object", pa.string())]).empty_table())
+    return ds
+
+
 def _not_in_filter(var_name: str, bad: frozenset):
     def fn(b, _v=var_name, _bad=bad):
         return b.get(_v) is not None and b[_v] not in _bad
@@ -186,7 +201,7 @@ def _closure_source(pred: str):
             batch_format="pyarrow")
         rule = Rule([("?x", pred, "?y"), ("?y", pred, "?z")],
                     [("?x", pred, "?z")], name="closure")
-        return forward_chain(base, [rule])["closure"]
+        return forward_chain(_pin_triple_schema(base), [rule])["closure"]
 
     return factory
 
@@ -242,7 +257,8 @@ def _complex_closure_source(inner_ast, sent: str):
             forward_chain,
         )
 
-        edges = _path_edge_dataset(triples, inner_ast, sent)
+        edges = _pin_triple_schema(
+            _path_edge_dataset(triples, inner_ast, sent))
         rule = Rule([("?x", sent, "?y"), ("?y", sent, "?z")],
                     [("?x", sent, "?z")], name="closure")
         return forward_chain(edges, [rule])["closure"]
@@ -294,7 +310,8 @@ def _zero_length_source(s_term, o_term, sent: str):
                 "object": n,
             })
 
-        return nodes.map_batches(reflexive, batch_format="pyarrow")
+        return _pin_triple_schema(
+            nodes.map_batches(reflexive, batch_format="pyarrow"))
 
     return factory
 
@@ -624,7 +641,8 @@ def _compat_inner_join(left, right, shared, out_cols, np_join):
     out = parts[0]
     for other in parts[1:]:
         out = out.union(other)
-    if out.schema() is None:  # zero blocks → schema lost; pin it
+    osch = out.schema()
+    if osch is None or not list(osch.names):  # zero blocks → schema lost
         return _rd.from_arrow(sch.empty_table())
     return out
 
@@ -735,7 +753,8 @@ def _left_join(acc, opt_ds, nullable, num_partitions):
     out = matches.map_batches(pad_left, batch_format="pyarrow") \
                  .union(unmatched.map_batches(pad_left,
                                               batch_format="pyarrow"))
-    if out.schema() is None:  # zero blocks → schema lost; pin it
+    osch = out.schema()
+    if osch is None or not list(osch.names):  # zero blocks → schema lost
         out = ray.data.from_arrow(out_schema.empty_table())
     return out, set(extra)
 
@@ -757,7 +776,8 @@ def _minus_nullable(left, right, shared, np_join):
     def pin_schema(ds):
         import ray.data as _rd
 
-        if ds.schema() is None:  # zero blocks → schema lost; pin it
+        dsch = ds.schema()
+        if dsch is None or not list(dsch.names):  # zero blocks
             return _rd.from_arrow(pa.schema(
                 [(c, pa.string()) for c in out_cols]).empty_table())
         return ds
@@ -822,9 +842,14 @@ def _eval_var_graph_group(triples, gvar, inner, num_partitions):
     graphs = sorted(r["g"] for r in distinct.take_all() if r["g"])
 
     parts = []
+    expected_cols = {gvar}
     for gname in graphs:
         sub = _group_dataset(_graph_source(gname)(triples), inner,
                              num_partitions)
+        sub_sch = sub.schema()
+        if sub_sch is not None:
+            expected_cols |= {c for c in sub_sch.names
+                              if not c.startswith("__p")}
 
         def bind_graph(t: pa.Table, _g=gname, _v=gvar) -> pa.Table:
             cols = {c: t[c].cast(pa.string()) for c in t.column_names}
@@ -835,12 +860,16 @@ def _eval_var_graph_group(triples, gvar, inner, num_partitions):
                                               for c in names_]))
 
         parts.append(sub.map_batches(bind_graph, batch_format="pyarrow"))
+    empty = pa.schema([(c, pa.string())
+                       for c in sorted(expected_cols)]).empty_table()
     if not parts:
-        return ray.data.from_arrow(
-            pa.schema([(gvar, pa.string())]).empty_table())
+        return ray.data.from_arrow(empty)
     out = parts[0]
     for other in parts[1:]:
         out = out.union(other)
+    osch = out.schema()
+    if osch is None or not list(osch.names):  # every per-graph result empty
+        return ray.data.from_arrow(empty)
     return out
 
 
@@ -1361,12 +1390,23 @@ def _group_dataset(triples, elements, num_partitions):
             num_partitions=np_join,
             on=tuple(shared),
             right_on=tuple(c + "__r" for c in shared))
+    pre_sch = acc.schema()
     if filters:
         acc = _row_filters(acc, filters)
-    internal = [c for c in acc.schema().names if c.startswith("__p")]
+    sch = acc.schema()
+    if sch is None or not list(sch.names):
+        # a filter that empties every block loses the schema (zero
+        # blocks / empty-name blocks); pin the pre-filter column set
+        import ray.data
+
+        names = pre_sch.names if pre_sch is not None else []
+        return ray.data.from_arrow(pa.schema(
+            [(c, pa.string()) for c in names
+             if not c.startswith("__p")]).empty_table())
+    internal = [c for c in sch.names if c.startswith("__p")]
     if internal:
         acc = acc.select_columns(
-            [c for c in acc.schema().names if not c.startswith("__p")])
+            [c for c in sch.names if not c.startswith("__p")])
     return acc
 
 

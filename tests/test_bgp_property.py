@@ -269,3 +269,70 @@ def test_random_optional_chain_matches_inmemory(graph, data):
                   if v is not None and v == v)
         for r in df.to_dict(orient="records"))
     assert local == dist, f"query: {text}"
+
+
+GRAPHS_NAMES = ["g1", "g2", "g3"]
+quad_edges = st.tuples(st.sampled_from(NODES), st.sampled_from(PREDS),
+                       st.sampled_from(NODES),
+                       st.sampled_from(GRAPHS_NAMES))
+quad_graphs = st.lists(quad_edges, min_size=1, max_size=14, unique=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@given(quad_graphs, st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_random_graph_clause_matches_inmemory(quads, data):
+    """Random GRAPH groups — constant or variable graph term, plain or
+    path (seq / +) inner pattern — through both front ends. Exercises
+    the round-5 constant-graph path composition and the bounded
+    GRAPH ?var enumeration under randomized structure."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from cmc_knowledge_graph_text2ttl_ray.pipelines.sparql_dist import (
+        sparql_select,
+    )
+    from cmc_knowledge_graph_text2ttl_ray.state.graph_index import GraphIndex
+
+    use_var = data.draw(st.booleans())
+    use_path = data.draw(st.booleans())
+    gterm = "?g" if use_var else f"<urn:{data.draw(st.sampled_from(GRAPHS_NAMES))}>"
+    if use_path:
+        p1 = data.draw(st.sampled_from(PREDS))
+        p2 = data.draw(st.sampled_from(PREDS))
+        kind = data.draw(st.sampled_from(["seq", "plus"]))
+        path = (f"<urn:{p1}>/<urn:{p2}>" if kind == "seq"
+                else f"<urn:{p1}>+")
+        inner = f"?a {path} ?b ."
+        proj = ["?a", "?b"] + (["?g"] if use_var else [])
+    else:
+        pr = data.draw(st.sampled_from(PREDS))
+        inner = f"?a <urn:{pr}> ?b ."
+        proj = ["?a", "?b"] + (["?g"] if use_var else [])
+    dedup = "DISTINCT " if use_path else ""  # closure bag vs set dedup
+    text = (f"SELECT {dedup}" + " ".join(proj)
+            + f" WHERE {{ GRAPH {gterm} {{ {inner} }} }}")
+
+    gi = GraphIndex(graphs=[])
+    for s, p, o, g in quads:
+        gi.add(("urn:" + s, "urn:" + p, "urn:" + o, "iri", None, None),
+               graph="urn:" + g)
+    local = Counter(frozenset(r.items()) for r in gi.query(text))
+
+    ds = ray.data.from_arrow(pa.table({
+        "subject": ["urn:" + q[0] for q in quads],
+        "predicate": ["urn:" + q[1] for q in quads],
+        "object": ["urn:" + q[2] for q in quads],
+        "graph": ["urn:" + q[3] for q in quads],
+    })).repartition(3)
+    df = sparql_select(ds, text).to_pandas()
+    if use_path:
+        df = df.drop_duplicates()  # rewrite has bag multiplicity
+    dist = Counter(
+        frozenset((k, v) for k, v in r.items()
+                  if v is not None and v == v)
+        for r in df.to_dict(orient="records"))
+    assert local == dist, f"query: {text}"
